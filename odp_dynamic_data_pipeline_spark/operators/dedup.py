@@ -1,0 +1,125 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup is a hash-groupBy (one shuffle on the fingerprint).  Near-dup
+follows the MinHash+LSH recipe: shingle -> per-permutation min-hash ->
+band buckets -> candidate pairs only within buckets -> exact-Jaccard verify.
+At 100 TB the LSH path is the only viable one: candidate generation is a
+self-join on (band, bucket) keys instead of an O(n^2) cross join.
+
+All hashing is xxhash64 (JVM built-in, seed-stable) -- deterministic across
+runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str] | str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per duplicate group (deterministic keeper)."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles") -> DataFrame:
+    """Word n-gram shingle set (distinct)."""
+    toks = f"regexp_extract_all({text_col}, r'\\S+', 0)"
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)),"
+            f" i -> array_join(slice({toks}, i, {n}), ' ')))"
+        ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, shingle_col: str = "shingles", num_perm: int = 32
+) -> DataFrame:
+    """One min-hash per permutation: min over xxhash64(seed_i, shingle)."""
+    sigs = [
+        F.expr(
+            f"array_min(transform({shingle_col}, s -> xxhash64({i}, s)))"
+        ).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    return df.select(F.col(id_col), F.col(shingle_col), *sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold_e6: int = 500_000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verification.
+
+    Returns (id_a, id_b, inter, uni, jaccard_e6) with id_a < id_b and
+    jaccard >= threshold (jaccard_e6 = floor(1e6 * |A&B| / |A|B|)).
+    """
+    rows_per_band = num_perm // bands
+    sh = shingles(df.select(id_col, text_col), text_col, n=n)
+    sig = minhash_signatures(sh, id_col, num_perm=num_perm).filter(F.size("shingles") > 0)
+
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.xxhash64(F.lit(b), *cols).alias(f"band_{b}"))
+    banded = sig.select(F.col(id_col), F.col("shingles"), *band_cols)
+
+    buckets = banded.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.explode(F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket")) for b in range(bands)])).alias("bb"),
+    ).select(id_col, "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = buckets.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    right = buckets.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
+        F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("uni"),
+    ).withColumn("jaccard_e6", F.expr("(1000000 * inter) div uni"))
+    return verified.where(F.col("jaccard_e6") >= threshold_e6)
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 63, out_col: str = "simhash"
+) -> DataFrame:
+    """63-bit SimHash over word tokens (bit 63 left clear to stay positive in
+    a signed bigint).  One exploded pass + one groupBy: scales linearly."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.expr(f"regexp_extract_all({text_col}, r'\\S+', 0)")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    legs = [
+        F.sum(
+            F.when(F.expr(f"(h >> {i}) & 1 = 1"), F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b_{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*legs)
+    assemble = " + ".join(f"(CASE WHEN b_{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)" for i in range(bits))
+    return agg.select(F.col(id_col), F.expr(assemble).alias(out_col))
+
+
+def hamming64(col_a, col_b) -> F.Column:
+    """Hamming distance between two bigint hashes (bit_count of xor)."""
+    return F.expr(f"bit_count({col_a} ^ {col_b})")

@@ -1,0 +1,93 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schema, partitioning, Arrow batch shape) is real;
+the actual media decode is stubbed behind ``decode_stub`` because the
+image/audio libraries are not in this container -- swap ``_decode_payload``
+for a real decoder (PIL/librosa/ffmpeg) in production.
+
+Pattern at scale: binary payloads ride in their own column so column pruning
+skips them unless a stage actually decodes; decode runs in ``mapInPandas``
+(Arrow-batched, one Python worker per core) and emits fixed-width feature
+columns, never re-emitting the payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType(), False),  # image | audio | video
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text", media_type: str = "image") -> DataFrame:
+    """Deterministic fake payload: the utf-8 bytes of a text column stand in
+    for real media bytes so the binary-column plumbing is exercised end to
+    end (schema: payload binary, meta struct)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def _decode_payload(payload: bytes, media_type: str):
+    """STUB: real decoders are not available in this container."""
+    raise NotImplementedError(
+        "media decode requires PIL/librosa/ffmpeg; use fake_features for the "
+        "deterministic test path"
+    )
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload_bytes", LongType(), False),
+        StructField("feat_checksum", LongType(), False),
+    ]
+)
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id", *, fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``fake=True`` computes a deterministic checksum feature (byte sum) so the
+    mapInPandas batch shape / schema path is fully tested; ``fake=False``
+    calls the real decoder stub (raises NotImplementedError here)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                pdf["payload"].map(lambda b: _decode_payload(b, "image"))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload_bytes": pdf["payload"].map(len).astype("int64"),
+                    "feat_checksum": pdf["payload"].map(lambda b: sum(b) % (1 << 31)).astype("int64"),
+                }
+            )
+            yield out
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=DECODED_SCHEMA)

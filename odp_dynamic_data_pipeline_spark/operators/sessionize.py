@@ -1,0 +1,118 @@
+"""W1/W2: ordered per-group page-view pairing (sessionization).
+
+Reference semantics (src/batch_tlb.py:50-62): walk each client's
+time-ordered events with one register ``last_start_time``:
+
+* a *start* event sets/overwrites the register;
+* an *end* event with a live register emits ``end - start`` seconds and
+  resets it;
+* an *end* with no live register is ignored;
+* other event types leave the register untouched;
+* an unmatched trailing start is dropped.
+
+Two implementations:
+
+``pair_page_views``  -- window algebra, fully JVM-side (whole-stage codegen,
+no Python in the hot path).  Identity used: at any row, the register is
+non-empty iff the latest prior *start* is more recent than the latest prior
+*end* -- because every end either consumes the register or finds it already
+empty.  So an end emits iff ``prev_start > prev_end`` (or no prior end), with
+duration ``ts - prev_start``.
+
+``pair_page_views_exact`` -- applyInPandas running the literal register loop
+per group; the semantic reference the algebraic version is property-tested
+against (SURVEY.md section 7 hard-part 1).
+
+At scale: both shuffle once on the group key; the window version then sorts
+within partitions (Spark's sort-based window execution -- the same
+partition-then-sort shape the reference hand-codes at src/batch_tlb.py:41-48).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StructField,
+    StructType,
+)
+
+
+def pair_page_views(
+    df: DataFrame,
+    *,
+    group_col: str = "clientId",
+    ts_col: str = "event_time",
+    type_col: str = "eventType",
+    start_type: str = "page_view_start",
+    end_type: str = "page_view_end",
+    tiebreak_col: str | None = None,
+    duration_col: str = "page_view_duration",
+) -> DataFrame:
+    """Emit one row per consumed (start, end) pair:
+    (group_col, end ts, duration seconds as double)."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_start = F.max(F.when(F.col(type_col) == start_type, F.col(ts_col))).over(w)
+    prev_end = F.max(F.when(F.col(type_col) == end_type, F.col(ts_col))).over(w)
+    is_emit = (
+        (F.col(type_col) == end_type)
+        & prev_start.isNotNull()
+        & (prev_end.isNull() | (prev_start > prev_end))
+    )
+    dur = F.col(ts_col).cast("double") - prev_start.cast("double")
+    return (
+        df.withColumn("__dur", F.when(is_emit, dur))
+        .filter(F.col("__dur").isNotNull())
+        .select(
+            F.col(group_col),
+            F.col(ts_col).alias("end_ts"),
+            F.col("__dur").alias(duration_col),
+        )
+    )
+
+
+def pair_page_views_exact(
+    df: DataFrame,
+    *,
+    group_col: str = "clientId",
+    ts_col: str = "event_time",
+    type_col: str = "eventType",
+    start_type: str = "page_view_start",
+    end_type: str = "page_view_end",
+    duration_col: str = "page_view_duration",
+) -> DataFrame:
+    """The literal register-walk (reference: src/batch_tlb.py:50-62) as an
+    Arrow-batched per-group pandas function."""
+    out_schema = StructType(
+        [
+            df.schema[group_col],
+            StructField("end_ts", df.schema[ts_col].dataType),
+            StructField(duration_col, DoubleType()),
+        ]
+    )
+
+    def walk(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        rows = []
+        last_start = None
+        group_key = pdf[group_col].iloc[0]
+        for _, r in pdf.iterrows():
+            t = r[type_col]
+            if t == start_type:
+                last_start = r[ts_col]
+            elif t == end_type and last_start is not None:
+                rows.append(
+                    (group_key, r[ts_col], (r[ts_col] - last_start).total_seconds())
+                )
+                last_start = None
+        return pd.DataFrame(rows, columns=[group_col, "end_ts", duration_col])
+
+    return df.groupBy(group_col).applyInPandas(walk, schema=out_schema)

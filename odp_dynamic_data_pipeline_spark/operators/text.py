@@ -1,0 +1,89 @@
+"""Text analysis operators for training-data pipelines: tokenization,
+quality scoring, language-ID heuristic, fingerprinting.
+
+All JVM-side built-ins (regexp/hash functions) -- no Python in the hot path,
+so these run at full whole-stage-codegen speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\S+"
+
+# tiny deterministic stopword profiles for the language-ID heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a", "to"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "de", "y"],
+    "de": ["der", "und", "die", "das", "ein"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],  # romanized placeholders
+}
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.expr(f"regexp_extract_all({c._jc.toString() if hasattr(c, '_jc') else col}, '{TOKEN_PATTERN}', 0)")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> DataFrame:
+    return df.withColumn(out_col, F.expr(f"regexp_extract_all({text_col}, r'{TOKEN_PATTERN}', 0)"))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens / n_unique_tokens / sum_token_len columns."""
+    df = with_tokens(df, text_col)
+    return (
+        df.withColumn("n_tokens", F.size("tokens"))
+        .withColumn("n_unique_tokens", F.size(F.array_distinct("tokens")))
+        .withColumn(
+            "sum_token_len",
+            F.expr("aggregate(transform(tokens, t -> length(t)), CAST(0 AS BIGINT), (a, x) -> a + x)"),
+        )
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features (integer-exact where aggregated):
+    char/token counts, unique ratio, stopword count.  A 100 TB curation pass
+    filters on these before any expensive model-based scoring."""
+    df = token_stats(df, text_col)
+    stop = LANG_PROFILES["en"]
+    stop_arr = "array(" + ",".join(f"'{s}'" for s in stop) + ")"
+    return df.withColumn(
+        "n_stopwords",
+        F.expr(f"size(filter(tokens, t -> array_contains({stop_arr}, t)))"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """n-gram/stopword-profile language ID: score = number of profile-word
+    hits; argmax with a fixed tie order (profile declaration order)."""
+    df = with_tokens(df, text_col)
+    scores = []
+    for lang, words in LANG_PROFILES.items():
+        arr = "array(" + ",".join(f"'{w}'" for w in words) + ")"
+        df = df.withColumn(f"__score_{lang}", F.expr(f"size(filter(tokens, t -> array_contains({arr}, t)))"))
+        scores.append(lang)
+    best = F.lit(None).cast("string")
+    best_score = F.lit(-1)
+    expr_best = None
+    # fold left in declaration order: strict > keeps earlier language on ties
+    for lang in scores:
+        s = F.col(f"__score_{lang}")
+        if expr_best is None:
+            expr_best, best_score = F.lit(lang), s
+        else:
+            expr_best = F.when(s > best_score, F.lit(lang)).otherwise(expr_best)
+            best_score = F.when(s > best_score, s).otherwise(best_score)
+    out = df.withColumn(out_col, expr_best)
+    return out.drop(*[f"__score_{lang}" for lang in scores])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Content fingerprint: md5 of the normalized text (lowercase, collapsed
+    whitespace).  Stable across engines and runs; the join key for exact
+    dedup at scale."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, F.md5(norm))

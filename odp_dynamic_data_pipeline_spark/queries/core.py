@@ -1,0 +1,579 @@
+"""Reference-shaped + relational query surface (SURVEY.md section 2).
+
+Each query maps a reference operator family onto the driver testdata
+(FIXTURES.md section 2): events plays the user_exp stream (user_id=clientId,
+event_type=eventType), the star schema plays the correlation joins, and
+documents/embeddings host the LLM-data operators (queries.llm).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from odp_dynamic_data_pipeline_spark.operators.aggregate import conditional_counts
+from odp_dynamic_data_pipeline_spark.operators.enrich import enrich
+from odp_dynamic_data_pipeline_spark.operators.mappings import extract_mapping
+from odp_dynamic_data_pipeline_spark.queries import register
+from odp_dynamic_data_pipeline_spark.sources.catalog import load_table
+
+
+def _cents(col: str) -> Column:
+    """double -> exact integer cents (both engines round identically away
+    from .5-free inputs; source doubles carry <=2 decimals)."""
+    return F.expr(f"CAST(ROUND({col} * 100, 0) AS BIGINT)")
+
+
+# ---------------------------------------------------------------------------
+# W1/W2 + A1-A4: the flagship TLB-style session metrics
+# (reference: src/batch_tlb.py:20-85)
+# ---------------------------------------------------------------------------
+
+TLB_ORACLE = """
+WITH w AS (
+  SELECT user_id, event_id, event_type, ts,
+         MAX(CASE WHEN event_type = 'view' THEN ts END) OVER win AS prev_start,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER win AS prev_end
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), d AS (
+  SELECT user_id, event_type,
+         CASE WHEN event_type = 'purchase' AND prev_start IS NOT NULL
+                   AND (prev_end IS NULL OR prev_start > prev_end)
+              THEN epoch_us(ts) - epoch_us(prev_start) END AS dur_us
+  FROM w
+)
+SELECT user_id,
+       CAST(COALESCE(SUM(dur_us), 0) AS DOUBLE) / 1000000.0 AS page_view_time,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_count,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_count,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_count
+FROM d
+GROUP BY user_id
+"""
+
+
+@register("tlb_session_metrics", TLB_ORACLE)
+def tlb_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-view pairing (W2 register semantics: 'view' starts/overwrites,
+    'purchase' consumes-once, unmatched ends ignored) + per-user conditional
+    counts with zero defaults (A2/A4).
+
+    Window identity: the register is live iff the latest prior start is newer
+    than the latest prior end; see operators.sessionize."""
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_start = F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(win)
+    prev_end = F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(win)
+    emit = (
+        (F.col("event_type") == "purchase")
+        & prev_start.isNotNull()
+        & (prev_end.isNull() | (prev_start > prev_end))
+    )
+    dur_us = F.when(emit, F.unix_micros(F.col("ts")) - F.unix_micros(prev_start))
+    return (
+        ev.withColumn("dur_us", dur_us)
+        .groupBy("user_id")
+        .agg(
+            (F.coalesce(F.sum("dur_us"), F.lit(0)).cast("double") / F.lit(1000000.0)).alias(
+                "page_view_time"
+            ),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("error_count"),
+            F.count(F.when(F.col("event_type") == "signup", 1)).alias("signup_count"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("click_count"),
+        )
+    )
+
+
+@register(
+    "conditional_counts_by_user",
+    """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY user_id
+""",
+)
+def conditional_counts_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A4: grouped conditional counters (reference:
+    src/batch_tlb.py:72-77), map-side-combinable single shuffle."""
+    ev = load_table(spark, sf_dir, "events").withColumn("value_cents", _cents("value"))
+    t = F.col("event_type")
+    return conditional_counts(
+        ev,
+        "user_id",
+        {
+            "n_click": t == "click",
+            "n_view": t == "view",
+            "n_purchase": t == "purchase",
+            "n_error": t == "error",
+            "n_signup": t == "signup",
+        },
+        extra_aggs={"sum_value_cents": F.sum("value_cents")},
+    ).select(
+        "user_id",
+        (F.col("n_click") + F.col("n_view") + F.col("n_purchase") + F.col("n_error") + F.col("n_signup")).alias("n_events"),
+        "n_click",
+        "n_view",
+        "n_purchase",
+        "n_error",
+        "n_signup",
+        "sum_value_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3/J1/J2: enrichment joins (reference: src/data_processor.py:100-112)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "enrich_orders_customer",
+    """
+SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment, n.n_name
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+""",
+)
+def enrich_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained broadcast enrichment lookups (orders enriched with
+    customer attributes, then nation name) -- the Spark-native replacement
+    for the reference's Redis mapping hop."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = enrich(orders, customer, key_col="o_custkey", mapping_key="c_custkey")
+    out = enrich(out, nation, key_col="c_nationkey", mapping_key="n_nationkey")
+    return out.select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "n_name")
+
+
+@register(
+    "mapping_last_wins",
+    """
+SELECT user_id AS key,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       event_type
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def mapping_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: mapping extraction with last-writer-wins (reference:
+    src/data_processor.py:114-155) -- key=user_id, value from the JSON props
+    column (F3) plus event_type, 'last' = latest (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return extract_mapping(
+        ev, "user_id", ["k", "event_type"], order_col=F.struct("ts", "event_id")
+    )
+
+
+@register(
+    "nested_spans_roundtrip",
+    "SELECT l_orderkey, l_partkey AS partkey FROM lineitem",
+)
+def nested_spans_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: nested array-of-struct dot-path projection.  Builds a spans-like
+    nested table (order -> array<struct<partkey,linenumber>>), projects
+    through the array (``spans.l_partkey`` maps over elements, the
+    reference's _get_nested_field semantics), explodes back out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_partkey", "l_linenumber")).alias("spans")
+    )
+    return nested.select(
+        "l_orderkey", F.explode(F.col("spans.l_partkey")).alias("partkey")
+    )
+
+
+@register(
+    "correlate_star_3way",
+    """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_mktsegment
+""",
+)
+def correlate_star_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/J6: 3-way inner correlation join, multiplicity-preserving (no
+    dedup; reference probes per event, src/batch_tlb.py:65-77)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias("rev_e4"),
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("rev_e4").cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational/analytical surface (free in Spark, SURVEY.md sections 2.4-2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS qty_c,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+         CAST(ROUND(l_tax * 100, 0) AS BIGINT) AS tax_pct
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(qty_c) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM(price_c * (100 - disc_pct)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM(price_c * (100 - disc_pct) * (100 + tax_pct)) AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(SUM(qty_c) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+       CAST(SUM(price_c) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+       CAST(SUM(disc_pct) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM s GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate.  Filter reaches the parquet
+    scan (PushedFilters); one shuffle on a 6-value group key; all arithmetic
+    on exact scaled integers."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.expr("TIMESTAMP '1998-09-02 00:00:00'")
+    )
+    s = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        _cents("l_quantity").alias("qty_c"),
+        _cents("l_extendedprice").alias("price_c"),
+        _cents("l_discount").alias("disc_pct"),
+        _cents("l_tax").alias("tax_pct"),
+    )
+    agg = s.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty_c").alias("sum_qty_c"),
+        F.sum("price_c").alias("sum_price_c"),
+        F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_pct"))).alias("sum_disc_e4"),
+        F.sum(
+            F.col("price_c") * (F.lit(100) - F.col("disc_pct")) * (F.lit(100) + F.col("tax_pct"))
+        ).alias("sum_charge_e6"),
+        F.sum("disc_pct").alias("sum_disc_pct"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("sum_qty_c").cast("double") / F.lit(100.0)).alias("sum_qty"),
+        (F.col("sum_price_c").cast("double") / F.lit(100.0)).alias("sum_base_price"),
+        (F.col("sum_disc_e4").cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+        (F.col("sum_charge_e6").cast("double") / F.lit(1000000.0)).alias("sum_charge"),
+        (F.col("sum_qty_c").cast("double") / F.lit(100.0) / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_price_c").cast("double") / F.lit(100.0) / F.col("count_order")).alias("avg_price"),
+        (F.col("sum_disc_pct").cast("double") / F.lit(100.0) / F.col("count_order")).alias("avg_disc"),
+        "count_order",
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))) DESC,
+         o.o_orderdate, l.l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective join + top-k.  Deterministic LIMIT via
+    integer revenue + orderkey tie-break."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.expr("TIMESTAMP '1997-06-01 00:00:00'")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.expr("TIMESTAMP '1997-06-01 00:00:00'")
+    )
+    joined = (
+        c.select("c_custkey")
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+              c["c_custkey"] == o["o_custkey"])
+        .join(
+            l.select(
+                "l_orderkey",
+                (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias("rev_e4"),
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum("rev_e4").alias("rev_e4")
+    )
+    return (
+        agg.orderBy(F.col("rev_e4").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            (F.col("rev_e4").cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    """
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; dims broadcast, fact shuffles once."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    joined = (
+        l.select("l_orderkey", "l_suppkey",
+                 (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias("rev_e4"))
+        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            (F.col("s_suppkey") == F.col("l_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        (F.sum("rev_e4").cast("double") / F.lit(10000.0)).alias("revenue")
+    )
+
+
+@register(
+    "window_topk_customers",
+    """
+SELECT c_mktsegment, c_custkey, total_cents, rk FROM (
+  SELECT c.c_mktsegment, c.c_custkey,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) DESC,
+                    c.c_custkey
+         ) AS rk
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey
+) WHERE rk <= 3
+""",
+)
+def window_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-family: per-group top-k via ranking window over an aggregate."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", _cents("o_totalprice").alias("cents"))
+    totals = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum("cents").alias("total_cents"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("total_cents").desc(), F.col("c_custkey"))
+    return (
+        totals.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("c_mktsegment", "c_custkey", "total_cents", "rk")
+    )
+
+
+@register(
+    "running_total_orders",
+    """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS running_cents
+FROM orders
+""",
+)
+def running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-family: running aggregate window (ordered, frame-bounded)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(_cents("o_totalprice")).over(w).alias("running_cents"),
+    )
+
+
+@register(
+    "rollup_revenue",
+    """
+SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+       COALESCE(n.n_name, 'ALL') AS nation_name,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregation (region -> nation -> total)."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", _cents("o_totalprice").alias("cents"))
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.sum("cents").alias("revenue_cents"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "revenue_cents",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "set_except_customers",
+    """
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: EXCEPT (distinct) -- customers with open but no
+    finished orders."""
+    o = load_table(spark, sf_dir, "orders")
+    open_c = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
+    fin_c = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey"))
+    return open_c.subtract(fin_c)
+
+
+@register(
+    "set_intersect_customers",
+    """
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_c = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
+    fin_c = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey"))
+    return open_c.intersect(fin_c)
+
+
+@register(
+    "distinct_nation_stats",
+    """
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS total_acctbal_cents
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def distinct_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand+two-phase under the hood)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_cents("c_acctbal")).alias("total_acctbal_cents"),
+    )
+
+
+@register(
+    "hour_partition_counts",
+    """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+""",
+)
+def hour_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: hour bucketing -- the reference's ``{hour}`` path token as a
+    partition-friendly derived column."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour_epoch", F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
+        .groupBy("hour_epoch")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+    )

@@ -1,0 +1,318 @@
+"""LLM-training-data pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing -- over the documents/embeddings testdata.
+
+Non-SQL-expressible operators (xxhash64-based MinHash/SimHash/LSH) register
+without an oracle; the driver records a rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from odp_dynamic_data_pipeline_spark.operators import dedup as dd
+from odp_dynamic_data_pipeline_spark.operators import multimodal as mm
+from odp_dynamic_data_pipeline_spark.operators import similarity as sim
+from odp_dynamic_data_pipeline_spark.operators import text as tx
+from odp_dynamic_data_pipeline_spark.queries import register
+from odp_dynamic_data_pipeline_spark.sources.catalog import load_table
+
+
+@register(
+    "dedup_exact",
+    """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+FROM fp GROUP BY fingerprint
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-text md5 fingerprint -> hash groupBy, lowest
+    doc_id kept.  One shuffle on the fingerprint; at 100 TB the map-side
+    partial aggregation collapses per-executor duplicates first."""
+    docs = tx.fingerprint(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+@register(
+    "token_count_stats",
+    """
+WITH t AS (SELECT doc_id, n_chars, regexp_extract_all(text, '\\S+') AS toks FROM documents)
+SELECT doc_id,
+       n_chars,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique_tokens,
+       COALESCE(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT), 0) AS sum_token_len
+FROM t
+""",
+)
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer, JVM regexp -- no Python)."""
+    docs = tx.token_stats(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "n_chars", "n_tokens", "n_unique_tokens", "sum_token_len")
+
+
+@register(
+    "quality_score",
+    """
+WITH t AS (SELECT doc_id, n_chars, regexp_extract_all(text, '\\S+') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_filter(toks, x -> list_contains(['the','and','of','a','to'], x))) AS INTEGER) AS n_stopwords,
+       (1000000 * CAST(len(list_distinct(toks)) AS BIGINT)) // CAST(len(toks) AS BIGINT) AS unique_ratio_e6,
+       (1000000 * CAST(len(list_filter(toks, x -> list_contains(['the','and','of','a','to'], x))) AS BIGINT))
+         // CAST(len(toks) AS BIGINT) AS stopword_ratio_e6
+FROM t WHERE len(toks) > 0
+""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features: token counts, stopword/unique ratios as
+    exact integer parts-per-million."""
+    docs = tx.quality_features(load_table(spark, sf_dir, "documents")).where(F.col("n_tokens") > 0)
+    return docs.select(
+        "doc_id",
+        "n_tokens",
+        "n_stopwords",
+        F.expr("(1000000 * CAST(n_unique_tokens AS BIGINT)) div CAST(n_tokens AS BIGINT)").alias(
+            "unique_ratio_e6"
+        ),
+        F.expr("(1000000 * CAST(n_stopwords AS BIGINT)) div CAST(n_tokens AS BIGINT)").alias(
+            "stopword_ratio_e6"
+        ),
+    )
+
+
+@register(
+    "lang_id_pred",
+    """
+WITH t AS (SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(['the','and','of','a','to'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
+    len(list_filter(toks, x -> list_contains(['el','los','que','de','y'], x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(['der','und','die','das','ein'], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS s_zh
+  FROM t
+)
+SELECT doc_id, lang,
+  CASE WHEN s_en >= greatest(s_fr, s_es, s_de, s_zh) THEN 'en'
+       WHEN s_fr >= greatest(s_es, s_de, s_zh) THEN 'fr'
+       WHEN s_es >= greatest(s_de, s_zh) THEN 'es'
+       WHEN s_de >= s_zh THEN 'de'
+       ELSE 'zh' END AS pred_lang
+FROM s
+""",
+)
+def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (earliest language attaining the max
+    score wins -- matches operators.text.language_id's fold)."""
+    docs = tx.language_id(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "lang", "pred_lang")
+
+
+@register(
+    "doc_fingerprint",
+    """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content fingerprint (md5 of normalized text)."""
+    docs = tx.fingerprint(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", "fingerprint", F.octet_length("text").cast("long").alias("payload_bytes")
+    )
+
+
+@register(
+    "ngram_jaccard_top20",
+    """
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS s
+       FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+             FROM toks)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+j AS (SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS uni
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, inter, uni, (1000000 * inter) // uni AS jaccard_e6
+FROM j
+ORDER BY (1000000 * inter) // uni DESC, id_a, id_b
+LIMIT 20
+""",
+)
+def ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard, top-20 most similar pairs.  The exact
+    path shuffles shingles once and joins on the shingle key (no cross
+    join); the sub-quadratic scale path is dedup_minhash_lsh."""
+    docs = dd.shingles(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = docs.select("doc_id", F.explode("shingles").alias("s")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            (F.col("sza") + F.col("szb") - F.col("inter")).alias("uni"),
+        )
+        .withColumn("jaccard_e6", F.expr("(1000000 * inter) div uni"))
+    )
+    return j.orderBy(F.col("jaccard_e6").desc(), "id_a", "id_b").limit(20).select(
+        "id_a", "id_b", "inter", "uni", "jaccard_e6"
+    )
+
+
+EMB_TOPK_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
+  FROM (SELECT vec_id, UNNEST(q) AS v FROM e) GROUP BY vec_id
+),
+pairs AS (
+  SELECT qe.vec_id AS qid, ce.vec_id AS cand_id, UNNEST(qe.q) AS qv, UNNEST(ce.q) AS cv
+  FROM e qe, e ce
+  WHERE qe.vec_id < 10 AND ce.vec_id <> qe.vec_id
+),
+dots AS (SELECT qid, cand_id, CAST(SUM(qv * cv) AS BIGINT) AS dot FROM pairs GROUP BY qid, cand_id),
+scored AS (
+  SELECT d.qid, d.cand_id,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.qid
+  JOIN norms nc ON nc.vec_id = d.cand_id
+)
+SELECT qid, cand_id, rank, cosine FROM (
+  SELECT qid, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("embedding_cosine_topk", EMB_TOPK_ORACLE)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 10 query vectors.
+    Quantized to integer micro-units so both engines agree bitwise; dot
+    products via zip_with/aggregate stay JVM-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "embedding_neardup_by_label",
+    """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
+  FROM (SELECT vec_id, UNNEST(q) AS v FROM e) GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, UNNEST(a.q) AS av, UNNEST(b.q) AS bv
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+dots AS (SELECT id_a, id_b, CAST(SUM(av * bv) AS BIGINT) AS dot FROM pairs GROUP BY id_a, id_b)
+SELECT d.id_a, d.id_b,
+       CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.18
+""",
+)
+def embedding_neardup_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with label blocking (the blocking key cuts
+    the pair space by ~|labels|x -- the same role LSH buckets play when no
+    natural key exists)."""
+    emb = sim.quantized(load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("qvec").alias("qa"), F.col("qnorm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("qvec").alias("qb"), F.col("qnorm").alias("nb"))
+    pairs = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
+    dot = F.expr(sim.DOT.format(a="qa", b="qb"))
+    cosine = dot.cast("double") / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+    return pairs.select("id_a", "id_b", cosine.alias("cosine")).where(F.col("cosine") >= 0.18)
+
+
+# --- non-SQL-expressible (xxhash64-based): driver records rows-only checks ---
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates with exact-Jaccard verification
+    (32 perms, 8 bands) -- the sub-quadratic scale path for text dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, "doc_id", threshold_e6=200_000).orderBy("id_a", "id_b")
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash per document (near-dup = small hamming distance)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash(docs, "doc_id")
+
+
+@register("similarity_lsh_topk")
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed approximate top-k (scale path for
+    similarity search: equi-join on bucket replaces the cross join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "multimodal_meta",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS payload_bytes,
+       md5(text) AS payload_md5,
+       (octet_length(encode(text)) + 255) // 256 AS n_chunks
+FROM documents
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: opaque payload + typed metadata;
+    byte lengths and chunk counts computed without decoding."""
+    docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("payload_bytes"),
+        F.md5("text").alias("payload_md5"),
+        F.expr("(CAST(octet_length(text) AS BIGINT) + 255) div 256").alias("n_chunks"),
+    )
+
+
+@register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (decode stubbed;
+    deterministic checksum feature exercises the real batch path)."""
+    docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
+    return mm.extract_features(docs)

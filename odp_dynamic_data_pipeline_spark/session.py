@@ -1,0 +1,83 @@
+"""SparkSession factory.
+
+The reference engine is a single-threaded eager interpreter
+(reference: src/data_processor.py:15-42); here the execution engine is Spark
+itself, so this module only declares session-level policy: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), UTC session time,
+Arrow for the Python boundary, and the parquet-nanos compatibility flag the
+driver testdata needs.
+
+Designed for a real cluster: nothing here assumes local mode except the
+default master, which is overridable via SPARK_GRAFT_CPUS / an explicit
+``master=`` argument.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and required) to set at runtime on an externally
+# provided session, e.g. the driver's.
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it as
+    # long-nanos under this flag and sources.catalog converts to TimestampType.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic timestamp semantics for oracle parity
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDF / applyInPandas paths
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+# Confs that must be set before the session exists.
+BUILD_CONFS: dict[str, str] = {
+    # dimension tables (region/nation/customer mappings) should broadcast;
+    # 64m is far above any dim side we produce but far below a 100 TB fact.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # sane local shuffle fan-out; on a real cluster AQE coalesces upward
+    # from this initial value.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent).
+
+    Called defensively by every reader so queries behave the same on the
+    driver-owned session as on one built by :func:`get_spark`.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked by the host
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "odp-dynamic-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard policy."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in {**BUILD_CONFS, **RUNTIME_CONFS}.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return ensure_runtime_confs(spark)

@@ -1,0 +1,3 @@
+from odp_dynamic_data_pipeline_spark.sources.catalog import TABLES, load_table, load_tables, register_views
+
+__all__ = ["TABLES", "load_table", "load_tables", "register_views"]

@@ -1,0 +1,51 @@
+"""Sinks (SURVEY.md section 2.1: S5, S6-replacement, S8).
+
+Internally everything is hour-partitioned parquet; JSON only at the edge
+(the reference writes pretty-printed JSON arrays, src/data_processor.py:36-40,
+which is an interchange format, not a storage layout).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, *, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """JSONL sink (S5). Spark-native: one file per partition, no driver
+    materialization."""
+    df.write.mode(mode).json(path)
+
+
+def write_json_array(df: DataFrame, path: str) -> None:
+    """Edge-compatible sink reproducing the reference's pretty-printed JSON
+    array files (reference: src/data_processor.py:38-40).  Driver-side
+    collect -- only for edge outputs known to be small (golden-file parity);
+    large outputs use write_json/write_parquet."""
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=4, default=str)
+
+
+def write_keyed_object(df: DataFrame, key_col: str, path: str | None = None) -> dict:
+    """S8: metrics as a JSON object keyed by ``key_col`` (reference:
+    src/batch_tlb.py:79-85 and golden output/tlb_metrics/2024111612.json).
+    Cosmetic driver-side post-step over an already-aggregated (small) result.
+    """
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    keyed = {str(r[key_col]): {k: v for k, v in r.items() if k != key_col} for r in rows}
+    if path:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(keyed, f, indent=2, default=str)
+    return keyed

@@ -1,0 +1,117 @@
+"""Unit tests for the hard-part operator semantics (SURVEY.md section 7):
+P2 last-wins, P3 collision-overwrite, J5/J6 multiplicity, A2 zero-defaults,
+P1 nested dot-path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from odp_dynamic_data_pipeline_spark.operators.aggregate import (
+    conditional_counts,
+    with_zero_default_universe,
+)
+from odp_dynamic_data_pipeline_spark.operators.correlate import (
+    correlate_events_logs,
+    explode_spans,
+)
+from odp_dynamic_data_pipeline_spark.operators.enrich import enrich
+from odp_dynamic_data_pipeline_spark.operators.mappings import extract_mapping
+
+
+def test_enrich_collision_overwrite(spark):
+    """Mapping value must win on name collision (reference dict.update,
+    src/data_processor.py:112); misses pass through unchanged."""
+    base = spark.createDataFrame(
+        [("t1", "old1"), ("t2", "old2"), ("t3", None)], "traceId string, clientId string"
+    )
+    mapping = spark.createDataFrame([("t1", "new1")], "traceId string, clientId string")
+    out = {r["traceId"]: r["clientId"] for r in enrich(base, mapping, "traceId").collect()}
+    assert out == {"t1": "new1", "t2": "old2", "t3": None}
+
+
+def test_enrich_adds_new_columns(spark):
+    base = spark.createDataFrame([("s1",), ("s9",)], "spanId string")
+    mapping = spark.createDataFrame(
+        [("s1", "t1", "c1")], "spanId string, traceId string, clientId string"
+    )
+    rows = {r["spanId"]: (r["traceId"], r["clientId"]) for r in enrich(base, mapping, "spanId").collect()}
+    assert rows == {"s1": ("t1", "c1"), "s9": (None, None)}
+
+
+def test_extract_mapping_last_wins(spark):
+    """Duplicate keys keep the LAST occurrence in order (reference:
+    src/data_processor.py:153)."""
+    df = spark.createDataFrame(
+        [(1, "t1", "c1"), (2, "t1", "c2"), (3, "t2", "c3"), (4, None, "c4"), (5, "t3", None)],
+        "ord long, traceId string, clientId string",
+    )
+    out = extract_mapping(df, "traceId", ["clientId"], order_col="ord")
+    assert {(r["key"], r["clientId"]) for r in out.collect()} == {("t1", "c2"), ("t2", "c3")}
+
+
+def test_extract_mapping_explodes_array_path(spark):
+    """A key path through an array yields one entry per element (reference:
+    src/data_processor.py:133-134, yaml spans.spanId)."""
+    df = spark.createDataFrame(
+        [("t1", [{"spanId": "s1"}, {"spanId": "s2"}], "c1")],
+        "traceId string, spans array<struct<spanId:string>>, clientId string",
+    )
+    out = extract_mapping(df, "spans.spanId", ["traceId", "clientId"])
+    assert {(r["key"], r["traceId"], r["clientId"]) for r in out.collect()} == {
+        ("s1", "t1", "c1"),
+        ("s2", "t1", "c1"),
+    }
+
+
+def test_correlate_multiplicity(spark):
+    """N events on one trace count that trace's logs N times -- do NOT dedup
+    (reference probe loop, src/batch_tlb.py:65-77)."""
+    events = spark.createDataFrame(
+        [("e1", "c1", "t1"), ("e2", "c1", "t1")], "eventId string, clientId string, traceId string"
+    )
+    traces = spark.createDataFrame(
+        [("t1", [{"spanId": "s1", "server": "w", "log": "x"}])],
+        "traceId string, spans array<struct<spanId:string,server:string,log:string>>",
+    )
+    logs = spark.createDataFrame(
+        [("l1", "s1", "RETRY"), ("l2", "s1", "INFO")], "logId string, spanId string, eventType string"
+    )
+    out = correlate_events_logs(events, traces, logs)
+    assert out.count() == 4  # 2 events x 2 logs through the same span
+    retry = out.where(F.col("eventType") == "RETRY").count()
+    assert retry == 2  # multiplicity preserved
+
+
+def test_explode_spans(spark):
+    traces = spark.createDataFrame(
+        [("t1", [{"spanId": "s1", "server": "w", "log": "x"}, {"spanId": "s2", "server": "w", "log": "y"}])],
+        "traceId string, spans array<struct<spanId:string,server:string,log:string>>",
+    )
+    assert {(r["traceId"], r["spanId"]) for r in explode_spans(traces).collect()} == {
+        ("t1", "s1"),
+        ("t1", "s2"),
+    }
+
+
+def test_zero_default_universe(spark):
+    """Zero-metric clients must survive (golden client2; reference
+    src/batch_tlb.py:38)."""
+    universe = spark.createDataFrame([("c1",), ("c2",)], "clientId string")
+    leg = spark.createDataFrame([("c1", 5)], "clientId string, retry_count long")
+    out = {r["clientId"]: r["retry_count"] for r in
+           with_zero_default_universe(universe, [(leg, ["retry_count"])], "clientId").collect()}
+    assert out == {"c1": 5, "c2": 0}
+
+
+def test_conditional_counts(spark):
+    df = spark.createDataFrame(
+        [("c1", "RETRY"), ("c1", "RETRY"), ("c1", "INFO"), ("c2", "ERROR")],
+        "clientId string, eventType string",
+    )
+    out = conditional_counts(
+        df,
+        "clientId",
+        {"retry_count": F.col("eventType") == "RETRY", "error_count": F.col("eventType") == "ERROR"},
+    )
+    rows = {r["clientId"]: (r["retry_count"], r["error_count"]) for r in out.collect()}
+    assert rows == {"c1": (2, 0), "c2": (0, 1)}
