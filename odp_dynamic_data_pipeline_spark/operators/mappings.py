@@ -70,10 +70,13 @@ def extract_mapping(
         *[F.col(f).alias(f.split(".")[-1]) for f in value_fields],
         F.col("__ord"),
     )
-    # null-key / null-value skip (reference: src/data_processor.py:138-139,147-150)
+    # null-skip semantics (reference: src/data_processor.py:138-152): null
+    # keys always skip; a SINGLE-field value skips when null, but MULTI-field
+    # values are kept even with some nulls (the reference builds the value
+    # dict unconditionally for lists).
     kv = kv.filter(F.col("key").isNotNull())
-    for f in value_fields:
-        kv = kv.filter(F.col(f.split(".")[-1]).isNotNull())
+    if len(value_fields) == 1:
+        kv = kv.filter(F.col(value_fields[0].split(".")[-1]).isNotNull())
     w = Window.partitionBy("key").orderBy(F.col("__ord").desc())
     return (
         kv.withColumn("__rn", F.row_number().over(w))

@@ -1,0 +1,168 @@
+"""The dynamic-pipeline compiler: YAML stage specs -> lazy DataFrame plans.
+
+This is the reference's defining feature re-architected for Spark.  The
+reference interprets stages eagerly in YAML dict order, materializing every
+stage to JSON and passing derived lookup tables through Redis
+(reference: src/data_processor.py:15-42, pipelines/*.yaml).  Here:
+
+* each stage COMPILES to a lazy DataFrame expression (source -> enrichment
+  joins -> mapping extraction -> sink); Catalyst sees the whole stage plan
+  and pushes filters/prunes columns into the scan;
+* mappings are plain DataFrames handed between stages in-process and
+  broadcast into enrichment joins -- the Redis hop disappears;
+* stage order is derived from the mapping produce/consume graph
+  (topological), not dict order -- declaring stages in any order works.
+
+Spec schema (see pipelines/observability_correlation_pipeline.yaml):
+
+    pipeline_name: <name>
+    stages:
+      <stage>:
+        description: <free text>
+        input:
+          format: json | parquet            # S1/S2
+          path: <path, may contain {hour}>
+          schema: <named schema | omitted for parquet>
+        mappings:                            # optional
+          read:                              # enrich via a produced mapping
+            - name: <mapping name>
+              key_field: <column in this stage's data>
+          write:                             # extract a mapping (P2)
+            - name: <mapping name>
+              key: <dot-path, may cross arrays>
+              value: <field | [fields]>
+        output:
+          path: <path, may contain {hour}>   # optional
+          format: json | parquet | json_array
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession
+
+from odp_dynamic_data_pipeline_spark.operators.enrich import enrich
+from odp_dynamic_data_pipeline_spark.operators.mappings import extract_mapping
+from odp_dynamic_data_pipeline_spark.sources import readers, schemas, writers
+
+SCHEMA_REGISTRY = {
+    "user_exp": schemas.USER_EXP_SCHEMA,
+    "trace": schemas.TRACE_SCHEMA,
+    "log": schemas.LOG_SCHEMA,
+}
+
+
+def _as_list(x):
+    if x is None:
+        return []
+    return x if isinstance(x, list) else [x]
+
+
+@dataclass
+class Stage:
+    name: str
+    spec: dict
+    reads: list[dict] = field(default_factory=list)
+    writes: list[dict] = field(default_factory=list)
+
+    @classmethod
+    def parse(cls, name: str, spec: dict) -> "Stage":
+        m = spec.get("mappings") or {}
+        return cls(
+            name=name,
+            spec=spec,
+            reads=_as_list(m.get("read")),
+            writes=_as_list(m.get("write")),
+        )
+
+
+class Pipeline:
+    """Compiled pipeline: lazy stage DataFrames + mapping DataFrames."""
+
+    def __init__(self, spec: dict):
+        self.name = spec.get("pipeline_name", "pipeline")
+        self.stages = {n: Stage.parse(n, s) for n, s in spec["stages"].items()}
+        self.order = self._topo_order()
+
+    def _topo_order(self) -> list[str]:
+        """Order stages by mapping produce/consume dependencies (the
+        reference relies on implicit dict order -- SURVEY.md section 3.1)."""
+        producers: dict[str, str] = {}
+        for st in self.stages.values():
+            for w in st.writes:
+                producers[w["name"]] = st.name
+        graph = {
+            st.name: {producers[r["name"]] for r in st.reads if r["name"] in producers}
+            for st in self.stages.values()
+        }
+        return list(TopologicalSorter(graph).static_order())
+
+    @staticmethod
+    def _fmt(path: str, hour: str | None, path_vars: dict[str, str]) -> str:
+        return path.format(**{**path_vars, "hour": hour if hour is not None else "{hour}"})
+
+    def _read_input(
+        self, spark: SparkSession, st: Stage, hour: str | None, path_vars: dict[str, str]
+    ) -> DataFrame:
+        inp = st.spec["input"]
+        fmt = inp.get("format", "json")
+        path = self._fmt(inp["path"], hour, path_vars)
+        if fmt == "parquet":
+            return readers.read_parquet(spark, path, hour=hour)
+        schema = inp.get("schema")
+        struct = SCHEMA_REGISTRY[schema] if isinstance(schema, str) else schema
+        return readers.read_json(spark, path, struct, hour=hour)
+
+    def compile(
+        self,
+        spark: SparkSession,
+        hour: str | None = None,
+        path_vars: dict[str, str] | None = None,
+    ) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
+        """Compile every stage to a lazy DataFrame.  Returns
+        (stage outputs, mapping tables); nothing executes until a sink or
+        action runs."""
+        path_vars = path_vars or {}
+        outputs: dict[str, DataFrame] = {}
+        mappings: dict[str, DataFrame] = {}
+        for name in self.order:
+            st = self.stages[name]
+            df = self._read_input(spark, st, hour, path_vars)
+            for r in st.reads:
+                df = enrich(df, mappings[r["name"]], key_col=r["key_field"], mapping_key="key")
+            for w in st.writes:
+                mappings[w["name"]] = extract_mapping(df, w["key"], _as_list(w["value"]))
+            outputs[name] = df
+        return outputs, mappings
+
+    def run(
+        self,
+        spark: SparkSession,
+        hour: str | None = None,
+        path_vars: dict[str, str] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Compile and execute sinks (S5)."""
+        outputs, _ = self.compile(spark, hour, path_vars)
+        for name, df in outputs.items():
+            out = self.stages[name].spec.get("output")
+            if not out:
+                continue
+            path = self._fmt(out["path"], hour, path_vars or {})
+            fmt = out.get("format", "parquet")
+            if fmt == "parquet":
+                writers.write_parquet(df, path)
+            elif fmt == "json":
+                writers.write_json(df, path)
+            elif fmt == "json_array":
+                writers.write_json_array(df, path)
+            else:  # pragma: no cover
+                raise ValueError(f"unknown output format: {fmt}")
+        return outputs
+
+
+def load_pipeline(path: str) -> Pipeline:
+    with open(path) as f:
+        return Pipeline(yaml.safe_load(f))

@@ -560,6 +560,40 @@ def distinct_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_dynamic_enrich",
+    """
+SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def pipeline_dynamic_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dynamic-pipeline compiler end-to-end (plans.pipeline): a two-stage
+    YAML-style spec -- stage_a derives a custkey->segment mapping, stage_b
+    enriches orders through it -- compiled to one lazy broadcast-join plan."""
+    from odp_dynamic_data_pipeline_spark.plans.pipeline import Pipeline
+
+    spec = {
+        "pipeline_name": "dynamic_enrich_demo",
+        "stages": {
+            # declared consumer-first on purpose: order comes from the
+            # mapping dependency graph, not dict order
+            "stage_b": {
+                "input": {"format": "parquet", "path": "{sf_dir}/orders.parquet"},
+                "mappings": {"read": [{"name": "cust_to_segment", "key_field": "o_custkey"}]},
+            },
+            "stage_a": {
+                "input": {"format": "parquet", "path": "{sf_dir}/customer.parquet"},
+                "mappings": {
+                    "write": [{"name": "cust_to_segment", "key": "c_custkey", "value": "c_mktsegment"}]
+                },
+            },
+        },
+    }
+    outputs, _ = Pipeline(spec).compile(spark, path_vars={"sf_dir": sf_dir})
+    return outputs["stage_b"].select("o_orderkey", "o_custkey", "c_mktsegment")
+
+
+@register(
     "hour_partition_counts",
     """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
