@@ -560,6 +560,46 @@ def distinct_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_gap_windows",
+    """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 7200000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) + 7200000000 AS session_end_us,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def session_gap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's native session_window (2-hour
+    gap) -- the batch twin of streaming.session_window_metrics.  The oracle
+    reconstructs the same sessions with lag/cumsum window algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "2 hours"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "pipeline_dynamic_enrich",
     """
 SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment

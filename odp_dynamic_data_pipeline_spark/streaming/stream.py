@@ -1,0 +1,152 @@
+"""Structured Streaming surface (SURVEY.md section 2.7).
+
+The reference *declares* streaming intent (Kafka topic setup, "user
+experience stream" in the DAG docstring) but implements hourly batch files
+discovered by an HTTP-polling sensor (reference: src/pipeline_dag.py:65-88).
+Spark-native replacements:
+
+* file-arrival sensor  -> streaming file source; ``Trigger.AvailableNow``
+  gives exactly the hourly catch-up semantics with no polling code;
+* late/out-of-order    -> event-time watermarks;
+* hourly aggregation   -> windowed aggregation on event time;
+* page-view pairing    -> applyInPandasWithState: the same register walk as
+  operators.sessionize, with the register persisted in the state store
+  across micro-batches;
+* Redis mapping hop    -> stream-static broadcast join against the mapping
+  DataFrame.
+
+At scale these run identically on a 1000-executor cluster: state is
+partitioned by group key in the state store, file discovery is driver-side
+metadata only, and the static side of stream-static joins broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    *,
+    ts_col: str = "event_time",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Hourly (or any-width) tumbling-window counts with a watermark bounding
+    state for late data."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *(group_cols or []))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def session_window_metrics(
+    stream: DataFrame,
+    *,
+    ts_col: str = "event_time",
+    gap: str = "30 minutes",
+    group_col: str = "clientId",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per client (coarse sessionization; the
+    exact start/end pairing lives in pair_page_views_stream)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+    )
+
+
+def stream_enrich(stream: DataFrame, mapping: DataFrame, key_col: str, mapping_key: str = "key") -> DataFrame:
+    """Stream-static enrichment join: the static mapping side broadcasts to
+    every micro-batch (replaces the reference's per-stage Redis read)."""
+    value_cols = [c for c in mapping.columns if c != mapping_key]
+    m = mapping.select(
+        F.col(mapping_key).alias("__k"), *[F.col(c) for c in value_cols]
+    )
+    out = stream.join(F.broadcast(m), stream[key_col] == F.col("__k"), "left")
+    return out.drop("__k")
+
+
+def pair_page_views_stream(
+    stream: DataFrame,
+    *,
+    group_col: str = "clientId",
+    ts_col: str = "event_time",
+    type_col: str = "eventType",
+    start_type: str = "page_view_start",
+    end_type: str = "page_view_end",
+) -> DataFrame:
+    """Streaming page-view pairing with the register persisted across
+    micro-batches in the state store (W2 exact semantics: overwrite on
+    double start, consume-once, ignore unmatched end).
+
+    Events are processed in event-time order *within* each micro-batch;
+    cross-batch disorder is bounded by upstream watermarking/file cadence
+    (the reference's hourly batches have the same property).
+    """
+    out_schema = f"{group_col} string, end_ts timestamp, page_view_duration double"
+    state_schema = "last_start_us long"
+
+    def walk(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last_start_us = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for _, r in pdf.iterrows():
+                t = r[type_col]
+                ts_us = r[ts_col].value // 1000  # pandas ns -> us
+                if t == start_type:
+                    last_start_us = ts_us
+                elif t == end_type and last_start_us is not None:
+                    rows.append((key[0], r[ts_col], (ts_us - last_start_us) / 1_000_000.0))
+                    last_start_us = None
+        if last_start_us is None:
+            state.remove() if state.exists else None
+        else:
+            state.update((last_start_us,))
+        yield pd.DataFrame(rows, columns=[group_col, "end_ts", "page_view_duration"])
+
+    return stream.groupBy(group_col).applyInPandasWithState(
+        walk, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_available_now(
+    stream: DataFrame,
+    *,
+    format: str = "memory",
+    query_name: str = "out",
+    path: str | None = None,
+    checkpoint: str | None = None,
+    output_mode: str | None = None,
+):
+    """Process everything currently available, then stop -- the direct
+    replacement for the reference's poll-until-file-exists sensors.
+
+    Note on modes: a watermarked aggregation in *append* mode only emits
+    windows the watermark has passed; for a finite AvailableNow catch-up over
+    an aggregation, use ``output_mode='complete'`` (or 'update') to see the
+    open windows."""
+    w = stream.writeStream.format(format).trigger(availableNow=True)
+    if output_mode:
+        w = w.outputMode(output_mode)
+    if query_name:
+        w = w.queryName(query_name)
+    if path:
+        w = w.option("path", path)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()
+    return q
