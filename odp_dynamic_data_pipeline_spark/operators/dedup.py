@@ -25,28 +25,44 @@ def exact_dedup(df: DataFrame, key_cols: list[str] | str, id_col: str) -> DataFr
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles") -> DataFrame:
-    """Word n-gram shingle set (distinct)."""
-    toks = f"regexp_extract_all({text_col}, r'\\S+', 0)"
-    return df.withColumn(
-        out_col,
-        F.expr(
-            f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)),"
-            f" i -> array_join(slice({toks}, i, {n}), ' ')))"
-        ),
+    """Word n-gram shingle set (distinct).
+
+    Tokenization is materialized into a column BEFORE the shingle lambda:
+    an inlined regexp would be re-evaluated for every sequence element
+    (one regex pass per shingle instead of per document -- a ~50x hot-path
+    difference measured at sf0.1)."""
+    return (
+        df.withColumn("__toks", F.expr(f"regexp_extract_all({text_col}, r'\\S+', 0)"))
+        .withColumn(
+            out_col,
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)),"
+                f" i -> array_join(slice(__toks, i, {n}), ' ')))"
+            ),
+        )
+        .drop("__toks")
     )
 
 
+def hashed_shingles(df: DataFrame, id_col: str, shingle_col: str = "shingles", out_col: str = "hsh") -> DataFrame:
+    """Hash each shingle string to a bigint ONCE; every later stage (minhash
+    permutations, intersect/union verification) works on the bigint array --
+    string hashing is the dominant cost and must not repeat per permutation."""
+    return df.select(
+        F.col(id_col), F.expr(f"transform({shingle_col}, s -> xxhash64(s))").alias(out_col)
+    ).filter(F.size(out_col) > 0)
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, shingle_col: str = "shingles", num_perm: int = 32
+    df: DataFrame, id_col: str, hashed_col: str = "hsh", num_perm: int = 32
 ) -> DataFrame:
-    """One min-hash per permutation: min over xxhash64(seed_i, shingle)."""
+    """One min-hash per permutation: min over a cheap bigint re-mix of the
+    pre-hashed shingles (xxhash64(seed_i, h))."""
     sigs = [
-        F.expr(
-            f"array_min(transform({shingle_col}, s -> xxhash64({i}, s)))"
-        ).alias(f"mh_{i}")
+        F.expr(f"array_min(transform({hashed_col}, h -> xxhash64({i}, h)))").alias(f"mh_{i}")
         for i in range(num_perm)
     ]
-    return df.select(F.col(id_col), F.col(shingle_col), *sigs)
+    return df.select(F.col(id_col), *sigs)
 
 
 def minhash_lsh_pairs(
@@ -66,38 +82,57 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     sh = shingles(df.select(id_col, text_col), text_col, n=n)
-    sig = minhash_signatures(sh, id_col, num_perm=num_perm).filter(F.size("shingles") > 0)
+    # The hashed-shingle table feeds three consumers (signatures + both
+    # sides of the verification join); without materialization each one
+    # re-runs tokenize+shingle+hash over the raw text.  At cluster scale
+    # this table is what you'd write to parquet once per corpus -- here
+    # persist() gives the same single-computation guarantee (~8 B per
+    # shingle vs the full text).
+    hashed = hashed_shingles(sh, id_col).persist()
+    sig = minhash_signatures(hashed, id_col, num_perm=num_perm)
 
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
         band_cols.append(F.xxhash64(F.lit(b), *cols).alias(f"band_{b}"))
-    banded = sig.select(F.col(id_col), F.col("shingles"), *band_cols)
+    banded = sig.select(F.col(id_col), *band_cols)
 
+    # explode carries ONLY (id, band, bucket) -- never the shingle arrays
     buckets = banded.select(
         F.col(id_col),
-        F.col("shingles"),
-        F.explode(F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket")) for b in range(bands)])).alias("bb"),
-    ).select(id_col, "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = buckets.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
-    )
-    right = buckets.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
-    )
+    left = buckets.select("band", "bucket", F.col(id_col).alias("id_a"))
+    right = buckets.select("band", "bucket", F.col(id_col).alias("id_b"))
     cand = (
         left.join(right, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = cand.select(
-        "id_a",
-        "id_b",
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
-        F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("uni"),
-    ).withColumn("jaccard_e6", F.expr("(1000000 * inter) div uni"))
+    # verification joins the candidates back to the hashed-shingle table;
+    # intersect/union over bigint arrays (xxhash64 collisions: ~2^-64/pair)
+    ha = hashed.select(F.col(id_col).alias("id_a"), F.col("hsh").alias("h_a"))
+    hb = hashed.select(F.col(id_col).alias("id_b"), F.col("hsh").alias("h_b"))
+    verified = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("h_a", "h_b")).cast("long").alias("inter"),
+            F.size(F.array_union("h_a", "h_b")).cast("long").alias("uni"),
+        )
+        .withColumn("jaccard_e6", F.expr("(1000000 * inter) div uni"))
+    )
     return verified.where(F.col("jaccard_e6") >= threshold_e6)
 
 

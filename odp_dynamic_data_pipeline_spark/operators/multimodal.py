@@ -76,6 +76,7 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", *, fake: bool = True
     calls the real decoder stub (raises NotImplementedError here)."""
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -85,7 +86,10 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", *, fake: bool = True
                 {
                     "doc_id": pdf[id_col],
                     "payload_bytes": pdf["payload"].map(len).astype("int64"),
-                    "feat_checksum": pdf["payload"].map(lambda b: sum(b) % (1 << 31)).astype("int64"),
+                    # vectorized byte sum (numpy C loop, not Python ints)
+                    "feat_checksum": pdf["payload"]
+                    .map(lambda b: int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64)) % (1 << 31))
+                    .astype("int64"),
                 }
             )
             yield out

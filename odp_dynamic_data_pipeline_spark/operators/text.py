@@ -61,24 +61,21 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang
     """n-gram/stopword-profile language ID: score = number of profile-word
     hits; argmax with a fixed tie order (profile declaration order)."""
     df = with_tokens(df, text_col)
-    scores = []
+    langs = list(LANG_PROFILES)
     for lang, words in LANG_PROFILES.items():
         arr = "array(" + ",".join(f"'{w}'" for w in words) + ")"
         df = df.withColumn(f"__score_{lang}", F.expr(f"size(filter(tokens, t -> array_contains({arr}, t)))"))
-        scores.append(lang)
-    best = F.lit(None).cast("string")
-    best_score = F.lit(-1)
-    expr_best = None
-    # fold left in declaration order: strict > keeps earlier language on ties
-    for lang in scores:
-        s = F.col(f"__score_{lang}")
-        if expr_best is None:
-            expr_best, best_score = F.lit(lang), s
-        else:
-            expr_best = F.when(s > best_score, F.lit(lang)).otherwise(expr_best)
-            best_score = F.when(s > best_score, s).otherwise(best_score)
-    out = df.withColumn(out_col, expr_best)
-    return out.drop(*[f"__score_{lang}" for lang in scores])
+    # earliest language attaining the max score wins (fixed tie order =
+    # profile declaration order); greatest() keeps the expression linear
+    # instead of a nested fold (codegen size matters at 5 + languages)
+    best = F.greatest(*[F.col(f"__score_{la}") for la in langs])
+    pred = None
+    for lang in reversed(langs):
+        cond = F.col(f"__score_{lang}") == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else F.when(cond, F.lit(lang)).otherwise(pred)
+    # reversed fold means earlier langs override later ones on ties
+    out = df.withColumn(out_col, pred)
+    return out.drop(*[f"__score_{lang}" for lang in langs])
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:

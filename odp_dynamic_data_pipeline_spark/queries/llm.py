@@ -160,7 +160,9 @@ def ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     path shuffles shingles once and joins on the shingle key (no cross
     join); the sub-quadratic scale path is dedup_minhash_lsh."""
     docs = dd.shingles(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    sh = docs.select("doc_id", F.explode("shingles").alias("s")).distinct()
+    # three consumers (sizes + both join sides): materialize the exploded
+    # shingle table once instead of re-tokenizing the corpus per consumer
+    sh = docs.select("doc_id", F.explode("shingles").alias("s")).distinct().persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"), "s")
     b = sh.select(F.col("doc_id").alias("id_b"), "s")
