@@ -1,0 +1,61 @@
+"""As-of (nearest-previous) join -- an operator Spark lacks natively.
+
+Implemented as a composition of existing DataFrame ops (SURVEY.md custom-
+operator guidance (a)): tag both sides, union, and take the last-seen right
+row per key via an ordered window with ``last(..., ignorenulls=True)``.
+
+Why this shape at 100 TB: a naive range join (l.ts >= r.ts) explodes to a
+cross product per key before picking the max; the union-window form is one
+shuffle on the key + one sort -- the same cost as a window aggregation, and
+AQE handles skewed keys.  This is the standard point-in-time-correct
+feature-store join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    right_ts_alias: str = "asof_ts",
+) -> DataFrame:
+    """For each left row, attach the columns of the latest right row with
+    ``right.ts <= left.ts`` and the same ``on`` key; left rows with no prior
+    right row get nulls.  Equal timestamps match (inclusive): right rows
+    order before left rows at the same instant."""
+    value_cols = value_cols or [c for c in right.columns if c not in (on, ts_col)]
+    left_payload = [c for c in left.columns if c not in (on, ts_col)]
+
+    lt = left.select(on, ts_col, *left_payload, F.lit(1).alias("__side"))
+    for c in value_cols:
+        lt = lt.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+
+    rt = right.select(
+        on, ts_col, *[F.col(c).alias(f"__r_{c}") for c in value_cols], F.lit(0).alias("__side")
+    )
+    for c in left_payload:
+        rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = lt.unionByName(rt.select(*lt.columns))
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned.withColumn(
+        right_ts_alias,
+        F.last(F.when(F.col("__side") == 0, F.col(ts_col)), ignorenulls=True).over(w),
+    )
+    for c in value_cols:
+        out = out.withColumn(
+            c,
+            F.last(F.when(F.col("__side") == 0, F.col(f"__r_{c}")), ignorenulls=True).over(w),
+        )
+    return out.where(F.col("__side") == 1).drop("__side", *[f"__r_{c}" for c in value_cols])

@@ -560,6 +560,210 @@ def distinct_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_frontend_returns",
+    """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+""",
+)
+def sql_frontend_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL frontend (TPC-H Q10 shape): tables registered as temp views,
+    query expressed in Spark SQL text -- same Catalyst plan as the
+    DataFrame API, demonstrating the engine's second query surface."""
+    from odp_dynamic_data_pipeline_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+                 / 10000.0 AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        """
+    )
+
+
+@register("approx_distinct_stats")
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL++ distinct count, approximate quantiles)
+    -- the sketches a 100 TB profiling pass uses instead of exact
+    shuffle-heavy versions.  No oracle: sketch results are
+    implementation-defined (rows-only check)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("approx_percentile(value, array(0.5, 0.95), 1000)").alias("value_p50_p95"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "asof_last_view",
+    """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, CAST(ROUND(value * 100, 0) AS BIGINT) AS view_value_cents
+      FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       epoch_us(v.ts) AS view_ts_us,
+       v.view_value_cents
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+)
+def asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.asof): each purchase matched to the user's most
+    recent prior 'view' event -- union + ordered window, no range explosion.
+    Oracle: DuckDB's native ASOF JOIN."""
+    from odp_dynamic_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", _cents("value").alias("view_value_cents")
+    )
+    out = asof_join(purchases, views, on="user_id", ts_col="ts", right_ts_alias="view_ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("view_ts").alias("view_ts_us"),
+        "view_value_cents",
+    )
+
+
+@register(
+    "percentile_prices",
+    """
+SELECT p_brand,
+       quantile_cont(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT), 0.25) AS p25,
+       quantile_cont(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT), 0.5) AS p50,
+       quantile_cont(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT), 0.75) AS p75
+FROM part GROUP BY p_brand
+""",
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles over integer cents (both engines use
+    the same linear interpolation on identical exact inputs)."""
+    p = load_table(spark, sf_dir, "part").withColumn("cents", _cents("p_retailprice"))
+    return p.groupBy("p_brand").agg(
+        F.expr("percentile(cents, 0.25)").alias("p25"),
+        F.expr("percentile(cents, 0.5)").alias("p50"),
+        F.expr("percentile(cents, 0.75)").alias("p75"),
+    )
+
+
+@register(
+    "stats_moments",
+    """
+WITH s AS (
+  SELECT c_mktsegment, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+), a AS (
+  SELECT c_mktsegment,
+         COUNT(*) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s1,
+         CAST(SUM(cents * cents) AS BIGINT) AS s2
+  FROM s GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n,
+       sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0 AS stddev_acctbal
+FROM a
+""",
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample standard deviation from exact integer moments (sum, sum of
+    squares) -- deterministic across engines, unlike streaming-update
+    stddev implementations whose result depends on accumulation order."""
+    c = load_table(spark, sf_dir, "customer").withColumn("cents", _cents("c_acctbal"))
+    a = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    n, s1, s2 = F.col("n").cast("double"), F.col("s1").cast("double"), F.col("s2").cast("double")
+    return a.select(
+        "c_mktsegment",
+        "n",
+        (F.sqrt((n * s2 - s1 * s1) / (n * (n - F.lit(1.0)))) / F.lit(100.0)).alias("stddev_acctbal"),
+    )
+
+
+@register(
+    "salted_join_agg",
+    """
+SELECT o.o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern behind the oracle gate: the fact side carries
+    a deterministic salt, the dim side is exploded across all salt values,
+    and the join key becomes (key, salt) -- spreading a hot key over N
+    partitions.  Result provably identical to the unsalted join (the
+    oracle runs the plain join)."""
+    salts = 8
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        _cents("l_extendedprice").alias("price_cents"),
+        (F.col("l_linenumber") % salts).alias("salt"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.explode(F.array(*[F.lit(i) for i in range(salts)])).alias("salt")
+    )
+    joined = l.join(o, (l["l_orderkey"] == o["o_orderkey"]) & (l["salt"] == o["salt"]))
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("price_cents").alias("price_cents")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+             * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-sum; every predicate must reach the
+    parquet reader (PushedFilters) -- the 100 TB fast path."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        (F.sum(_cents("l_extendedprice") * _cents("l_discount")).cast("double") / F.lit(10000.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
     "session_gap_windows",
     """
 WITH marked AS (
