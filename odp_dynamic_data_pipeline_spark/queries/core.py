@@ -540,6 +540,111 @@ def set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anti_join_customers",
+    """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+""",
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no pending orders."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(o, "c_custkey", "left_anti")
+
+
+@register(
+    "semi_join_parts",
+    """
+SELECT p_partkey, p_brand FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+""",
+)
+def semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: parts that appear on a high-quantity lineitem."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45).select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    return p.join(l, "p_partkey", "left_semi")
+
+
+@register(
+    "cube_order_stats",
+    """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (status, priority) -- all 2^2 grouping sets."""
+    o = load_table(spark, sf_dir, "orders").withColumn("cents", _cents("o_totalprice"))
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("total_cents"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_cents",
+        )
+    )
+
+
+@register(
+    "union_all_activity",
+    """
+SELECT 'order' AS kind, o_custkey AS entity_id FROM orders
+UNION ALL
+SELECT 'event' AS kind, user_id AS entity_id FROM events
+""",
+)
+def union_all_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics UNION ALL across heterogeneous sources."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.lit("order").alias("kind"), F.col("o_custkey").alias("entity_id")
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.lit("event").alias("kind"), F.col("user_id").alias("entity_id")
+    )
+    return o.unionAll(e)
+
+
+@register(
+    "scalar_functions",
+    """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       split_part(c_name, '#', -1) AS name_suffix,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation
+FROM customer
+""",
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface (F1/F2-family): case mapping, separator
+    split (the Redis key-prefix strip, functions.strip_key_prefix),
+    length, templated concatenation."""
+    from odp_dynamic_data_pipeline_spark.functions import strip_key_prefix
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        strip_key_prefix(F.col("c_name"), "#").alias("name_suffix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_nation"),
+    )
+
+
+@register(
     "distinct_nation_stats",
     """
 SELECT c_mktsegment,

@@ -264,6 +264,66 @@ def embedding_neardup_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", cosine.alias("cosine")).where(F.col("cosine") >= 0.18)
 
 
+@register(
+    "label_centroids",
+    """
+WITH q AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS e
+  FROM embeddings
+), flat AS (
+  SELECT label, UNNEST(e) AS v, UNNEST(generate_series(1, len(e))) AS pos FROM q
+)
+SELECT label, CAST(pos AS INTEGER) AS pos,
+       CAST(SUM(v) AS BIGINT) AS sum_e6,
+       COUNT(*) AS n,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid
+FROM flat GROUP BY label, pos
+""",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space via positional explode +
+    exact integer sums -- the reduce step of a k-means/IVF coarse quantizer,
+    expressed as one shuffle on (label, position)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.expr(sim.QUANT.format(col="embedding")).alias("e")
+    )
+    flat = emb.select("label", F.posexplode("e").alias("pos0", "v")).select(
+        "label", (F.col("pos0") + 1).cast("int").alias("pos"), "v"
+    )
+    return flat.groupBy("label", "pos").agg(
+        F.sum("v").alias("sum_e6"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("v").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0)).alias("centroid"),
+    )
+
+
+@register(
+    "term_doc_freq",
+    """
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_distinct(regexp_extract_all(text, '\\S+'))) AS term
+  FROM documents
+)
+SELECT term, COUNT(*) AS df
+FROM toks GROUP BY term
+ORDER BY df DESC, term
+LIMIT 50
+""",
+)
+def term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency (the IDF denominator / inverted-index build):
+    distinct terms per doc exploded, counted across the corpus."""
+    docs = tx.with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(F.array_distinct("tokens")).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(50)
+    )
+
+
 # --- non-SQL-expressible (xxhash64-based): driver records rows-only checks ---
 
 
