@@ -55,6 +55,85 @@ def cosine_topk(
     )
 
 
+def _const_vec(ints) -> F.Column:
+    return F.array(*[F.lit(int(x)) for x in ints])
+
+
+def _dot_const(vec_col: str, ints) -> F.Column:
+    """<vec_col, constant vector> as exact bigint arithmetic."""
+    arr = ",".join(str(int(x)) for x in ints)
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, array({arr}), (x, y) -> x * y),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def ivf_assign(
+    df: DataFrame, centroids: list[list[int]], vec_col: str = "qvec", out_col: str = "ivf_list", nprobe: int = 1
+) -> DataFrame:
+    """Assign each (quantized) vector to its nearest centroid(s) by exact
+    integer distance: dist2 = |v|^2 - 2<v,c> + |c|^2.  ``nprobe=1`` yields a
+    single list id; ``nprobe>1`` yields an array of the n nearest lists
+    (query-side multi-probe)."""
+    entries = []
+    for j, c in enumerate(centroids):
+        c_norm = sum(int(x) * int(x) for x in c)
+        dist2 = F.col("qnorm") - F.lit(2) * _dot_const(vec_col, c) + F.lit(c_norm)
+        entries.append(F.struct(dist2.alias("d"), F.lit(j).alias("j")))
+    ranked = F.array_sort(F.array(*entries))
+    if nprobe == 1:
+        return df.withColumn(out_col, ranked[0]["j"])
+    return df.withColumn(out_col, F.slice(ranked, 1, nprobe)["j"])
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: candidates are bucketed into ``nlist``
+    inverted lists by nearest centroid; each query exact-scores only the
+    vectors in its ``nprobe`` nearest lists.
+
+    Centroids here are the first ``nlist`` candidate vectors (deterministic
+    seeding; swap in k-means output at will) -- they are driver-collected
+    constants (nlist x dim ints), folded into the assignment expression, so
+    assignment is a pure JVM map with NO join or shuffle.  At 100 TB this is
+    the standard two-stage ANN: sub-linear candidate generation via the
+    equi-join on list id, exact re-ranking only within probed lists."""
+    cand = quantized(candidates.select(F.col(id_col).alias("cand_id"), vec_col), vec_col)
+    qry = quantized(queries.select(F.col(id_col).alias("qid"), vec_col), vec_col)
+
+    cents = [
+        row["qvec"]
+        for row in cand.orderBy("cand_id").limit(nlist).select("qvec").collect()
+    ]
+    cand_l = ivf_assign(cand, cents, nprobe=1)
+    qry_l = ivf_assign(qry, cents, nprobe=nprobe).select(
+        "qid",
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm").alias("q_qnorm"),
+        F.explode("ivf_list").alias("ivf_list"),
+    )
+    pairs = cand_l.join(F.broadcast(qry_l), "ivf_list").where(F.col("cand_id") != F.col("qid"))
+    dot = F.expr(DOT.format(a="q_qvec", b="qvec"))
+    cosine = dot.cast("double") / F.sqrt(
+        F.col("q_qnorm").cast("double") * F.col("qnorm").cast("double")
+    )
+    scored = pairs.select("qid", "cand_id", cosine.alias("cosine")).dropDuplicates(["qid", "cand_id"])
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cand_id", "rank", "cosine")
+    )
+
+
 def _hyperplane_sign(vec_col: str, plane: int, dim: int) -> F.Column:
     """Sign of <v, h_plane> where h_plane[j] in {-1,+1} derives from
     xxhash64(plane, j) -- a deterministic random hyperplane."""
@@ -66,13 +145,32 @@ def _hyperplane_sign(vec_col: str, plane: int, dim: int) -> F.Column:
     return (F.expr(terms) > 0).cast("int")
 
 
-def lsh_bucket(df: DataFrame, vec_col: str = "embedding", *, planes: int = 8, dim: int = 64) -> DataFrame:
-    """Random-hyperplane (SRP) LSH bucket id: `planes`-bit signature."""
-    sig = None
-    for p in range(planes):
-        bit = _hyperplane_sign(vec_col, p, dim) * (2**p)
-        sig = bit if sig is None else sig + bit
-    return df.withColumn("lsh_bucket", sig)
+def lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    tables: int = 8,
+    planes_per_table: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-table random-hyperplane (SRP) LSH: ``tables`` independent
+    signatures of ``planes_per_table`` bits each, exploded to one
+    (table, bucket) row per table.
+
+    A single wide signature has near-zero recall (all bits must match; at 8
+    planes that's 1/256 buckets -- measured recall@5 was 0.02).  L smaller
+    tables trade candidate volume for recall the standard way: a neighbor is
+    found if it collides in ANY table."""
+    rows = []
+    for t in range(tables):
+        sig = None
+        for p in range(planes_per_table):
+            bit = _hyperplane_sign(vec_col, t * planes_per_table + p, dim) * (2**p)
+            sig = bit if sig is None else sig + bit
+        rows.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
+    return df.withColumn("tb", F.explode(F.array(*rows))).select(
+        *df.columns, F.col("tb.table").alias("lsh_table"), F.col("tb.bucket").alias("lsh_bucket")
+    )
 
 
 def lsh_topk(
@@ -82,16 +180,29 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    planes: int = 8,
+    tables: int = 8,
+    planes_per_table: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine, but only within the query's LSH
-    bucket (equi-join on bucket id replaces the cross join)."""
-    cand = lsh_bucket(quantized(candidates.select(F.col(id_col).alias("cand_id"), vec_col), vec_col), "qvec", planes=planes, dim=dim)
-    qry = lsh_bucket(quantized(queries.select(F.col(id_col).alias("qid"), vec_col), vec_col), "qvec", planes=planes, dim=dim).select(
-        "qid", F.col("qvec").alias("q_qvec"), F.col("qnorm").alias("q_qnorm"), "lsh_bucket"
+    """Approximate top-k: exact cosine, but only among candidates colliding
+    with the query in at least one LSH table (equi-join on (table, bucket)
+    replaces the cross join)."""
+    cand = lsh_buckets(
+        quantized(candidates.select(F.col(id_col).alias("cand_id"), vec_col), "embedding"),
+        "qvec", tables=tables, planes_per_table=planes_per_table, dim=dim,
     )
-    pairs = cand.join(F.broadcast(qry), "lsh_bucket").where(F.col("cand_id") != F.col("qid"))
+    qry = lsh_buckets(
+        quantized(queries.select(F.col(id_col).alias("qid"), vec_col), "embedding"),
+        "qvec", tables=tables, planes_per_table=planes_per_table, dim=dim,
+    ).select(
+        "qid", F.col("qvec").alias("q_qvec"), F.col("qnorm").alias("q_qnorm"),
+        "lsh_table", "lsh_bucket",
+    )
+    pairs = (
+        cand.join(F.broadcast(qry), ["lsh_table", "lsh_bucket"])
+        .where(F.col("cand_id") != F.col("qid"))
+        .dropDuplicates(["qid", "cand_id"])
+    )
     dot = F.expr(DOT.format(a="q_qvec", b="qvec"))
     cosine = dot.cast("double") / F.sqrt(
         F.col("q_qnorm").cast("double") * F.col("qnorm").cast("double")

@@ -665,6 +665,133 @@ def distinct_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q12_priority_shipping",
+    """
+SELECT l.l_linestatus,
+       COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+""",
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + case-conditional counts."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
+    ).select("l_orderkey", "l_linestatus")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_share",
+    """
+WITH j AS (
+  SELECT CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)) AS rev_e4,
+         p.p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+)
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS DOUBLE) * 100.0
+         / CAST(SUM(rev_e4) AS DOUBLE) AS promo_share_pct,
+       COUNT(*) AS n_rows
+FROM j
+""",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue ratio (promo share)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-09-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-10-01 00:00:00'"))
+    ).select(
+        "l_partkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias("rev_e4"),
+    )
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    return j.agg(
+        (
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_e4")).otherwise(F.lit(0))).cast("double")
+            * F.lit(100.0)
+            / F.sum("rev_e4").cast("double")
+        ).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+WITH avgq AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM lineitem l JOIN avgq a ON l.l_partkey = a.l_partkey
+WHERE 5 * CAST(ROUND(l.l_quantity * 100, 0) AS BIGINT) * a.n < a.sum_qty_c
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (qty < 0.2 * per-part
+    average) rewritten as an aggregate join with an EXACT integer predicate:
+    qty < 0.2 * sum/n  <=>  5 * qty * n < sum -- no float threshold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avgq = li.groupBy("l_partkey").agg(
+        F.sum(_cents("l_quantity")).alias("sum_qty_c"), F.count(F.lit(1)).alias("n")
+    )
+    j = li.select("l_partkey", _cents("l_quantity").alias("qty_c"), _cents("l_extendedprice").alias("price_c")).join(
+        avgq, "l_partkey"
+    )
+    small = j.where(F.lit(5) * F.col("qty_c") * F.col("n") < F.col("sum_qty_c"))
+    return small.agg(
+        (F.sum("price_c").cast("double") / F.lit(100.0) / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(SUM(CAST(ROUND(l.l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_custkey
+HAVING SUM(CAST(ROUND(l.l_quantity * 100, 0) AS BIGINT)) >= 15000
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped join (large-quantity orders)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", _cents("l_quantity").alias("qty_c"))
+    g = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum("qty_c").alias("sum_qty_c"))
+        .where(F.col("sum_qty_c") >= 15000)
+    )
+    return g.select(
+        "o_orderkey", "o_custkey", (F.col("sum_qty_c").cast("double") / F.lit(100.0)).alias("total_qty")
+    )
+
+
+@register(
     "sql_frontend_returns",
     """
 SELECT c.c_custkey, c.c_name, n.n_name,

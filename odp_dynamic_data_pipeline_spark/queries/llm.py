@@ -342,6 +342,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(docs, "doc_id")
 
 
+@register("similarity_ivf_topk")
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (deterministically seeded coarse
+    quantizer; assignment is a shuffle-free JVM map, probing an equi-join).
+    Rows-only: the recall/probe trade-off is implementation-defined."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, nlist=8, nprobe=2)
+
+
 @register("similarity_lsh_topk")
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH-bucketed approximate top-k (scale path for
