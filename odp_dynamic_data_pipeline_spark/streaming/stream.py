@@ -84,6 +84,7 @@ def pair_page_views_stream(
     type_col: str = "eventType",
     start_type: str = "page_view_start",
     end_type: str = "page_view_end",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming page-view pairing with the register persisted across
     micro-batches in the state store (W2 exact semantics: overwrite on
@@ -92,13 +93,26 @@ def pair_page_views_stream(
     Events are processed in event-time order *within* each micro-batch;
     cross-batch disorder is bounded by upstream watermarking/file cadence
     (the reference's hourly batches have the same property).
+
+    ``state_ttl_ms`` bounds state growth: a register older than the TTL (in
+    event time; requires a watermark on the input) is dropped -- the
+    streaming analogue of the reference discarding unmatched trailing starts
+    at batch end.  Without it, one start-without-end per client would pin
+    state forever on an unbounded key space.
     """
     out_schema = f"{group_col} string, end_ts timestamp, page_view_duration double"
     state_schema = "last_start_us long"
+    timeout_mode = (
+        GroupStateTimeout.EventTimeTimeout if state_ttl_ms else GroupStateTimeout.NoTimeout
+    )
 
     def walk(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # expire the unmatched register (reference drops trailing starts)
+            state.remove()
+            return
         last_start_us = state.get[0] if state.exists else None
         rows = []
         for pdf in pdfs:
@@ -112,13 +126,19 @@ def pair_page_views_stream(
                     rows.append((key[0], r[ts_col], (ts_us - last_start_us) / 1_000_000.0))
                     last_start_us = None
         if last_start_us is None:
-            state.remove() if state.exists else None
+            if state.exists:
+                state.remove()
         else:
             state.update((last_start_us,))
+            if state_ttl_ms:
+                expiry = last_start_us // 1000 + state_ttl_ms
+                # timeout must be beyond the current watermark
+                expiry = max(expiry, state.getCurrentWatermarkMs() + 1)
+                state.setTimeoutTimestamp(expiry)
         yield pd.DataFrame(rows, columns=[group_col, "end_ts", "page_view_duration"])
 
     return stream.groupBy(group_col).applyInPandasWithState(
-        walk, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        walk, out_schema, state_schema, "append", timeout_mode
     )
 
 

@@ -1,0 +1,76 @@
+"""Physical-plan regression guards: the properties that matter at 100 TB
+must stay in the plan, not just in the docstrings.
+
+- filters reach the parquet scan (PushedFilters)
+- unneeded columns never leave the scan (ReadSchema pruning)
+- dimension joins broadcast (no shuffle of the fact side)
+- single-shuffle aggregations stay single-shuffle
+"""
+
+from __future__ import annotations
+
+import re
+
+from odp_dynamic_data_pipeline_spark.queries import SPARK_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = SPARK_QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = SPARK_QUERIES[name](spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q6_filters_pushed(spark):
+    plan = formatted_plan(spark, "q6_forecast_revenue")
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan).group(1)
+    for field in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert field in pushed, f"{field} not pushed to scan"
+
+
+def test_q1_column_pruning(spark):
+    plan = formatted_plan(spark, "q1_pricing_summary")
+    read = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "l_orderkey" not in read and "l_comment" not in read
+    assert "l_quantity" in read and "l_returnflag" in read
+
+
+def test_enrich_joins_broadcast(spark):
+    plan = plan_of(spark, "enrich_orders_customer")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_all_dims_broadcast(spark):
+    plan = plan_of(spark, "q5_regional_revenue")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    # exactly one real shuffle: the final groupBy on n_name
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_tlb_single_shuffle(spark):
+    """Window + groupBy on the same key must share one exchange."""
+    plan = plan_of(spark, "tlb_session_metrics")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_conditional_counts_partial_agg(spark):
+    plan = plan_of(spark, "conditional_counts_by_user")
+    # map-side partial aggregation before the shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_no_python_in_relational_hot_paths(spark):
+    for name in ["q1_pricing_summary", "q5_regional_revenue", "tlb_session_metrics",
+                 "dedup_exact", "token_count_stats", "embedding_cosine_topk"]:
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, f"row-at-a-time Python UDF in {name}"
+        assert "ArrowEvalPython" not in plan, f"unexpected pandas UDF in {name}"
