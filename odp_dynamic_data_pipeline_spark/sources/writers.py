@@ -20,6 +20,29 @@ def write_parquet(df: DataFrame, path: str, *, partition_by: list[str] | None = 
     w.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    *,
+    num_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) parquet table registered in the session
+    catalog.  Two tables bucketed on the same key with the same bucket count
+    join WITHOUT a shuffle -- the 100 TB answer for fact-to-fact joins that
+    recur on the same key (broadcast only covers dimension-sized sides)."""
+    if isinstance(bucket_cols, str):
+        bucket_cols = [bucket_cols]
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        if isinstance(sort_cols, str):
+            sort_cols = [sort_cols]
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     """JSONL sink (S5). Spark-native: one file per partition, no driver
     materialization."""
