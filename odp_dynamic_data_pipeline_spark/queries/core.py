@@ -91,6 +91,83 @@ def tlb_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_exact_pandas",
+    """
+WITH w AS (
+  SELECT user_id, event_id, event_type, ts,
+         MAX(CASE WHEN event_type = 'view' THEN ts END) OVER win AS prev_start,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER win AS prev_end
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, epoch_us(ts) AS end_us, epoch_us(ts) - epoch_us(prev_start) AS dur_us
+FROM w
+WHERE event_type = 'purchase' AND prev_start IS NOT NULL
+  AND (prev_end IS NULL OR prev_start > prev_end)
+""",
+)
+def sessionize_exact_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandas register-walk sessionizer (the reference's literal
+    13-line loop, operators.sessionize.pair_page_views_exact) behind the
+    oracle gate: the Arrow-batched Python path must produce exactly the
+    pairs the window-algebra identity predicts."""
+    from odp_dynamic_data_pipeline_spark.operators.sessionize import pair_page_views_exact
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = pair_page_views_exact(
+        ev.select(F.col("user_id").cast("string").alias("user_key"), "ts", "event_type"),
+        group_col="user_key",
+        ts_col="ts",
+        type_col="event_type",
+        start_type="view",
+        end_type="purchase",
+    )
+    return pairs.select(
+        F.col("user_key").cast("long").alias("user_id"),
+        F.unix_micros("end_ts").alias("end_us"),
+        # duration seconds -> exact integer micros: the true value is an
+        # integer count of micros, so rounding undoes the double's last-ulp
+        # error; a bare cast would truncate one low
+        F.round(F.col("page_view_duration") * 1_000_000, 0).cast("long").alias("dur_us"),
+    )
+
+
+@register(
+    "q19_or_pushdown",
+    """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10 AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size <= 20 AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+""",
+)
+def q19_or_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive predicates across a join
+    -- Catalyst factors the OR into per-side pushable filters."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias("rev_e4"),
+    )
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    cond = (
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+        & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20)
+        & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30)
+    )
+    return j.where(cond).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("rev_e4").cast("double") / F.lit(10000.0)).alias("revenue"),
+    )
+
+
+@register(
     "conditional_counts_by_user",
     """
 SELECT user_id,
