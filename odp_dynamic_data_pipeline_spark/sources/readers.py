@@ -28,18 +28,30 @@ def read_json(
     *,
     multiline: bool = True,
     hour: str | None = None,
+    corrupt_record_col: str | None = None,
 ) -> DataFrame:
     """Read a JSON source with a declared schema (S1/S2).
 
     ``multiline=True`` because the reference's files are JSON *arrays*, not
     JSONL.  ``hour`` filters on a ``hour`` partition column when present,
-    else is interpolated into the path template.
+    else is interpolated into the path template.  ``corrupt_record_col``
+    opts into PERMISSIVE bad-record capture: malformed rows land in that
+    column instead of nulling silently (the reference logs-and-skips,
+    src/data_processor.py:104-107; at 100 TB you quarantine, not drop).
     """
     ensure_runtime_confs(spark)
     if hour is not None and "{hour}" in path:
         path = path.format(hour=hour)
         hour = None
-    df = spark.read.schema(schema).option("multiLine", multiline).json(path)
+    reader = spark.read
+    if corrupt_record_col:
+        from pyspark.sql.types import StringType as _S, StructField as _F
+
+        schema = StructType(list(schema.fields) + [_F(corrupt_record_col, _S(), True)])
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_record_col
+        )
+    df = reader.schema(schema).option("multiLine", multiline).json(path)
     if hour is not None and "hour" in df.columns:
         df = df.where(df["hour"] == hour)  # partition pruning
     return df
