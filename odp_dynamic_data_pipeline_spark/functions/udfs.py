@@ -1,0 +1,39 @@
+"""User-extension surface (SURVEY.md section 2.8): vectorized pandas UDFs
+and a Python UDTF, registered for both DataFrame and SQL use.
+
+These exist as the *extension* escape hatch -- the engine's own operators
+deliberately stay in JVM built-ins (see tests/test_plan_shapes.py's
+no-Python guard).  A user bringing custom logic gets the Arrow-batched path
+by default, never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import LongType
+
+
+@pandas_udf(LongType())
+def token_count_udf(text: pd.Series) -> pd.Series:
+    """Vectorized token counter (example pandas UDF; the engine-native
+    version is operators.text.token_stats, pure JVM)."""
+    return text.str.findall(r"\S+").str.len().astype("int64")
+
+
+@udtf(returnType="shingle: string, idx: int")
+class ShingleUDTF:
+    """Table function: one row per word 3-gram of the input text (example
+    UDTF; engine-native version is operators.dedup.shingles)."""
+
+    def eval(self, text: str):  # noqa: D102
+        toks = text.split() if text else []
+        for i in range(max(len(toks) - 2, 0)):
+            yield " ".join(toks[i : i + 3]), i
+
+
+def register_engine_udfs(spark: SparkSession) -> None:
+    """Make the extension functions callable from SQL."""
+    spark.udf.register("token_count_udf", token_count_udf)
+    spark.udtf.register("shingle_udtf", ShingleUDTF)

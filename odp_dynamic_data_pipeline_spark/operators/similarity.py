@@ -134,6 +134,49 @@ def ivf_topk(
     )
 
 
+def kmeans_quantizer(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> tuple[list[list[int]], DataFrame]:
+    """Deterministic mini k-means over quantized vectors -- the trained
+    coarse quantizer for ivf_topk (which defaults to seed-only centroids).
+
+    Lloyd iterations as DataFrame ops: assignment is the shuffle-free
+    constant-centroid map (ivf_assign), the update is one groupBy on
+    (cluster, position) with exact integer means; only k x dim ints hit the
+    driver per iteration (the same driver-side centroid loop as MLlib).
+
+    Returns (centroids, assignment DataFrame with 'ivf_list' column).
+    """
+    cand = quantized(df.select(F.col(id_col).alias("__id"), vec_col), vec_col)
+    dim = len(cand.select("qvec").first()["qvec"])
+    cents = [row["qvec"] for row in cand.orderBy("__id").limit(k).select("qvec").collect()]
+    assigned = None
+    for _ in range(iters):
+        assigned = ivf_assign(cand, cents, nprobe=1)
+        stats = (
+            assigned.select("ivf_list", F.posexplode("qvec").alias("pos", "v"))
+            .groupBy("ivf_list", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty clusters keep their centroid
+        by_cluster: dict[int, list] = {}
+        for r in stats:
+            by_cluster.setdefault(r["ivf_list"], []).append(r)
+        for cl, rows in by_cluster.items():
+            vec = [0] * dim
+            for r in rows:
+                vec[r["pos"]] = r["s"] // r["n"]  # exact integer mean
+            new[cl] = vec
+        cents = new
+    return cents, assigned.withColumnRenamed("__id", id_col)
+
+
 def _hyperplane_sign(vec_col: str, plane: int, dim: int) -> F.Column:
     """Sign of <v, h_plane> where h_plane[j] in {-1,+1} derives from
     xxhash64(plane, j) -- a deterministic random hyperplane."""

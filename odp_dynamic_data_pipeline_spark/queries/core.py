@@ -91,6 +91,48 @@ def tlb_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "data_quality_report",
+    """
+SELECT 'not_null:o_custkey' AS check_name,
+       COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_violations FROM orders
+UNION ALL
+SELECT 'condition:positive_price' AS check_name,
+       COUNT(CASE WHEN NOT (o_totalprice > 0) THEN 1 END) AS n_violations FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey' AS check_name,
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'ref:o_custkey->c_custkey' AS check_name, COUNT(*) AS n_violations
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+""",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality sweep (operators.quality_checks): null /
+    invariant checks fused into ONE scan, plus uniqueness and referential
+    checks with their own shuffles; unioned into a (check, violations)
+    report."""
+    from odp_dynamic_data_pipeline_spark.operators import quality_checks as qc
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    single = qc.run_single_pass_checks(
+        o,
+        {
+            **qc.violations_not_null(o, ["o_custkey"]),
+            **qc.violations_condition(o, "positive_price", F.col("o_totalprice") > 0),
+        },
+    )
+    return qc.union_reports(
+        [
+            single,
+            qc.violations_unique(o, ["o_orderkey"]),
+            qc.violations_referential(o, "o_custkey", c, "c_custkey"),
+        ]
+    )
+
+
+@register(
     "sessionize_exact_pandas",
     """
 WITH w AS (

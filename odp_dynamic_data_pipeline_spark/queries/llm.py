@@ -342,6 +342,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(docs, "doc_id")
 
 
+@register("kmeans_ivf_lists")
+def kmeans_ivf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained coarse quantizer: 3 Lloyd iterations over quantized
+    embeddings, then the per-cluster membership census.  Deterministic but
+    iterative (driver-coordinated centroids) -> rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assigned = sim.kmeans_quantizer(emb, k=8, iters=3)
+    return (
+        assigned.groupBy("ivf_list")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("ivf_list")
+    )
+
+
 @register("similarity_ivf_topk")
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (deterministically seeded coarse
