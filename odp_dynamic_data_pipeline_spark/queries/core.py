@@ -91,6 +91,55 @@ def tlb_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_event_counts",
+    """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup
+FROM events GROUP BY user_id
+""",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide) with an explicit value list -- at scale always
+    enumerate pivot values; value discovery is an extra job."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "customer_order_gaps",
+    """
+SELECT o_custkey, o_orderkey,
+       epoch_us(o_orderdate) - epoch_us(lag(o_orderdate) OVER w) AS gap_us
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window: microseconds since the customer's previous order
+    (null for the first)."""
+    # o_orderdate reads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP --
+    # the cast is exact under the engine's UTC session timezone
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "ots", F.col("o_orderdate").cast("timestamp")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("ots", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.unix_micros("ots") - F.unix_micros(F.lag("ots").over(w))).alias("gap_us"),
+    )
+
+
+@register(
     "data_quality_report",
     """
 SELECT 'not_null:o_custkey' AS check_name,

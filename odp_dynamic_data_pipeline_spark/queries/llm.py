@@ -265,6 +265,29 @@ def embedding_neardup_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_best",
+    """
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based keeper selection: within each duplicate group (here the
+    source key), keep the highest-quality document (longest, id tie-break)
+    -- the curation policy layered on top of any dedup clustering."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", "doc_id", "n_chars")
+    )
+
+
+@register(
     "label_centroids",
     """
 WITH q AS (
