@@ -8,6 +8,12 @@ self-join on (band, bucket) keys instead of an O(n^2) cross join.
 
 All hashing is xxhash64 (JVM built-in, seed-stable) -- deterministic across
 runs and cluster layouts.
+
+Literature: MinHash resemblance sketching (Broder, "On the resemblance and
+containment of documents", 1997); banded LSH (Leskovec/Rajaraman/Ullman,
+Mining of Massive Datasets ch. 3); SimHash (Charikar, "Similarity estimation
+techniques from rounding algorithms", STOC 2002; Manku et al., WWW 2007 for
+the dedup application).
 """
 
 from __future__ import annotations

@@ -68,6 +68,40 @@ DECODED_SCHEMA = StructType(
 )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame, id_col: str = "doc_id", *, chunk_bytes: int = 256, every_n: int = 4
+) -> DataFrame:
+    """Video-style frame sampling over binary payloads: emit every Nth
+    fixed-size chunk as a 'frame' row (deterministic fake decode -- a real
+    pipeline swaps the chunker for ffmpeg keyframe extraction; the Spark
+    plumbing is identical: mapInPandas fan-OUT, one input row -> many frame
+    rows, payload column pruned after this stage)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n_chunks = (len(payload) + chunk_bytes - 1) // chunk_bytes
+                for i in range(0, n_chunks, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * chunk_bytes : (i + 1) * chunk_bytes]))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id", *, fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

@@ -10,6 +10,11 @@ is a single scan.
 each query only scores its bucket's collisions (sub-linear candidate set),
 then exact-scores survivors.  Hyperplanes are derived from xxhash64 -- no
 stored model, fully deterministic.
+
+Literature: sign-random-projection LSH (Charikar, STOC 2002; Indyk/Motwani,
+STOC 1998 for the LSH framework); IVF coarse quantization (Jegou/Douze/
+Schmid, "Product quantization for nearest neighbor search", TPAMI 2011 --
+the inverted-file part, without PQ codes); Lloyd's k-means (1957/1982).
 """
 
 from __future__ import annotations

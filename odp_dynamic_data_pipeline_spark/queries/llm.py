@@ -418,6 +418,39 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_token_count",
+    """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS INTEGER)
+         AS n_bpe_pretokens
+FROM documents
+""",
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer count (GPT-2-style split regex: contractions,
+    letter runs, digit runs, punctuation runs, whitespace) -- the unit a
+    training-data token budget is estimated in.  Same regex semantics in
+    Java (Spark) and RE2 (DuckDB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+    return docs.select(
+        "doc_id", F.expr(f"CAST(regexp_count(text, r\"{pat}\") AS INT)").alias("n_bpe_pretokens")
+    )
+
+
+@register("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling fan-out (one payload -> many frame rows via
+    mapInPandas); emits frame metadata only downstream."""
+    docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
+    frames = mm.frame_sample(docs)
+    return frames.select(
+        "doc_id", "frame_idx", F.length("frame").cast("long").alias("frame_bytes")
+    )
+
+
 @register("multimodal_features")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (decode stubbed;
