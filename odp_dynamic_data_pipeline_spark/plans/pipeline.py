@@ -121,10 +121,18 @@ class Pipeline:
         spark: SparkSession,
         hour: str | None = None,
         path_vars: dict[str, str] | None = None,
+        mappings_dir: str | None = None,
     ) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
         """Compile every stage to a lazy DataFrame.  Returns
         (stage outputs, mapping tables); nothing executes until a sink or
-        action runs."""
+        action runs.
+
+        ``mappings_dir``: materialize each mapping to parquet and read it
+        back -- the cross-process stage handoff (what the reference used
+        Redis for, src/data_processor.py:90-98).  Lets each stage run as a
+        separate job (Airflow-task style) while staying a plain parquet
+        table that any engine can read; in-process (None) keeps the whole
+        pipeline one fused lazy plan."""
         path_vars = path_vars or {}
         outputs: dict[str, DataFrame] = {}
         mappings: dict[str, DataFrame] = {}
@@ -132,9 +140,17 @@ class Pipeline:
             st = self.stages[name]
             df = self._read_input(spark, st, hour, path_vars)
             for r in st.reads:
-                df = enrich(df, mappings[r["name"]], key_col=r["key_field"], mapping_key="key")
+                m = mappings.get(r["name"])
+                if m is None and mappings_dir:
+                    m = spark.read.parquet(f"{mappings_dir}/{r['name']}")
+                df = enrich(df, m, key_col=r["key_field"], mapping_key="key")
             for w in st.writes:
-                mappings[w["name"]] = extract_mapping(df, w["key"], _as_list(w["value"]))
+                m = extract_mapping(df, w["key"], _as_list(w["value"]))
+                if mappings_dir:
+                    dest = f"{mappings_dir}/{w['name']}"
+                    m.write.mode("overwrite").parquet(dest)
+                    m = spark.read.parquet(dest)
+                mappings[w["name"]] = m
             outputs[name] = df
         return outputs, mappings
 

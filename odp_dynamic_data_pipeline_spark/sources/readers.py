@@ -57,6 +57,27 @@ def read_json(
     return df
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    header: bool = True,
+    sep: str = ",",
+    hour: str | None = None,
+) -> DataFrame:
+    """CSV source with a declared schema (inference over 100 TB of CSV means
+    reading it twice -- never infer in production paths)."""
+    ensure_runtime_confs(spark)
+    if hour is not None and "{hour}" in path:
+        path = path.format(hour=hour)
+        hour = None
+    df = spark.read.schema(schema).option("header", header).option("sep", sep).csv(path)
+    if hour is not None and "hour" in df.columns:
+        df = df.where(df["hour"] == hour)
+    return df
+
+
 def read_parquet(spark: SparkSession, path: str, hour: str | None = None) -> DataFrame:
     ensure_runtime_confs(spark)
     df = spark.read.parquet(path)

@@ -49,6 +49,31 @@ def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def compact_parquet(spark, path: str, *, target_files: int, sort_within_by: list[str] | None = None) -> None:
+    """Small-files compaction: rewrite a parquet directory into
+    ``target_files`` files (optionally sorted within partitions for better
+    min/max pruning).  Streaming/hourly sinks accrete small files; at 100 TB
+    the scheduler pays per file, so periodic compaction is part of the
+    layout contract.  Writes to a temp sibling then swaps."""
+    import uuid
+
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df = spark.read.parquet(path)
+    out = df.repartition(target_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(tmp)
+    # swap via filesystem rename (atomic on HDFS/local; object stores need a
+    # manifest-based table format instead -- see module docstring)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(tmp), conf)
+    p_old = jvm.org.apache.hadoop.fs.Path(path)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(p_old, True)
+    fs.rename(p_tmp, p_old)
+
+
 def write_json_array(df: DataFrame, path: str) -> None:
     """Edge-compatible sink reproducing the reference's pretty-printed JSON
     array files (reference: src/data_processor.py:38-40).  Driver-side
