@@ -179,6 +179,17 @@ class Pipeline:
         return outputs
 
 
+    def run_hours(
+        self,
+        spark: SparkSession,
+        hours: list[str],
+        path_vars: dict[str, str] | None = None,
+    ) -> dict[str, dict[str, DataFrame]]:
+        """Backfill a list of hourly batches (the reference's Airflow DAG
+        re-runs; each hour is an independent pipeline run)."""
+        return {h: self.run(spark, hour=h, path_vars=path_vars) for h in hours}
+
+
 def load_pipeline(path: str) -> Pipeline:
     with open(path) as f:
         return Pipeline(yaml.safe_load(f))

@@ -142,6 +142,30 @@ def pair_page_views_stream(
     )
 
 
+def dedup_incremental(
+    stream: DataFrame,
+    seen_fingerprints: DataFrame,
+    *,
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental corpus ingestion: drop stream documents whose normalized
+    fingerprint already exists in the historical store (stream-static
+    LEFT ANTI join; the static side refreshes per micro-batch), then drop
+    within-stream repeats (dropDuplicates keyed on the fingerprint, state
+    bounded by the upstream watermark if one is set).
+
+    The historical store is just a parquet/Delta table of fingerprints --
+    append each batch's survivors to close the loop."""
+    from odp_dynamic_data_pipeline_spark.operators.text import fingerprint
+
+    fp = fingerprint(stream, text_col, out_col=fp_col)
+    fresh = fp.join(
+        F.broadcast(seen_fingerprints.select(fp_col)), fp_col, "left_anti"
+    )
+    return fresh.dropDuplicates([fp_col])
+
+
 def run_available_now(
     stream: DataFrame,
     *,
