@@ -347,6 +347,109 @@ def term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MINHASH_MD5_ORACLE = """
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS s
+       FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+             FROM toks)),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+         unnest([{band_hashes}]) AS b,
+         unnest([0, 1, 2, 3]) AS bi
+  FROM sig
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""".format(
+    mins=",\n         ".join(
+        f"min(('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT) AS m{i}" for i in range(16)
+    ),
+    band_hashes=", ".join(
+        "md5(concat_ws('|', " + ", ".join(f"m{i}" for i in range(b * 4, b * 4 + 4)) + "))"
+        for b in range(4)
+    ),
+)
+
+
+@register("dedup_minhash_md5", MINHASH_MD5_ORACLE)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding with md5-derived 60-bit hashes -- slower than the
+    xxhash64 production path (dedup_minhash_lsh) but reproducible by ANY
+    engine, so the full banding pipeline (shingle -> permutation mins ->
+    band buckets -> candidate pairs) sits behind the oracle gate.
+    Output: candidate pairs + how many of the 4 bands they collide in."""
+    docs = dd.shingles(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = docs.select("doc_id", F.explode("shingles").alias("s")).distinct()
+    mins = [
+        F.expr(
+            f"min(CAST(conv(substr(md5(concat('{i}', ':', s)), 1, 15), 16, 10) AS BIGINT))"
+        ).alias(f"m{i}")
+        for i in range(16)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    band_exprs = [
+        F.md5(F.concat_ws("|", *[F.col(f"m{i}").cast("string") for i in range(b * 4, b * 4 + 4)]))
+        for b in range(4)
+    ]
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("bi"), band_exprs[b].alias("b")) for b in range(4)])
+        ).alias("x"),
+    ).select("doc_id", F.col("x.bi").alias("bi"), F.col("x.b").alias("b"))
+    a = bands.select(F.col("doc_id").alias("id_a"), "bi", "b")
+    bb = bands.select(F.col("doc_id").alias("id_b"), "bi", "b")
+    return (
+        a.join(bb, ["bi", "b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+@register(
+    "dedup_simhash_md5",
+    """
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
+bits AS (
+  SELECT doc_id, b.b, SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash60
+FROM bits GROUP BY doc_id
+""",
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash with md5-derived token hashes -- the cross-engine-
+    verifiable twin of dedup_simhash (xxhash64 production path).  Spark
+    computes the 60 bit-sums as aggregate legs in ONE pass (no bit
+    explosion); the oracle reconstructs them via an explicit bit cross
+    join -- equal results, very different physical plans."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(r"regexp_extract_all(text, r'\S+', 0)")).alias("tok")
+    ).withColumn("hv", F.expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
+    legs = [
+        F.sum(F.when(F.expr(f"(hv >> {b}) & 1 = 1"), 1).otherwise(-1)).alias(f"s{b}")
+        for b in range(60)
+    ]
+    agg = toks.groupBy("doc_id").agg(*legs)
+    assemble = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)" for b in range(60)
+    )
+    return agg.select("doc_id", F.expr(assemble).alias("simhash60"))
+
+
 # --- non-SQL-expressible (xxhash64-based): driver records rows-only checks ---
 
 
@@ -440,10 +543,22 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample")
+@register(
+    "multimodal_frame_sample",
+    """
+WITH d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+c AS (SELECT doc_id, nb,
+             unnest(generate_series(0, (nb + 255) // 256 - 1, 4)) AS fi
+      FROM d)
+SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+       LEAST(256, nb - fi * 256) AS frame_bytes
+FROM c
+""",
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling fan-out (one payload -> many frame rows via
-    mapInPandas); emits frame metadata only downstream."""
+    mapInPandas); the oracle reconstructs chunk geometry arithmetically, so
+    the Arrow-batched fan-out itself is correctness-gated."""
     docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
     frames = mm.frame_sample(docs)
     return frames.select(
@@ -451,9 +566,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")
+@register(
+    "multimodal_features",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       CAST(list_sum(list_transform(range(1, CAST(length(text) AS BIGINT) + 1),
+                                    i -> ord(substr(text, CAST(i AS INT), 1))))
+            % 2147483648 AS BIGINT) AS feat_checksum
+FROM documents
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads (decode stubbed;
-    deterministic checksum feature exercises the real batch path)."""
+    """Arrow-batched feature extraction over binary payloads (decode
+    stubbed; deterministic byte-sum checksum exercises the real batch
+    path).  Oracle recomputes the checksum from character codes -- valid
+    because the synthetic payload is ASCII (utf-8 bytes == char ords)."""
     docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
     return mm.extract_features(docs)
