@@ -42,14 +42,19 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"bench error in {name}: {e!r}", file=sys.stderr)
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    ok = [t for t in timings.values() if t >= 0]
+    total = round(sum(ok), 3)
+    # headline = mean wall sec per query: stable across rounds even as the
+    # query count grows (total is still reported alongside)
+    mean = round(total / max(len(ok), 1), 3)
     print(
         json.dumps(
             {
-                "metric": "total_query_wall_sec",
-                "value": total,
+                "metric": "mean_query_wall_sec",
+                "value": mean,
                 "unit": "sec",
                 "queries": timings,
+                "total_sec": total,
                 "sf": sf,
                 "n_queries": len(timings),
             }
