@@ -166,6 +166,52 @@ def dedup_incremental(
     return fresh.dropDuplicates([fp_col])
 
 
+def run_incremental_dedup(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    *,
+    checkpoint: str,
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+):
+    """The closed-loop version of dedup_incremental: per micro-batch,
+    anti-join the batch against the CURRENT fingerprint store, append the
+    survivors to ``out_path`` and their fingerprints to ``store_path``.
+
+    The store re-read and the join happen inside foreachBatch because a
+    streaming-static join analyzes its static side once -- it would never
+    see the store grow.  Exactly-once-per-batch comes from the checkpoint;
+    at scale the store is a compacted table keyed by fingerprint (see
+    sources.writers.compact_parquet).
+    """
+    from pyspark.sql import functions as SF
+
+    from odp_dynamic_data_pipeline_spark.operators.text import fingerprint
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fp = fingerprint(batch_df, text_col, out_col=fp_col).dropDuplicates([fp_col])
+        try:
+            seen = spark.read.parquet(store_path).select(fp_col)
+            fresh = fp.join(SF.broadcast(seen), fp_col, "left_anti")
+        except Exception:  # first batch: no store yet
+            fresh = fp
+        fresh.persist()
+        fresh.write.mode("append").parquet(out_path)
+        fresh.select(fp_col).write.mode("append").parquet(store_path)
+        fresh.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_available_now(
     stream: DataFrame,
     *,

@@ -17,6 +17,41 @@ DOC_SCHEMA = StructType(
 )
 
 
+def test_incremental_dedup_closed_loop(spark, tmp_path):
+    """Cross-batch dedup through the growing fingerprint store: a batch-2
+    duplicate of a batch-1 document must be dropped."""
+    import os
+    import time
+
+    from odp_dynamic_data_pipeline_spark.streaming.stream import run_incremental_dedup
+
+    d = tmp_path / "loop_in"
+    d.mkdir()
+    now = time.time()
+    b1 = [{"doc_id": 1, "text": "alpha body"}, {"doc_id": 2, "text": "beta body"}]
+    b2 = [{"doc_id": 3, "text": "ALPHA   body"}, {"doc_id": 4, "text": "gamma body"}]
+    for name, rows, mt in [("b1.json", b1, now - 60), ("b2.json", b2, now - 30)]:
+        p = d / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (mt, mt))
+
+    stream = read_file_stream(
+        spark, str(d), DOC_SCHEMA, multiline=False, max_files_per_trigger=1
+    )
+    run_incremental_dedup(
+        stream,
+        store_path=str(tmp_path / "store"),
+        out_path=str(tmp_path / "clean"),
+        checkpoint=str(tmp_path / "ck_loop"),
+    )
+    survivors = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "clean")).collect()}
+    assert survivors == {1, 2, 4}  # doc 3 is a normalized dup of doc 1 from batch 1
+    store = spark.read.parquet(str(tmp_path / "store")).count()
+    assert store == 3
+
+
 def test_incremental_dedup(spark, tmp_path):
     d = tmp_path / "in"
     d.mkdir()
