@@ -639,6 +639,60 @@ def running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trailing_30d_revenue",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+         RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_cents
+FROM orders
+""",
+)
+def trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: 30-day trailing revenue per customer -- the frame
+    is defined by event-time VALUE distance (micros), not row count, so
+    same-day orders aggregate together regardless of ordering."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "ts_us", F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ts_us")
+        .rangeBetween(-30 * 24 * 3600 * 1_000_000, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_cents("o_totalprice")).over(w).alias("trailing_cents"),
+    )
+
+
+@register(
+    "customer_quartiles",
+    """
+SELECT c_custkey, c_mktsegment,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY CAST(ROUND(c_acctbal * 100, 0) AS BIGINT), c_custkey)
+""",
+)
+def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows: ntile + percent_rank over a deterministic total
+    order (cents, custkey tie-break)."""
+    c = load_table(spark, sf_dir, "customer").withColumn("cents", _cents("c_acctbal"))
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@register(
     "rollup_revenue",
     """
 SELECT COALESCE(r.r_name, 'ALL') AS region_name,
