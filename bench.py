@@ -32,6 +32,13 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Untimed warmup: JIT/codegen compilation, shuffle machinery, and the
+    # Arrow Python-UDF worker pool are per-session fixed costs; without this
+    # they are billed to whichever queries happen to run first.
+    warm = spark.range(10_000).selectExpr("id % 7 AS k", "id AS v")
+    warm.groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
+    warm.mapInPandas(lambda it: it, warm.schema).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = SPARK_QUERIES[name]

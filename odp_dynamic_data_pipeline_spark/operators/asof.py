@@ -25,13 +25,30 @@ def asof_join(
     ts_col: str = "ts",
     value_cols: list[str] | None = None,
     right_ts_alias: str = "asof_ts",
+    right_suffix: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the columns of the latest right row with
     ``right.ts <= left.ts`` and the same ``on`` key; left rows with no prior
     right row get nulls.  Equal timestamps match (inclusive): right rows
-    order before left rows at the same instant."""
+    order before left rows at the same instant.
+
+    If a right value column shares its name with a left payload column the
+    join raises, unless ``right_suffix`` is given -- then every colliding
+    right column is emitted as ``<name><right_suffix>`` and the left column
+    is preserved."""
     value_cols = value_cols or [c for c in right.columns if c not in (on, ts_col)]
     left_payload = [c for c in left.columns if c not in (on, ts_col)]
+
+    collisions = sorted(set(value_cols) & set(left_payload))
+    out_name = {c: c for c in value_cols}
+    if collisions:
+        if right_suffix is None:
+            raise ValueError(
+                f"asof_join: right value columns {collisions} collide with left "
+                f"payload columns; pass right_suffix=... to disambiguate"
+            )
+        for c in collisions:
+            out_name[c] = f"{c}{right_suffix}"
 
     lt = left.select(on, ts_col, *left_payload, F.lit(1).alias("__side"))
     for c in value_cols:
@@ -55,7 +72,7 @@ def asof_join(
     )
     for c in value_cols:
         out = out.withColumn(
-            c,
+            out_name[c],
             F.last(F.when(F.col("__side") == 0, F.col(f"__r_{c}")), ignorenulls=True).over(w),
         )
     return out.where(F.col("__side") == 1).drop("__side", *[f"__r_{c}" for c in value_cols])

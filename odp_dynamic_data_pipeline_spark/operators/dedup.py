@@ -80,11 +80,19 @@ def minhash_lsh_pairs(
     num_perm: int = 32,
     bands: int = 8,
     threshold_e6: int = 500_000,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verification.
 
     Returns (id_a, id_b, inter, uni, jaccard_e6) with id_a < id_b and
     jaccard >= threshold (jaccard_e6 = floor(1e6 * |A&B| / |A|B|)).
+
+    With ``eager=True`` (default) the small verified-pairs result is
+    materialized via localCheckpoint and the shared hashed-shingle cache is
+    unpersisted before returning, so repeated invocations in one session do
+    not accumulate cached blocks.  ``eager=False`` returns the fully lazy
+    plan and leaves the persist lifecycle to the caller (the hashed table
+    stays cached until ``spark.catalog.clearCache()``).
     """
     rows_per_band = num_perm // bands
     sh = shingles(df.select(id_col, text_col), text_col, n=n)
@@ -139,7 +147,11 @@ def minhash_lsh_pairs(
         )
         .withColumn("jaccard_e6", F.expr("(1000000 * inter) div uni"))
     )
-    return verified.where(F.col("jaccard_e6") >= threshold_e6)
+    result = verified.where(F.col("jaccard_e6") >= threshold_e6)
+    if eager:
+        result = result.localCheckpoint(eager=True)
+        hashed.unpersist()
+    return result
 
 
 def simhash(

@@ -236,11 +236,11 @@ def lsh_topk(
     with the query in at least one LSH table (equi-join on (table, bucket)
     replaces the cross join)."""
     cand = lsh_buckets(
-        quantized(candidates.select(F.col(id_col).alias("cand_id"), vec_col), "embedding"),
+        quantized(candidates.select(F.col(id_col).alias("cand_id"), vec_col), vec_col),
         "qvec", tables=tables, planes_per_table=planes_per_table, dim=dim,
     )
     qry = lsh_buckets(
-        quantized(queries.select(F.col(id_col).alias("qid"), vec_col), "embedding"),
+        quantized(queries.select(F.col(id_col).alias("qid"), vec_col), vec_col),
         "qvec", tables=tables, planes_per_table=planes_per_table, dim=dim,
     ).select(
         "qid", F.col("qvec").alias("q_qvec"), F.col("qnorm").alias("q_qnorm"),

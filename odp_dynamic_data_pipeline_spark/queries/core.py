@@ -1058,9 +1058,12 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-heavy versions.  No oracle: sketch results are
     implementation-defined (rows-only check)."""
     ev = load_table(spark, sf_dir, "events")
+    # scalar columns only: the driver's comparator sorts rows with pandas,
+    # which cannot hash array cells
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.expr("approx_percentile(value, array(0.5, 0.95), 1000)").alias("value_p50_p95"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("value_p50"),
+        F.expr("approx_percentile(value, 0.95, 1000)").alias("value_p95"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

@@ -54,24 +54,37 @@ def compact_parquet(spark, path: str, *, target_files: int, sort_within_by: list
     ``target_files`` files (optionally sorted within partitions for better
     min/max pruning).  Streaming/hourly sinks accrete small files; at 100 TB
     the scheduler pays per file, so periodic compaction is part of the
-    layout contract.  Writes to a temp sibling then swaps."""
+    layout contract.
+
+    Swap protocol (each rename is atomic on HDFS/local; the sequence is not
+    one atomic operation, but the canonical path always points at a complete
+    copy of the data): write to a temp sibling, rename the old directory
+    aside, rename the temp into place, then delete the aside copy.  A crash
+    between the two renames leaves the data recoverable under
+    ``path__old_<token>``; object stores lack atomic rename entirely and
+    need a manifest-based table format instead."""
     import uuid
 
-    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{path}__compact_{token}"
     df = spark.read.parquet(path)
     out = df.repartition(target_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
     out.write.mode("overwrite").parquet(tmp)
-    # swap via filesystem rename (atomic on HDFS/local; object stores need a
-    # manifest-based table format instead -- see module docstring)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(tmp), conf)
     p_old = jvm.org.apache.hadoop.fs.Path(path)
     p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(p_old, True)
-    fs.rename(p_tmp, p_old)
+    p_aside = jvm.org.apache.hadoop.fs.Path(f"{path}__old_{token}")
+    if not fs.rename(p_old, p_aside):
+        raise IOError(f"compact_parquet: failed to move {path} aside")
+    if not fs.rename(p_tmp, p_old):
+        # roll back so the canonical path is never left missing
+        fs.rename(p_aside, p_old)
+        raise IOError(f"compact_parquet: failed to swap {tmp} into {path}")
+    fs.delete(p_aside, True)
 
 
 def write_json_array(df: DataFrame, path: str) -> None:

@@ -181,25 +181,43 @@ def run_incremental_dedup(
 
     The store re-read and the join happen inside foreachBatch because a
     streaming-static join analyzes its static side once -- it would never
-    see the store grow.  Exactly-once-per-batch comes from the checkpoint;
-    at scale the store is a compacted table keyed by fingerprint (see
+    see the store grow.  Idempotency: each batch writes to a batch-keyed
+    partition directory with overwrite, so a foreachBatch retry of the same
+    batch_id replaces its own output instead of double-appending; the
+    checkpoint guarantees each source offset range maps to one batch_id.
+    A missing store is detected with an explicit filesystem probe -- any
+    other read failure (corrupt store, transient FS error) propagates and
+    fails the batch rather than silently disabling dedup.  At scale the
+    store is a compacted table keyed by fingerprint (see
     sources.writers.compact_parquet).
     """
     from pyspark.sql import functions as SF
 
     from odp_dynamic_data_pipeline_spark.operators.text import fingerprint
 
+    def _path_exists(spark, path: str) -> bool:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(path), conf)
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         fp = fingerprint(batch_df, text_col, out_col=fp_col).dropDuplicates([fp_col])
-        try:
-            seen = spark.read.parquet(store_path).select(fp_col)
+        if _path_exists(spark, store_path):
+            # exclude this batch's own partition: a retry must not see the
+            # failed attempt's fingerprints and drop the whole batch
+            seen = (
+                spark.read.parquet(store_path)
+                .where(SF.col("batch_id") != SF.lit(batch_id))
+                .select(fp_col)
+            )
             fresh = fp.join(SF.broadcast(seen), fp_col, "left_anti")
-        except Exception:  # first batch: no store yet
+        else:  # first batch: no store yet
             fresh = fp
         fresh.persist()
-        fresh.write.mode("append").parquet(out_path)
-        fresh.select(fp_col).write.mode("append").parquet(store_path)
+        fresh.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        fresh.select(fp_col).write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
         fresh.unpersist()
 
     q = (
