@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from odp_dynamic_data_pipeline_spark.operators.partitioning import ensure_min_parallelism
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str] | str, id_col: str) -> DataFrame:
     """Keep the lowest-id row per duplicate group (deterministic keeper)."""
@@ -36,7 +38,10 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "
     Tokenization is materialized into a column BEFORE the shingle lambda:
     an inlined regexp would be re-evaluated for every sequence element
     (one regex pass per shingle instead of per document -- a ~50x hot-path
-    difference measured at sf0.1)."""
+    difference measured at sf0.1).  The input is fanned out first: a
+    single-row-group corpus file scans as one partition and would run the
+    whole tokenize/shingle/hash pipeline on one core."""
+    df = ensure_min_parallelism(df)
     return (
         df.withColumn("__toks", F.expr(f"regexp_extract_all({text_col}, r'\\S+', 0)"))
         .withColumn(
@@ -63,12 +68,23 @@ def minhash_signatures(
     df: DataFrame, id_col: str, hashed_col: str = "hsh", num_perm: int = 32
 ) -> DataFrame:
     """One min-hash per permutation: min over a cheap bigint re-mix of the
-    pre-hashed shingles (xxhash64(seed_i, h))."""
-    sigs = [
-        F.expr(f"array_min(transform({hashed_col}, h -> xxhash64({i}, h)))").alias(f"mh_{i}")
-        for i in range(num_perm)
-    ]
-    return df.select(F.col(id_col), *sigs)
+    pre-hashed shingles (xxhash64(seed_i, h)).
+
+    All permutations are folded in ONE pass over the shingle array (array
+    state in ``aggregate``) rather than ``num_perm`` separate ``transform``
+    scans -- one expression instead of 32 keeps the generated code small
+    (cold-plan compile time is a measurable cost) and reads each shingle
+    hash once."""
+    fold = F.expr(
+        f"aggregate({hashed_col},"
+        f" array_repeat(CAST(9223372036854775807 AS BIGINT), {num_perm}),"
+        f" (acc, h) -> zip_with(acc, sequence(0, {num_perm - 1}),"
+        f"                      (m, i) -> least(m, xxhash64(i, h))))"
+    )
+    sig = df.select(F.col(id_col), fold.alias("__sig"))
+    return sig.select(
+        F.col(id_col), *[F.col("__sig").getItem(i).alias(f"mh_{i}") for i in range(num_perm)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -159,6 +175,7 @@ def simhash(
 ) -> DataFrame:
     """63-bit SimHash over word tokens (bit 63 left clear to stay positive in
     a signed bigint).  One exploded pass + one groupBy: scales linearly."""
+    df = ensure_min_parallelism(df)
     toks = df.select(
         F.col(id_col), F.explode(F.expr(f"regexp_extract_all({text_col}, r'\\S+', 0)")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))

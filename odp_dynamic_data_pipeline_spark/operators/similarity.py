@@ -22,12 +22,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from odp_dynamic_data_pipeline_spark.operators.partitioning import ensure_min_parallelism
+
 QUANT = "transform({col}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
 DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
 NORM = "aggregate(transform({a}, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
 
 
 def quantized(df: DataFrame, vec_col: str = "embedding", out_col: str = "qvec") -> DataFrame:
+    # fan out first: a single-row-group embedding file scans as one
+    # partition and would run all per-vector arithmetic on one core
+    df = ensure_min_parallelism(df)
     df = df.withColumn(out_col, F.expr(QUANT.format(col=vec_col)))
     return df.withColumn("qnorm", F.expr(NORM.format(a=out_col)))
 
