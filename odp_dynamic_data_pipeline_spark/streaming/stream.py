@@ -76,6 +76,66 @@ def stream_enrich(stream: DataFrame, mapping: DataFrame, key_col: str, mapping_k
     return out.drop("__k")
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "event_time",
+    right_ts: str = "event_time",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+    within: str = "30 minutes",
+    how: str = "inner",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream equi join with a symmetric event-time bound: rows pair
+    when keys match AND ``|right_ts - left_ts| <= within``.
+
+    Both sides carry watermarks, which is what lets Spark EVICT buffered
+    rows from the join state store -- without the time bound, either side's
+    state would grow forever on an unbounded stream.  State per key is
+    bounded by (watermark + within).  Right-side columns are prefixed to
+    avoid collisions; the join key and both timestamps keep their names
+    (key from the left, ``<right_prefix><right_ts>`` for the right time).
+
+    Outer variants ('left_outer', 'right_outer', 'full_outer') are allowed
+    by Spark only with both the watermark and the time-range condition --
+    this helper always supplies both, so any ``how`` passes analysis.
+    """
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    renamed = rw.select(
+        F.col(on).alias("__rk"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in rw.columns if c != on],
+    )
+    r_ts = f"{right_prefix}{right_ts}"
+    cond = (
+        (F.col(on) == F.col("__rk"))
+        & (F.col(r_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {within}"))
+        & (F.col(r_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(renamed, cond, how).drop("__rk")
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str] | str,
+    *,
+    ts_col: str = "event_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: a duplicate arriving within the
+    watermark of its first occurrence is dropped; state for keys older than
+    the watermark is evicted.  Contrast with plain ``dropDuplicates`` on a
+    stream, whose key state grows forever.  (The cross-batch *persistent*
+    fingerprint store is run_incremental_dedup; this is the in-flight,
+    bounded-memory variant.)"""
+    if isinstance(keys, str):
+        keys = [keys]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def pair_page_views_stream(
     stream: DataFrame,
     *,
