@@ -244,7 +244,10 @@ def q19_or_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity",
         (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias("rev_e4"),
     )
-    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    # no broadcast hint: part scales with the corpus (unlike nation/region);
+    # the autoBroadcastJoinThreshold/AQE picks broadcast at small scale and
+    # falls back to shuffle join at 100 TB instead of OOMing on a forced hint
+    j = l.join(p, l["l_partkey"] == p["p_partkey"])
     cond = (
         (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
@@ -565,9 +568,11 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.select("l_orderkey", "l_suppkey",
                  (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias("rev_e4"))
         .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        # customer/supplier scale with the data -- no forced broadcast; the
+        # size threshold/AQE broadcasts them while small, shuffles at 100 TB
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            s.select("s_suppkey", "s_nationkey"),
             (F.col("s_suppkey") == F.col("l_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
@@ -600,7 +605,7 @@ def window_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = load_table(spark, sf_dir, "orders").select("o_custkey", _cents("o_totalprice").alias("cents"))
     totals = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])  # customer scales: no forced broadcast
         .groupBy("c_mktsegment", "c_custkey")
         .agg(F.sum("cents").alias("total_cents"))
     )
@@ -713,7 +718,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = load_table(spark, sf_dir, "region")
     joined = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])  # customer scales: no forced broadcast
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )
@@ -943,7 +948,10 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias("rev_e4"),
     )
-    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    # no broadcast hint: part scales with the corpus (unlike nation/region);
+    # the autoBroadcastJoinThreshold/AQE picks broadcast at small scale and
+    # falls back to shuffle join at 100 TB instead of OOMing on a forced hint
+    j = l.join(p, l["l_partkey"] == p["p_partkey"])
     return j.agg(
         (
             F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_e4")).otherwise(F.lit(0))).cast("double")

@@ -93,9 +93,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.select("l_orderkey", "l_suppkey", F.year("l_shipdate").alias("l_year"),
                  _rev_e4().alias("rev_e4"))
         .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+        # customer/supplier scale with the data: no forced broadcast (the
+        # size threshold/AQE decides); only fixed-cardinality nation/region
+        # carry hints
+        .join(c.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s.select("s_suppkey", F.col("s_nationkey").alias("s_nk"))),
+        .join(s.select("s_suppkey", F.col("s_nationkey").alias("s_nk")),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n.select(F.col("n_nationkey").alias("nk1"),
                                    F.col("n_name").alias("supp_nation"))),
@@ -145,7 +148,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.select("l_orderkey", "l_suppkey", _rev_e4().alias("rev_e4"))
         .join(o.select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c.select("c_custkey", F.col("c_nationkey").alias("c_nk"))),
+        .join(c.select("c_custkey", F.col("c_nationkey").alias("c_nk")),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n.select(F.col("n_nationkey").alias("nk1"),
                                    F.col("n_regionkey").alias("rk1"))),
@@ -153,7 +156,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r.where(F.col("r_name") == "AMERICA")
                           .select(F.col("r_regionkey").alias("rr1"))),
               F.col("rk1") == F.col("rr1"))
-        .join(F.broadcast(s.select("s_suppkey", F.col("s_nationkey").alias("s_nk"))),
+        .join(s.select("s_suppkey", F.col("s_nationkey").alias("s_nk")),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n.select(F.col("n_nationkey").alias("nk2"),
                                    F.col("n_regionkey").alias("rk2"))),
@@ -200,9 +203,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         l.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
                  _rev_e4().alias("rev_e4"))
-        .join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+        .join(p.select("p_partkey", "p_retailprice"),
               F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        .join(s.select("s_suppkey", "s_nationkey"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n.select("n_nationkey", F.col("n_name").alias("nation"))),
               F.col("s_nationkey") == F.col("n_nationkey"))
@@ -239,7 +242,7 @@ def q10_returned_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         l.select("l_orderkey", _rev_e4().alias("rev_e4"))
         .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c.select("c_custkey", "c_name", "c_nationkey")),
+        .join(c.select("c_custkey", "c_name", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n.select("n_nationkey", "n_name")),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -341,7 +344,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("total_e4") == F.col("max_e4"))
-        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+        .join(s.select("s_suppkey", "s_name"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name",
                 (F.col("total_e4").cast("double") / F.lit(10000.0)).alias("total_revenue"))
@@ -367,7 +370,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+        .join(p.select("p_partkey", "p_brand", "p_type", "p_size"),
               F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -440,17 +443,19 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
+    # stage tables are per-user aggregates: they scale with the user base,
+    # so no broadcast hints -- AQE broadcasts while small, shuffles at scale
     v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("us").alias("t1"))
     c = (
         ev.where(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .where(F.col("us") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("us").alias("t2"))
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .where(F.col("us") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("us").alias("t3"))
