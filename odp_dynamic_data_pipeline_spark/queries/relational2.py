@@ -635,6 +635,238 @@ def levenshtein_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_min_cost_supplier",
+    f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_c
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+mn AS (SELECT l_partkey, MIN(price_c) AS m FROM ps GROUP BY l_partkey)
+SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+       CAST(ps.price_c AS DOUBLE) / 100.0 AS supply_value
+FROM ps
+JOIN mn ON mn.l_partkey = ps.l_partkey AND ps.price_c = mn.m
+JOIN part p ON p.p_partkey = ps.l_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+WHERE p.p_size <= 10
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per part, the supplier(s) attaining the minimum
+    supply value (correlated-min decorrelated into an aggregate + join on
+    the exact integer min; ties all surface).  lineitem plays partsupp --
+    the testdata has no partsupp table."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    s = load_table(spark, sf_dir, "supplier")
+    ps = (
+        l.select("l_partkey", "l_suppkey", _cents("l_extendedprice").alias("price_c"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("price_c").alias("price_c"))
+    )
+    mn = ps.groupBy("l_partkey").agg(F.min("price_c").alias("m"))
+    return (
+        ps.join(mn.withColumnRenamed("l_partkey", "mk"),
+                (F.col("mk") == F.col("l_partkey")) & (F.col("price_c") == F.col("m")))
+        .join(p.select("p_partkey", "p_brand"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s.select("s_suppkey", "s_name"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name",
+                (F.col("price_c").cast("double") / F.lit(100.0)).alias("supply_value"))
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    """
+WITH sq AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+pt AS (SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS total FROM sq GROUP BY l_partkey)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_dominant_parts
+FROM sq
+JOIN pt ON pt.l_partkey = sq.l_partkey
+JOIN supplier s ON s.s_suppkey = sq.l_suppkey
+WHERE sq.qty * 8 > pt.total
+GROUP BY s.s_suppkey, s.s_name
+""",
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers providing > 1/8 of a part's shipped
+    quantity (two-level aggregation + exact cross-multiplied fraction:
+    qty * 8 > total; the testdata spreads parts across ~100 suppliers, so
+    Q20's literal half-share threshold selects nothing)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    sq = (
+        l.select("l_partkey", "l_suppkey", F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("q"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("q").alias("qty"))
+    )
+    pt = sq.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+    return (
+        sq.join(pt.withColumnRenamed("l_partkey", "pk"), F.col("pk") == F.col("l_partkey"))
+        .where(F.col("qty") * 8 > F.col("total"))
+        .join(s.select("s_suppkey", "s_name"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+    )
+
+
+@register(
+    "q21_sole_return_supplier",
+    """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+),
+agg AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(ret) AS n_ret FROM lo GROUP BY l_orderkey)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_orders
+FROM lo
+JOIN agg ON agg.l_orderkey = lo.l_orderkey
+JOIN supplier s ON s.s_suppkey = lo.l_suppkey
+WHERE lo.ret = 1 AND agg.n_ret = 1 AND agg.n_supp > 1
+GROUP BY s.s_suppkey, s.s_name
+""",
+)
+def q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: on multi-supplier orders, the supplier who is the
+    ONLY one with returned items (the exists/not-exists pair decorrelated
+    into per-order counts)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = (
+        l.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret"))
+    )
+    agg = lo.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("ret").alias("n_ret")
+    )
+    return (
+        lo.join(agg.withColumnRenamed("l_orderkey", "ok"), F.col("ok") == F.col("l_orderkey"))
+        .where((F.col("ret") == 1) & (F.col("n_ret") == 1) & (F.col("n_supp") > 1))
+        .join(s.select("s_suppkey", "s_name"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "window_fn_zoo",
+    """
+SELECT c_custkey, c_nationkey,
+       dense_rank() OVER w AS dr,
+       cume_dist() OVER w AS cd,
+       first_value(c_custkey) OVER wf AS first_ck,
+       last_value(c_custkey) OVER wf AS last_ck,
+       nth_value(c_custkey, 2) OVER wf AS second_ck,
+       lead(c_custkey, 1, -1) OVER w AS next_ck,
+       lag(c_custkey, 2, -1) OVER w AS prev2_ck
+FROM (SELECT c_custkey, c_nationkey, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+      FROM customer)
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY cents, c_custkey),
+       wf AS (PARTITION BY c_nationkey ORDER BY cents, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def window_fn_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/navigation window-function coverage: dense_rank, cume_dist,
+    first/last/nth_value over an explicit full frame, lead/lag with
+    defaults -- all on a fully deterministic (cents, custkey) order."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", _cents("c_acctbal").alias("cents")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey", "c_nationkey",
+        F.dense_rank().over(w).alias("dr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("c_custkey").over(wf).alias("first_ck"),
+        F.last("c_custkey").over(wf).alias("last_ck"),
+        F.nth_value("c_custkey", 2).over(wf).alias("second_ck"),
+        F.lead("c_custkey", 1, -1).over(w).alias("next_ck"),
+        F.lag("c_custkey", 2, -1).over(w).alias("prev2_ck"),
+    )
+
+
+@register(
+    "intersectall_custkeys",
+    """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def intersectall_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): per-customer min(open,
+    finished) order multiplicity."""
+    o = load_table(spark, sf_dir, "orders")
+    open_ = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.intersectAll(fin)
+
+
+@register(
+    "scalar_functions2",
+    """
+SELECT o_orderkey,
+       epoch_us(CAST(o_orderdate + INTERVAL 5 DAY AS TIMESTAMP)) AS ship_by_us,
+       epoch_us(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) AS month_start_us,
+       CAST(extract(month FROM o_orderdate) AS INT) AS o_month,
+       CAST(extract(day FROM o_orderdate) AS INT) AS o_day,
+       datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS days_since_92,
+       lpad(o_orderpriority, 20, '.') AS pri_padded,
+       reverse(o_orderstatus) AS status_rev,
+       translate(o_orderpriority, '-', '_') AS pri_norm
+FROM orders
+""",
+)
+def scalar_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function family 2: timestamp arithmetic (interval add, month
+    truncation, field extraction, day diffs -- reference F5 family,
+    src/batch_tlb.py:60) and string shaping (lpad/reverse/translate --
+    F1/F2 family)."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.unix_micros(F.expr("CAST(o_orderdate + INTERVAL 5 DAY AS TIMESTAMP)")).alias("ship_by_us"),
+        F.unix_micros(F.date_trunc("month", od).cast("timestamp")).alias("month_start_us"),
+        F.month(od).cast("int").alias("o_month"),
+        F.dayofmonth(od).cast("int").alias("o_day"),
+        F.datediff(od.cast("date"), F.lit("1992-01-01").cast("date")).alias("days_since_92"),
+        F.lpad("o_orderpriority", 20, ".").alias("pri_padded"),
+        F.reverse("o_orderstatus").alias("status_rev"),
+        F.translate("o_orderpriority", "-", "_").alias("pri_norm"),
+    )
+
+
+@register(
+    "deterministic_sample_docs",
+    """
+SELECT doc_id, source, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3', '4')
+""",
+)
+def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus sampling: hash-gate on the stable id (md5 hex
+    prefix), NOT rand() -- the same ~5/16 sample on every engine, every
+    run, every cluster layout.  At 100 TB this is how you carve a dev
+    slice that downstream runs can re-derive exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1", "2", "3", "4")
+    ).select("doc_id", "source", "lang")
+
+
+@register(
     "posexplode_tokens",
     """
 WITH toks AS (
