@@ -193,3 +193,60 @@ def simhash(
 def hamming64(col_a, col_b) -> F.Column:
     """Hamming distance between two bigint hashes (bit_count of xor)."""
     return F.expr(f"bit_count({col_a} ^ {col_b})")
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every node
+    starts labeled with its own id; each round every node takes the min of
+    its label and its neighbors' labels; stop when a round changes nothing.
+
+    This is the clustering step that turns near-duplicate PAIRS into
+    dedup GROUPS (pick one keeper per component).  Converges in
+    O(diameter) rounds -- near-dup graphs are unions of small cliques, so
+    a handful of rounds in practice; each round is one shuffle on the node
+    id.  localCheckpoint between rounds truncates the lineage so the plan
+    does not grow with the iteration count (a growing plan re-analyzes
+    from scratch each round and eventually stack-overflows Catalyst).
+
+    Returns (id_col, component) with component = min node id reachable.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    labels = nodes.select(F.col(id_col).alias("nid"), F.col(id_col).alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["src"] == labels["nid"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["nid"] == neighbor_min["dst"], "left")
+            .select(
+                "nid",
+                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.nid") == F.col("o.nid"))
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("nid").alias(id_col), F.col("comp").alias("component"))

@@ -84,3 +84,54 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     dedup at scale."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.withColumn(out_col, F.md5(norm))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Split each document into overlapping token windows (the standard
+    pre-tokenization step for LLM training shards): window ``chunk_tokens``
+    wide, advancing ``stride`` tokens, final partial window kept.
+
+    One row in, ceil(max(n-W,0)/S)+1 rows out, columns (id_cols..., chunk_id,
+    chunk_text, n_chunk_tokens).  Pure array arithmetic (sequence + slice) --
+    no Python, no shuffle; at 100 TB this is a map-only stage."""
+    id_cols = id_cols or ["doc_id"]
+    df = with_tokens(df, text_col, "__toks")
+    chunks = df.select(
+        *id_cols,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(__toks) - {chunk_tokens} + 1, 1), {stride}),"
+                f" i -> slice(__toks, i, {chunk_tokens}))"
+            )
+        ).alias("chunk_id", "__chunk"),
+    )
+    return chunks.select(
+        *id_cols,
+        "chunk_id",
+        F.array_join("__chunk", " ").alias("chunk_text"),
+        F.size("__chunk").alias("n_chunk_tokens"),
+    )
+
+
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\+?[0-9][0-9() .-]{7,}[0-9]"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "scrubbed") -> DataFrame:
+    """Redact email addresses and phone-number-shaped digit runs
+    ([EMAIL]/[PHONE] placeholders).  JVM regexp_replace, global by default
+    -- the deterministic first line of PII hygiene in a corpus pipeline
+    (model-based NER passes come later, off the hot path)."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL, "[EMAIL]"),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    return df.withColumn(out_col, scrubbed)

@@ -584,3 +584,167 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the synthetic payload is ASCII (utf-8 bytes == char ords)."""
     docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
     return mm.extract_features(docs)
+
+
+@register(
+    "doc_chunks",
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+st AS (
+  SELECT doc_id, t,
+         UNNEST(generate_series(1, greatest(len(t) - 64 + 1, 1), 48)) AS i
+  FROM toks
+)
+SELECT doc_id, (i - 1) // 48 AS chunk_id,
+       array_to_string(list_slice(t, i, i + 63), ' ') AS chunk_text,
+       CAST(len(list_slice(t, i, i + 63)) AS INT) AS n_chunk_tokens
+FROM st
+""",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, stride 48) --
+    the shard-preparation step before tokenization in an LLM data
+    pipeline.  Map-only: sequence + slice array arithmetic, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tx.chunk_documents(docs, chunk_tokens=64, stride=48)
+    return out.select(
+        "doc_id", "chunk_id", "chunk_text", F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens")
+    )
+
+
+@register(
+    "pii_scrub_fingerprint",
+    """
+WITH s AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\\+?[0-9][0-9() .-]{7,}[0-9]', '[PHONE]', 'g') AS scrubbed
+  FROM documents
+)
+SELECT doc_id, md5(scrubbed) AS scrub_md5,
+       CAST(octet_length(encode(scrubbed)) AS BIGINT) AS scrub_bytes
+FROM s
+""",
+)
+def pii_scrub_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails/phone-shaped digit runs -> placeholders)
+    verified cross-engine by fingerprinting the scrubbed text.  JVM
+    regexp_replace, map-only."""
+    docs = tx.scrub_pii(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.md5("scrubbed").alias("scrub_md5"),
+        F.octet_length("scrubbed").cast("long").alias("scrub_bytes"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         (tf.tf * 1000000 * n.n) // df.df AS score_e6
+  FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, tok) AS rk
+  FROM scored
+)
+SELECT doc_id, tok, tf, df, score_e6
+FROM ranked WHERE rk <= 5 AND doc_id < 100
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-free TF-IDF surrogate (tf * N / df as an exact scaled integer --
+    ln() is not bitwise-portable across engines) with top-5 terms per
+    document.  Corpus statistics (df, N) computed over the FULL corpus;
+    output restricted to doc_id < 100."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("tok"))
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "tok", "tf", "df",
+                F.expr("(tf * 1000000 * n) div df").alias("score_e6"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_e6").desc(), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") <= 5) & (F.col("doc_id") < 100))
+        .select("doc_id", "tok", "tf", "df", "score_e6")
+    )
+
+
+@register(
+    "dedup_clusters",
+    """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS s
+  FROM (SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+edges AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE (1000000 * inter) // (sa.sz + sb.sz - inter) >= 300000
+),
+sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+cc AS (
+  SELECT doc_id AS nid, doc_id AS comp FROM documents
+  UNION
+  SELECT s.dst, cc.comp FROM cc JOIN sym s ON s.src = cc.nid
+)
+SELECT nid AS doc_id, MIN(comp) AS component
+FROM cc GROUP BY nid
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: exact 3-gram Jaccard >= 0.3 pairs as edges,
+    connected components by iterative min-label propagation (operators.
+    dedup.connected_components).  Pairs alone cannot drive dedup at scale
+    -- transitive groups pick one keeper per component.  The DuckDB oracle
+    walks the same graph with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = dd.shingles(docs, "text").select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).distinct().persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    edges = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb")), "id_b")
+        .where(F.expr("(1000000 * inter) div (sza + szb - inter)") >= 300000)
+        .select("id_a", "id_b")
+    )
+    comp = dd.connected_components(docs.select("doc_id"), edges, id_col="doc_id")
+    sh.unpersist()
+    return comp
