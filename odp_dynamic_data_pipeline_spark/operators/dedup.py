@@ -195,6 +195,40 @@ def hamming64(col_a, col_b) -> F.Column:
     return F.expr(f"bit_count({col_a} ^ {col_b})")
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (the n-gram-overlap check from Brown et
+    al. 2020 "Language Models are Few-Shot Learners", app. C): count, per
+    corpus document, how many of its distinct word ``n``-grams also appear
+    anywhere in the benchmark set.  Rows with ``n_hit_ngrams > 0`` are the
+    contamination candidates a training pipeline must drop or audit.
+
+    The benchmark's distinct-gram table is broadcast: eval sets are tiny
+    (thousands of documents) next to a 100 TB corpus, so the join is
+    map-side -- the only shuffle is the per-document count aggregation.
+    Returns (id_col, n_grams, n_hit_ngrams) for every corpus document that
+    has at least one n-gram."""
+    cg = shingles(corpus.select(id_col, text_col), text_col, n=n).select(
+        id_col, F.explode("shingles").alias("g")
+    )
+    bg = (
+        shingles(benchmark.select(text_col), text_col, n=n)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    hits = cg.join(F.broadcast(bg.withColumn("__hit", F.lit(1))), "g", "left")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("__hit").alias("n_hit_ngrams"),
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -216,37 +250,57 @@ def connected_components(
     does not grow with the iteration count (a growing plan re-analyzes
     from scratch each round and eventually stack-overflows Catalyst).
 
+    Only edge-endpoint nodes participate in the iteration: in a dedup
+    graph the corpus is vastly larger than the duplicate set (billions of
+    documents, millions of pairs), and a node with no edges is trivially
+    its own component -- iterating over the full corpus would shuffle it
+    once per round.  Isolated nodes are unioned back in at the end as a
+    single anti-join (one pass, no iteration).
+
     Returns (id_col, component) with component = min node id reachable.
     """
-    sym = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        # materialize once: the edge list is consumed EVERY round, and its
+        # lineage is typically an expensive candidate-pair pipeline (shingle
+        # join / LSH) that must not re-run per iteration
+        .localCheckpoint(eager=True)
     )
-    labels = nodes.select(F.col(id_col).alias("nid"), F.col(id_col).alias("comp"))
-    labels = labels.localCheckpoint(eager=True)
+    # sym is symmetric, so src alone covers every edge endpoint
+    labels = (
+        sym.select(F.col("src").alias("nid"))
+        .distinct()
+        .select("nid", F.col("nid").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["src"] == labels["nid"])
             .groupBy("dst")
             .agg(F.min("comp").alias("n_comp"))
         )
+        # carry a per-row "label shrank" flag through the checkpoint: the
+        # convergence test is then a scan of the already-materialized result
+        # instead of an extra old-vs-new join per round
         new_labels = (
             labels.join(neighbor_min, labels["nid"] == neighbor_min["dst"], "left")
             .select(
                 "nid",
                 F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
+                (F.coalesce(F.col("n_comp"), F.col("comp")) < F.col("comp")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.nid") == F.col("o.nid"))
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
-    return labels.select(F.col("nid").alias(id_col), F.col("comp").alias("component"))
+    isolated = nodes.select(F.col(id_col).alias("nid")).join(
+        labels.select("nid"), "nid", "left_anti"
+    )
+    return labels.unionByName(isolated.select("nid", F.col("nid").alias("comp"))).select(
+        F.col("nid").alias(id_col), F.col("comp").alias("component")
+    )

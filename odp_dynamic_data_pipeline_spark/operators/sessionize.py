@@ -98,20 +98,25 @@ def pair_page_views_exact(
     )
 
     def walk(pdf):
+        import numpy as np
         import pandas as pd
 
+        # literal register walk, but over raw numpy arrays: iterrows()
+        # materializes a Series per row (~50x slower than array indexing)
+        # without changing one bit of the semantics
         pdf = pdf.sort_values(ts_col, kind="mergesort")
+        ts = pdf[ts_col].to_numpy()  # datetime64[ns]
+        tp = pdf[type_col].to_numpy()
+        one_sec = np.timedelta64(1_000_000_000, "ns")
+        group_key = pdf[group_col].iloc[0]
         rows = []
         last_start = None
-        group_key = pdf[group_col].iloc[0]
-        for _, r in pdf.iterrows():
-            t = r[type_col]
+        for i in range(len(ts)):
+            t = tp[i]
             if t == start_type:
-                last_start = r[ts_col]
+                last_start = ts[i]
             elif t == end_type and last_start is not None:
-                rows.append(
-                    (group_key, r[ts_col], (r[ts_col] - last_start).total_seconds())
-                )
+                rows.append((group_key, ts[i], (ts[i] - last_start) / one_sec))
                 last_start = None
         return pd.DataFrame(rows, columns=[group_col, "end_ts", duration_col])
 

@@ -120,6 +120,51 @@ def chunk_documents(
     )
 
 
+def repetition_grams(df: DataFrame, text_col: str = "text", *, n: int = 2) -> DataFrame:
+    """Explode each document into its (non-distinct) word n-grams: one row
+    per n-gram occurrence, columns (input cols minus text..., gram).
+
+    Feeds repetition-quality filtering (Gopher-style, Rae et al. 2021
+    "Scaling Language Models": high top-n-gram fraction marks boilerplate /
+    degenerate text).  Distinctness is deliberately NOT applied -- the
+    signal is exactly the repeat multiplicity."""
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
+    df = with_tokens(df, text_col, "__toks")
+    gram = F.expr(
+        f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)),"
+        f" i -> array_join(slice(__toks, i, {n}), ' '))"
+    )
+    keep = [c for c in df.columns if c not in (text_col, "__toks")]
+    return df.select(*keep, F.explode(gram).alias("gram"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates_16ths: dict[str, int],
+    id_col: str = "doc_id",
+    *,
+    default_16ths: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep ~``rates_16ths[stratum]``/16
+    of each stratum, gated on the md5 hex prefix of the stable id -- NOT
+    rand(), so the same row set survives on every engine, run, and cluster
+    layout.  This is corpus mixture re-weighting (upsample scarce domains,
+    downsample dominant ones) as a pure map-side filter: no shuffle, no
+    state, trivially correct under retries."""
+    hex_digit = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    thresholds = "0123456789abcdefg"
+    gate = None
+    for stratum, sixteenths in rates_16ths.items():
+        cond = F.col(strata_col) == stratum
+        test = hex_digit < F.lit(thresholds[sixteenths])
+        gate = F.when(cond, test) if gate is None else gate.when(cond, test)
+    gate = gate.otherwise(hex_digit < F.lit(thresholds[default_16ths]))
+    return df.where(gate)
+
+
 PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PII_PHONE = "\\+?[0-9][0-9() .-]{7,}[0-9]"
 

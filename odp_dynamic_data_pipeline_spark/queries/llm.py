@@ -161,8 +161,17 @@ def ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     join); the sub-quadratic scale path is dedup_minhash_lsh."""
     docs = dd.shingles(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     # three consumers (sizes + both join sides): materialize the exploded
-    # shingle table once instead of re-tokenizing the corpus per consumer
-    sh = docs.select("doc_id", F.explode("shingles").alias("s")).distinct().persist()
+    # shingle table once instead of re-tokenizing the corpus per consumer.
+    # No distinct() -- shingles() already array_distinct()s per document, so
+    # the explode is duplicate-free and a global distinct would be a pure
+    # extra shuffle.  The join key is xxhash64(shingle): 8-byte fixed-width
+    # keys shuffle and compare ~2x cheaper than the shingle strings with
+    # identical counts (collision odds ~n^2/2^64).
+    sh = (
+        docs.select("doc_id", F.explode("shingles").alias("__s"))
+        .select("doc_id", F.xxhash64("__s").alias("s"))
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"), "s")
     b = sh.select(F.col("doc_id").alias("id_b"), "s")
@@ -691,6 +700,93 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_quality",
+    """
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS gram
+  FROM (SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS i FROM toks)
+),
+per AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram)
+SELECT doc_id,
+       SUM(c) AS n_2grams,
+       COUNT(*) AS distinct_2grams,
+       MAX(c) AS top_2gram_count,
+       (1000000 * MAX(c)) // SUM(c) AS top_2gram_frac_e6
+FROM per GROUP BY doc_id
+""",
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality features (Gopher filter family): per
+    document, total / distinct 2-gram counts and the share of the single
+    most-repeated 2-gram.  High top-2-gram fraction flags boilerplate and
+    degenerate repetition.  One shuffle keyed (doc_id, gram), partial map-
+    side aggregation collapses repeats before it."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    per = (
+        tx.repetition_grams(docs, "text", n=2)
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_2grams"),
+        F.count(F.lit(1)).alias("distinct_2grams"),
+        F.max("c").alias("top_2gram_count"),
+        F.expr("(1000000 * max(c)) div sum(c)").alias("top_2gram_frac_e6"),
+    )
+
+
+@register(
+    "decontaminate_benchmark",
+    """
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS g
+  FROM (SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS i FROM toks)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+SELECT corpus.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(bench.g) AS n_hit_ngrams
+FROM corpus LEFT JOIN bench ON corpus.g = bench.g
+GROUP BY corpus.doc_id
+""",
+)
+def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.dedup.contamination_check):
+    documents whose distinct 8-grams overlap a held-out eval slice
+    (doc_id % 97 == 0 stands in for the benchmark).  The tiny benchmark
+    gram set is broadcast; the corpus side never shuffles for the join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return dd.contamination_check(corpus, bench, n=8)
+
+
+@register(
+    "stratified_sample_langs",
+    """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+      CASE lang WHEN 'en' THEN '4' WHEN 'fr' THEN '8' WHEN 'es' THEN '8'
+                WHEN 'de' THEN 'c' WHEN 'zh' THEN 'g' ELSE '0' END
+""",
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture re-weighting (operators.text.stratified_sample):
+    deterministic per-language keep rates (en 4/16, fr/es 8/16, de 12/16,
+    zh 16/16) via an md5 hex gate on the stable id -- a pure map-side
+    filter reproducible on any engine; no rand(), no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.stratified_sample(
+        docs, "lang", {"en": 4, "fr": 8, "es": 8, "de": 12, "zh": 16}
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
     "dedup_clusters",
     """
 WITH RECURSIVE toks AS (
@@ -727,9 +823,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- transitive groups pick one keeper per component.  The DuckDB oracle
     walks the same graph with a recursive CTE."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = dd.shingles(docs, "text").select(
-        "doc_id", F.explode("shingles").alias("s")
-    ).distinct().persist()
+    # explode is already duplicate-free (array_distinct inside shingles());
+    # hash join keys to fixed-width bigints -- same counts, cheaper shuffle
+    sh = (
+        dd.shingles(docs, "text")
+        .select("doc_id", F.explode("shingles").alias("__s"))
+        .select("doc_id", F.xxhash64("__s").alias("s"))
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"), "s")
     b = sh.select(F.col("doc_id").alias("id_b"), "s")

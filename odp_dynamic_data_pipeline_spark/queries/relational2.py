@@ -550,8 +550,16 @@ GROUP BY t.tier
 def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: events banded into value tiers via a
     broadcast nested-loop join against a 3-row bounds table.  The fact side
-    never shuffles for the join; tier bounds are exact cents."""
-    ev = load_table(spark, sf_dir, "events").select(_cents("value").alias("v_cents"))
+    never shuffles for the join; tier bounds are exact cents.
+
+    BNLJ is row-at-a-time (no whole-stage codegen), so the probe side is
+    fanned out first -- a single-row-group scan would otherwise evaluate
+    every (row, tier) pair on one core."""
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import ensure_min_parallelism
+
+    ev = ensure_min_parallelism(
+        load_table(spark, sf_dir, "events").select(_cents("value").alias("v_cents"))
+    )
     tiers = load_table(spark, sf_dir, "events").sparkSession.createDataFrame(
         [("low", 0, 10000), ("mid", 10000, 25000), ("high", 25000, 50100)],
         "tier string, lo_c long, hi_c long",
