@@ -12,7 +12,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf, udtf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import DoubleType, LongType
 
 
 @pandas_udf(LongType())
@@ -20,6 +20,17 @@ def token_count_udf(text: pd.Series) -> pd.Series:
     """Vectorized token counter (example pandas UDF; the engine-native
     version is operators.text.token_stats, pure JVM)."""
     return text.str.findall(r"\S+").str.len().astype("int64")
+
+
+@pandas_udf(DoubleType())
+def median_abs_dev_udf(v: pd.Series) -> float:
+    """Grouped-aggregate pandas UDF (custom UDAF surface): median absolute
+    deviation -- a robust spread statistic Spark has no built-in for.  Used
+    with groupBy().agg(); each group's values arrive as one Arrow batch.
+    Not algebraic (no partial aggregation), so prefer built-ins for
+    monster groups -- this is the extension path, not the hot path."""
+    med = v.median()
+    return float((v - med).abs().median())
 
 
 @udtf(returnType="shingle: string, idx: int")
@@ -36,4 +47,5 @@ class ShingleUDTF:
 def register_engine_udfs(spark: SparkSession) -> None:
     """Make the extension functions callable from SQL."""
     spark.udf.register("token_count_udf", token_count_udf)
+    spark.udf.register("median_abs_dev_udf", median_abs_dev_udf)
     spark.udtf.register("shingle_udtf", ShingleUDTF)

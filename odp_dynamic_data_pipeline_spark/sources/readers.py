@@ -57,6 +57,23 @@ def read_json(
     return df
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    *,
+    hour: str | None = None,
+) -> DataFrame:
+    """ORC source (columnar, self-describing -- schema comes from the file
+    footer like parquet; no declaration needed).  Same predicate/column
+    pushdown and partition-pruning behavior as the parquet path, so a lake
+    that standardized on ORC plugs in without a format migration."""
+    ensure_runtime_confs(spark)
+    df = spark.read.orc(path)
+    if hour is not None and "hour" in df.columns:
+        df = df.where(df["hour"] == hour)
+    return df
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -43,6 +43,15 @@ def write_bucketed_table(
     w.saveAsTable(table)
 
 
+def write_orc(df: DataFrame, path: str, *, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    """ORC sink -- same layout contract as write_parquet (hour partitioning,
+    min/max stripe statistics for pruning)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     """JSONL sink (S5). Spark-native: one file per partition, no driver
     materialization."""

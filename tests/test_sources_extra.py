@@ -51,3 +51,26 @@ def test_pipeline_materialized_mappings(spark, tmp_path):
     got_mem = {r["o_orderkey"]: r["c_mktsegment"] for r in out_mem["b"].collect()}
     assert got_mat == got_mem and len(got_mat) == 1500
     assert glob.glob(f"{mdir}/m/part-*")  # the mapping is a real parquet table
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from odp_dynamic_data_pipeline_spark.sources.readers import read_orc
+    from odp_dynamic_data_pipeline_spark.sources.writers import write_orc
+
+    df = spark.range(100).select(
+        "id",
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.concat(F.lit("h"), (F.col("id") % 2).cast("string")).alias("hour"),
+    )
+    path = str(tmp_path / "orc_data")
+    write_orc(df, path, partition_by=["hour"])
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    assert set(back.columns) == {"id", "grp", "hour"}
+    # hour filter prunes to one partition directory
+    h0 = read_orc(spark, path, hour="h0")
+    assert h0.count() == 50
+    plan = h0._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(hour" in plan
