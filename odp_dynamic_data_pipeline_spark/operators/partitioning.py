@@ -26,3 +26,62 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def zorder_value(cols: list[str], *, bits_per_col: int | None = None):
+    """Morton (Z-order) interleave of non-negative integer columns into one
+    bigint sort key.
+
+    Sorting/range-partitioning by this key clusters rows that are close in
+    EVERY dimension into the same parquet row groups, so min/max statistics
+    prune multi-column range predicates -- single-column sort only prunes
+    its leading column.  This is the layout step behind Delta/Iceberg
+    OPTIMIZE ZORDER BY, expressed as a plain column: at 100 TB run
+    ``df.repartitionByRange(N, z).sortWithinPartitions(z).write...``
+    periodically, same cadence as compaction.
+
+    Columns must already be mapped to non-negative ints of at most
+    ``bits_per_col`` bits (rank/bucketize first for skewed or signed data --
+    interleaving only preserves locality, not distribution).  Bit budget:
+    ``bits_per_col * len(cols) <= 63``.
+    """
+    from pyspark.sql import functions as F
+
+    ncols = len(cols)
+    if ncols < 2:
+        raise ValueError("zorder_value needs at least 2 columns")
+    bits = bits_per_col or 63 // ncols
+    if bits * ncols > 63:
+        raise ValueError(f"{bits} bits x {ncols} cols overflows a signed 64-bit key")
+    # one OR-fold over (bit, col): result bit (b*ncols + c) = bit b of col c
+    terms = " | ".join(
+        f"(shiftleft(shiftright(CAST({c} AS BIGINT), {b}) & 1, {b * ncols + ci}))"
+        for b in range(bits)
+        for ci, c in enumerate(cols)
+    )
+    return F.expr(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    *,
+    num_files: int,
+    bits_per_col: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Rewrite ``df`` as ``num_files`` parquet files range-partitioned and
+    sorted by the Z-order key of ``zorder_cols`` (dropped from the output;
+    derive it again to re-cluster).  Files then hold hyper-rectangles of the
+    key space: a predicate on any zorder column skips most files on
+    min/max stats alone."""
+    z = zorder_value(zorder_cols, bits_per_col=bits_per_col)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -16,7 +16,7 @@ pipeline (src/batch_tlb.py:20-85) needs at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from odp_dynamic_data_pipeline_spark.queries import register
@@ -894,4 +894,106 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.posexplode(F.expr(r"regexp_extract_all(text, r'\S+', 0)")).alias("pos", "tok"),
+    )
+
+
+@register(
+    "value_histogram",
+    """
+WITH v AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events),
+b AS (SELECT least(c // 5000, 9) AS bucket, c FROM v)
+SELECT bucket,
+       bucket * 5000 AS lo_cents,
+       CASE WHEN bucket = 9 THEN NULL ELSE (bucket + 1) * 5000 END AS hi_cents,
+       COUNT(*) AS n,
+       CAST(SUM(c) AS BIGINT) AS sum_cents
+FROM b GROUP BY bucket
+""",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 x $50 buckets, open-ended top bucket) --
+    the profiling primitive behind range-partition boundary selection.
+    Pure map + one agg shuffle; bucket math in exact cents."""
+    ev = load_table(spark, sf_dir, "events").select(_cents("value").alias("c"))
+    b = ev.select(F.least(F.expr("c div 5000"), F.lit(9)).alias("bucket"), "c")
+    return b.groupBy("bucket").agg(
+        (F.col("bucket") * 5000).alias("lo_cents"),
+        F.when(F.col("bucket") == 9, F.lit(None).cast("long"))
+        .otherwise((F.col("bucket") + 1) * 5000)
+        .alias("hi_cents"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sum_cents"),
+    ).select("bucket", "lo_cents", "hi_cents", "n", "sum_cents")
+
+
+@register(
+    "mode_event_type",
+    """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type),
+r AS (SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+      FROM c)
+SELECT user_id, event_type AS mode_type, n AS mode_count FROM r WHERE rk = 1
+""",
+)
+def mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a DETERMINISTIC tie-break
+    (count desc, then value asc) -- max_by() ties are engine-defined, so the
+    portable shape is count + ranked window."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), F.col("n").alias("mode_count"))
+    )
+
+
+@register(
+    "correlation_stats",
+    """
+WITH j AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS p,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS b,
+         c_mktsegment AS seg
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+m AS (SELECT seg, COUNT(*) AS n, SUM(p) AS sp, SUM(b) AS sb,
+             SUM(p * b) AS spb, SUM(p * p) AS spp, SUM(b * b) AS sbb
+      FROM j GROUP BY seg)
+SELECT seg, n,
+       (CAST(n AS DOUBLE) * CAST(spb AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sb AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+       AS corr_price_balance
+FROM m
+""",
+)
+def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT integer moments (n, sums, cross
+    products) per segment -- unlike streaming corr() whose result depends
+    on accumulation order, integer sums are order-independent, so the
+    double math at the end is bitwise-reproducible on any engine."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", _cents("o_totalprice").alias("p"))
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", _cents("c_acctbal").alias("b"), F.col("c_mktsegment").alias("seg")
+    )
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    m = j.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").alias("sp"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("p") * F.col("b")).alias("spb"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    n, sp, sb = (F.col(x).cast("double") for x in ("n", "sp", "sb"))
+    spb, spp, sbb = (F.col(x).cast("double") for x in ("spb", "spp", "sbb"))
+    return m.select(
+        "seg",
+        "n",
+        ((n * spb - sp * sb) / (F.sqrt(n * spp - sp * sp) * F.sqrt(n * sbb - sb * sb))).alias(
+            "corr_price_balance"
+        ),
     )
