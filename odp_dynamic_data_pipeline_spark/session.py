@@ -43,6 +43,12 @@ BUILD_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # every query compiles fresh whole-stage-codegen classes; a long-lived
+    # session (bench runs 100+) fills the default 240m JIT code cache, after
+    # which the JVM silently stops compiling and row-at-a-time operators
+    # (BNLJ, sort) fall off a cliff (measured: same query 0.8s early in the
+    # session, 9s+ after ~90 queries)
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
 }
 
 
