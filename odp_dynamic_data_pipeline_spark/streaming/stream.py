@@ -290,6 +290,122 @@ def run_incremental_dedup(
     return q
 
 
+def run_incremental_agg(
+    stream: DataFrame,
+    store_path: str,
+    *,
+    checkpoint: str,
+    key_cols: list[str],
+    count_col: str = "n",
+    sum_col: str | None = None,
+):
+    """Incremental materialized aggregate: maintain per-key (count, sum)
+    totals in a parquet store, folding in each micro-batch's partial
+    aggregate -- the streaming analogue of a materialized view, and the
+    pattern behind every "running metrics" table the reference recomputes
+    from scratch hourly (src/batch_tlb.py:64-77 re-reads the whole hour).
+
+    Merge protocol: per batch, aggregate the batch (tiny), read the current
+    store, union + re-aggregate, write to a NEW versioned directory, then
+    flip a one-line manifest (same swap discipline as compact_parquet).
+    Idempotent under foreachBatch retries: the version directory is keyed
+    by batch_id, and re-running a batch rebuilds the same next version from
+    the same previous version -- the store never double-counts because the
+    manifest only ever advances to a fully written version.
+
+    At 100 TB the store is partitioned by key-hash and the union/re-agg is
+    a co-partitioned merge; the per-batch cost scales with store size, so
+    for very large keyspaces prefer the applyInPandasWithState path
+    (bounded state, no full rewrite) -- this operator is for dashboard-
+    sized aggregate tables with exactly-once folds."""
+    from pyspark.sql import functions as SF
+
+    aggs = [SF.count(SF.lit(1)).alias(count_col)]
+    if sum_col:
+        aggs.append(SF.sum(sum_col).alias(f"sum_{sum_col}"))
+
+    def _read_manifest(spark) -> tuple[str, str] | None:
+        """Returns (current_version, parent_version) or None if no store."""
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create(store_path), conf
+        )
+        mpath = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST")
+        if not fs.exists(mpath):
+            return None
+        stream_ = fs.open(mpath)
+        try:
+            reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream_))
+            return reader.readLine(), reader.readLine()
+        finally:
+            stream_.close()
+
+    def _write_manifest(spark, version: str, parent: str) -> None:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create(store_path), conf
+        )
+        tmp = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST.tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(f"{version}\n{parent}".encode()))
+        finally:
+            out.close()
+        dst = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST")
+        fs.delete(dst, False)
+        if not fs.rename(tmp, dst):
+            raise IOError(f"run_incremental_agg: manifest flip failed for {version}")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = batch_df.groupBy(*key_cols).agg(*aggs)
+        me = f"v{batch_id}"
+        manifest = _read_manifest(spark)
+        if manifest is None:
+            base = None  # first batch ever
+        elif manifest[0] == me:
+            # retry AFTER a successful flip for this very batch: rebuild
+            # from the recorded parent, not from our own (possibly partial)
+            # output -- folding the current version would double-count
+            base = manifest[1] if manifest[1] != "-" else None
+        else:
+            base = manifest[0]
+        if base is not None:
+            prev = spark.read.parquet(f"{store_path}/{base}")
+            part = prev.unionByName(part).groupBy(*key_cols).agg(
+                SF.sum(count_col).alias(count_col),
+                *([SF.sum(f"sum_{sum_col}").alias(f"sum_{sum_col}")] if sum_col else []),
+            )
+        part.write.mode("overwrite").parquet(f"{store_path}/{me}")
+        _write_manifest(spark, me, base if base is not None else "-")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_incremental_agg(spark, store_path: str) -> DataFrame:
+    """Read the current version of a run_incremental_agg store."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
+    mpath = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST")
+    stream_ = fs.open(mpath)
+    try:
+        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream_))
+        version = reader.readLine()
+    finally:
+        stream_.close()
+    return spark.read.parquet(f"{store_path}/{version}")
+
+
 def run_available_now(
     stream: DataFrame,
     *,

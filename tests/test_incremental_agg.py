@@ -1,0 +1,57 @@
+"""Incremental materialized aggregate: per-key totals fold across batches."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+from odp_dynamic_data_pipeline_spark.sources.readers import read_file_stream
+from odp_dynamic_data_pipeline_spark.streaming.stream import (
+    read_incremental_agg,
+    run_incremental_agg,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("user", StringType()),
+        StructField("amt", DoubleType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def test_incremental_agg_folds_batches(spark, tmp_path):
+    d = tmp_path / "agg_in"
+    d.mkdir()
+    now = time.time()
+    b1 = [{"user": "a", "amt": 1.0, "seq": 1}, {"user": "b", "amt": 2.0, "seq": 2}]
+    b2 = [{"user": "a", "amt": 3.0, "seq": 3}, {"user": "c", "amt": 4.0, "seq": 4}]
+    for name, rows, mt in [("b1.json", b1, now - 60), ("b2.json", b2, now - 30)]:
+        p = d / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (mt, mt))
+
+    stream = read_file_stream(
+        spark, str(d), SCHEMA, multiline=False, max_files_per_trigger=1
+    )
+    store = str(tmp_path / "agg_store")
+    run_incremental_agg(
+        stream,
+        store,
+        checkpoint=str(tmp_path / "agg_ck"),
+        key_cols=["user"],
+        sum_col="amt",
+    )
+    got = {
+        r["user"]: (r["n"], r["sum_amt"])
+        for r in read_incremental_agg(spark, store).collect()
+    }
+    assert got == {"a": (2, 4.0), "b": (1, 2.0), "c": (1, 4.0)}
+    # both version directories exist; MANIFEST points at the latest
+    versions = sorted(p for p in os.listdir(store) if p.startswith("v"))
+    assert len(versions) == 2

@@ -74,3 +74,31 @@ def test_no_python_in_relational_hot_paths(spark):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, f"row-at-a-time Python UDF in {name}"
         assert "ArrowEvalPython" not in plan, f"unexpected pandas UDF in {name}"
+
+
+def test_stratified_sample_is_map_only(spark):
+    """The mixture re-weighting gate must not shuffle: filter over scan."""
+    plan = plan_of(spark, "stratified_sample_langs")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram table broadcasts; the corpus side never shuffles
+    for the join (only the final per-doc count aggregation exchanges)."""
+    plan = plan_of(spark, "decontaminate_benchmark")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_merge_cdc_single_join(spark):
+    """MERGE compiles to exactly one full-outer join pass."""
+    plan = plan_of(spark, "merge_cdc_snapshot")
+    assert plan.count("FullOuter") == 1
+
+
+def test_chunking_is_map_only(spark):
+    """Document chunking must stay shuffle-free (sequence/slice + explode)."""
+    plan = plan_of(spark, "doc_chunks")
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
