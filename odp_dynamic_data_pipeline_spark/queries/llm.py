@@ -849,3 +849,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dd.connected_components(docs.select("doc_id"), edges, id_col="doc_id")
     sh.unpersist()
     return comp
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+         embedding
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS INT)) END AS codes
+  FROM q
+)
+SELECT vec_id, scale,
+       md5(array_to_string(codes, ',')) AS codes_md5,
+       CAST(list_sum(list_transform(codes, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS codes_l2,
+       CAST(len(list_filter(codes, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+FROM c
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 vector compression (operators.similarity.quantize_int8),
+    verified cross-engine by fingerprinting the code arrays (md5) plus
+    exact integer invariants (L2 of codes, saturation count).  Map-only:
+    no shuffle, no Python."""
+    e = sim.quantize_int8(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    return e.select(
+        "vec_id",
+        "scale",
+        F.md5(F.array_join("codes", ",")).alias("codes_md5"),
+        F.expr(
+            "aggregate(transform(codes, x -> CAST(x AS BIGINT) * x), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("codes_l2"),
+        F.expr("CAST(size(filter(codes, x -> abs(x) = 127)) AS BIGINT)").alias("n_sat"),
+    )

@@ -40,3 +40,19 @@ def test_exact_topk_selfconsistent(spark):
         cosines = [c for _, c, _ in lst]
         assert cosines == sorted(cosines, reverse=True)  # ranks follow cosine
         assert all(cid != qid for _, _, cid in lst)  # self excluded
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    from odp_dynamic_data_pipeline_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    # max|x| = 1.0 -> codes = round(x * 127)
+    assert got[1]["scale"] == 1.0
+    assert got[1]["codes"] == [64, -127, 32, 0]  # 63.5 rounds half-up to 64
+    # zero vector: scale 0, all-zero codes, no NaN/division error
+    assert got[2]["scale"] == 0.0
+    assert got[2]["codes"] == [0, 0, 0, 0]
