@@ -288,3 +288,168 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding", *, codes_col: str =
         f" x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / {scale_col} + 0.5) AS INT)) END"
     )
     return df.withColumn(codes_col, codes)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): Jegou/Douze/Schmid, TPAMI 2011.  The vector is
+# split into m subspaces; each subspace is vector-quantized against its own
+# k-entry codebook, so a d-dim float vector compresses to m small codes and
+# approximate distances come from per-subspace lookup TABLES (ADC) -- O(m)
+# table lookups per candidate pair instead of O(d) multiplies.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 5,
+) -> list[list[list[int]]]:
+    """Train PQ codebooks: ``m`` subspaces x ``k`` centroids each, by Lloyd
+    k-means on a DETERMINISTIC bounded sample (md5 hash-order, first
+    ``sample`` vectors) -- training on a sample is standard ANN practice
+    (codebooks need representativeness, not the full corpus), and it keeps
+    training to ONE Spark job + driver numpy on a few thousand rows.
+    Returns codebooks[s][j] = centroid j of subspace s (ints, micro-units).
+    """
+    import numpy as np
+
+    q = quantized(df.select(F.col(id_col).alias("__id"), vec_col), vec_col)
+    rows = (
+        q.select("__id", "qvec")
+        .orderBy(F.md5(F.col("__id").cast("string")), "__id")
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["qvec"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books: list[list[list[int]]] = []
+    for s in range(m):
+        S = X[:, s * dsub : (s + 1) * dsub]
+        cents = S[:k].copy()  # deterministic seed: first k sample slices
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    cents[j] = np.floor(S[mask].mean(axis=0))
+        books.append([[int(x) for x in c] for c in cents])
+    return books
+
+
+def _pq_subspace_code(vec_col: str, book: list[list[int]], s: int, dsub: int) -> F.Column:
+    """Argmin centroid id for subspace ``s`` as a constant-folded expression
+    (no join, no shuffle -- same scale rationale as ivf_assign)."""
+    lo = s * dsub + 1  # slice() is 1-based
+    entries = []
+    for j, c in enumerate(book):
+        arr = ",".join(str(int(x)) for x in c)
+        d2 = F.expr(
+            f"aggregate(zip_with(slice({vec_col}, {lo}, {dsub}), array({arr}),"
+            f" (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        entries.append(F.struct(d2.alias("d"), F.lit(j).alias("j")))
+    return F.array_sort(F.array(*entries))[0]["j"]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    *,
+    vec_col: str = "qvec",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Attach ``out_col`` = array<int> of length m (one codebook id per
+    subspace).  Pure map: at 100 TB this runs in the scan stage and the
+    stored codes are m bytes per vector instead of 4*dim."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = F.array(*[_pq_subspace_code(vec_col, codebooks[s], s, dsub) for s in range(m)])
+    return df.withColumn(out_col, codes)
+
+
+def pq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    kcent: int = 16,
+    shortlist: int = 64,
+    codebooks: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact re-ranking.
+
+    Stage 1 (map): encode candidates to m codes each.
+    Stage 2 (map): per query, build the ADC distance TABLE -- dt[s][j] =
+    ||q_s - c_{s,j}||^2, an m x kcent bigint grid folded into array columns.
+    Stage 3 (broadcast join): approx_d2(candidate) = sum_s dt[s][codes[s]]
+    -- m element_at lookups per pair, no vector math.  Keep ``shortlist``
+    per query by approx distance, then exact-score only the shortlist.
+
+    Everything is exact integer arithmetic until the final cosine; the
+    recall/compute trade dials are (m, kcent, shortlist)."""
+    books = codebooks or pq_train(
+        candidates, id_col=id_col, vec_col=vec_col, m=m, k=kcent
+    )
+    m = len(books)
+    dsub = len(books[0][0])
+    cand = pq_encode(
+        quantized(candidates.select(F.col(id_col).alias("cand_id"), vec_col), vec_col),
+        books,
+    )
+    # per-query ADC tables: dt_s = array(d2(q_s, c_s0), ..., d2(q_s, c_s{k-1}))
+    qry = quantized(queries.select(F.col(id_col).alias("qid"), vec_col), vec_col)
+    for s in range(m):
+        lo = s * dsub + 1
+        cells = []
+        for c in books[s]:
+            arr = ",".join(str(int(x)) for x in c)
+            cells.append(
+                F.expr(
+                    f"aggregate(zip_with(slice(qvec, {lo}, {dsub}), array({arr}),"
+                    f" (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+                )
+            )
+        qry = qry.withColumn(f"__dt_{s}", F.array(*cells))
+    qry = qry.select(
+        "qid", F.col("qvec").alias("q_qvec"), F.col("qnorm").alias("q_qnorm"),
+        *[f"__dt_{s}" for s in range(m)],
+    )
+    pairs = cand.crossJoin(F.broadcast(qry)).where(F.col("cand_id") != F.col("qid"))
+    approx = None
+    for s in range(m):
+        term = F.element_at(F.col(f"__dt_{s}"), F.col("pq_codes")[s] + 1)
+        approx = term if approx is None else approx + term
+    shortlisted = (
+        pairs.select("qid", "cand_id", "qvec", "qnorm", "q_qvec", "q_qnorm",
+                     approx.alias("approx_d2"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("approx_d2", "cand_id")
+            ),
+        )
+        .where(F.col("__rk") <= shortlist)
+    )
+    dot = F.expr(DOT.format(a="q_qvec", b="qvec"))
+    cosine = dot.cast("double") / F.sqrt(
+        F.col("q_qnorm").cast("double") * F.col("qnorm").cast("double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        shortlisted.select("qid", "cand_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cand_id", "rank", "cosine")
+    )

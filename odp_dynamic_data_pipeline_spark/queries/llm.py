@@ -889,3 +889,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes_l2"),
         F.expr("CAST(size(filter(codes, x -> abs(x) = 127)) AS BIGINT)").alias("n_sat"),
     )
+
+
+@register("similarity_pq_topk")
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators.similarity.pq_topk): sample-
+    trained codebooks, constant-folded encode (map-only), ADC scoring via
+    per-pair table lookups, exact re-rank of the shortlist.  Rows-only:
+    codebooks are data-dependent (no SQL oracle); the recall floor lives in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    return sim.pq_topk(emb, q, k=5, shortlist=64)

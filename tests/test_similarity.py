@@ -56,3 +56,13 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
     # zero vector: scale 0, all-zero codes, no NaN/division error
     assert got[2]["scale"] == 0.0
     assert got[2]["codes"] == [0, 0, 0, 0]
+
+
+def test_pq_adc_recall_floor(spark):
+    """PQ-ADC shortlist + exact re-rank must recover most exact neighbors
+    (flat-PQ scan, m=8 subspaces x 16 centroids over 64 dims)."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {(r["qid"], r["cand_id"]) for r in sim.cosine_topk(emb, q, k=5).collect()}
+    pq = {(r["qid"], r["cand_id"]) for r in sim.pq_topk(emb, q, k=5, shortlist=64).collect()}
+    assert _recall(exact, pq) >= 0.7, "PQ-ADC recall collapsed"
