@@ -901,3 +901,67 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20)
     return sim.pq_topk(emb, q, k=5, shortlist=64)
+
+
+@register(
+    "corpus_curation_pipeline",
+    """
+WITH toks AS (
+  SELECT doc_id, lang, text, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+quality AS (
+  SELECT doc_id, lang, text, t, len(t) AS n_tokens,
+         (1000000 * len(list_distinct(t))) // len(t) AS uniq_e6
+  FROM toks WHERE len(t) >= 10
+),
+keep AS (
+  SELECT * FROM quality WHERE uniq_e6 >= 300000 AND lang IN ('en', 'fr', 'de')
+),
+fp AS (
+  SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM keep
+),
+dedup AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp)
+  WHERE rn = 1
+),
+chunks AS (
+  SELECT doc_id, lang, (i - 1) // 48 AS chunk_id,
+         len(list_slice(t, i, i + 63)) AS n_chunk_tokens
+  FROM (SELECT doc_id, lang, t,
+               UNNEST(generate_series(1, greatest(len(t) - 64 + 1, 1), 48)) AS i
+        FROM dedup)
+)
+SELECT lang, COUNT(*) AS n_chunks,
+       CAST(SUM(n_chunk_tokens) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM chunks GROUP BY lang
+""",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel COMPOSED from the engine's operators in one
+    lazy plan: token/quality gate (>=10 tokens, >=30% unique) -> language
+    allowlist -> exact dedup (fingerprint keeper) -> overlapping chunking ->
+    per-language token budget.  Catalyst fuses the map stages; the only
+    shuffles are the dedup window and the final aggregate -- the shape a
+    100 TB curation run wants."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = tx.token_stats(docs, "text")
+    quality = toks.where(F.col("n_tokens") >= 10).withColumn(
+        "uniq_e6",
+        F.expr("(1000000 * CAST(n_unique_tokens AS BIGINT)) div CAST(n_tokens AS BIGINT)"),
+    )
+    keep = quality.where(
+        (F.col("uniq_e6") >= 300000) & F.col("lang").isin("en", "fr", "de")
+    )
+    fp = tx.fingerprint(keep, "text", out_col="f")
+    deduped = dd.exact_dedup(fp, "f", "doc_id")
+    chunks = tx.chunk_documents(
+        deduped.select("doc_id", "lang", "text"), "text",
+        chunk_tokens=64, stride=48, id_cols=["doc_id", "lang"],
+    )
+    return chunks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

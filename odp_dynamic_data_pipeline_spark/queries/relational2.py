@@ -1072,3 +1072,31 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("lang", "doc_id", "rk")
     )
+
+
+@register(
+    "scd2_user_history",
+    """
+WITH v AS (
+  SELECT user_id, ts, CAST(ROUND(value * 100, 0) AS BIGINT) AS val_cents, event_id
+  FROM events WHERE event_type = 'signup'
+)
+SELECT user_id, val_cents,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+FROM v
+""",
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: each change event becomes a
+    versioned row with [valid_from, valid_to) effectivity -- valid_to =
+    next change's timestamp (NULL = current).  One window shuffle; the
+    as-of lookup against this table is operators.asof."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        _cents("value").alias("val_cents"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+    )
