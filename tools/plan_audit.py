@@ -1,0 +1,108 @@
+"""Physical-plan audit: sweep EVERY registered query and flag the plan
+anti-patterns that hurt at 100 TB, regardless of whether a unit test covers
+that query yet.
+
+Checks per query (on the sf0.001 plan -- plan SHAPE, not timing):
+
+* PYTHON-IN-PLAN: BatchEvalPython / row-at-a-time PythonUDF in a query not
+  explicitly whitelisted as a pandas-path demonstration.
+* CARTESIAN: CartesianProduct without a broadcast side (BNLJ against a
+  broadcast constant table is fine; a shuffled cartesian is not).
+* WIDE-SCAN: parquet scan reading >12 columns (pruning failure smell).
+* SMJ-ON-DIM: SortMergeJoin whose build side is a fixed-cardinality dim
+  (nation/region) -- should have broadcast.
+
+Writes PLANS.md (one line per query + flag details) and exits nonzero on
+any finding outside the whitelist.  Run: python tools/plan_audit.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose PURPOSE is the Python path (Arrow-batched by design)
+PANDAS_BY_DESIGN = {
+    "sessionize_exact_pandas",
+    "multimodal_features",
+    "multimodal_frame_sample",
+}
+# queries where a cartesian against a broadcast side is the algorithm
+BROADCAST_NLJ_BY_DESIGN = {
+    "range_join_value_tiers",      # 3-row tier bounds table
+    "embedding_cosine_topk",       # brute-force baseline: scan x broadcast queries
+    "embedding_neardup_by_label",  # label-blocked exact pass
+    "similarity_pq_topk",          # ADC scan x broadcast query tables
+    "tfidf_top_terms",             # corpus-constant N broadcast
+    "q11_value_concentration",     # scalar subquery threshold
+    "q14_promo_share", "q17_small_quantity_revenue", "q8_market_share",
+    "q20_dominant_suppliers", "q22_dormant_customers", "q6_forecast_revenue",
+}
+
+
+def main() -> None:
+    from odp_dynamic_data_pipeline_spark.queries import SPARK_QUERIES
+    from odp_dynamic_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("plan-audit", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lines = ["# PLANS — physical-plan audit (sf0.001 shapes)", ""]
+    failures = 0
+    for name, fn in sorted(SPARK_QUERIES.items()):
+        try:
+            df = fn(spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            lines.append(f"- `{name}`: PLAN-ERROR {e!r:.120}")
+            failures += 1
+            continue
+        flags = []
+        if ("BatchEvalPython" in plan or "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan) and name not in PANDAS_BY_DESIGN:
+            flags.append("PYTHON-IN-PLAN")
+        if "CartesianProduct" in plan:
+            flags.append("CARTESIAN")
+        if "BroadcastNestedLoopJoin" in plan and name not in BROADCAST_NLJ_BY_DESIGN:
+            flags.append("UNPLANNED-BNLJ")
+        for m in re.finditer(r"FileScan parquet \[([^\]]*)\]", plan):
+            cols = m.group(1)
+            ncols = len([c for c in cols.split(",") if "#" in c])
+            extra = re.search(r"\.\.\. (\d+) more fields", cols)
+            if extra:
+                ncols += int(extra.group(1))
+            if ncols > 12:
+                flags.append(f"WIDE-SCAN({ncols})")
+                break
+        for m in re.finditer(r"SortMergeJoin.*?(n_nationkey|r_regionkey)", plan):
+            flags.append("SMJ-ON-DIM")
+            break
+        n_exch = plan.count("Exchange hashpartitioning")
+        n_bhj = plan.count("BroadcastHashJoin")
+        n_smj = plan.count("SortMergeJoin")
+        status = " ".join(flags) if flags else "ok"
+        if flags:
+            failures += 1
+        lines.append(
+            f"- `{name}`: {status} (shuffles={n_exch}, bhj={n_bhj}, smj={n_smj})"
+        )
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    lines.append("")
+    lines.append(
+        f"{len(SPARK_QUERIES)} queries audited, {failures} flagged.  "
+        "Whitelists in tools/plan_audit.py document every deliberate "
+        "Python-path / broadcast-NLJ usage."
+    )
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}: {len(SPARK_QUERIES)} queries, {failures} flagged")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
