@@ -79,3 +79,52 @@ def test_dedup_within_watermark(spark, tmp_path):
     run_available_now(out, query_name="ddwm", checkpoint=str(tmp_path / "ck2"))
     rows = spark.sql("select * from ddwm").collect()
     assert sorted(r["click_id"] for r in rows) == ["c1", "c2"]
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer: an impression with no click inside the bound must emit
+    with a NULL click once the watermark passes its eviction time (this is
+    the state-store cleanup semantic -- unmatched rows surface exactly when
+    they can no longer match)."""
+    import os
+    import time
+
+    imp_dir = tmp_path / "imp_o"
+    clk_dir = tmp_path / "clk_o"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    now = time.time()
+    _write_jsonl(imp_dir / "a.json", [
+        {"user": "u1", "imp_id": "i1", "timestamp": "2024-11-16T12:00:00Z"},
+        {"user": "u3", "imp_id": "i3", "timestamp": "2024-11-16T12:00:00Z"},  # never clicked
+    ])
+    # second files: far-future rows on BOTH sides advance the watermark past
+    # u3's eviction time (12:10 + delay) so the unmatched row can emit
+    _write_jsonl(imp_dir / "b.json", [
+        {"user": "zza", "imp_id": "ix", "timestamp": "2024-11-16T15:00:00Z"},
+    ])
+    _write_jsonl(clk_dir / "a.json", [
+        {"user": "u1", "click_id": "c1", "timestamp": "2024-11-16T12:05:00Z"},
+    ])
+    _write_jsonl(clk_dir / "b.json", [
+        {"user": "zzc", "click_id": "cx", "timestamp": "2024-11-16T15:00:00Z"},
+    ])
+    for i, p in enumerate([imp_dir / "a.json", clk_dir / "a.json", imp_dir / "b.json", clk_dir / "b.json"]):
+        os.utime(p, (now - 60 + i, now - 60 + i))
+
+    imps = read_file_stream(
+        spark, str(imp_dir), IMP_SCHEMA, multiline=False, max_files_per_trigger=1
+    ).withColumn("event_time", F.to_timestamp("timestamp"))
+    clks = read_file_stream(
+        spark, str(clk_dir), CLICK_SCHEMA, multiline=False, max_files_per_trigger=1
+    ).withColumn("event_time", F.to_timestamp("timestamp"))
+    joined = stream_stream_join(
+        imps, clks, on="user", within="10 minutes",
+        left_watermark="1 minute", right_watermark="1 minute", how="left_outer",
+    )
+    run_available_now(joined.select("user", "imp_id", "r_click_id"),
+                      query_name="outer_join_out")
+    rows = {(r["user"], r["imp_id"], r["r_click_id"])
+            for r in spark.sql("SELECT * FROM outer_join_out").collect()}
+    assert ("u1", "i1", "c1") in rows          # matched pair
+    assert ("u3", "i3", None) in rows          # unmatched emits with NULL
