@@ -31,9 +31,19 @@ Spec schema (see pipelines/observability_correlation_pipeline.yaml):
             - name: <mapping name>
               key: <dot-path, may cross arrays>
               value: <field | [fields]>
+        transforms:                          # optional, applied in order
+          - op: filter | select | with_column      # expression transforms
+          - op: scrub_pii | fingerprint | quality  # text operators
+          - op: dedup_exact | chunk | stratified_sample
         output:
           path: <path, may contain {hour}>   # optional
           format: json | parquet | json_array
+
+``transforms`` makes the operator library itself config-driven: the same
+YAML surface the reference drives enrichment with now composes curation
+stages (scrub -> fingerprint -> dedup -> chunk) with no Python authored by
+the pipeline owner -- each op compiles to the corresponding
+``operators/*`` call inside the stage's single lazy plan.
 """
 
 from __future__ import annotations
@@ -59,6 +69,43 @@ def _as_list(x):
     if x is None:
         return []
     return x if isinstance(x, list) else [x]
+
+
+def _apply_transform(df: DataFrame, t: dict) -> DataFrame:
+    """One declarative transform -> one operator call (lazy)."""
+    from pyspark.sql import functions as F
+
+    from odp_dynamic_data_pipeline_spark.operators import dedup as _dedup
+    from odp_dynamic_data_pipeline_spark.operators import text as _text
+
+    op = t["op"]
+    if op == "filter":
+        return df.where(t["expr"])
+    if op == "select":
+        return df.selectExpr(*_as_list(t["exprs"]))
+    if op == "with_column":
+        return df.withColumn(t["name"], F.expr(t["expr"]))
+    if op == "scrub_pii":
+        return _text.scrub_pii(df, t.get("text_col", "text"))
+    if op == "fingerprint":
+        return _text.fingerprint(df, t.get("text_col", "text"))
+    if op == "quality":
+        return _text.quality_features(df, t.get("text_col", "text"))
+    if op == "dedup_exact":
+        return _dedup.exact_dedup(df, t["keys"], t["id"])
+    if op == "chunk":
+        return _text.chunk_documents(
+            df,
+            t.get("text_col", "text"),
+            chunk_tokens=t.get("chunk_tokens", 64),
+            stride=t.get("stride", 48),
+            id_cols=_as_list(t.get("id_cols")) or None,
+        )
+    if op == "stratified_sample":
+        return _text.stratified_sample(
+            df, t["strata_col"], t["rates_16ths"], t.get("id_col", "doc_id")
+        )
+    raise ValueError(f"unknown transform op: {op}")
 
 
 @dataclass
@@ -144,6 +191,8 @@ class Pipeline:
                 if m is None and mappings_dir:
                     m = spark.read.parquet(f"{mappings_dir}/{r['name']}")
                 df = enrich(df, m, key_col=r["key_field"], mapping_key="key")
+            for t in _as_list(st.spec.get("transforms")):
+                df = _apply_transform(df, t)
             for w in st.writes:
                 m = extract_mapping(df, w["key"], _as_list(w["value"]))
                 if mappings_dir:

@@ -1,0 +1,58 @@
+"""Declarative transforms in the YAML dialect: the curation funnel as pure
+config, equal to the hand-built operator composition."""
+
+from __future__ import annotations
+
+import yaml
+
+from odp_dynamic_data_pipeline_spark.operators import dedup as dd
+from odp_dynamic_data_pipeline_spark.operators import text as tx
+from odp_dynamic_data_pipeline_spark.plans.pipeline import Pipeline
+from odp_dynamic_data_pipeline_spark.sources.catalog import load_table
+
+SPEC = """
+pipeline_name: curation_demo
+stages:
+  curate:
+    description: quality gate -> fingerprint -> dedup -> chunk, from config
+    input:
+      format: parquet
+      path: "{sf}/documents.parquet"
+    transforms:
+      - op: quality
+      - op: filter
+        expr: "n_tokens >= 10"
+      - op: fingerprint
+      - op: dedup_exact
+        keys: fingerprint
+        id: doc_id
+      - op: chunk
+        chunk_tokens: 32
+        stride: 24
+        id_cols: [doc_id, lang]
+"""
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_yaml_transforms_equal_hand_built(spark):
+    p = Pipeline(yaml.safe_load(SPEC))
+    out = p.compile(spark, path_vars={"sf": SF})[0]["curate"]
+
+    docs = load_table(spark, SF, "documents")
+    hand = tx.quality_features(docs).where("n_tokens >= 10")
+    hand = tx.fingerprint(hand)
+    hand = dd.exact_dedup(hand, "fingerprint", "doc_id")
+    hand = tx.chunk_documents(hand, chunk_tokens=32, stride=24, id_cols=["doc_id", "lang"])
+
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in hand.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_yaml_transform_unknown_op_raises(spark):
+    import pytest
+
+    bad = yaml.safe_load(SPEC.replace("op: quality", "op: frobnicate"))
+    with pytest.raises(ValueError, match="frobnicate"):
+        Pipeline(bad).compile(spark, path_vars={"sf": SF})
