@@ -1320,3 +1320,33 @@ def hour_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_epoch")
         .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "hopping_window_counts",
+    """
+WITH e AS (SELECT epoch_us(ts) AS t_us, CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events),
+w AS (
+  SELECT ((t_us // 1800000000) - k) * 1800000000 AS win_start_us, t_us, c
+  FROM e CROSS JOIN (SELECT UNNEST([0, 1]) AS k)
+  WHERE t_us < ((t_us // 1800000000) - k) * 1800000000 + 3600000000
+    AND ((t_us // 1800000000) - k) * 1800000000 >= 0
+)
+SELECT win_start_us, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sum_cents
+FROM w GROUP BY win_start_us
+""",
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows -- 1-hour windows every 30 minutes, so
+    each event lands in exactly two -- via the native window() generator
+    (the same operator Structured Streaming uses; here batch, so the
+    DuckDB oracle can mirror it with shifted floor-bucket arithmetic)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("value")).alias("sum_cents"),
+        )
+        .select(F.unix_micros(F.col("w.start")).alias("win_start_us"), "n", "sum_cents")
+    )

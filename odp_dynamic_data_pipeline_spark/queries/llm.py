@@ -395,7 +395,10 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     band buckets -> candidate pairs) sits behind the oracle gate.
     Output: candidate pairs + how many of the 4 bands they collide in."""
     docs = dd.shingles(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    sh = docs.select("doc_id", F.explode("shingles").alias("s")).distinct()
+    # no global distinct: shingles() is per-doc distinct already, and min()
+    # is duplicate-insensitive -- a distinct here would be a pure extra
+    # shuffle of the widest table in the query
+    sh = docs.select("doc_id", F.explode("shingles").alias("s"))
     mins = [
         F.expr(
             f"min(CAST(conv(substr(md5(concat('{i}', ':', s)), 1, 15), 16, 10) AS BIGINT))"
