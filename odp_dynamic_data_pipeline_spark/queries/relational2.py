@@ -1100,3 +1100,78 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("valid_from_us"),
         F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
     )
+
+
+@register(
+    "array_functions_zoo",
+    """
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents WHERE doc_id < 50)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n,
+       array_to_string(list_sort(list_distinct(toks)), ' ') AS sorted_vocab,
+       array_to_string(list_slice(toks, 2, 4), ' ') AS mid_slice,
+       CAST(list_contains(toks, 'the') AS INT) AS has_the,
+       array_to_string(list_reverse(toks), ' ') AS reversed_toks,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS char_sum
+FROM t
+""",
+)
+def array_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over token arrays: sort, distinct, slice,
+    membership, reverse, fold -- all JVM higher-order functions, one scan,
+    no shuffle.  (Spark slice(x, 2, 3) == DuckDB list_slice(x, 2, 4):
+    length-vs-end-index dialect difference handled here.)"""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    d = d.withColumn("toks", F.expr(r"regexp_extract_all(text, r'\S+', 0)"))
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.array_join(F.array_sort(F.array_distinct("toks")), " ").alias("sorted_vocab"),
+        F.array_join(F.slice("toks", 2, 3), " ").alias("mid_slice"),
+        F.array_contains("toks", "the").cast("int").alias("has_the"),
+        F.array_join(F.reverse("toks"), " ").alias("reversed_toks"),
+        F.expr(
+            "aggregate(transform(toks, x -> CAST(length(x) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("char_sum"),
+    )
+
+
+@register(
+    "null_semantics_zoo",
+    """
+WITH t AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS st,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) END AS price
+  FROM orders
+)
+SELECT COALESCE(st, '?') AS status,
+       COUNT(*) AS n_rows,
+       COUNT(price) AS n_priced,
+       COUNT(*) - COUNT(price) AS n_null_price,
+       CAST(SUM(price) AS BIGINT) AS sum_price,
+       CAST(SUM(COALESCE(price, 0)) AS BIGINT) AS sum_price_zeroed,
+       CAST(COUNT(NULLIF(st, 'O')) AS BIGINT) AS n_non_open
+FROM t GROUP BY COALESCE(st, '?')
+""",
+)
+def null_semantics_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling semantics family: COUNT(col) skips nulls, SUM ignores
+    them, COALESCE/NULLIF shape both the group key and the aggregates --
+    grouping ON a nullable expression puts nulls in one group (here made
+    explicit with '?')."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(F.col("o_orderstatus")).alias("st"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("long")).otherwise(_cents("o_totalprice")).alias("price"),
+    )
+    return t.groupBy(F.coalesce(F.col("st"), F.lit("?")).alias("status")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("price").alias("n_priced"),
+        (F.count(F.lit(1)) - F.count("price")).alias("n_null_price"),
+        F.sum("price").alias("sum_price"),
+        F.sum(F.coalesce(F.col("price"), F.lit(0))).alias("sum_price_zeroed"),
+        F.count(F.nullif(F.col("st"), F.lit("O"))).cast("long").alias("n_non_open"),
+    )
