@@ -97,11 +97,21 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold_e6: int = 500_000,
     eager: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verification.
 
     Returns (id_a, id_b, inter, uni, jaccard_e6) with id_a < id_b and
     jaccard >= threshold (jaccard_e6 = floor(1e6 * |A&B| / |A|B|)).
+
+    ``max_bucket_size`` guards against degenerate buckets: a (band, bucket)
+    holding B documents yields B^2/2 candidate pairs -- one boilerplate
+    cluster of 10^5 identical pages is 5*10^9 pairs from a single bucket.
+    Buckets above the cap are dropped from candidate generation (their
+    members still pair through their OTHER bands with high probability --
+    ``bands`` independent chances; exact-duplicate islands are better
+    handled by the exact fingerprint pass first).  Standard practice for
+    LSH at corpus scale; None keeps every bucket.
 
     With ``eager=True`` (default) the small verified-pairs result is
     materialized via localCheckpoint and the shared hashed-shingle cache is
@@ -140,6 +150,13 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as _W
+
+        sizes = F.count(F.lit(1)).over(_W.partitionBy("band", "bucket"))
+        buckets = buckets.withColumn("__bsz", sizes).where(
+            F.col("__bsz") <= max_bucket_size
+        ).drop("__bsz")
     left = buckets.select("band", "bucket", F.col(id_col).alias("id_a"))
     right = buckets.select("band", "bucket", F.col(id_col).alias("id_b"))
     cand = (

@@ -115,3 +115,25 @@ def test_conditional_counts(spark):
     )
     rows = {r["clientId"]: (r["retry_count"], r["error_count"]) for r in out.collect()}
     assert rows == {"c1": (2, 0), "c2": (0, 1)}
+
+
+def test_minhash_lsh_bucket_cap(spark):
+    """A boilerplate cluster (many identical docs) must not explode
+    candidate generation when the bucket cap is set: capped run drops the
+    degenerate bucket's pairs; distinct near-dup pairs still surface
+    through their other bands."""
+    from odp_dynamic_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = [(i, "the same boilerplate page body repeated everywhere") for i in range(30)]
+    near = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    uncapped = minhash_lsh_pairs(df, "doc_id", threshold_e6=400_000)
+    capped = minhash_lsh_pairs(df, "doc_id", threshold_e6=400_000, max_bucket_size=10)
+    n_unc = uncapped.count()
+    pairs_capped = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert n_unc >= 30 * 29 / 2  # the boilerplate clique fully pairs
+    assert all(a >= 100 for a, b in pairs_capped), pairs_capped  # clique suppressed
+    assert (100, 101) in pairs_capped  # real near-dup survives via its bands
