@@ -129,3 +129,40 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", *, fake: bool = True
             yield out
 
     return df.select(id_col, "payload").mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def audio_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    bytes_per_ms: int = 8,
+    segment_ms: int = 1000,
+    overlap_ms: int = 250,
+) -> DataFrame:
+    """Audio-style fixed-duration segmentation of binary payloads with
+    overlap (the speech-pipeline mirror of text chunking: 1 s windows every
+    750 ms at a fake 8 bytes/ms "sample rate").  JVM-side: the byte windows
+    come from substring() on the binary column -- NO Python, no explode of
+    decoded samples; a real pipeline swaps byte offsets for sample offsets
+    after ffmpeg/librosa decode but keeps this exact plan shape.
+
+    Emits (id, seg_idx, seg_start_ms, seg_bytes binary, seg_len int)."""
+    step = (segment_ms - overlap_ms) * bytes_per_ms
+    width = segment_ms * bytes_per_ms
+    seg = F.expr(
+        f"transform(sequence(1, greatest(CAST(ceil((length(payload) - {width})"
+        f" / CAST({step} AS DOUBLE)) AS INT) + 1, 1)),"
+        f" i -> substring(payload, (i - 1) * {step} + 1, {width}))"
+    )
+    out = df.select(id_col, "payload").withColumn(
+        "__segs", seg
+    ).select(
+        id_col, F.posexplode("__segs").alias("seg_idx", "seg_bytes")
+    )
+    return out.select(
+        id_col,
+        "seg_idx",
+        (F.col("seg_idx") * (segment_ms - overlap_ms)).cast("long").alias("seg_start_ms"),
+        "seg_bytes",
+        F.length("seg_bytes").cast("int").alias("seg_len"),
+    )

@@ -968,3 +968,36 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chunk_tokens").cast("long").alias("total_tokens"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+@register(
+    "multimodal_audio_segments",
+    """
+WITH p AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+s AS (
+  SELECT doc_id,
+         UNNEST(generate_series(1, greatest(CAST(ceil((octet_length(encode(text)) - 8000) / 6000.0) AS INT) + 1, 1))) AS i,
+         text
+  FROM p
+)
+SELECT doc_id, (i - 1) AS seg_idx,
+       CAST((i - 1) * 750 AS BIGINT) AS seg_start_ms,
+       md5(substring(text, (i - 1) * 6000 + 1, 8000)) AS seg_md5,
+       CAST(octet_length(encode(substring(text, (i - 1) * 6000 + 1, 8000))) AS INT) AS seg_len
+FROM s
+""",
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation plumbing (operators.multimodal.audio_segments)
+    verified by fingerprinting each byte window -- the synthetic payload is
+    the text's utf-8 bytes, so DuckDB reproduces the windows with encode +
+    substring arithmetic."""
+    docs = mm.attach_payload(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    )
+    seg = mm.audio_segments(docs)
+    return seg.select(
+        "doc_id", "seg_idx", "seg_start_ms",
+        F.md5(F.col("seg_bytes").cast("string")).alias("seg_md5"),
+        "seg_len",
+    )

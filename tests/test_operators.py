@@ -137,3 +137,22 @@ def test_minhash_lsh_bucket_cap(spark):
     assert n_unc >= 30 * 29 / 2  # the boilerplate clique fully pairs
     assert all(a >= 100 for a, b in pairs_capped), pairs_capped  # clique suppressed
     assert (100, 101) in pairs_capped  # real near-dup survives via its bands
+
+
+def test_audio_segments_overlap(spark):
+    """1s windows every 750ms at 8 bytes/ms: a 20000-byte payload (2500ms)
+    covers starts 0/750/1500/2250ms; windows are width-8000 with the tail
+    truncated."""
+    from pyspark.sql import functions as F
+
+    from odp_dynamic_data_pipeline_spark.operators.multimodal import audio_segments
+
+    df = spark.createDataFrame([(1, "x" * 21000)], "doc_id long, text string").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    rows = sorted(audio_segments(df).collect(), key=lambda r: r["seg_idx"])
+    # 21000 bytes = 2625ms: ceil((21000-8000)/6000)+1 = 4 windows, every
+    # byte covered, tail truncated
+    assert [(r["seg_idx"], r["seg_start_ms"], r["seg_len"]) for r in rows] == [
+        (0, 0, 8000), (1, 750, 8000), (2, 1500, 8000), (3, 2250, 3000),
+    ]
