@@ -1350,3 +1350,55 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.unix_micros(F.col("w.start")).alias("win_start_us"), "n", "sum_cents")
     )
+
+
+@register(
+    "unpivot_event_metrics",
+    """
+WITH wide AS (
+  SELECT user_id,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, metric, n FROM wide
+UNPIVOT (n FOR metric IN (click, view, purchase))
+""",
+)
+def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long melt), the inverse of pivot_event_counts:
+    Spark's native unpivot/melt against DuckDB's UNPIVOT.  The long form
+    is what metric stores and plotting layers consume."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .count()
+        .na.fill(0)
+    )
+    return wide.unpivot("user_id", ["click", "view", "purchase"], "metric", "n")
+
+
+@register(
+    "bitwise_agg_flags",
+    """
+SELECT user_id,
+       bit_and(CAST(event_id % 256 AS BIGINT)) AS flags_and,
+       bit_or(CAST(event_id % 256 AS BIGINT)) AS flags_or,
+       bit_xor(CAST(event_id % 256 AS BIGINT)) AS flags_xor
+FROM events GROUP BY user_id
+""",
+)
+def bitwise_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (flag-set folding: AND = flags always on,
+    OR = flags ever on, XOR = parity) -- order-independent, so exact on any
+    engine/partitioning."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.col("event_id") % 256).cast("long").alias("f")
+    )
+    return ev.groupBy("user_id").agg(
+        F.bit_and("f").alias("flags_and"),
+        F.bit_or("f").alias("flags_or"),
+        F.bit_xor("f").alias("flags_xor"),
+    )
