@@ -257,7 +257,7 @@ def q19_or_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.where(cond).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        (F.sum("rev_e4").cast("double") / F.lit(10000.0)).alias("revenue"),
+        (F.sum(F.col("rev_e4").cast("decimal(38,0)")).cast("double") / F.lit(10000.0)).alias("revenue"),
     )
 
 
@@ -402,7 +402,7 @@ def correlate_star_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            (F.sum("rev_e4").cast("double") / F.lit(10000.0)).alias("revenue"),
+            (F.sum(F.col("rev_e4").cast("decimal(38,0)")).cast("double") / F.lit(10000.0)).alias("revenue"),
         )
     )
 
@@ -452,13 +452,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents("l_tax").alias("tax_pct"),
     )
     agg = s.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("qty_c").alias("sum_qty_c"),
-        F.sum("price_c").alias("sum_price_c"),
-        F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_pct"))).alias("sum_disc_e4"),
+        # decimal(38,0) accumulators: per-row terms reach 1e11 (charge_e6);
+        # an int64 sum overflows past ~1e7 rows per group -- a morning of
+        # data at 100 TB.  Exact and order-independent either way.
+        F.sum(F.col("qty_c").cast("decimal(38,0)")).alias("sum_qty_c"),
+        F.sum(F.col("price_c").cast("decimal(38,0)")).alias("sum_price_c"),
+        F.sum((F.col("price_c") * (F.lit(100) - F.col("disc_pct"))).cast("decimal(38,0)")).alias("sum_disc_e4"),
         F.sum(
-            F.col("price_c") * (F.lit(100) - F.col("disc_pct")) * (F.lit(100) + F.col("tax_pct"))
+            (F.col("price_c") * (F.lit(100) - F.col("disc_pct")) * (F.lit(100) + F.col("tax_pct"))).cast("decimal(38,0)")
         ).alias("sum_charge_e6"),
-        F.sum("disc_pct").alias("sum_disc_pct"),
+        F.sum(F.col("disc_pct").cast("decimal(38,0)")).alias("sum_disc_pct"),
         F.count(F.lit(1)).alias("count_order"),
     )
     return agg.select(
@@ -580,7 +583,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r.select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return joined.groupBy("n_name").agg(
-        (F.sum("rev_e4").cast("double") / F.lit(10000.0)).alias("revenue")
+        (F.sum(F.col("rev_e4").cast("decimal(38,0)")).cast("double") / F.lit(10000.0)).alias("revenue")
     )
 
 
@@ -954,9 +957,9 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = l.join(p, l["l_partkey"] == p["p_partkey"])
     return j.agg(
         (
-            F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_e4")).otherwise(F.lit(0))).cast("double")
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_e4")).otherwise(F.lit(0)).cast("decimal(38,0)")).cast("double")
             * F.lit(100.0)
-            / F.sum("rev_e4").cast("double")
+            / F.sum(F.col("rev_e4").cast("decimal(38,0)")).cast("double")
         ).alias("promo_share_pct"),
         F.count(F.lit(1)).alias("n_rows"),
     )
@@ -1157,8 +1160,8 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").withColumn("cents", _cents("c_acctbal"))
     a = c.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("s2"),
     )
     n, s1, s2 = F.col("n").cast("double"), F.col("s1").cast("double"), F.col("s2").cast("double")
     return a.select(
@@ -1195,7 +1198,8 @@ def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = l.join(o, (l["l_orderkey"] == o["o_orderkey"]) & (l["salt"] == o["salt"]))
     return joined.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_rows"), F.sum("price_cents").alias("price_cents")
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("price_cents").cast("decimal(38,0)")).cast("long").alias("price_cents")
     )
 
 
@@ -1223,7 +1227,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        (F.sum(_cents("l_extendedprice") * _cents("l_discount")).cast("double") / F.lit(10000.0)).alias("revenue"),
+        (F.sum((_cents("l_extendedprice") * _cents("l_discount")).cast("decimal(38,0)")).cast("double") / F.lit(10000.0)).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

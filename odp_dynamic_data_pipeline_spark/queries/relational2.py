@@ -109,7 +109,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("supp_nation") != F.col("cust_nation"))
     )
     return joined.groupBy("supp_nation", "cust_nation", "l_year").agg(
-        (F.sum("rev_e4").cast("double") / F.lit(10000.0)).alias("revenue")
+        (F.sum(F.col("rev_e4").cast("decimal(38,0)")).cast("double") / F.lit(10000.0)).alias("revenue")
     )
 
 
@@ -165,9 +165,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.col("r_name").alias("supp_region"))),
               F.col("rk2") == F.col("rr2"))
     )
-    asia = F.sum(F.when(F.col("supp_region") == "ASIA", F.col("rev_e4")).otherwise(F.lit(0)))
+    asia = F.sum(F.when(F.col("supp_region") == "ASIA", F.col("rev_e4")).otherwise(F.lit(0)).cast("decimal(38,0)"))
     return base.groupBy("o_year").agg(
-        (asia.cast("double") / F.sum("rev_e4").cast("double")).alias("mkt_share")
+        (asia.cast("double") / F.sum(F.col("rev_e4").cast("decimal(38,0)")).cast("double")).alias("mkt_share")
     )
 
 
@@ -247,7 +247,7 @@ def q10_returned_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n.select("n_nationkey", "n_name")),
               F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum("rev_e4").alias("rev_e4"))
+        .agg(F.sum(F.col("rev_e4").cast("decimal(38,0)")).cast("long").alias("rev_e4"))
     )
     return (
         agg.orderBy(F.col("rev_e4").desc(), "c_custkey")
@@ -278,7 +278,7 @@ def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = (
         l.select("l_partkey", _rev_e4().alias("rev_e4"))
         .groupBy("l_partkey")
-        .agg(F.sum("rev_e4").alias("v_e4"))
+        .agg(F.sum(F.col("rev_e4").cast("decimal(38,0)")).cast("long").alias("v_e4"))
     )
     total = pv.agg(F.sum("v_e4").alias("total_e4"), F.count(F.lit(1)).alias("n_parts"))
     return (
@@ -338,7 +338,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         l.select("l_suppkey", _rev_e4().alias("rev_e4"))
         .groupBy("l_suppkey")
-        .agg(F.sum("rev_e4").alias("total_e4"))
+        .agg(F.sum(F.col("rev_e4").cast("decimal(38,0)")).cast("long").alias("total_e4"))
     )
     mx = rev.agg(F.max("total_e4").alias("max_e4"))
     return (
@@ -980,13 +980,18 @@ def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", _cents("c_acctbal").alias("b"), F.col("c_mktsegment").alias("seg")
     )
     j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    # cross-product sums exceed int64 beyond ~100k rows (p*b ~ 6e13 each);
+    # DECIMAL(38,0) sums stay exact and order-independent -- DuckDB gets
+    # the same for free (SUM(BIGINT) -> HUGEINT), and both engines then
+    # round the identical exact integer to the same double
+    d38 = "decimal(38,0)"
     m = j.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("p").alias("sp"),
         F.sum("b").alias("sb"),
-        F.sum(F.col("p") * F.col("b")).alias("spb"),
-        F.sum(F.col("p") * F.col("p")).alias("spp"),
-        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum((F.col("p") * F.col("b")).cast(d38)).alias("spb"),
+        F.sum((F.col("p") * F.col("p")).cast(d38)).alias("spp"),
+        F.sum((F.col("b") * F.col("b")).cast(d38)).alias("sbb"),
     )
     n, sp, sb = (F.col(x).cast("double") for x in ("n", "sp", "sb"))
     spb, spp, sbb = (F.col(x).cast("double") for x in ("spb", "spp", "sbb"))
