@@ -55,3 +55,39 @@ def test_incremental_agg_folds_batches(spark, tmp_path):
     # both version directories exist; MANIFEST points at the latest
     versions = sorted(p for p in os.listdir(store) if p.startswith("v"))
     assert len(versions) == 2
+
+
+def test_incremental_agg_resume_from_checkpoint(spark, tmp_path):
+    """Stopping and re-running the stream with the SAME checkpoint must fold
+    only the new files -- each input batch lands in the totals exactly once
+    across process restarts (the operational property of the versioned
+    store + streaming checkpoint together)."""
+    d = tmp_path / "resume_in"
+    d.mkdir()
+    now = time.time()
+
+    def _write(name, rows, mt):
+        p = d / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (mt, mt))
+
+    _write("b1.json", [{"user": "a", "amt": 1.0, "seq": 1}], now - 90)
+    store = str(tmp_path / "resume_store")
+    ck = str(tmp_path / "resume_ck")
+
+    def _run():
+        stream = read_file_stream(
+            spark, str(d), SCHEMA, multiline=False, max_files_per_trigger=1
+        )
+        run_incremental_agg(stream, store, checkpoint=ck, key_cols=["user"], sum_col="amt")
+
+    _run()  # first process lifetime: only b1
+    got1 = {r["user"]: (r["n"], r["sum_amt"]) for r in read_incremental_agg(spark, store).collect()}
+    assert got1 == {"a": (1, 1.0)}
+
+    _write("b2.json", [{"user": "a", "amt": 5.0, "seq": 2}, {"user": "b", "amt": 7.0, "seq": 3}], now - 30)
+    _run()  # restart: checkpoint skips b1, folds only b2
+    got2 = {r["user"]: (r["n"], r["sum_amt"]) for r in read_incremental_agg(spark, store).collect()}
+    assert got2 == {"a": (2, 6.0), "b": (1, 7.0)}
