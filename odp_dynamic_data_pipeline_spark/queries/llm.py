@@ -1042,24 +1042,30 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = load_table(spark, sf_dir, "documents").select(
         F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("t")
     )
+    # one token shuffle feeds BOTH sides: the counters are sums of the
+    # weighted vocabulary (identical numbers to hashing every occurrence --
+    # the sketch update is additive), and the exact top-20 probe reuses the
+    # same table.  In a pure-streaming deployment the counters come
+    # straight from the occurrence stream and this exact table never exists.
+    tok_counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("exact_n")).persist()
     depths = F.array(*[F.lit(d) for d in range(4)])
-    keyed = tok.select("t", F.explode(depths).alias("d")).withColumn(
+    keyed = tok_counts.select("t", "exact_n", F.explode(depths).alias("d")).withColumn(
         "bucket",
         F.expr("CAST(conv(substr(md5(concat(d, ':', t)), 1, 8), 16, 10) AS BIGINT) % 1024"),
     )
-    counters = keyed.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    exact = (
-        tok.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), "t")
-        .limit(20)
-    )
+    counters = keyed.groupBy("d", "bucket").agg(F.sum("exact_n").alias("c"))
+    exact = tok_counts.orderBy(F.col("exact_n").desc(), "t").limit(20)
     probes = exact.select("t", "exact_n", F.explode(depths).alias("d")).withColumn(
         "bucket",
         F.expr("CAST(conv(substr(md5(concat(d, ':', t)), 1, 8), 16, 10) AS BIGINT) % 1024"),
     )
-    return (
+    out = (
         probes.join(counters, ["d", "bucket"])
         .groupBy(F.col("t").alias("token"), "exact_n")
         .agg(F.min("c").alias("cms_estimate"))
+        # 20-row result: materialize eagerly so the shared vocab cache can
+        # be released before returning (same lifecycle as minhash_lsh_pairs)
+        .localCheckpoint(eager=True)
     )
+    tok_counts.unpersist()
+    return out
