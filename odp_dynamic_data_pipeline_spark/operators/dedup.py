@@ -18,6 +18,8 @@ the dedup application).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -254,6 +256,8 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 20,
+    rounds_per_check: int = 2,
+    strict: bool = False,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: every node
     starts labeled with its own id; each round every node takes the min of
@@ -266,6 +270,17 @@ def connected_components(
     id.  localCheckpoint between rounds truncates the lineage so the plan
     does not grow with the iteration count (a growing plan re-analyzes
     from scratch each round and eventually stack-overflows Catalyst).
+
+    ``rounds_per_check`` propagation rounds run between driver syncs:
+    each convergence probe is a blocking job submission, so at scale the
+    wall-clock is dominated by round-trips, not data.  Labels only ever
+    decrease, so "did this batch change anything" is one comparison
+    against the label carried from the batch start -- no old-vs-new join.
+
+    If the graph has not converged after ``max_iterations`` rounds the
+    result would be silently wrong (split components -> kept duplicates),
+    so this raises when ``strict=True`` and emits a ``RuntimeWarning``
+    otherwise.
 
     Only edge-endpoint nodes participate in the iteration: in a dedup
     graph the corpus is vastly larger than the duplicate set (billions of
@@ -293,28 +308,45 @@ def connected_components(
         .select("nid", F.col("nid").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym["src"] == labels["nid"])
-            .groupBy("dst")
-            .agg(F.min("comp").alias("n_comp"))
-        )
-        # carry a per-row "label shrank" flag through the checkpoint: the
-        # convergence test is then a scan of the already-materialized result
-        # instead of an extra old-vs-new join per round
-        new_labels = (
-            labels.join(neighbor_min, labels["nid"] == neighbor_min["dst"], "left")
-            .select(
-                "nid",
-                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
-                (F.coalesce(F.col("n_comp"), F.col("comp")) < F.col("comp")).alias("__chg"),
+    rounds_per_check = max(1, rounds_per_check)
+    changed = 1
+    rounds_done = 0
+    while rounds_done < max_iterations and changed:
+        k = min(rounds_per_check, max_iterations - rounds_done)
+        # run k propagation rounds lazily, then checkpoint + probe ONCE:
+        # __comp0 (label at batch start) rides along so the convergence
+        # test is a per-row comparison on the already-materialized result
+        batch = labels.select("nid", "comp", F.col("comp").alias("__comp0"))
+        for _ in range(k):
+            neighbor_min = (
+                sym.join(batch.select("nid", "comp"), sym["src"] == F.col("nid"))
+                .groupBy("dst")
+                .agg(F.min("comp").alias("n_comp"))
             )
+            batch = (
+                batch.join(neighbor_min, batch["nid"] == neighbor_min["dst"], "left")
+                .select(
+                    "nid",
+                    F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
+                    "__comp0",
+                )
+            )
+        new_labels = (
+            batch.select("nid", "comp", (F.col("comp") < F.col("__comp0")).alias("__chg"))
             .localCheckpoint(eager=True)
         )
         changed = new_labels.where(F.col("__chg")).limit(1).count()
         labels = new_labels.drop("__chg")
-        if changed == 0:
-            break
+        rounds_done += k
+    if changed:
+        msg = (
+            f"connected_components did not converge after {max_iterations} rounds "
+            f"(graph diameter exceeds the budget); labels may split components. "
+            f"Raise max_iterations."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     isolated = nodes.select(F.col(id_col).alias("nid")).join(
         labels.select("nid"), "nid", "left_anti"
     )

@@ -98,16 +98,26 @@ def chunk_documents(
     pre-tokenization step for LLM training shards): window ``chunk_tokens``
     wide, advancing ``stride`` tokens, final partial window kept.
 
-    One row in, ceil(max(n-W,0)/S)+1 rows out, columns (id_cols..., chunk_id,
-    chunk_text, n_chunk_tokens).  Pure array arithmetic (sequence + slice) --
-    no Python, no shuffle; at 100 TB this is a map-only stage."""
+    One row in, ceil(max(n-W,0)/S)+1 rows out (for stride <= chunk_tokens),
+    columns (id_cols..., chunk_id, chunk_text, n_chunk_tokens).  Pure array
+    arithmetic (sequence + slice) -- no Python, no shuffle; at 100 TB this
+    is a map-only stage.
+
+    The sequence upper bound is ``n - W + S`` (capped at ``n``) rather than
+    ``n - W + 1`` so that when ``(n - W) % S != 0`` one extra start is
+    emitted and the final partial window is actually kept -- otherwise up
+    to ``S - 1`` trailing tokens would be silently dropped."""
     id_cols = id_cols or ["doc_id"]
     df = with_tokens(df, text_col, "__toks")
+    upper = (
+        f"least(greatest(size(__toks) - {chunk_tokens} + {stride}, 1),"
+        f" greatest(size(__toks), 1))"
+    )
     chunks = df.select(
         *id_cols,
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, greatest(size(__toks) - {chunk_tokens} + 1, 1), {stride}),"
+                f"transform(sequence(1, {upper}, {stride}),"
                 f" i -> slice(__toks, i, {chunk_tokens}))"
             )
         ).alias("chunk_id", "__chunk"),

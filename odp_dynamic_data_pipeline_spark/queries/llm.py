@@ -606,7 +606,7 @@ WITH toks AS (
 ),
 st AS (
   SELECT doc_id, t,
-         UNNEST(generate_series(1, greatest(len(t) - 64 + 1, 1), 48)) AS i
+         UNNEST(generate_series(1, least(greatest(len(t) - 64 + 48, 1), greatest(len(t), 1)), 48)) AS i
   FROM toks
 )
 SELECT doc_id, (i - 1) // 48 AS chunk_id,
@@ -932,7 +932,7 @@ chunks AS (
   SELECT doc_id, lang, (i - 1) // 48 AS chunk_id,
          len(list_slice(t, i, i + 63)) AS n_chunk_tokens
   FROM (SELECT doc_id, lang, t,
-               UNNEST(generate_series(1, greatest(len(t) - 64 + 1, 1), 48)) AS i
+               UNNEST(generate_series(1, least(greatest(len(t) - 64 + 48, 1), greatest(len(t), 1)), 48)) AS i
         FROM dedup)
 )
 SELECT lang, COUNT(*) AS n_chunks,

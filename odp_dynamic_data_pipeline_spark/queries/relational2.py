@@ -214,7 +214,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation", "o_year", (F.col("rev_e4") - cost_e4).alias("profit_e4"))
     )
     return joined.groupBy("nation", "o_year").agg(
-        (F.sum("profit_e4").cast("double") / F.lit(10000.0)).alias("profit")
+        (F.sum(F.col("profit_e4").cast("decimal(38,0)")).cast("double") / F.lit(10000.0))
+        .alias("profit")
     )
 
 

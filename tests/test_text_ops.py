@@ -36,6 +36,33 @@ def test_chunk_documents_partial_tail(spark):
     assert [r["chunk_text"] for r in out] == ["w0 w1 w2", "w2 w3 w4"]
 
 
+def test_chunk_documents_uneven_tail_kept(spark):
+    # (n - W) % S != 0: a final partial window must be emitted, covering the
+    # trailing tokens the old n-W+1 upper bound silently dropped.
+    text = " ".join(f"w{i}" for i in range(6))  # n=6, W=3, S=2 -> (6-3)%2=1
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, chunk_tokens=3, stride=2).collect(), key=lambda r: r["chunk_id"]
+    )
+    assert [r["chunk_text"] for r in out] == ["w0 w1 w2", "w2 w3 w4", "w4 w5"]
+    assert [r["n_chunk_tokens"] for r in out] == [3, 3, 2]
+    # every token appears in at least one chunk
+    covered = set(" ".join(r["chunk_text"] for r in out).split())
+    assert covered == {f"w{i}" for i in range(6)}
+
+
+def test_chunk_documents_advice_case(spark):
+    # the exact shape from the defect report: 100 tokens, W=64, S=48.
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, chunk_tokens=64, stride=48).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["n_chunk_tokens"] for r in out] == [64, 52]
+    assert out[1]["chunk_text"].split()[0] == "t48" and out[1]["chunk_text"].split()[-1] == "t99"
+
+
 def test_scrub_pii(spark):
     df = spark.createDataFrame(
         [(1, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567 now")],
@@ -57,3 +84,32 @@ def test_connected_components_transitivity(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # diameter 9 with rounds_per_check batching: exercises the multi-batch path
+    n = 10
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(nodes, edges, rounds_per_check=3).collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_connected_components_nonconvergence_is_visible(spark):
+    import warnings as _w
+
+    import pytest
+
+    n = 8
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        connected_components(nodes, edges, max_iterations=2).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iterations=2, strict=True)
