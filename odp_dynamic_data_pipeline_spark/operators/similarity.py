@@ -345,19 +345,32 @@ def pq_train(
     return books
 
 
-def _pq_subspace_code(vec_col: str, book: list[list[int]], s: int, dsub: int) -> F.Column:
-    """Argmin centroid id for subspace ``s`` as a constant-folded expression
-    (no join, no shuffle -- same scale rationale as ivf_assign)."""
+def _book_literal(book: list[list[int]]) -> str:
+    """SQL literal array<array<bigint>> for a subspace codebook."""
+    return "array(" + ", ".join(
+        "array(" + ",".join(str(int(x)) for x in c) + ")" for c in book
+    ) + ")"
+
+
+def _subspace_d2(vec_col: str, book: list[list[int]], s: int, dsub: int) -> str:
+    """SQL expr: array of squared distances from vec's subspace ``s`` slice
+    to every centroid of ``book`` -- ONE transform lambda over a literal
+    centroid array.  An unrolled per-centroid expression list compiles
+    k copies of the same aggregate into whole-stage codegen (~1 MiB task
+    binaries, multi-second JIT); the lambda form compiles once."""
     lo = s * dsub + 1  # slice() is 1-based
-    entries = []
-    for j, c in enumerate(book):
-        arr = ",".join(str(int(x)) for x in c)
-        d2 = F.expr(
-            f"aggregate(zip_with(slice({vec_col}, {lo}, {dsub}), array({arr}),"
-            f" (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        )
-        entries.append(F.struct(d2.alias("d"), F.lit(j).alias("j")))
-    return F.array_sort(F.array(*entries))[0]["j"]
+    return (
+        f"transform({_book_literal(book)},"
+        f" c -> aggregate(zip_with(slice({vec_col}, {lo}, {dsub}), c,"
+        f" (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+    )
+
+
+def _argmin_expr(arr_col: str) -> F.Column:
+    """0-based index of the minimum element; ties break to the lowest index
+    (array_position returns the first match) -- the same tie rule as the
+    sorted-struct formulation it replaces."""
+    return F.expr(f"CAST(array_position({arr_col}, array_min({arr_col})) - 1 AS INT)")
 
 
 def pq_encode(
@@ -372,8 +385,13 @@ def pq_encode(
     stored codes are m bytes per vector instead of 4*dim."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    codes = F.array(*[_pq_subspace_code(vec_col, codebooks[s], s, dsub) for s in range(m)])
-    return df.withColumn(out_col, codes)
+    # materialize each subspace's distance array once, argmin it, drop it:
+    # the d2 lambda is evaluated once per row per subspace instead of twice
+    # (array_position + array_min) over an inline expression
+    for s in range(m):
+        df = df.withColumn(f"__d2_{s}", F.expr(_subspace_d2(vec_col, codebooks[s], s, dsub)))
+    codes = F.array(*[_argmin_expr(f"__d2_{s}") for s in range(m)])
+    return df.withColumn(out_col, codes).drop(*[f"__d2_{s}" for s in range(m)])
 
 
 def pq_topk(
@@ -397,6 +415,13 @@ def pq_topk(
     -- m element_at lookups per pair, no vector math.  Keep ``shortlist``
     per query by approx distance, then exact-score only the shortlist.
 
+    The shortlist ranking shuffles ONLY (qid, cand_id, approx_d2): at N
+    candidates x Q queries the pair stream exists, but each shuffled row is
+    ~20 bytes, not the ~2x256-byte full vectors.  The survivors (at most
+    shortlist x Q rows) are then joined back to the candidate and query
+    vector tables for exact re-ranking -- two small joins instead of a
+    vector-payload shuffle of the whole cross product.
+
     Everything is exact integer arithmetic until the final cosine; the
     recall/compute trade dials are (m, kcent, shortlist)."""
     books = codebooks or pq_train(
@@ -411,29 +436,24 @@ def pq_topk(
     # per-query ADC tables: dt_s = array(d2(q_s, c_s0), ..., d2(q_s, c_s{k-1}))
     qry = quantized(queries.select(F.col(id_col).alias("qid"), vec_col), vec_col)
     for s in range(m):
-        lo = s * dsub + 1
-        cells = []
-        for c in books[s]:
-            arr = ",".join(str(int(x)) for x in c)
-            cells.append(
-                F.expr(
-                    f"aggregate(zip_with(slice(qvec, {lo}, {dsub}), array({arr}),"
-                    f" (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-                )
-            )
-        qry = qry.withColumn(f"__dt_{s}", F.array(*cells))
-    qry = qry.select(
-        "qid", F.col("qvec").alias("q_qvec"), F.col("qnorm").alias("q_qnorm"),
-        *[f"__dt_{s}" for s in range(m)],
+        qry = qry.withColumn(f"__dt_{s}", F.expr(_subspace_d2("qvec", books[s], s, dsub)))
+    qry_tables = qry.select("qid", *[f"__dt_{s}" for s in range(m)])
+    qry_vecs = qry.select(
+        "qid", F.col("qvec").alias("q_qvec"), F.col("qnorm").alias("q_qnorm")
     )
-    pairs = cand.crossJoin(F.broadcast(qry)).where(F.col("cand_id") != F.col("qid"))
+    # slim pair stream: codes only -- the full vectors stay OUT of the
+    # per-pair plan until after the shortlist cut
+    pairs = (
+        cand.select("cand_id", "pq_codes")
+        .crossJoin(F.broadcast(qry_tables))
+        .where(F.col("cand_id") != F.col("qid"))
+    )
     approx = None
     for s in range(m):
         term = F.element_at(F.col(f"__dt_{s}"), F.col("pq_codes")[s] + 1)
         approx = term if approx is None else approx + term
     shortlisted = (
-        pairs.select("qid", "cand_id", "qvec", "qnorm", "q_qvec", "q_qnorm",
-                     approx.alias("approx_d2"))
+        pairs.select("qid", "cand_id", approx.alias("approx_d2"))
         .withColumn(
             "__rk",
             F.row_number().over(
@@ -441,14 +461,21 @@ def pq_topk(
             ),
         )
         .where(F.col("__rk") <= shortlist)
+        .select("qid", "cand_id")
     )
+    # exact re-rank on the survivors only: join the vectors back in.  The
+    # shortlist side is at most shortlist x Q rows, so AQE broadcasts it
+    # against the candidate table; the query vectors broadcast outright.
+    rerank = shortlisted.join(
+        cand.select("cand_id", "qvec", "qnorm"), "cand_id"
+    ).join(F.broadcast(qry_vecs), "qid")
     dot = F.expr(DOT.format(a="q_qvec", b="qvec"))
     cosine = dot.cast("double") / F.sqrt(
         F.col("q_qnorm").cast("double") * F.col("qnorm").cast("double")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
-        shortlisted.select("qid", "cand_id", cosine.alias("cosine"))
+        rerank.select("qid", "cand_id", cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "cand_id", "rank", "cosine")

@@ -356,15 +356,27 @@ def term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hash-once minhash: md5 each shingle ONCE to a 60-bit integer, then derive
+# the 16 "permutations" arithmetically as (a_i*h + b_i) mod p -- the standard
+# universal-hash family.  p = 2^31-1 keeps a_i*h inside int64 (a_i, h < 2^31
+# -> product < 2^62), so Spark and DuckDB compute bit-identical values with
+# no overflow divergence.  16x fewer md5 calls than hashing per permutation.
+MINHASH_P = 2_147_483_647  # 2^31 - 1, prime
+MINHASH_AB = [
+    ((2_654_435_761 * (i + 1)) % MINHASH_P, (40_503 * (i + 1) * (i + 1) + 1) % MINHASH_P)
+    for i in range(16)
+]
+
 MINHASH_MD5_ORACLE = """
 WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS s
        FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
              FROM toks)),
+hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {p} AS h FROM sh),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM sh GROUP BY doc_id
+  FROM hs GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id,
@@ -377,8 +389,10 @@ FROM bands a
 JOIN bands b ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 """.format(
+    p=MINHASH_P,
     mins=",\n         ".join(
-        f"min(('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT) AS m{i}" for i in range(16)
+        f"min(CAST(({a} * h + {b}) % {MINHASH_P} AS BIGINT)) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
     ),
     band_hashes=", ".join(
         "md5(concat_ws('|', " + ", ".join(f"m{i}" for i in range(b * 4, b * 4 + 4)) + "))"
@@ -389,23 +403,29 @@ GROUP BY a.doc_id, b.doc_id
 
 @register("dedup_minhash_md5", MINHASH_MD5_ORACLE)
 def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH banding with md5-derived 60-bit hashes -- slower than the
-    xxhash64 production path (dedup_minhash_lsh) but reproducible by ANY
-    engine, so the full banding pipeline (shingle -> permutation mins ->
-    band buckets -> candidate pairs) sits behind the oracle gate.
-    Output: candidate pairs + how many of the 4 bands they collide in."""
+    """MinHash+LSH banding with one md5 per shingle plus an arithmetic
+    universal-hash remix per permutation -- reproducible by ANY engine, so
+    the full banding pipeline (shingle -> permutation mins -> band buckets
+    -> candidate pairs) sits behind the oracle gate.  Slower than the
+    xxhash64 production path (dedup_minhash_lsh) but only by the md5 cost:
+    the 16 permutations are int multiply-add-mod, not 16 re-hashes of the
+    shingle string.  Output: candidate pairs + shared-band counts."""
     docs = dd.shingles(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     # no global distinct: shingles() is per-doc distinct already, and min()
     # is duplicate-insensitive -- a distinct here would be a pure extra
     # shuffle of the widest table in the query
     sh = docs.select("doc_id", F.explode("shingles").alias("s"))
-    mins = [
+    hs = sh.select(
+        "doc_id",
         F.expr(
-            f"min(CAST(conv(substr(md5(concat('{i}', ':', s)), 1, 15), 16, 10) AS BIGINT))"
-        ).alias(f"m{i}")
-        for i in range(16)
+            f"CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % {MINHASH_P}"
+        ).alias("h"),
+    )
+    mins = [
+        F.expr(f"min(CAST(({a} * h + {b}) % {MINHASH_P} AS BIGINT))").alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    sig = hs.groupBy("doc_id").agg(*mins)
     band_exprs = [
         F.md5(F.concat_ws("|", *[F.col(f"m{i}").cast("string") for i in range(b * 4, b * 4 + 4)]))
         for b in range(4)

@@ -342,6 +342,12 @@ def run_incremental_agg(
             stream_.close()
 
     def _write_manifest(spark, version: str, parent: str) -> None:
+        # write-to-tmp then rename WITH OVERWRITE (FileContext supports it;
+        # plain FileSystem.rename refuses an existing target).  A
+        # delete-then-rename flip would leave a window with no MANIFEST in
+        # which read_incremental_agg raises; overwrite-rename is atomic on
+        # posix and HDFS, so readers always see either the old or the new
+        # manifest.
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         fs = jvm.org.apache.hadoop.fs.FileSystem.get(
@@ -354,9 +360,32 @@ def run_incremental_agg(
         finally:
             out.close()
         dst = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST")
-        fs.delete(dst, False)
-        if not fs.rename(tmp, dst):
-            raise IOError(f"run_incremental_agg: manifest flip failed for {version}")
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jvm.java.net.URI.create(store_path), conf
+        )
+        gw = spark.sparkContext._gateway
+        opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, dst, opts)
+
+    def _fresh_version(spark, batch_id: int) -> str:
+        # never write into a directory that exists: an existing v{b} is
+        # either the live version a concurrent reader is scanning (retry
+        # after flip) or a partial write from a crashed attempt (retry
+        # before flip).  Either way, a fresh v{b}_r{k} keeps every flip
+        # pointing at a directory that was written exactly once, fully.
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create(store_path), conf
+        )
+        me = f"v{batch_id}"
+        cand = me
+        attempt = 0
+        while fs.exists(jvm.org.apache.hadoop.fs.Path(f"{store_path}/{cand}")):
+            attempt += 1
+            cand = f"{me}_r{attempt}"
+        return cand
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -365,7 +394,7 @@ def run_incremental_agg(
         manifest = _read_manifest(spark)
         if manifest is None:
             base = None  # first batch ever
-        elif manifest[0] == me:
+        elif manifest[0].split("_")[0] == me:
             # retry AFTER a successful flip for this very batch: rebuild
             # from the recorded parent, not from our own (possibly partial)
             # output -- folding the current version would double-count
@@ -378,8 +407,9 @@ def run_incremental_agg(
                 SF.sum(count_col).alias(count_col),
                 *([SF.sum(f"sum_{sum_col}").alias(f"sum_{sum_col}")] if sum_col else []),
             )
-        part.write.mode("overwrite").parquet(f"{store_path}/{me}")
-        _write_manifest(spark, me, base if base is not None else "-")
+        target = _fresh_version(spark, batch_id)
+        part.write.parquet(f"{store_path}/{target}")
+        _write_manifest(spark, target, base if base is not None else "-")
 
     q = (
         stream.writeStream.foreachBatch(process)

@@ -91,3 +91,39 @@ def test_incremental_agg_resume_from_checkpoint(spark, tmp_path):
     _run()  # restart: checkpoint skips b1, folds only b2
     got2 = {r["user"]: (r["n"], r["sum_amt"]) for r in read_incremental_agg(spark, store).collect()}
     assert got2 == {"a": (2, 6.0), "b": (1, 7.0)}
+
+
+def test_incremental_agg_retry_never_rewrites_live_version(spark, tmp_path):
+    """A retried batch must write a FRESH version directory (v{b}_r{k}), not
+    overwrite the directory the live manifest points at -- otherwise a
+    concurrent reader sees a partial store mid-rewrite.  Simulated by
+    pre-creating the would-be version directory (the state a crash between
+    write and flip, or a post-flip retry, leaves behind)."""
+    d = tmp_path / "retry_in"
+    d.mkdir()
+    now = time.time()
+    p = d / "b1.json"
+    with open(p, "w") as f:
+        f.write(json.dumps({"user": "a", "amt": 2.0, "seq": 1}) + "\n")
+    os.utime(p, (now - 60, now - 60))
+
+    store = tmp_path / "retry_store"
+    store.mkdir()
+    # leftover partial dir from a crashed earlier attempt of batch 0
+    (store / "v0").mkdir()
+    (store / "v0" / "garbage.bin").write_bytes(b"\x00not-parquet")
+
+    stream = read_file_stream(
+        spark, str(d), SCHEMA, multiline=False, max_files_per_trigger=1
+    )
+    run_incremental_agg(
+        stream, str(store), checkpoint=str(tmp_path / "retry_ck"),
+        key_cols=["user"], sum_col="amt",
+    )
+    got = {r["user"]: (r["n"], r["sum_amt"]) for r in read_incremental_agg(spark, str(store)).collect()}
+    assert got == {"a": (1, 2.0)}
+    # the partial dir was left untouched; the flip points at the fresh one
+    assert (store / "v0" / "garbage.bin").read_bytes() == b"\x00not-parquet"
+    assert (store / "MANIFEST").read_text().splitlines()[0] == "v0_r1"
+    # MANIFEST flip is overwrite-rename: no MANIFEST.tmp debris
+    assert not (store / "MANIFEST.tmp").exists()
