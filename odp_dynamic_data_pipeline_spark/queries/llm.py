@@ -618,6 +618,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(docs)
 
 
+@register("multimodal_real_decode")
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (operators.multimodal._decode_payload): synthesize
+    actual WAV PCM16 / PPM P6 payloads per document, decode them pure-numpy
+    in mapInPandas, aggregate per media type.  Rows-only: no SQL engine can
+    parse RIFF/PPM, but the decoded features are value-asserted in
+    tests/test_multimodal_decode.py against analytically known signals."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200  # deterministic subset, not an unordered LIMIT
+    )
+    media = mm.attach_synth_media(docs)
+    feats = mm.extract_features(media, fake=False)
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_samples").cast("long").alias("total_samples"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
+            F.round(F.avg("mean_level"), 4).alias("avg_mean_level"),
+        )
+        .orderBy("media_type")
+    )
+
+
 @register(
     "doc_chunks",
     """
