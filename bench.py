@@ -71,24 +71,49 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"bench error in {name}: {e!r}", file=sys.stderr)
+    # second, warm-timed pass for the slow outliers only: a first run pays
+    # per-query whole-stage-codegen JIT (measured 1-5 s of pure compile on
+    # this container), so "slow" on pass one is ambiguous.  The warm number
+    # separates compile noise from genuinely expensive plans at bounded
+    # extra cost (only queries over the threshold re-run).
+    warm_threshold = float(os.environ.get("SPARK_GRAFT_WARM_THRESHOLD_SEC", "2.0"))
+    warm: dict[str, float] = {}
+    for name, t in timings.items():
+        if t >= warm_threshold:
+            t0 = time.time()
+            try:
+                SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                warm[name] = round(time.time() - t0, 3)
+            except Exception:  # noqa: BLE001
+                warm[name] = -1.0
     ok = [t for t in timings.values() if t >= 0]
     total = round(sum(ok), 3)
     # headline = mean wall sec per query: stable across rounds even as the
     # query count grows (total is still reported alongside)
     mean = round(total / max(len(ok), 1), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "mean_query_wall_sec",
-                "value": mean,
-                "unit": "sec",
-                "queries": timings,
-                "total_sec": total,
-                "sf": sf,
-                "n_queries": len(timings),
-            }
-        )
+    result = {
+        "metric": "mean_query_wall_sec",
+        "value": mean,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "total_sec": total,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    line = json.dumps(result)
+    print(line)
+    # full artifact to a file as well: the driver records the console tail,
+    # which truncates once the query map outgrows the tail window
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
     )
+    try:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"bench: could not write {out_path}: {e!r}", file=sys.stderr)
     spark.stop()
 
 
