@@ -124,12 +124,66 @@ def read_file_stream(
     return reader.format(fmt).load(path)
 
 
-def read_kafka_stream(spark: SparkSession, bootstrap_servers: str, topic: str):
-    """Kafka source (reference intent only: src/setup.py:4-17)."""
+def kafka_stream_options(
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    starting_offsets: str = "latest",
+    fail_on_data_loss: bool = True,
+    max_offsets_per_trigger: int | None = None,
+    group_id_prefix: str | None = None,
+) -> dict[str, str]:
+    """The exact option map a Kafka readStream gets -- split out so the
+    surface is unit-testable without a broker (the sandbox has none).
+    ``fail_on_data_loss=False`` is for topics with aggressive retention
+    where offsets can expire mid-run; ``max_offsets_per_trigger`` bounds
+    micro-batch size so one huge backlog doesn't become one huge batch."""
+    if not bootstrap_servers or not topic:
+        raise ValueError("kafka source needs bootstrap_servers and topic")
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if group_id_prefix is not None:
+        opts["groupIdPrefix"] = group_id_prefix
+    return opts
+
+
+def parse_kafka_value(df: DataFrame, schema: StructType) -> DataFrame:
+    """Decode the Kafka wire columns (value: binary JSON) into typed rows,
+    keeping the metadata columns a pipeline needs for lineage/dedup
+    (topic, partition, offset, timestamp).  Works identically on a real
+    Kafka stream and on any DataFrame with the same wire schema, which is
+    how it is tested without a broker."""
+    from pyspark.sql import functions as SF
+
+    return df.select(
+        SF.from_json(SF.col("value").cast("string"), schema).alias("v"),
+        "topic",
+        "partition",
+        "offset",
+        SF.col("timestamp").alias("kafka_ts"),
+    ).select("v.*", "topic", "partition", "offset", "kafka_ts")
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    schema: StructType | None = None,
+    **options,
+):
+    """Kafka source (reference intent: src/setup.py:4-17).  With ``schema``,
+    the binary value column is decoded to typed rows via
+    :func:`parse_kafka_value`."""
     ensure_runtime_confs(spark)
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .load()
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_stream_options(bootstrap_servers, topic, **options).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    return parse_kafka_value(df, schema) if schema is not None else df

@@ -74,3 +74,97 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     assert h0.count() == 50
     plan = h0._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(hour" in plan
+
+
+def test_kafka_stream_options_surface():
+    """No broker in the sandbox; the option map IS the Kafka surface, so it
+    is asserted directly (S4)."""
+    import pytest
+
+    from odp_dynamic_data_pipeline_spark.sources.readers import kafka_stream_options
+
+    opts = kafka_stream_options("k1:9092,k2:9092", "events")
+    assert opts == {
+        "kafka.bootstrap.servers": "k1:9092,k2:9092",
+        "subscribe": "events",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "true",
+    }
+    opts = kafka_stream_options(
+        "k:9092", "t", starting_offsets="earliest", fail_on_data_loss=False,
+        max_offsets_per_trigger=50_000, group_id_prefix="odp",
+    )
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+    assert opts["groupIdPrefix"] == "odp"
+    with pytest.raises(ValueError):
+        kafka_stream_options("", "t")
+
+
+def test_parse_kafka_value_wire_schema(spark):
+    """Value decode runs on a hand-built DataFrame with Kafka's exact wire
+    schema -- the same code path a real stream goes through after load()."""
+    import datetime
+    import json as _json
+
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, LongType, StringType, StructField,
+        StructType, TimestampType,
+    )
+
+    from odp_dynamic_data_pipeline_spark.sources.readers import parse_kafka_value
+
+    wire = StructType([
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("timestamp", TimestampType()),
+    ])
+    ts = datetime.datetime(2024, 11, 16, 12, 0, 5)
+    rows = [
+        (b"k1", _json.dumps({"user": "a", "n": 7}).encode(), "events", 0, 41, ts),
+        (b"k2", b'{"user":"b","n":"notint"}', "events", 1, 42, ts),
+        (b"k3", b"not json at all", "events", 1, 43, ts),
+    ]
+    payload = StructType([
+        StructField("user", StringType()),
+        StructField("n", LongType()),
+    ])
+    out = parse_kafka_value(spark.createDataFrame(rows, wire), payload).collect()
+    by_off = {r["offset"]: r for r in out}
+    assert by_off[41]["user"] == "a" and by_off[41]["n"] == 7
+    assert by_off[41]["topic"] == "events" and by_off[41]["partition"] == 0
+    assert by_off[42]["user"] == "b" and by_off[42]["n"] is None  # type miss -> null
+    assert by_off[43]["user"] is None  # unparseable -> all-null row, offset kept
+    assert by_off[43]["offset"] == 43
+
+
+def test_read_json_filesystem_scheme_path(spark, tmp_path):
+    """S2: the s3a route is schema-declared read over a Hadoop FileSystem
+    URI; exercised with the file: scheme (the only FS in the sandbox) --
+    same URI resolution, path templating, and schema application as
+    s3a://bucket/prefix/data_{hour}.json."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from odp_dynamic_data_pipeline_spark.sources.readers import read_json
+
+    bucket = tmp_path / "bucket" / "prefix"
+    bucket.mkdir(parents=True)
+    for hour, rows in [
+        ("2024111612", [{"id": 1, "v": "x"}, {"id": 2, "v": "y"}]),
+        ("2024111613", [{"id": 3, "v": "z"}]),
+    ]:
+        (bucket / f"data_{hour}.json").write_text(_json.dumps(rows))
+    schema = StructType([StructField("id", LongType()), StructField("v", StringType())])
+    uri_template = f"file://{bucket}/data_{{hour}}.json"
+    df = read_json(spark, uri_template, schema, hour="2024111612")
+    got = sorted((r["id"], r["v"]) for r in df.collect())
+    assert got == [(1, "x"), (2, "y")]
+    # unresolved template + no hour must not silently glob everything
+    df13 = read_json(spark, uri_template, schema, hour="2024111613")
+    assert df13.count() == 1
