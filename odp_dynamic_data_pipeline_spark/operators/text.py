@@ -190,3 +190,109 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "scrubbed") 
         "[PHONE]",
     )
     return df.withColumn(out_col, scrubbed)
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    seq_tokens: int = 2048,
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-cut training-sequence packing MANIFEST: documents are laid
+    end to end in (``part_col``, ``id_col``) order and cut every
+    ``seq_tokens`` tokens -- the standard GPT-style shard-prep step that
+    turns a curated corpus into fixed-length training rows.  This emits the
+    placement manifest (which sequence each doc starts in and at which
+    offset), not the re-materialized shards: the manifest is what a
+    distributed tokenizer job consumes, and it is tiny relative to the text.
+
+    Scale shape: ONE window cumsum per ``part_col`` partition (no global
+    sort -- packing streams are independent per language/domain shard by
+    construction), then pure arithmetic.  Documents longer than
+    ``seq_tokens`` simply span multiple sequences, exactly like the
+    concat-and-cut it models.
+
+    Output: (part_col, id_col, n_tokens, global_offset, seq_id,
+    seq_offset, n_seqs_spanned).
+    """
+    from pyspark.sql import Window
+
+    df = with_tokens(df, text_col, "__toks")
+    sized = df.select(part_col, id_col, F.size("__toks").cast("long").alias("n_tokens"))
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    offset = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("global_offset")
+    out = sized.select(part_col, id_col, "n_tokens", offset)
+    return out.select(
+        part_col,
+        id_col,
+        "n_tokens",
+        "global_offset",
+        (F.col("global_offset") / seq_tokens).cast("long").alias("seq_id"),
+        (F.col("global_offset") % seq_tokens).cast("long").alias("seq_offset"),
+        # a doc spans ceil((seq_offset + n_tokens) / L) - did it straddle cuts
+        (
+            (F.col("global_offset") % seq_tokens + F.col("n_tokens") + seq_tokens - 1)
+            / seq_tokens
+        ).cast("long").alias("n_seqs_spanned"),
+    )
+
+
+def boilerplate_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    block_tokens: int = 8,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-internal boilerplate removal (the CCNet/RefinedWeb
+    repeated-unit scrub): split each document into consecutive
+    ``block_tokens``-token blocks, count how many DISTINCT documents each
+    exact block occurs in, and drop blocks seen in >= ``min_docs`` docs
+    (headers, footers, navigation chrome, license banners).  The cleaned
+    text is the surviving blocks re-joined in order.
+
+    Scale shape: explode -> one shuffle on the block hash to build the
+    block document-frequency table -> hash-join back -> re-aggregate per
+    doc.  The df table is orders of magnitude smaller than the corpus
+    (only repeated blocks matter) and could be broadcast after a frequency
+    floor at real scale.
+
+    Output: (id_col, n_blocks, n_dropped, clean_text)."""
+    df = with_tokens(df, text_col, "__toks")
+    blocks = df.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(__toks), 1), {block_tokens}),"
+                f" i -> array_join(slice(__toks, i, {block_tokens}), ' '))"
+            )
+        ).alias("block_idx", "block"),
+    ).where(F.col("block") != "")
+    # distinct-doc frequency per block; md5 keeps the join key 16 bytes
+    freq = (
+        blocks.select(F.md5("block").alias("bh"), id_col)
+        .groupBy("bh")
+        .agg(F.countDistinct(id_col).alias("block_df"))
+    )
+    tagged = blocks.withColumn("bh", F.md5("block")).join(freq, "bh", "left")
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum((F.col("block_df") >= min_docs).cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("block_df") < min_docs,
+                            F.struct("block_idx", "block"),
+                        )
+                    )
+                )["block"],
+                " ",
+            ).alias("clean_text"),
+        )
+    )

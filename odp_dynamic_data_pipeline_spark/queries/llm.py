@@ -1113,3 +1113,76 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok_counts.unpersist()
     return out
+
+
+@register(
+    "pack_sequences_manifest",
+    """
+WITH toks AS (
+  SELECT lang, doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT lang, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS global_offset
+  FROM toks
+)
+SELECT lang, doc_id, n_tokens, CAST(global_offset AS BIGINT) AS global_offset,
+       CAST(global_offset // 256 AS BIGINT) AS seq_id,
+       CAST(global_offset % 256 AS BIGINT) AS seq_offset,
+       CAST((global_offset % 256 + n_tokens + 255) // 256 AS BIGINT) AS n_seqs_spanned
+FROM o
+""",
+)
+def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut training-sequence packing (operators.text.
+    pack_sequences): documents laid end to end per language and cut every
+    256 tokens; emits the placement manifest a distributed tokenizer
+    consumes.  One window cumsum per language partition -- no global sort."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "text")
+    return tx.pack_sequences(docs, seq_tokens=256)
+
+
+@register(
+    "boilerplate_scrub_stats",
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+blocks AS (
+  SELECT * FROM (
+    SELECT doc_id, CAST((i - 1) // 4 AS INT) AS block_idx,
+           array_to_string(list_slice(t, i, i + 3), ' ') AS block
+    FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 4)) AS i
+          FROM toks))
+  WHERE block <> ''
+),
+freq AS (
+  SELECT md5(block) AS bh, COUNT(DISTINCT doc_id) AS block_df FROM blocks GROUP BY 1
+),
+tagged AS (
+  SELECT b.doc_id, b.block_idx, b.block, f.block_df
+  FROM blocks b JOIN freq f ON md5(b.block) = f.bh
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN block_df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN block_df < 3 THEN block END, ' '
+                               ORDER BY block_idx), '')) AS clean_md5
+FROM tagged GROUP BY doc_id
+""",
+)
+def boilerplate_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal repeated-block scrub (operators.text.
+    boilerplate_scrub): 4-token blocks occurring in >= 3 distinct documents
+    are boilerplate and removed; result keyed by the md5 of the cleaned
+    text so the full reassembly (order-correct re-join) is hash-gated."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tx.boilerplate_scrub(docs, block_tokens=4, min_docs=3)
+    return out.select(
+        "doc_id",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        F.md5("clean_text").alias("clean_md5"),
+    )

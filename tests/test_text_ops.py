@@ -113,3 +113,42 @@ def test_connected_components_nonconvergence_is_visible(spark):
     assert any("did not converge" in str(w.message) for w in caught)
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_iterations=2, strict=True)
+
+
+def test_pack_sequences_manifest(spark):
+    from odp_dynamic_data_pipeline_spark.operators.text import pack_sequences
+
+    rows = [
+        (1, "en", " ".join(["x"] * 6)),   # offset 0
+        (2, "en", " ".join(["x"] * 10)),  # offset 6, spans the cut at 8
+        (3, "en", " ".join(["x"] * 2)),   # offset 16 -> seq 2 exactly
+        (4, "fr", " ".join(["x"] * 5)),   # independent stream per lang
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: (r["global_offset"], r["seq_id"], r["seq_offset"], r["n_seqs_spanned"])
+        for r in pack_sequences(df, seq_tokens=8).collect()
+    }
+    assert got[1] == (0, 0, 0, 1)
+    assert got[2] == (6, 0, 6, 2)   # starts in seq 0, straddles into seq 1
+    assert got[3] == (16, 2, 0, 1)
+    assert got[4] == (0, 0, 0, 1)   # fr stream starts at its own offset 0
+
+
+def test_boilerplate_scrub_removes_common_blocks(spark):
+    from odp_dynamic_data_pipeline_spark.operators.text import boilerplate_scrub
+
+    footer = "copyright acme corp"
+    rows = [
+        (1, f"alpha beta gamma {footer}"),
+        (2, f"delta epsilon zeta {footer}"),
+        (3, f"eta theta iota {footer}"),
+        (4, "kappa lambda mu unique text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # block = 3 tokens; the footer is a block shared by docs 1-3
+    got = {r["doc_id"]: r for r in boilerplate_scrub(df, block_tokens=3, min_docs=3).collect()}
+    assert got[1]["n_dropped"] == 1 and footer not in got[1]["clean_text"]
+    assert got[1]["clean_text"] == "alpha beta gamma"
+    assert got[2]["clean_text"] == "delta epsilon zeta"
+    assert got[4]["n_dropped"] == 0 and got[4]["clean_text"] == "kappa lambda mu unique text here"
