@@ -103,6 +103,34 @@ def read_parquet(spark: SparkSession, path: str, hour: str | None = None) -> Dat
     return df
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw media ingest via Spark's built-in binaryFile source: one row per
+    file with (path, modificationTime, length, content binary) -- the entry
+    point that feeds operators.multimodal (decode / frame-sample / feature
+    extraction) from a directory of .wav/.ppm/.jpg files on any Hadoop
+    filesystem (file:, hdfs:, s3a:).
+
+    ``glob`` filters by filename pattern AT THE LISTING (pathGlobFilter --
+    files that do not match are never opened); ``max_bytes`` guards against
+    a stray multi-GB file entering an Arrow batch (filter on the length
+    METADATA column -- Spark's binaryFile reader prunes content reads for
+    rows dropped on length alone)."""
+    ensure_runtime_confs(spark)
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(df["length"] <= max_bytes)
+    return df
+
+
 def read_file_stream(
     spark: SparkSession,
     path: str,

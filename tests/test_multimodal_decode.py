@@ -83,3 +83,42 @@ def test_extract_features_real_path(spark):
             assert r["media_type"] == "image"
             assert (r["width"], r["height"]) == (8, 4)
             assert 0.0 <= r["mean_level"] <= 1.0
+
+
+def test_binary_file_ingest_to_decode(spark, tmp_path):
+    """End-to-end media path: directory of real .wav/.ppm files -> binaryFile
+    source -> rename to the payload contract -> real decode -> features."""
+    from pyspark.sql import functions as F
+
+    from odp_dynamic_data_pipeline_spark.sources.readers import read_binary_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.wav").write_bytes(synth_wav_pcm16(np.full(200, 0.5), 4000))
+    (media / "b.ppm").write_bytes(synth_ppm(np.full((2, 3, 3), 255, dtype=np.uint8)))
+    (media / "junk.txt").write_text("not media")
+
+    df = read_binary_files(spark, str(media), glob="*.{wav,ppm}")
+    assert df.count() == 2  # txt never listed
+    payloads = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.col("content").alias("payload"),
+    )
+    feats = extract_features(payloads, fake=False)
+    by_type = {r["media_type"]: r for r in feats.collect()}
+    assert by_type["audio"]["n_samples"] == 200 and by_type["audio"]["sample_rate"] == 4000
+    assert abs(by_type["audio"]["rms"] - 0.5) < 1e-3
+    assert (by_type["image"]["width"], by_type["image"]["height"]) == (3, 2)
+    assert abs(by_type["image"]["mean_level"] - 1.0) < 1e-9
+
+
+def test_binary_file_ingest_max_bytes(spark, tmp_path):
+    from odp_dynamic_data_pipeline_spark.sources.readers import read_binary_files
+
+    media = tmp_path / "sized"
+    media.mkdir()
+    (media / "small.bin").write_bytes(b"x" * 100)
+    (media / "big.bin").write_bytes(b"x" * 10_000)
+    df = read_binary_files(spark, str(media), max_bytes=1000)
+    assert [r["length"] for r in df.collect()] == [100]
