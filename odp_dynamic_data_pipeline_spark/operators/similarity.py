@@ -160,9 +160,17 @@ def kmeans_quantizer(
     (cluster, position) with exact integer means; only k x dim ints hit the
     driver per iteration (the same driver-side centroid loop as MLlib).
 
+    The quantized vector table feeds every iteration plus the seed probe
+    and the returned assignment, so it is persisted for the duration --
+    without the cache each Lloyd round re-reads and re-quantizes the
+    source (iters + 3 full scans; at 100 TB the equivalent is writing the
+    quantized table once).  The cache is released before returning; the
+    returned assignment is materialized via localCheckpoint first so its
+    lineage no longer references the unpersisted cache.
+
     Returns (centroids, assignment DataFrame with 'ivf_list' column).
     """
-    cand = quantized(df.select(F.col(id_col).alias("__id"), vec_col), vec_col)
+    cand = quantized(df.select(F.col(id_col).alias("__id"), vec_col), vec_col).persist()
     dim = len(cand.select("qvec").first()["qvec"])
     cents = [row["qvec"] for row in cand.orderBy("__id").limit(k).select("qvec").collect()]
     assigned = None
@@ -181,10 +189,17 @@ def kmeans_quantizer(
         for cl, rows in by_cluster.items():
             vec = [0] * dim
             for r in rows:
-                vec[r["pos"]] = r["s"] // r["n"]  # exact integer mean
+                # exact integer mean, TRUNCATED toward zero (not floored):
+                # SQL engines' integer division truncates, and the oracle
+                # replays this loop -- Python's // floors, which diverges
+                # on negative sums
+                s, n = r["s"], r["n"]
+                vec[r["pos"]] = -((-s) // n) if s < 0 else s // n
             new[cl] = vec
         cents = new
-    return cents, assigned.withColumnRenamed("__id", id_col)
+    result = assigned.withColumnRenamed("__id", id_col).localCheckpoint(eager=True)
+    cand.unpersist()
+    return cents, result
 
 
 def _hyperplane_sign(vec_col: str, plane: int, dim: int) -> F.Column:

@@ -500,25 +500,141 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(docs, "doc_id")
 
 
-@register("kmeans_ivf_lists")
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    """Unrolled-Lloyd DuckDB oracle: the iteration count is a fixed
+    hyperparameter, so the loop unrolls into ``iters`` chained CTE blocks
+    (assign -> per-(cluster, pos) integer-mean update with empty clusters
+    keeping their centroid) -- replaying operators.similarity.
+    kmeans_quantizer value-for-value with no recursion."""
+    head = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+  FROM embeddings
+),
+ee AS (
+  SELECT vec_id, UNNEST(q) AS v, UNNEST(generate_series(0, len(q) - 1)) AS pos FROM e
+),
+norms AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm FROM ee GROUP BY vec_id),
+seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+         FROM e ORDER BY vec_id LIMIT {k}),
+cents_0 AS (
+  SELECT s.j, ee.pos, ee.v AS cv FROM seed s JOIN ee ON ee.vec_id = s.vec_id
+)"""
+    blocks = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        blocks.append(f""",
+cnorm_{p} AS (SELECT j, CAST(SUM(cv * cv) AS BIGINT) AS cnrm FROM cents_{p} GROUP BY j),
+dot_{i} AS (
+  SELECT ee.vec_id, c.j, CAST(SUM(ee.v * c.cv) AS BIGINT) AS dot
+  FROM ee JOIN cents_{p} c ON c.pos = ee.pos
+  GROUP BY ee.vec_id, c.j
+),
+assign_{i} AS (
+  SELECT vec_id, j AS lst FROM (
+    SELECT d.vec_id, d.j,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                              ORDER BY n.nrm - 2 * d.dot + c.cnrm, d.j) AS rk
+    FROM dot_{i} d
+    JOIN norms n ON n.vec_id = d.vec_id
+    JOIN cnorm_{p} c ON c.j = d.j
+  ) WHERE rk = 1
+),
+cstats_{i} AS (
+  SELECT a.lst AS j, ee.pos, CAST(SUM(ee.v) AS BIGINT) // COUNT(*) AS m
+  FROM assign_{i} a JOIN ee ON ee.vec_id = a.vec_id
+  GROUP BY a.lst, ee.pos
+),
+cents_{i} AS (
+  SELECT p.j, p.pos, COALESCE(s.m, p.cv) AS cv
+  FROM cents_{p} p LEFT JOIN cstats_{i} s ON s.j = p.j AND s.pos = p.pos
+)""")
+    tail = f"""
+SELECT CAST(lst AS INTEGER) AS ivf_list, COUNT(*) AS n_vectors
+FROM assign_{iters} GROUP BY lst ORDER BY ivf_list
+"""
+    return head + "".join(blocks) + tail
+
+
+@register("kmeans_ivf_lists", _kmeans_oracle(k=8, iters=3))
 def kmeans_ivf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained coarse quantizer: 3 Lloyd iterations over quantized
-    embeddings, then the per-cluster membership census.  Deterministic but
-    iterative (driver-coordinated centroids) -> rows-only check."""
+    embeddings, then the per-cluster membership census.  Deterministic
+    (seeded centroids, lowest-id tie-breaks, exact integer means), so the
+    unrolled-Lloyd DuckDB oracle verifies the whole training loop."""
     emb = load_table(spark, sf_dir, "embeddings")
     _, assigned = sim.kmeans_quantizer(emb, k=8, iters=3)
     return (
-        assigned.groupBy("ivf_list")
+        assigned.groupBy(F.col("ivf_list").cast("int").alias("ivf_list"))
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("ivf_list")
     )
 
 
-@register("similarity_ivf_topk")
+IVF_TOPK_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
+  FROM (SELECT vec_id, UNNEST(q) AS v FROM e) GROUP BY vec_id
+),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS j, e.q AS cq, n.nrm AS cnrm
+  FROM e JOIN norms n ON n.vec_id = e.vec_id
+  ORDER BY e.vec_id LIMIT 8
+),
+vc AS (
+  SELECT e.vec_id, c.j, UNNEST(e.q) AS v, UNNEST(c.cq) AS cv FROM e, cents c
+),
+vcd AS (SELECT vec_id, j, CAST(SUM(v * cv) AS BIGINT) AS dot FROM vc GROUP BY vec_id, j),
+dist AS (
+  SELECT d.vec_id, d.j, n.nrm - 2 * d.dot + c.cnrm AS d2
+  FROM vcd d JOIN norms n ON n.vec_id = d.vec_id JOIN cents c ON c.j = d.j
+),
+cand_assign AS (
+  SELECT vec_id, j AS lst FROM (
+    SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk FROM dist
+  ) WHERE rk = 1
+),
+qry_assign AS (
+  SELECT vec_id, j AS lst FROM (
+    SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk
+    FROM dist WHERE vec_id < 10
+  ) WHERE rk <= 2
+),
+pairs AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cand_id
+  FROM qry_assign q JOIN cand_assign c ON c.lst = q.lst
+  WHERE c.vec_id <> q.vec_id
+),
+pv AS (
+  SELECT p.qid, p.cand_id, UNNEST(qe.q) AS qv, UNNEST(ce.q) AS cv
+  FROM pairs p JOIN e qe ON qe.vec_id = p.qid JOIN e ce ON ce.vec_id = p.cand_id
+),
+dots AS (SELECT qid, cand_id, CAST(SUM(qv * cv) AS BIGINT) AS dot FROM pv GROUP BY qid, cand_id),
+scored AS (
+  SELECT d.qid, d.cand_id,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+  FROM dots d JOIN norms nq ON nq.vec_id = d.qid JOIN norms nc ON nc.vec_id = d.cand_id
+)
+SELECT qid, cand_id, rank, cosine FROM (
+  SELECT qid, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("similarity_ivf_topk", IVF_TOPK_ORACLE)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (deterministically seeded coarse
     quantizer; assignment is a shuffle-free JVM map, probing an equi-join).
-    Rows-only: the recall/probe trade-off is implementation-defined."""
+    Fully deterministic -- seed centroids are the first nlist vectors by id,
+    assignment ties break to the lowest list id -- so the DuckDB oracle
+    replays the ENTIRE two-stage ANN (assign -> probe -> exact re-rank)
+    value-for-value, not just a rows-only check."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, nlist=8, nprobe=2)
 
