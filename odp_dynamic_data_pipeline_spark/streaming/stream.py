@@ -202,6 +202,83 @@ def pair_page_views_stream(
     )
 
 
+def pair_page_views_tws(
+    stream: DataFrame,
+    *,
+    group_col: str = "clientId",
+    ts_col: str = "event_time",
+    type_col: str = "eventType",
+    start_type: str = "page_view_start",
+    end_type: str = "page_view_end",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Page-view pairing on ``transformWithStateInPandas`` -- the Spark 4
+    arbitrary-state API (typed state variables + declarative TTL) that
+    succeeds applyInPandasWithState.  Same W2 register semantics as
+    :func:`pair_page_views_stream`; the state store schema differs
+    (ValueState per key instead of a tuple), which is why this is a
+    SEPARATE operator rather than a flag: checkpoints are not migratable
+    between the two APIs.
+
+    TTL here is declarative (``ttlDurationMs`` on the state variable, in
+    processing time) -- the store expires the register itself, no timer
+    bookkeeping in user code.
+
+    Runtime requirement: the transformWithState worker protocol speaks
+    protobuf (google.protobuf must be importable on driver and executors);
+    environments without it should use :func:`pair_page_views_stream`,
+    which has identical semantics on the older API."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = f"{group_col} string, end_ts timestamp, page_view_duration double"
+
+    class _PairProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            if state_ttl_ms:
+                self._reg = handle.getValueState(
+                    "register", "last_start_us long", ttlDurationMs=state_ttl_ms
+                )
+            else:
+                self._reg = handle.getValueState("register", "last_start_us long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            last = self._reg.get()
+            last_start_us = last[0] if last is not None else None
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values(ts_col, kind="mergesort")
+                for _, r in pdf.iterrows():
+                    t = r[type_col]
+                    ts_us = r[ts_col].value // 1000
+                    if t == start_type:
+                        last_start_us = ts_us
+                    elif t == end_type and last_start_us is not None:
+                        out.append(
+                            (key[0], r[ts_col], (ts_us - last_start_us) / 1_000_000.0)
+                        )
+                        last_start_us = None
+            if last_start_us is None:
+                self._reg.clear()
+            else:
+                self._reg.update((last_start_us,))
+            yield pd.DataFrame(out, columns=[group_col, "end_ts", "page_view_duration"])
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(group_col).transformWithStateInPandas(
+        statefulProcessor=_PairProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="None",
+    )
+
+
 def dedup_incremental(
     stream: DataFrame,
     seen_fingerprints: DataFrame,

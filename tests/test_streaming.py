@@ -80,3 +80,25 @@ def test_stream_static_enrich(spark, stream_dir, tmp_path):
     run_available_now(enriched, query_name="enriched", checkpoint=str(tmp_path / "ck3"))
     rows = {r["eventId"]: r["sessionLabel"] for r in spark.sql("select * from enriched").collect()}
     assert rows == {"e1": "sess-1", "e2": None, "e3": "sess-3", "e4": None}
+
+
+def test_stateful_pairing_tws(spark, stream_dir, tmp_path):
+    """Same W2 register semantics on the Spark 4 transformWithStateInPandas
+    API: the ValueState register must survive micro-batch boundaries.
+
+    Skipped where protobuf is unavailable: the transformWithState worker
+    protocol needs google.protobuf (this container ships a broken stub);
+    the applyInPandasWithState twin covers the semantics everywhere."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas worker protocol requires protobuf",
+    )
+    from odp_dynamic_data_pipeline_spark.streaming import pair_page_views_tws
+
+    stream = with_event_time(read_file_stream(spark, stream_dir, USER_EXP_SCHEMA, multiline=False))
+    paired = pair_page_views_tws(stream)
+    run_available_now(paired, query_name="paired_tws", checkpoint=str(tmp_path / "ck_tws"))
+    rows = spark.sql("select * from paired_tws").collect()
+    got = {r["clientId"]: r["page_view_duration"] for r in rows}
+    assert got["cA"] == 120.0
+    assert got["cB"] == 4800.0
