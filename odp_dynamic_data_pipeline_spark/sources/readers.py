@@ -95,9 +95,24 @@ def read_csv(
     return df
 
 
-def read_parquet(spark: SparkSession, path: str, hour: str | None = None) -> DataFrame:
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    hour: str | None = None,
+    *,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Parquet source.  ``merge_schema=True`` unions the schemas of every
+    footer instead of trusting the first file -- required to read a table
+    across an additive schema change (hour N wrote 5 columns, hour N+1
+    writes 6; old files surface the new column as null).  Off by default:
+    merging reads every footer at planning time, a real cost at 100 TB of
+    files, so tables with settled schemas skip it."""
     ensure_runtime_confs(spark)
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     if hour is not None and "hour" in df.columns:
         df = df.where(df["hour"] == hour)
     return df

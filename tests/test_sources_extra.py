@@ -168,3 +168,27 @@ def test_read_json_filesystem_scheme_path(spark, tmp_path):
     # unresolved template + no hour must not silently glob everything
     df13 = read_json(spark, uri_template, schema, hour="2024111613")
     assert df13.count() == 1
+
+
+def test_read_parquet_schema_evolution(spark, tmp_path):
+    """Additive schema change across hour partitions: mergeSchema unions the
+    footers; rows from before the change surface the new column as null."""
+    from pyspark.sql import functions as F
+
+    from odp_dynamic_data_pipeline_spark.sources.readers import read_parquet
+
+    base = str(tmp_path / "evolving")
+    spark.range(3).select("id", F.lit("h0").alias("hour")).write.partitionBy(
+        "hour"
+    ).parquet(base)
+    spark.range(3, 5).select(
+        "id", F.lit(9).alias("extra"), F.lit("h1").alias("hour")
+    ).write.mode("append").partitionBy("hour").parquet(base)
+
+    merged = read_parquet(spark, base, merge_schema=True)
+    assert set(merged.columns) == {"id", "extra", "hour"}
+    rows = {r["id"]: r["extra"] for r in merged.collect()}
+    assert rows[0] is None and rows[4] == 9
+    # hour filter still prunes on the evolved table
+    h1 = read_parquet(spark, base, hour="h1", merge_schema=True)
+    assert sorted(r["id"] for r in h1.collect()) == [3, 4]
