@@ -513,6 +513,37 @@ def read_incremental_agg(spark, store_path: str) -> DataFrame:
     return spark.read.parquet(f"{store_path}/{version}")
 
 
+def vacuum_incremental_agg(spark, store_path: str) -> list[str]:
+    """Retention for the versioned aggregate store: every micro-batch fold
+    writes a new version directory and only flips the manifest, so without
+    cleanup the store grows by one full copy of the aggregate per batch.
+
+    Deletes every ``v*`` directory EXCEPT the manifest's current version
+    and its recorded parent (the parent stays because a retry of the
+    in-flight batch rebuilds from it).  Reads the manifest first, so a
+    concurrent fold that flips mid-vacuum can at worst leave one extra
+    undeleted directory -- never delete a directory a reader can reach.
+    Returns the deleted version names."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
+    mpath = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST")
+    stream_ = fs.open(mpath)
+    try:
+        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream_))
+        current, parent = reader.readLine(), reader.readLine()
+    finally:
+        stream_.close()
+    keep = {current, parent}
+    deleted: list[str] = []
+    for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(store_path)):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("v") and name not in keep:
+            fs.delete(status.getPath(), True)
+            deleted.append(name)
+    return deleted
+
+
 def run_available_now(
     stream: DataFrame,
     *,

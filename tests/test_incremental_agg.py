@@ -127,3 +127,32 @@ def test_incremental_agg_retry_never_rewrites_live_version(spark, tmp_path):
     assert (store / "MANIFEST").read_text().splitlines()[0] == "v0_r1"
     # MANIFEST flip is overwrite-rename: no MANIFEST.tmp debris
     assert not (store / "MANIFEST.tmp").exists()
+
+
+def test_incremental_agg_vacuum(spark, tmp_path):
+    """Vacuum keeps only the manifest's current version and its parent;
+    everything older is deleted and the store still reads correctly."""
+    from odp_dynamic_data_pipeline_spark.streaming.stream import vacuum_incremental_agg
+
+    d = tmp_path / "vac_in"
+    d.mkdir()
+    now = time.time()
+    for i, name in enumerate(["b1.json", "b2.json", "b3.json"]):
+        p = d / name
+        with open(p, "w") as f:
+            f.write(json.dumps({"user": "a", "amt": 1.0, "seq": i}) + "\n")
+        os.utime(p, (now - 90 + i * 20, now - 90 + i * 20))
+
+    store = str(tmp_path / "vac_store")
+    stream = read_file_stream(
+        spark, str(d), SCHEMA, multiline=False, max_files_per_trigger=1
+    )
+    run_incremental_agg(
+        stream, store, checkpoint=str(tmp_path / "vac_ck"), key_cols=["user"], sum_col="amt"
+    )
+    versions_before = sorted(p for p in os.listdir(store) if p.startswith("v"))
+    assert len(versions_before) == 3  # one per micro-batch
+    deleted = vacuum_incremental_agg(spark, store)
+    assert sorted(deleted) == ["v0"]  # keep current v2 + parent v1
+    got = {r["user"]: (r["n"], r["sum_amt"]) for r in read_incremental_agg(spark, store).collect()}
+    assert got == {"a": (3, 3.0)}
