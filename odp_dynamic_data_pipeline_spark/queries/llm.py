@@ -464,22 +464,27 @@ FROM bits GROUP BY doc_id
 def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash with md5-derived token hashes -- the cross-engine-
     verifiable twin of dedup_simhash (xxhash64 production path).  Spark
-    computes the 60 bit-sums as aggregate legs in ONE pass (no bit
-    explosion); the oracle reconstructs them via an explicit bit cross
-    join -- equal results, very different physical plans."""
+    folds all 60 bit-sums in ONE map-only aggregate lambda per document
+    (no explode, no shuffle, one compiled lambda instead of 60 unrolled
+    aggregation legs); the oracle reconstructs them via an explicit bit
+    cross join -- equal results, very different physical plans."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.expr(r"regexp_extract_all(text, r'\S+', 0)")).alias("tok")
-    ).withColumn("hv", F.expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
-    legs = [
-        F.sum(F.when(F.expr(f"(hv >> {b}) & 1 = 1"), 1).otherwise(-1)).alias(f"s{b}")
-        for b in range(60)
-    ]
-    agg = toks.groupBy("doc_id").agg(*legs)
-    assemble = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)" for b in range(60)
+    sums = (
+        "aggregate(transform(__toks, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)),"
+        " array_repeat(CAST(0 AS BIGINT), 60),"
+        " (acc, h) -> zip_with(acc, sequence(0, 59),"
+        " (a, b) -> a + IF((h >> b) & 1 = 1, 1, -1)))"
     )
-    return agg.select("doc_id", F.expr(assemble).alias("simhash60"))
+    asm = (
+        f"aggregate(zip_with({sums}, sequence(0, 59),"
+        " (s, b) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return (
+        docs.withColumn("__toks", F.expr(r"regexp_extract_all(text, r'\S+', 0)"))
+        .where(F.expr("size(__toks) > 0"))
+        .select("doc_id", F.expr(asm).alias("simhash60"))
+    )
 
 
 # --- non-SQL-expressible (xxhash64-based): driver records rows-only checks ---
