@@ -66,6 +66,42 @@ def hashed_shingles(df: DataFrame, id_col: str, shingle_col: str = "shingles", o
     ).filter(F.size(out_col) > 0)
 
 
+def hashed_shingles_direct(
+    df: DataFrame, id_col: str, text_col: str = "text", *, n: int = 3, out_col: str = "hsh"
+) -> DataFrame:
+    """Distinct word-``n``-gram hashes WITHOUT materializing shingle
+    strings: xxhash64 is applied to the n token columns directly
+    (multi-argument hash), skipping the per-shingle array_join/concat
+    allocation -- measured ~40% of the shingle-build pass at sf0.1.
+    Distinctness over hashes equals distinctness over strings modulo
+    xxhash64 collisions (~n_shingles^2 / 2^64 per doc), the same exposure
+    every hashed-key stage in this module already accepts.  Use where the
+    consumer only needs hashes (minhash signatures, intersect/union
+    verification, equality joins); :func:`shingles` remains for consumers
+    that surface the shingle text."""
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
+    args = ", ".join(f"element_at(__toks, i + {j})" for j in range(n))
+    # The empty-doc filter tests the TOKEN count, never size(out_col):
+    # a second reference to the hash-array column alongside an explode
+    # defeats projection collapsing and re-evaluates the whole
+    # array_distinct(transform(...)) per output element (measured 24x on
+    # the 8-gram path).  size(__toks) < n <=> the n-gram array is empty,
+    # so the filter is equivalent and the array stays single-use.
+    return (
+        df.withColumn("__toks", F.expr(f"regexp_extract_all({text_col}, r'\\S+', 0)"))
+        .where(F.expr(f"size(__toks) >= {n}"))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)),"
+                f" i -> xxhash64({args})))"
+            ).alias(out_col),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, hashed_col: str = "hsh", num_perm: int = 32
 ) -> DataFrame:
@@ -123,14 +159,14 @@ def minhash_lsh_pairs(
     stays cached until ``spark.catalog.clearCache()``).
     """
     rows_per_band = num_perm // bands
-    sh = shingles(df.select(id_col, text_col), text_col, n=n)
     # The hashed-shingle table feeds three consumers (signatures + both
     # sides of the verification join); without materialization each one
     # re-runs tokenize+shingle+hash over the raw text.  At cluster scale
     # this table is what you'd write to parquet once per corpus -- here
     # persist() gives the same single-computation guarantee (~8 B per
-    # shingle vs the full text).
-    hashed = hashed_shingles(sh, id_col).persist()
+    # shingle vs the full text).  Direct n-gram hashing skips shingle
+    # string materialization entirely (nothing downstream needs the text).
+    hashed = hashed_shingles_direct(df.select(id_col, text_col), id_col, text_col, n=n).persist()
     sig = minhash_signatures(hashed, id_col, num_perm=num_perm)
 
     band_cols = []
@@ -242,12 +278,17 @@ def contamination_check(
     map-side -- the only shuffle is the per-document count aggregation.
     Returns (id_col, n_grams, n_hit_ngrams) for every corpus document that
     has at least one n-gram."""
-    cg = shingles(corpus.select(id_col, text_col), text_col, n=n).select(
-        id_col, F.explode("shingles").alias("g")
+    # equality on hashed n-grams, not gram strings: the broadcast table
+    # shrinks 8x+ (8-byte keys vs 8-word strings) and the corpus side skips
+    # shingle-string materialization; counts identical modulo hash collision
+    cg = hashed_shingles_direct(corpus.select(id_col, text_col), id_col, text_col, n=n).select(
+        id_col, F.explode("hsh").alias("g")
     )
     bg = (
-        shingles(benchmark.select(text_col), text_col, n=n)
-        .select(F.explode("shingles").alias("g"))
+        hashed_shingles_direct(
+            benchmark.select(text_col).withColumn("__one", F.lit(1)), "__one", text_col, n=n
+        )
+        .select(F.explode("hsh").alias("g"))
         .distinct()
     )
     hits = cg.join(F.broadcast(bg.withColumn("__hit", F.lit(1))), "g", "left")

@@ -159,17 +159,17 @@ def ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard, top-20 most similar pairs.  The exact
     path shuffles shingles once and joins on the shingle key (no cross
     join); the sub-quadratic scale path is dedup_minhash_lsh."""
-    docs = dd.shingles(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # three consumers (sizes + both join sides): materialize the exploded
     # shingle table once instead of re-tokenizing the corpus per consumer.
-    # No distinct() -- shingles() already array_distinct()s per document, so
+    # No distinct() -- the direct hasher array_distinct()s per document, so
     # the explode is duplicate-free and a global distinct would be a pure
-    # extra shuffle.  The join key is xxhash64(shingle): 8-byte fixed-width
-    # keys shuffle and compare ~2x cheaper than the shingle strings with
-    # identical counts (collision odds ~n^2/2^64).
+    # extra shuffle.  N-gram hashes come straight off the token columns (no
+    # shingle strings); 8-byte fixed-width keys shuffle and compare ~2x
+    # cheaper than strings with identical counts (collision odds ~n^2/2^64).
     sh = (
-        docs.select("doc_id", F.explode("shingles").alias("__s"))
-        .select("doc_id", F.xxhash64("__s").alias("s"))
+        dd.hashed_shingles_direct(docs, "doc_id", "text")
+        .select("doc_id", F.explode("hsh").alias("s"))
         .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -991,12 +991,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- transitive groups pick one keeper per component.  The DuckDB oracle
     walks the same graph with a recursive CTE."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # explode is already duplicate-free (array_distinct inside shingles());
-    # hash join keys to fixed-width bigints -- same counts, cheaper shuffle
+    # explode is already duplicate-free (array_distinct inside the direct
+    # hasher); n-gram hashes are computed straight from the token columns
+    # (no shingle strings), and the 8-byte keys shuffle/compare ~2x cheaper
+    # than strings with identical counts (collision odds ~n^2/2^64)
     sh = (
-        dd.shingles(docs, "text")
-        .select("doc_id", F.explode("shingles").alias("__s"))
-        .select("doc_id", F.xxhash64("__s").alias("s"))
+        dd.hashed_shingles_direct(docs, "doc_id", "text")
+        .select("doc_id", F.explode("hsh").alias("s"))
         .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

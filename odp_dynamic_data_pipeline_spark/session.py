@@ -31,6 +31,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas UDF / applyInPandas paths
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # InferFiltersFromGenerate adds size(arr)>0 under every explode(); when
+    # the array is COMPUTED (tokenize -> n-gram lambda), predicate pushdown
+    # then inlines the whole expression below its materializing Project,
+    # re-running regexp_extract_all inside every element_at of the lambda
+    # -- measured 20x+ on 8-gram explodes.  The rule only short-circuits
+    # empty arrays, which Generate already handles; semantics unchanged.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 # Confs that must be set before the session exists.
