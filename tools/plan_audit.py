@@ -31,6 +31,7 @@ PANDAS_BY_DESIGN = {
     "sessionize_exact_pandas",
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_real_decode",  # mapInPandas WAV/PPM decode IS the operator
 }
 # queries where a cartesian against a broadcast side is the algorithm
 BROADCAST_NLJ_BY_DESIGN = {
