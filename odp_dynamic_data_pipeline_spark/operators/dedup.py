@@ -363,10 +363,13 @@ def connected_components(
     rounds_done = 0
     while rounds_done < max_iterations and changed:
         k = min(rounds_per_check, max_iterations - rounds_done)
-        # run k propagation rounds lazily, then checkpoint + probe ONCE:
-        # __comp0 (label at batch start) rides along so the convergence
-        # test is a per-row comparison on the already-materialized result
-        batch = labels.select("nid", "comp", F.col("comp").alias("__comp0"))
+        # run k propagation rounds lazily, then checkpoint + probe ONCE.
+        # The convergence test compares against __prev, the label BEFORE
+        # the batch's FINAL round: if that round changed nothing the
+        # propagation is at its fixed point, even when earlier rounds in
+        # the same batch did change -- so a graph that settles mid-batch
+        # stops after THIS probe instead of paying a confirming batch.
+        batch = labels.select("nid", "comp", F.col("comp").alias("__prev"))
         for _ in range(k):
             neighbor_min = (
                 sym.join(batch.select("nid", "comp"), sym["src"] == F.col("nid"))
@@ -378,11 +381,11 @@ def connected_components(
                 .select(
                     "nid",
                     F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
-                    "__comp0",
+                    F.col("comp").alias("__prev"),  # label before THIS round
                 )
             )
         new_labels = (
-            batch.select("nid", "comp", (F.col("comp") < F.col("__comp0")).alias("__chg"))
+            batch.select("nid", "comp", (F.col("comp") < F.col("__prev")).alias("__chg"))
             .localCheckpoint(eager=True)
         )
         changed = new_labels.where(F.col("__chg")).limit(1).count()
