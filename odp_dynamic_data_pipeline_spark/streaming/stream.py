@@ -572,3 +572,141 @@ def run_available_now(
     q = w.start()
     q.awaitTermination()
     return q
+
+
+def run_incremental_neardup(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    *,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold_e6: int = 500_000,
+):
+    """Streaming NEAR-duplicate detection: the MinHash+LSH analogue of
+    run_incremental_dedup.  Per micro-batch, each new document's hashed
+    shingles and band buckets are computed once; candidate pairs come from
+    bucket collisions against BOTH the historical store and the batch
+    itself, are verified by exact Jaccard over the stored shingle hashes,
+    and the batch's buckets + hashes are appended to the store.
+
+    Store layout (both batch-keyed for idempotent retries, same discipline
+    as run_incremental_dedup):
+      {store_path}/buckets/batch_id=N  -- (id, band, bucket): the LSH index
+      {store_path}/hashes/batch_id=N   -- (id, hsh array): verification side
+    Output: {out_path}/batch_id=N      -- (id_a, id_b, jaccard_e6), where
+    id_b is always the NEW document (id_a may be historical or batch-local).
+
+    Scale shape: the per-batch cost is driven by bucket collisions, not
+    store size -- the join is an equi-join on (band, bucket) against a
+    bucket table that a real deployment compacts and bucket-partitions
+    (sources.writers.compact_parquet / write_bucketed_table); the full
+    shingle-hash table is touched only for the verified candidates."""
+    from pyspark.sql import functions as SF
+
+    from odp_dynamic_data_pipeline_spark.operators.dedup import (
+        hashed_shingles_direct,
+        minhash_signatures,
+    )
+
+    rows_per_band = num_perm // bands
+
+    def _path_exists(spark, path: str) -> bool:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(path), conf)
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashed = hashed_shingles_direct(
+            batch_df.select(id_col, text_col), id_col, text_col, n=n
+        ).persist()
+        sig = minhash_signatures(hashed, id_col, num_perm=num_perm)
+        band_structs = [
+            SF.struct(
+                SF.lit(b).alias("band"),
+                SF.xxhash64(
+                    SF.lit(b),
+                    *[SF.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+        buckets = (
+            sig.select(SF.col(id_col), SF.explode(SF.array(*band_structs)).alias("bb"))
+            .select(id_col, SF.col("bb.band").alias("band"), SF.col("bb.bucket").alias("bucket"))
+            .persist()
+        )
+        # candidates vs the historical store (excluding this batch's own
+        # partition -- a retry must not collide with its failed attempt)
+        cands = []
+        if _path_exists(spark, f"{store_path}/buckets"):
+            old_b = (
+                spark.read.parquet(f"{store_path}/buckets")
+                .where(SF.col("batch_id") != SF.lit(batch_id))
+            )
+            cands.append(
+                buckets.join(
+                    old_b.select("band", "bucket", SF.col(id_col).alias("id_a")),
+                    ["band", "bucket"],
+                )
+                .select(SF.col("id_a"), SF.col(id_col).alias("id_b"))
+            )
+        # batch-internal candidates
+        left = buckets.select("band", "bucket", SF.col(id_col).alias("id_a"))
+        right = buckets.select("band", "bucket", SF.col(id_col).alias("id_b"))
+        cands.append(
+            left.join(right, ["band", "bucket"]).where(SF.col("id_a") < SF.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = cands[0]
+        for c in cands[1:]:
+            cand = cand.unionByName(c)
+        cand = cand.dropDuplicates(["id_a", "id_b"])
+        # verification: old ids resolve against the store's hash table,
+        # new ids against this batch's
+        if _path_exists(spark, f"{store_path}/hashes"):
+            all_hashes = (
+                spark.read.parquet(f"{store_path}/hashes")
+                .where(SF.col("batch_id") != SF.lit(batch_id))
+                .select(id_col, "hsh")
+                .unionByName(hashed.select(id_col, "hsh"))
+            )
+        else:
+            all_hashes = hashed.select(id_col, "hsh")
+        ha = all_hashes.select(SF.col(id_col).alias("id_a"), SF.col("hsh").alias("h_a"))
+        hb = hashed.select(SF.col(id_col).alias("id_b"), SF.col("hsh").alias("h_b"))
+        pairs = (
+            cand.join(ha, "id_a")
+            .join(hb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                SF.size(SF.array_intersect("h_a", "h_b")).cast("long").alias("inter"),
+                SF.size(SF.array_union("h_a", "h_b")).cast("long").alias("uni"),
+            )
+            .withColumn("jaccard_e6", SF.expr("(1000000 * inter) div uni"))
+            .where(SF.col("jaccard_e6") >= threshold_e6)
+            .select("id_a", "id_b", "jaccard_e6")
+        )
+        pairs.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        buckets.write.mode("overwrite").parquet(f"{store_path}/buckets/batch_id={batch_id}")
+        hashed.select(id_col, "hsh").write.mode("overwrite").parquet(
+            f"{store_path}/hashes/batch_id={batch_id}"
+        )
+        buckets.unpersist()
+        hashed.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

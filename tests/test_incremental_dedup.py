@@ -77,3 +77,51 @@ def test_incremental_dedup(spark, tmp_path):
     assert 1 not in survivors
     assert 4 in survivors
     assert len(survivors & {2, 3}) == 1 and len(survivors) == 2
+
+
+def test_incremental_neardup_cross_batch(spark, tmp_path):
+    """Streaming near-dup: batch 1 contains near-identical docs A/B (pair
+    emitted batch-internally); batch 2 brings C, a near-dup of A (pair must
+    be found against the HISTORICAL store), and unique D (no pair)."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from odp_dynamic_data_pipeline_spark.sources.readers import read_file_stream
+    from odp_dynamic_data_pipeline_spark.streaming.stream import run_incremental_neardup
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(38)) + " x1 x2"   # high jaccard vs base
+    uniq = " ".join(f"z{i}" for i in range(40))
+
+    d = tmp_path / "nd_in"
+    d.mkdir()
+    now = _time.time()
+    b1 = [{"doc_id": 1, "text": base}, {"doc_id": 2, "text": near}]
+    b2 = [{"doc_id": 3, "text": base + " tail"}, {"doc_id": 4, "text": uniq}]
+    for name, rows, mt in [("b1.json", b1, now - 60), ("b2.json", b2, now - 30)]:
+        p = d / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (mt, mt))
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = read_file_stream(spark, str(d), schema, multiline=False, max_files_per_trigger=1)
+    store, out = str(tmp_path / "nd_store"), str(tmp_path / "nd_out")
+    run_incremental_neardup(
+        stream, store, out, checkpoint=str(tmp_path / "nd_ck"), threshold_e6=300_000
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(out).select("id_a", "id_b").collect()
+    }
+    assert (1, 2) in got          # batch-internal pair
+    assert (1, 3) in got          # cross-batch pair via the store
+    assert not any(4 in p for p in got)  # unique doc pairs with nothing
+    # the LSH index accreted one partition per batch
+    assert sorted(_os.listdir(f"{store}/buckets")) == ["batch_id=0", "batch_id=1"]
