@@ -710,3 +710,44 @@ def run_incremental_neardup(
     )
     q.awaitTermination()
     return q
+
+
+def compact_incremental_store(spark, store_path: str) -> int:
+    """Maintenance compaction for the batch-keyed dedup stores
+    (run_incremental_dedup's fingerprint store, run_incremental_neardup's
+    buckets/hashes tables): fold every ``batch_id=N`` partition into one
+    baseline partition ``batch_id=-1`` and drop the per-batch partitions.
+    Streaming batch ids are non-negative and monotonic, so the baseline
+    never collides with a live batch, and the own-batch exclusion filter
+    (``batch_id != current``) always keeps the baseline visible.
+
+    Run it BETWEEN streaming runs (AvailableNow lifecycles), not under a
+    live writer.  Crash safety relies on consumer semantics, not
+    atomicity: every consumer tolerates duplicate rows (anti-join,
+    dropDuplicates on candidates), so a crash between the baseline write
+    and the partition deletes only costs duplicates until the next
+    compaction.  Returns the number of batch partitions folded."""
+    from pyspark.sql import functions as SF
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    parts = [
+        s.getPath().getName()
+        for s in fs.listStatus(root)
+        if s.isDirectory() and s.getPath().getName().startswith("batch_id=")
+    ]
+    to_fold = [p for p in parts if p != "batch_id=-1"]
+    if not to_fold:
+        return 0
+    df = spark.read.parquet(store_path).drop("batch_id")
+    # distinct: the baseline is the store's value set, not its write log
+    df.distinct().write.mode("overwrite").parquet(f"{store_path}/__baseline_tmp")
+    merged = spark.read.parquet(f"{store_path}/__baseline_tmp")
+    merged.write.mode("overwrite").parquet(f"{store_path}/batch_id=-1")
+    for p in parts:
+        if p != "batch_id=-1":
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store_path}/{p}"), True)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store_path}/__baseline_tmp"), True)
+    return len(to_fold)

@@ -125,3 +125,54 @@ def test_incremental_neardup_cross_batch(spark, tmp_path):
     assert not any(4 in p for p in got)  # unique doc pairs with nothing
     # the LSH index accreted one partition per batch
     assert sorted(_os.listdir(f"{store}/buckets")) == ["batch_id=0", "batch_id=1"]
+
+
+def test_compact_incremental_store_preserves_dedup(spark, tmp_path):
+    """Compacting the fingerprint store folds batch partitions into the
+    batch_id=-1 baseline; a later streaming run still dedups against it."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from odp_dynamic_data_pipeline_spark.sources.readers import read_file_stream
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        compact_incremental_store,
+        run_incremental_dedup,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    d = tmp_path / "cmp_in"
+    d.mkdir()
+    now = _time.time()
+
+    def _write(name, rows, mt):
+        p = d / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (mt, mt))
+
+    _write("b1.json", [{"doc_id": 1, "text": "alpha beta"}], now - 90)
+    _write("b2.json", [{"doc_id": 2, "text": "gamma delta"}], now - 60)
+    store, out, ck = str(tmp_path / "cmp_store"), str(tmp_path / "cmp_out"), str(tmp_path / "cmp_ck")
+
+    def _run():
+        s = read_file_stream(spark, str(d), schema, multiline=False, max_files_per_trigger=1)
+        run_incremental_dedup(s, store, out, checkpoint=ck)
+
+    _run()
+    assert len([p for p in _os.listdir(store) if p.startswith("batch_id=")]) == 2
+    folded = compact_incremental_store(spark, store)
+    assert folded == 2
+    assert _os.listdir(store) == ["batch_id=-1"] or sorted(
+        p for p in _os.listdir(store) if p.startswith("batch_id=")
+    ) == ["batch_id=-1"]
+    # a repeat of doc 1's text arriving later must STILL be dropped
+    _write("b3.json", [{"doc_id": 9, "text": "alpha beta"}, {"doc_id": 10, "text": "new one"}], now - 30)
+    _run()
+    survivors = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert 10 in survivors and 9 not in survivors
