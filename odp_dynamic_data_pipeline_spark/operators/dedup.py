@@ -384,11 +384,18 @@ def connected_components(
                     F.col("comp").alias("__prev"),  # label before THIS round
                 )
             )
+        # the changed-count rides the checkpoint materialization as an
+        # Observation: ONE job per batch (materialize + metric) instead of
+        # a checkpoint job plus a separate probe job
+        from pyspark.sql import Observation
+
+        obs = Observation(f"cc_round_{rounds_done}")
         new_labels = (
             batch.select("nid", "comp", (F.col("comp") < F.col("__prev")).alias("__chg"))
+            .observe(obs, F.sum(F.col("__chg").cast("long")).alias("n_changed"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        changed = int(obs.get["n_changed"] or 0)
         labels = new_labels.drop("__chg")
         rounds_done += k
     if changed:
