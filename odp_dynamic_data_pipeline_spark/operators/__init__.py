@@ -8,7 +8,10 @@ from odp_dynamic_data_pipeline_spark.operators.correlate import (
     explode_spans,
 )
 from odp_dynamic_data_pipeline_spark.operators.dedup import (
+    connected_components,
+    contamination_check,
     exact_dedup,
+    hashed_shingles_direct,
     minhash_lsh_pairs,
     shingles,
     simhash,
@@ -24,17 +27,28 @@ from odp_dynamic_data_pipeline_spark.operators.similarity import (
     ivf_topk,
     kmeans_quantizer,
     lsh_topk,
+    pq_topk,
+    quantize_int8,
 )
 from odp_dynamic_data_pipeline_spark.operators.text import (
+    boilerplate_scrub,
+    chunk_documents,
     fingerprint,
     language_id,
+    pack_sequences,
     quality_features,
+    scrub_pii,
+    stratified_sample,
     token_stats,
 )
 
 __all__ = [
     "asof_join",
+    "boilerplate_scrub",
+    "chunk_documents",
     "conditional_counts",
+    "connected_components",
+    "contamination_check",
     "correlate_events_logs",
     "cosine_topk",
     "enrich",
@@ -42,16 +56,22 @@ __all__ = [
     "explode_spans",
     "extract_mapping",
     "fingerprint",
+    "hashed_shingles_direct",
     "ivf_topk",
     "kmeans_quantizer",
     "language_id",
     "lsh_topk",
     "minhash_lsh_pairs",
+    "pack_sequences",
     "pair_page_views",
     "pair_page_views_exact",
+    "pq_topk",
     "quality_features",
+    "quantize_int8",
+    "scrub_pii",
     "shingles",
     "simhash",
+    "stratified_sample",
     "token_stats",
     "with_zero_default_universe",
 ]
