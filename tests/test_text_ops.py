@@ -152,3 +152,15 @@ def test_boilerplate_scrub_removes_common_blocks(spark):
     assert got[1]["clean_text"] == "alpha beta gamma"
     assert got[2]["clean_text"] == "delta epsilon zeta"
     assert got[4]["n_dropped"] == 0 and got[4]["clean_text"] == "kappa lambda mu unique text here"
+
+
+def test_chunk_documents_stride_exceeds_window(spark):
+    # stride > chunk_tokens = deliberate gap sampling; the least() cap on
+    # the sequence bound must prevent empty chunks past the end.
+    text = " ".join(f"g{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, chunk_tokens=2, stride=5).collect(), key=lambda r: r["chunk_id"]
+    )
+    assert [r["chunk_text"] for r in out] == ["g0 g1", "g5 g6"]
+    assert all(r["n_chunk_tokens"] == 2 for r in out)
