@@ -102,3 +102,25 @@ def test_chunking_is_map_only(spark):
     plan = plan_of(spark, "doc_chunks")
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_inferred_size_filter_under_explode(spark):
+    """Regression guard for the InferFiltersFromGenerate exclusion
+    (session.py RUNTIME_CONFS): the inferred size(arr)>0 filter under an
+    explode of a COMPUTED array gets pushed below the array's
+    materializing Project, re-running the tokenizer inside every
+    element_at of the n-gram lambda (measured 20x+). The optimized plan
+    of an n-gram explode must not contain a Filter evaluating the
+    transform lambda."""
+    from pyspark.sql import functions as F
+
+    from odp_dynamic_data_pipeline_spark.operators.dedup import hashed_shingles_direct
+
+    df = spark.createDataFrame([(1, "a b c d e f g h i j")], "doc_id long, text string")
+    out = hashed_shingles_direct(df, "doc_id", "text", n=8).select(
+        "doc_id", F.explode("hsh").alias("g")
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if line.strip().startswith("Filter") or "+- Filter" in line:
+            assert "transform(" not in line, f"lambda leaked into a Filter: {line[:200]}"
