@@ -35,6 +35,7 @@ Spec schema (see pipelines/observability_correlation_pipeline.yaml):
           - op: filter | select | with_column      # expression transforms
           - op: scrub_pii | fingerprint | quality  # text operators
           - op: dedup_exact | chunk | stratified_sample
+          - op: pack_sequences | boilerplate_scrub
         output:
           path: <path, may contain {hour}>   # optional
           format: json | parquet | json_array
@@ -104,6 +105,22 @@ def _apply_transform(df: DataFrame, t: dict) -> DataFrame:
     if op == "stratified_sample":
         return _text.stratified_sample(
             df, t["strata_col"], t["rates_16ths"], t.get("id_col", "doc_id")
+        )
+    if op == "pack_sequences":
+        return _text.pack_sequences(
+            df,
+            t.get("text_col", "text"),
+            seq_tokens=t.get("seq_tokens", 2048),
+            part_col=t.get("part_col", "lang"),
+            id_col=t.get("id_col", "doc_id"),
+        )
+    if op == "boilerplate_scrub":
+        return _text.boilerplate_scrub(
+            df,
+            t.get("text_col", "text"),
+            block_tokens=t.get("block_tokens", 8),
+            min_docs=t.get("min_docs", 3),
+            id_col=t.get("id_col", "doc_id"),
         )
     raise ValueError(f"unknown transform op: {op}")
 

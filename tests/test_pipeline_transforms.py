@@ -56,3 +56,57 @@ def test_yaml_transform_unknown_op_raises(spark):
     bad = yaml.safe_load(SPEC.replace("op: quality", "op: frobnicate"))
     with pytest.raises(ValueError, match="frobnicate"):
         Pipeline(bad).compile(spark, path_vars={"sf": SF})
+
+
+PACK_SPEC = """
+pipeline_name: shard_prep
+stages:
+  scrub_and_pack:
+    description: boilerplate scrub stats + packing manifest, from config
+    input:
+      format: parquet
+      path: "{sf}/documents.parquet"
+    transforms:
+      - op: pack_sequences
+        seq_tokens: 128
+        part_col: lang
+"""
+
+
+def test_yaml_pack_sequences_equals_operator(spark):
+    p = Pipeline(yaml.safe_load(PACK_SPEC))
+    out = p.compile(spark, path_vars={"sf": SF})[0]["scrub_and_pack"]
+    hand = tx.pack_sequences(
+        load_table(spark, SF, "documents").select("lang", "doc_id", "text"),
+        seq_tokens=128,
+    )
+    got = {(r["lang"], r["doc_id"]): (r["seq_id"], r["seq_offset"]) for r in out.collect()}
+    want = {(r["lang"], r["doc_id"]): (r["seq_id"], r["seq_offset"]) for r in hand.collect()}
+    assert got == want and len(got) > 0
+
+
+BP_SPEC = """
+pipeline_name: scrub_demo
+stages:
+  scrub:
+    description: repeated-block removal from config
+    input:
+      format: parquet
+      path: "{sf}/documents.parquet"
+    transforms:
+      - op: boilerplate_scrub
+        block_tokens: 4
+        min_docs: 3
+"""
+
+
+def test_yaml_boilerplate_scrub_equals_operator(spark):
+    p = Pipeline(yaml.safe_load(BP_SPEC))
+    out = p.compile(spark, path_vars={"sf": SF})[0]["scrub"]
+    hand = tx.boilerplate_scrub(
+        load_table(spark, SF, "documents").select("doc_id", "text"),
+        block_tokens=4, min_docs=3,
+    )
+    got = {r["doc_id"]: (r["n_blocks"], r["n_dropped"]) for r in out.collect()}
+    want = {r["doc_id"]: (r["n_blocks"], r["n_dropped"]) for r in hand.collect()}
+    assert got == want and len(got) > 0
