@@ -296,3 +296,45 @@ def boilerplate_scrub(
             ).alias("clean_text"),
         )
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-statistics quality score: per document, the sum and mean of
+    each token's integer surprisal proxy ``bits(N / freq(token))`` where N
+    is the corpus token count -- the cheap stand-in for LM perplexity that
+    flags rare-token-heavy documents (gibberish, encoding damage, wrong
+    language) before any model-based scoring.
+
+    ``bits(x) = length(bin(x)) = floor(log2(x)) + 1`` keeps the whole score
+    in exact integer arithmetic: transcendental log() is NOT bit-identical
+    across engines/libms, but binary-digit counting is, so the score is
+    oracle-checkable and retry-stable.
+
+    Scale shape: one shuffle builds the token-frequency table, one join
+    tags occurrences (the frequency table gets a floor + broadcast at
+    corpus scale), one aggregation per document.
+
+    Output: (id_col, n_tokens, surprisal_bits, mean_surprisal_e3)."""
+    toks = with_tokens(df.select(id_col, text_col), text_col, "__toks").select(
+        id_col, F.explode("__toks").alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_total = freq.agg(F.sum("tf").alias("n")).select("n")
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            id_col,
+            F.expr("length(bin(CAST(n AS BIGINT) div CAST(tf AS BIGINT)))").alias("bits"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("bits").cast("long").alias("surprisal_bits"),
+        F.expr("(1000 * CAST(sum(bits) AS BIGINT)) div count(1)").alias("mean_surprisal_e3"),
+    )

@@ -1308,3 +1308,31 @@ def boilerplate_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dropped").cast("long").alias("n_dropped"),
         F.md5("clean_text").alias("clean_md5"),
     )
+
+
+@register(
+    "token_surprisal_scores",
+    """
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+total AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM freq),
+scored AS (
+  SELECT t.doc_id, length(format('{:b}', n // tf)) AS bits
+  FROM toks t JOIN freq f ON f.tok = t.tok, total
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
+       (1000 * CAST(SUM(bits) AS BIGINT)) // COUNT(*) AS mean_surprisal_e3
+FROM scored GROUP BY doc_id
+""",
+)
+def token_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram surprisal quality score (operators.text.unigram_surprisal):
+    integer bits(N/tf) per token summed per document -- the perplexity
+    proxy that stays bit-identical across engines because it counts
+    binary digits instead of calling log()."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.unigram_surprisal(docs)

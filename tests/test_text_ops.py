@@ -164,3 +164,17 @@ def test_chunk_documents_stride_exceeds_window(spark):
     )
     assert [r["chunk_text"] for r in out] == ["g0 g1", "g5 g6"]
     assert all(r["n_chunk_tokens"] == 2 for r in out)
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    from odp_dynamic_data_pipeline_spark.operators.text import unigram_surprisal
+
+    # corpus: 8 tokens total; "a" x4 (N/tf=2 -> 2 bits), "b" x2 (4 -> 3 bits),
+    # "c" x1 (8 -> 4 bits), "d" x1 (8 -> 4 bits)
+    rows = [(1, "a a b c"), (2, "a a b d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["surprisal_bits"] == 2 + 2 + 3 + 4  # 11
+    assert got[2]["surprisal_bits"] == 11
+    assert got[1]["mean_surprisal_e3"] == (1000 * 11) // 4
