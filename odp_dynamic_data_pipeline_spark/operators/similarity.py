@@ -202,6 +202,66 @@ def kmeans_quantizer(
     return cents, result
 
 
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding space
+    with the trained coarse quantizer (:func:`kmeans_quantizer`), then mark
+    a vector as a semantic duplicate when a LOWER-id vector in the SAME
+    cluster has cosine similarity >= ``threshold`` (greedy keep-first
+    policy, deterministic).
+
+    The cluster is the blocking key: candidate pairs are generated by an
+    equi-join on the cluster id, never all-pairs -- at 100 TB the same
+    shape runs with k ~ sqrt(N) clusters so the expected per-cluster pair
+    count stays bounded, and the join shuffles only (id, cluster, qvec)
+    rows.  Cosine is computed on exact integer micro-unit vectors (one
+    zip_with/aggregate fold per surviving pair, JVM-side), so the whole
+    pipeline -- training included -- replays bit-identically in the DuckDB
+    oracle.
+
+    Returns one row per input vector: (id_col, cluster_id, is_dup).
+    """
+    _, assigned = kmeans_quantizer(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        "ivf_list",
+        F.col("qvec").alias("qa"),
+        F.col("qnorm").alias("na"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        "ivf_list",
+        F.col("qvec").alias("qb"),
+        F.col("qnorm").alias("nb"),
+    )
+    pairs = a.join(b, "ivf_list").where(F.col("id_a") < F.col("id_b"))
+    dot = F.expr(DOT.format(a="qa", b="qb"))
+    cosine = dot.cast("double") / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+    dup_ids = (
+        pairs.select("id_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        assigned.select(id_col, F.col("ivf_list").cast("int").alias("cluster_id"))
+        .join(dup_ids, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce("__dup", F.lit(0)).cast("int").alias("is_dup"),
+        )
+    )
+
+
 def _hyperplane_sign(vec_col: str, plane: int, dim: int) -> F.Column:
     """Sign of <v, h_plane> where h_plane[j] in {-1,+1} derives from
     xxhash64(plane, j) -- a deterministic random hyperplane."""

@@ -23,8 +23,10 @@ LANG_PROFILES: dict[str, list[str]] = {
 
 
 def tokens(col: Column | str) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.expr(f"regexp_extract_all({c._jc.toString() if hasattr(c, '_jc') else col}, '{TOKEN_PATTERN}', 0)")
+    # Raw SQL string literal (r'...'): a plain '...' literal would swallow
+    # the backslash and tokenize with the regex "S+".
+    name = col if isinstance(col, str) else col._jc.toString()
+    return F.expr(f"regexp_extract_all({name}, r'{TOKEN_PATTERN}', 0)")
 
 
 def with_tokens(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> DataFrame:
@@ -337,4 +339,97 @@ def unigram_surprisal(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("bits").cast("long").alias("surprisal_bits"),
         F.expr("(1000 * CAST(sum(bits) AS BIGINT)) div count(1)").alias("mean_surprisal_e3"),
+    )
+
+
+def shared_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Exact repeated-span detection (the substring-level dedup signal of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every ``span_tokens``-token sliding window is fingerprinted
+    with md5; a span is SHARED when the same fingerprint occurs in at
+    least two distinct documents, and each document reports what fraction
+    of its spans is shared -- the per-doc signal a curation pass thresholds
+    on to drop boilerplate-heavy documents.
+
+    Tokenization is materialized into a column before the window lambda
+    (one regex pass per document, not per span), windows are JVM
+    slice/array_join arithmetic, and the corpus-wide span frequency is one
+    shuffle on the 16-byte fingerprint with map-side partial aggregation.
+    Documents shorter than ``span_tokens`` tokens have no spans and are
+    excluded (no 0/0 fraction).
+
+    Output: (id_col, n_spans, n_shared_spans, shared_frac_e6)."""
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import ensure_min_parallelism
+
+    w = span_tokens
+    spans = (
+        ensure_min_parallelism(df.select(id_col, text_col))
+        .withColumn("__toks", tokens(text_col))
+        .where(F.expr(f"size(__toks) >= {w}"))
+        .withColumn(
+            "__spans",
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {w - 1}),"
+                f" i -> md5(array_join(slice(__toks, i, {w}), ' ')))"
+            ),
+        )
+        .select(id_col, F.explode("__spans").alias("h"))
+    )
+    span_docs = spans.groupBy("h").agg(F.count_distinct(F.col(id_col)).alias("nd"))
+    return (
+        spans.join(span_docs, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("long").alias("n_shared_spans"),
+            F.expr(
+                "(1000000 * CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)) div count(1)"
+            ).alias("shared_frac_e6"),
+        )
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based corpus mixture weights (the multilingual /
+    multi-source resampling rule w_g = n_g^alpha, alpha = 0.5): how hard
+    to oversample low-resource groups when drawing the training mixture.
+
+    alpha = 1/2 keeps the whole computation integer-exact across engines:
+    weight_e3 = floor(sqrt(n_docs * 1e6)) uses the correctly-rounded IEEE
+    sqrt both engines share, and the normalizing total is a bigint sum --
+    no transcendental pow(), no order-dependent double accumulation.
+
+    One aggregation to the group counts (|groups| rows), then a broadcast
+    of the single-row total; nothing else touches the corpus.
+
+    Output: (group_col, n_docs, n_tokens, weight_e3, share_e6,
+    oversample_e6 = share relative to the natural document share)."""
+    counts = df.select(group_col, text_col).groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("long").alias("n_tokens"),
+    )
+    weighted = counts.withColumn(
+        "weight_e3",
+        F.expr("CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT)"),
+    )
+    totals = weighted.agg(
+        F.sum("weight_e3").alias("w_total"), F.sum("n_docs").alias("d_total")
+    )
+    return weighted.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        "weight_e3",
+        F.expr("(1000000 * weight_e3) div w_total").alias("share_e6"),
+        F.expr("((1000000 * weight_e3) div w_total) * d_total div n_docs").alias("oversample_e6"),
     )

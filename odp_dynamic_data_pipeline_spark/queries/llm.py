@@ -505,12 +505,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(docs, "doc_id")
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
-    """Unrolled-Lloyd DuckDB oracle: the iteration count is a fixed
+def _kmeans_cte(k: int = 8, iters: int = 3) -> str:
+    """Unrolled-Lloyd DuckDB CTE prefix: the iteration count is a fixed
     hyperparameter, so the loop unrolls into ``iters`` chained CTE blocks
     (assign -> per-(cluster, pos) integer-mean update with empty clusters
     keeping their centroid) -- replaying operators.similarity.
-    kmeans_quantizer value-for-value with no recursion."""
+    kmeans_quantizer value-for-value with no recursion.  Exposes
+    ``assign_{iters}`` (vec_id, lst), plus ``e`` (quantized vectors) and
+    ``norms`` for downstream tails."""
     head = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
@@ -554,11 +556,59 @@ cents_{i} AS (
   SELECT p.j, p.pos, COALESCE(s.m, p.cv) AS cv
   FROM cents_{p} p LEFT JOIN cstats_{i} s ON s.j = p.j AND s.pos = p.pos
 )""")
+    return head + "".join(blocks)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
     tail = f"""
 SELECT CAST(lst AS INTEGER) AS ivf_list, COUNT(*) AS n_vectors
 FROM assign_{iters} GROUP BY lst ORDER BY ivf_list
 """
-    return head + "".join(blocks) + tail
+    return _kmeans_cte(k, iters) + tail
+
+
+def _semdedup_oracle(k: int = 8, iters: int = 3, threshold: float = 0.2) -> str:
+    """SemDeDup oracle: the unrolled-Lloyd CTE prefix feeds a
+    within-cluster pairwise cosine tail (cluster = blocking key, exactly
+    like the Spark side's equi-join on the quantizer's list id)."""
+    tail = f""",
+cpairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign_{iters} a JOIN assign_{iters} b
+    ON a.lst = b.lst AND a.vec_id < b.vec_id
+),
+pv AS (
+  SELECT p.id_a, p.id_b, UNNEST(ea.q) AS av, UNNEST(eb.q) AS bv
+  FROM cpairs p
+  JOIN e ea ON ea.vec_id = p.id_a
+  JOIN e eb ON eb.vec_id = p.id_b
+),
+dots AS (SELECT id_a, id_b, CAST(SUM(av * bv) AS BIGINT) AS dot FROM pv GROUP BY id_a, id_b),
+dup AS (
+  SELECT DISTINCT d.id_b AS vec_id
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.id_a
+  JOIN norms nb ON nb.vec_id = d.id_b
+  WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= {threshold!r}
+)
+SELECT a.vec_id, CAST(a.lst AS INTEGER) AS cluster_id,
+       CAST(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+FROM assign_{iters} a LEFT JOIN dup ON dup.vec_id = a.vec_id
+"""
+    return _kmeans_cte(k, iters) + tail
+
+
+@register("semantic_dedup_clusters", _semdedup_oracle(k=8, iters=3, threshold=0.2))
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-threshold semantic dedup,
+    operators.similarity.semantic_dedup): train the coarse quantizer, block
+    candidate pairs by cluster id, mark any vector whose cosine to a
+    lower-id cluster-mate reaches 0.2 as a semantic duplicate.  The whole
+    chain -- Lloyd training, assignment, pairwise cosine, keep-first policy
+    -- is deterministic integer math, so the DuckDB oracle replays it
+    value-for-value."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(emb, k=8, iters=3, threshold=0.2)
 
 
 @register("kmeans_ivf_lists", _kmeans_oracle(k=8, iters=3))
@@ -1336,3 +1386,60 @@ def token_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary digits instead of calling log()."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.unigram_surprisal(docs)
+
+
+@register(
+    "shared_span_stats",
+    """
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+st AS (
+  SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 7)) AS i
+  FROM toks WHERE len(t) >= 8
+),
+sp AS (SELECT doc_id, md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h FROM st),
+sd AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY h)
+SELECT sp.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN sd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
+       (1000000 * CAST(SUM(CASE WHEN sd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS shared_frac_e6
+FROM sp JOIN sd USING (h)
+GROUP BY sp.doc_id
+""",
+)
+def shared_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span (substring-level) duplication signal
+    (operators.text.shared_span_stats): per-document fraction of 8-token
+    sliding windows whose md5 fingerprint appears in >= 2 distinct
+    documents -- the Lee-et-al-style span dedup metric a curation pass
+    thresholds on."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.shared_span_stats(docs, span_tokens=8)
+
+
+@register(
+    "corpus_mixture_weights",
+    """
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT) AS weight_e3
+  FROM counts
+),
+t AS (SELECT CAST(SUM(weight_e3) AS BIGINT) AS w_total, CAST(SUM(n_docs) AS BIGINT) AS d_total FROM w)
+SELECT lang, n_docs, n_tokens, weight_e3,
+       (1000000 * weight_e3) // w_total AS share_e6,
+       ((1000000 * weight_e3) // w_total) * d_total // n_docs AS oversample_e6
+FROM w, t
+""",
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled corpus mixture weights
+    (operators.text.mixture_weights, alpha = 0.5): sqrt-scaled per-language
+    sampling shares, integer-exact across engines (floor(sqrt(n*1e6))
+    milli-weights, bigint normalization -- no pow(), no double sums)."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return tx.mixture_weights(docs, group_col="lang")

@@ -1,0 +1,91 @@
+"""Round-3 LLM-data operators: semantic dedup (SemDeDup), repeated-span
+stats, temperature mixture weights."""
+
+from __future__ import annotations
+
+import math
+
+from odp_dynamic_data_pipeline_spark.operators.similarity import semantic_dedup
+from odp_dynamic_data_pipeline_spark.operators.text import mixture_weights, shared_span_stats
+
+
+def _emb_df(spark):
+    # ids 0-3 are the 4 distinct directions (= the deterministic first-k
+    # seeds); ids 4-7 are near-duplicates of them; dim 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 1),
+        (2, [0.0, 0.0, 1.0, 0.0], 2),
+        (3, [0.0, 0.0, 0.0, 1.0], 3),
+        (4, [0.99, 0.01, 0.0, 0.0], 0),
+        (5, [0.98, 0.0, 0.01, 0.0], 0),
+        (6, [0.01, 0.99, 0.0, 0.0], 1),
+        (7, [0.0, 0.01, 0.99, 0.0], 2),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_semantic_dedup_marks_cluster_mates(spark):
+    out = semantic_dedup(_emb_df(spark), k=4, iters=2, threshold=0.9).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 8  # one row per input vector
+    # every cluster's lowest-id member is kept (keep-first policy)
+    clusters: dict[int, list[int]] = {}
+    for r in out:
+        clusters.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    for members in clusters.values():
+        assert by_id[min(members)]["is_dup"] == 0
+    # near-duplicates of a lower-id vector land in its cluster and are marked
+    for dup, keeper in ((4, 0), (5, 0), (6, 1), (7, 2)):
+        assert by_id[dup]["cluster_id"] == by_id[keeper]["cluster_id"]
+        assert by_id[dup]["is_dup"] == 1, dup
+    # the four direction archetypes are all kept
+    for keeper in (0, 1, 2, 3):
+        assert by_id[keeper]["is_dup"] == 0
+
+
+def test_semantic_dedup_threshold_above_one_keeps_all(spark):
+    out = semantic_dedup(_emb_df(spark), k=4, iters=1, threshold=1.1).collect()
+    assert all(r["is_dup"] == 0 for r in out)
+
+
+def test_shared_span_stats_known_overlap(spark):
+    prefix = " ".join(f"s{i}" for i in range(8))  # one exact 8-token span
+    rows = [
+        (1, prefix + " aa bb"),          # spans: 3 (starts 1..3), 1 shared
+        (2, prefix + " cc dd ee"),       # spans: 4, 1 shared
+        (3, "zz yy xx ww vv uu tt ss"),  # 1 span, unshared
+        (4, "too short"),                # < 8 tokens -> excluded
+    ]
+    out = {r["doc_id"]: r for r in shared_span_stats(
+        spark.createDataFrame(rows, "doc_id long, text string"), span_tokens=8
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_spans"] == 3 and out[1]["n_shared_spans"] == 1
+    assert out[2]["n_spans"] == 4 and out[2]["n_shared_spans"] == 1
+    assert out[3]["n_spans"] == 1 and out[3]["n_shared_spans"] == 0
+    assert out[1]["shared_frac_e6"] == 1_000_000 // 3
+    assert out[3]["shared_frac_e6"] == 0
+
+
+def test_mixture_weights_sqrt_shares(spark):
+    rows = [("en", "a b c")] * 9 + [("fr", "d e")] * 4 + [("de", "f")]
+    out = {r["lang"]: r for r in mixture_weights(
+        spark.createDataFrame(rows, "lang string, text string")
+    ).collect()}
+    # weight_e3 = floor(sqrt(n * 1e6)): 9 -> 3000, 4 -> 2000, 1 -> 1000
+    assert out["en"]["weight_e3"] == 3000
+    assert out["fr"]["weight_e3"] == 2000
+    assert out["de"]["weight_e3"] == 1000
+    total = 6000
+    for lang, n in (("en", 9), ("fr", 4), ("de", 1)):
+        r = out[lang]
+        assert r["n_docs"] == n
+        assert r["share_e6"] == 1_000_000 * r["weight_e3"] // total
+        assert r["oversample_e6"] == r["share_e6"] * 14 // n
+    assert out["en"]["n_tokens"] == 27 and out["de"]["n_tokens"] == 1
+    # low-resource groups are oversampled relative to their natural share
+    assert out["de"]["oversample_e6"] > 1_000_000 > out["en"]["oversample_e6"]
+    # sanity: the exact-integer weights match the analytic alpha=0.5 rule
+    for lang, n in (("en", 9), ("fr", 4), ("de", 1)):
+        assert out[lang]["weight_e3"] == math.floor(math.sqrt(n * 1_000_000))
