@@ -433,3 +433,57 @@ def mixture_weights(
         F.expr("(1000000 * weight_e3) div w_total").alias("share_e6"),
         F.expr("((1000000 * weight_e3) div w_total) * d_total div n_docs").alias("oversample_e6"),
     )
+
+
+def span_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Prefix-ordered span novelty: the fraction of a document's
+    ``span_tokens``-token windows whose fingerprint has NOT appeared in any
+    lower-id document -- the signal used to order or down-weight documents
+    whose content is already covered earlier in the corpus (greedy
+    coverage / curriculum curation).
+
+    A span's first owner is min(id) over its occurrences, so novelty needs
+    only the same one-shuffle span-frequency table as
+    :func:`shared_span_stats` (group by fingerprint keeping min(id)), then
+    a join back and a per-document aggregate.  Windows repeated WITHIN one
+    document count as novel only where the document itself is the first
+    owner (self-repeats of an inherited span are not novel).
+
+    Output: (id_col, n_spans, n_novel_spans, novelty_e6)."""
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import ensure_min_parallelism
+
+    w = span_tokens
+    spans = (
+        ensure_min_parallelism(df.select(id_col, text_col))
+        .withColumn("__toks", tokens(text_col))
+        .where(F.expr(f"size(__toks) >= {w}"))
+        .withColumn(
+            "__spans",
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {w - 1}),"
+                f" i -> md5(array_join(slice(__toks, i, {w}), ' ')))"
+            ),
+        )
+        .select(id_col, F.explode("__spans").alias("h"))
+    )
+    first_owner = spans.groupBy("h").agg(F.min(F.col(id_col)).alias("first_id"))
+    return (
+        spans.join(first_owner, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("first_id") == F.col(id_col), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel_spans"),
+            F.expr(
+                f"(1000000 * CAST(sum(CASE WHEN first_id = {id_col} THEN 1 ELSE 0 END) AS BIGINT))"
+                " div count(1)"
+            ).alias("novelty_e6"),
+        )
+    )

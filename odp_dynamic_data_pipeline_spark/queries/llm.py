@@ -1443,3 +1443,29 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     milli-weights, bigint normalization -- no pow(), no double sums)."""
     docs = load_table(spark, sf_dir, "documents").select("lang", "text")
     return tx.mixture_weights(docs, group_col="lang")
+
+
+@register(
+    "span_novelty_scores",
+    """
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+st AS (
+  SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 7)) AS i
+  FROM toks WHERE len(t) >= 8
+),
+sp AS (SELECT doc_id, md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h FROM st),
+fo AS (SELECT h, MIN(doc_id) AS first_id FROM sp GROUP BY h)
+SELECT sp.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN fo.first_id = sp.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel_spans,
+       (1000000 * CAST(SUM(CASE WHEN fo.first_id = sp.doc_id THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS novelty_e6
+FROM sp JOIN fo USING (h)
+GROUP BY sp.doc_id
+""",
+)
+def span_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-ordered span novelty (operators.text.span_novelty): fraction
+    of a doc's 8-token windows first seen in THIS doc (min-id ownership) --
+    the greedy-coverage signal for corpus ordering and down-weighting."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.span_novelty(docs, span_tokens=8)

@@ -89,3 +89,20 @@ def test_mixture_weights_sqrt_shares(spark):
     # sanity: the exact-integer weights match the analytic alpha=0.5 rule
     for lang, n in (("en", 9), ("fr", 4), ("de", 1)):
         assert out[lang]["weight_e3"] == math.floor(math.sqrt(n * 1_000_000))
+
+
+def test_span_novelty_prefix_ordering(spark):
+    from odp_dynamic_data_pipeline_spark.operators.text import span_novelty
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (1, shared + " aa"),   # 2 spans, both first seen here -> fully novel
+        (2, shared + " bb"),   # 2 spans: inherited prefix + 1 novel
+        (3, shared),           # 1 span, wholly inherited -> zero novelty
+    ]
+    out = {r["doc_id"]: r for r in span_novelty(
+        spark.createDataFrame(rows, "doc_id long, text string"), span_tokens=8
+    ).collect()}
+    assert out[1]["n_novel_spans"] == 2 and out[1]["novelty_e6"] == 1_000_000
+    assert out[2]["n_novel_spans"] == 1 and out[2]["novelty_e6"] == 500_000
+    assert out[3]["n_novel_spans"] == 0 and out[3]["novelty_e6"] == 0
