@@ -7,7 +7,7 @@ so these run at full whole-stage-codegen speed over 100 TB of documents.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_PATTERN = r"\S+"
@@ -486,4 +486,169 @@ def span_novelty(
                 " div count(1)"
             ).alias("novelty_e6"),
         )
+    )
+
+
+def bpe_merge_step(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    top_k: int = 20,
+) -> DataFrame:
+    """One BPE-training merge step at corpus scale: the ``top_k`` most
+    frequent adjacent character pairs, weighted by word frequency -- the
+    statistic a tokenizer trainer computes to pick its next merge.  Running
+    it on the engine (instead of sampling to a single machine) is how a
+    100 TB corpus gets an honestly-representative tokenizer.
+
+    Two vocab-sized shuffles: corpus -> word frequencies (map-side combine
+    collapses repeats per executor first), then distinct words -> pair
+    counts.  The per-word pair expansion runs on the DISTINCT vocabulary
+    (|V| rows), not the corpus, so the explode is tiny relative to input.
+    Top-k via orderBy+limit, which Spark compiles to TakeOrderedAndProject
+    (per-partition heaps + single merge -- no global sort, no
+    single-partition shuffle of the full pair table).
+
+    Output: (pair, pair_count, rank), rank 1-based by (count desc, pair)."""
+    wf = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = (
+        wf.where(F.length("w") >= 2)
+        .select(
+            "f",
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        # pair_count is bounded by total corpus chars; decimal(38,0)
+        # accumulator per the repo overflow discipline, long on output
+        .agg(F.sum(F.col("f").cast("decimal(38,0)")).cast("long").alias("pair_count"))
+    )
+    top = pairs.orderBy(F.desc("pair_count"), "pair").limit(top_k)
+    w = Window.orderBy(F.desc("pair_count"), "pair")
+    return top.select(
+        "pair", "pair_count", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def shard_assignment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    seed: int = 42,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    pseudo-random but reproducible (shard, position) from
+    md5(seed ':' id) -- the standard way to randomize example order for
+    training without a true (irreproducible) shuffle.  Re-running with the
+    same seed on any engine yields byte-identical shard manifests.
+
+    One shuffle: hash-partition by shard, then an in-shard row_number over
+    the md5 sort key.  Choose n_shards ~ target output file count (hundreds
+    to thousands at 100 TB) so each shard's window sort fits an executor;
+    shards are md5-balanced so skew is ~1/sqrt(rows/shard).
+
+    Output: (id_col, shard, pos) -- pos is 1-based within the shard."""
+    keyed = df.select(
+        id_col,
+        F.expr(f"md5(concat('{seed}:', CAST({id_col} AS STRING)))").alias("__k"),
+    ).withColumn(
+        "shard",
+        F.expr(f"CAST(conv(substr(__k, 1, 8), 16, 10) AS BIGINT) % {n_shards}"),
+    )
+    w = Window.partitionBy("shard").orderBy("__k", id_col)
+    return keyed.select(
+        id_col, "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
+def zipf_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    top_k: int = 100,
+) -> DataFrame:
+    """Zipf rank/frequency head of the corpus with cumulative coverage:
+    for the top_k most frequent tokens, what fraction of ALL corpus tokens
+    the vocabulary up to rank r covers.  The curve a tokenizer/vocab-size
+    decision reads (and the fastest smell test for boilerplate domination).
+
+    One corpus->vocab shuffle with map-side combine, then
+    TakeOrderedAndProject for the head (no global sort) and a window over
+    the top_k surviving rows only.  The corpus token total rides along as a
+    broadcast single-row cross join (corpus-constant pattern, same as
+    tfidf_top_terms).
+
+    Output: (rank, token, n, cum_n, coverage_e6)."""
+    tf = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = tf.agg(F.sum(F.col("n").cast("decimal(38,0)")).cast("long").alias("n_total"))
+    top = tf.orderBy(F.desc("n"), "token").limit(top_k)
+    w = Window.orderBy(F.desc("n"), "token")
+    ranked = top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "token",
+        "n",
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum_n"),
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "token",
+        "n",
+        "cum_n",
+        F.expr("(1000000 * cum_n) div n_total").alias("coverage_e6"),
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    buckets: int = 2001,
+) -> DataFrame:
+    """fastText-shaped model-based quality filter, engine-portable: each
+    token hashes into one of ``buckets`` weight bins, the bin's weight is a
+    deterministic function of the hash (md5 -> [-(buckets div 2),
+    +(buckets div 2)]), and the document score is the mean token weight.
+    The SHAPE is exactly a hashed bag-of-words linear classifier -- swap
+    the md5-derived weights for a broadcast learned-weight map and this is
+    production model-based filtering; the md5 weights keep it
+    cross-engine-verifiable here.
+
+    Map-only, zero shuffles: the token fold runs in one aggregate() lambda
+    inside whole-stage codegen; no Python touches the 100 TB hot path.
+
+    Output: (id_col, n_tokens, score_sum, score_e6, keep)."""
+    half = buckets // 2
+    out = (
+        df.select(id_col, text_col)
+        .withColumn("__toks", tokens(text_col))
+        .where(F.expr("size(__toks) >= 1"))
+        .select(
+            id_col,
+            F.expr("size(__toks)").cast("long").alias("n_tokens"),
+            F.expr(
+                "aggregate(transform(__toks,"
+                f" t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % {buckets} - {half}),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("score_sum"),
+        )
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "score_sum",
+        F.expr("(1000000 * score_sum) div n_tokens").alias("score_e6"),
+        (F.col("score_sum") > 0).alias("keep"),
     )

@@ -1469,3 +1469,91 @@ def span_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the greedy-coverage signal for corpus ordering and down-weighting."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.span_novelty(docs, span_tokens=8)
+
+
+@register(
+    "bpe_top_merges",
+    r"""
+WITH toks AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents),
+wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY w),
+ex AS (SELECT w, f, UNNEST(generate_series(1, length(w) - 1)) AS i
+       FROM wf WHERE length(w) >= 2),
+pc AS (SELECT substr(w, i, 2) AS pair, CAST(SUM(f) AS BIGINT) AS pair_count
+       FROM ex GROUP BY substr(w, i, 2)),
+rk AS (SELECT pair, pair_count,
+              CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS BIGINT) AS rank
+       FROM pc)
+SELECT pair, pair_count, rank FROM rk WHERE rank <= 20
+""",
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One tokenizer-training (BPE) merge step on the engine
+    (operators.text.bpe_merge_step): top-20 adjacent character pairs
+    weighted by word frequency.  Pair expansion runs over the DISTINCT
+    vocabulary; top-k is TakeOrderedAndProject, not a global sort."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return tx.bpe_merge_step(docs, top_k=20)
+
+
+@register(
+    "shard_manifest",
+    """
+WITH k AS (SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS kk FROM documents),
+s AS (SELECT doc_id, kk, ('0x' || substr(kk, 1, 8))::BIGINT % 16 AS shard FROM k)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY kk, doc_id) AS BIGINT) AS pos
+FROM s
+""",
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle
+    (operators.text.shard_assignment): seeded md5 sort key -> (shard, pos)
+    manifest, reproducible on any engine.  One hash-partition shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return tx.shard_assignment(docs, seed=42, n_shards=16)
+
+
+@register(
+    "zipf_head_coverage",
+    r"""
+WITH tok AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents),
+tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM tf),
+rk AS (SELECT token, n,
+              CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+              CAST(SUM(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+       FROM tf)
+SELECT rank, token, n, cum_n, (1000000 * cum_n) // n_total AS coverage_e6
+FROM rk, tot WHERE rank <= 100
+""",
+)
+def zipf_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head of the corpus vocabulary with cumulative coverage
+    (operators.text.zipf_coverage): rank/frequency plus the fraction of all
+    corpus tokens covered through rank r.  TakeOrderedAndProject head +
+    broadcast corpus-constant total."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return tx.zipf_coverage(docs, top_k=100)
+
+
+@register(
+    "model_quality_score",
+    r"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t FROM documents),
+sc AS (SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000) AS BIGINT) AS score_sum
+       FROM toks GROUP BY doc_id)
+SELECT doc_id, n_tokens, score_sum,
+       (1000000 * score_sum) // n_tokens AS score_e6,
+       score_sum > 0 AS keep
+FROM sc
+""",
+)
+def model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear quality filter
+    (operators.text.hashed_linear_score): fastText-shaped scoring where
+    each token hashes to a weight bin; md5-derived weights keep it
+    oracle-verifiable.  Map-only, zero shuffles, whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.hashed_linear_score(docs, buckets=2001)

@@ -106,3 +106,67 @@ def test_span_novelty_prefix_ordering(spark):
     assert out[1]["n_novel_spans"] == 2 and out[1]["novelty_e6"] == 1_000_000
     assert out[2]["n_novel_spans"] == 1 and out[2]["novelty_e6"] == 500_000
     assert out[3]["n_novel_spans"] == 0 and out[3]["novelty_e6"] == 0
+
+
+def test_bpe_merge_step_weighted_pairs(spark):
+    from odp_dynamic_data_pipeline_spark.operators.text import bpe_merge_step
+
+    # "abab" x3 -> pairs ab(x2*3=6), ba(x1*3=3); "abc" x2 -> ab+2, bc+2
+    rows = [(1, "abab abab abab"), (2, "abc abc")]
+    out = bpe_merge_step(
+        spark.createDataFrame(rows, "doc_id long, text string"), top_k=3
+    ).collect()
+    got = [(r["pair"], r["pair_count"], r["rank"]) for r in out]
+    assert got == [("ab", 8, 1), ("ba", 3, 2), ("bc", 2, 3)]
+
+
+def test_shard_assignment_deterministic(spark):
+    from odp_dynamic_data_pipeline_spark.operators.text import shard_assignment
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = sorted(map(tuple, shard_assignment(df, seed=7, n_shards=4).collect()))
+    b = sorted(map(tuple, shard_assignment(df, seed=7, n_shards=4).collect()))
+    assert a == b                                 # reproducible
+    shards = {t[1] for t in a}
+    assert shards <= set(range(4)) and len(shards) == 4
+    # positions are a 1..k dense sequence within each shard
+    from collections import defaultdict
+    per = defaultdict(list)
+    for _, s, p in a:
+        per[s].append(p)
+    for s, ps in per.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # a different seed produces a different permutation
+    c = sorted(map(tuple, shard_assignment(df, seed=8, n_shards=4).collect()))
+    assert a != c
+
+
+def test_zipf_coverage_monotone_head(spark):
+    from odp_dynamic_data_pipeline_spark.operators.text import zipf_coverage
+
+    rows = [(1, "a a a a b b b c c d")]
+    out = zipf_coverage(
+        spark.createDataFrame(rows, "doc_id long, text string"), top_k=3
+    ).orderBy("rank").collect()
+    assert [(r["rank"], r["token"], r["n"], r["cum_n"]) for r in out] == [
+        (1, "a", 4, 4), (2, "b", 3, 7), (3, "c", 2, 9)
+    ]
+    assert out[-1]["coverage_e6"] == 900_000
+
+
+def test_hashed_linear_score_mean_weight(spark):
+    from odp_dynamic_data_pipeline_spark.operators.text import hashed_linear_score
+    import hashlib
+
+    def w(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    rows = [(1, "foo bar foo"), (2, "")]
+    out = {r["doc_id"]: r for r in hashed_linear_score(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()}
+    exp = 2 * w("foo") + w("bar")
+    assert out[1]["score_sum"] == exp
+    # Spark's div truncates toward zero, like Python's int() on the float
+    assert out[1]["score_e6"] == int(1_000_000 * exp / 3)
+    assert 2 not in out                           # empty docs filtered
