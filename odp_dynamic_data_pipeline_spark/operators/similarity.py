@@ -555,3 +555,28 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("qid", "cand_id", "rank", "cosine")
     )
+
+
+def centroid_assign_exact(
+    df: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str = "qvec",
+    topic_col: str = "topic",
+    dist_col: str = "d2",
+) -> DataFrame:
+    """Assign each quantized vector to the nearest of ``centroids`` by
+    exact integer squared L2, keeping the distance; ties break to the
+    lowest centroid index.  The centroids are driver-collected constants
+    (k x dim ints) folded into one JVM expression -- assignment is a pure
+    map inside whole-stage codegen, NO join, NO shuffle: the pattern that
+    lets a 100 TB topical-filter pass run at scan speed."""
+    entries = []
+    for j, c in enumerate(centroids):
+        arr = "array(" + ",".join(f"CAST({int(x)} AS BIGINT)" for x in c) + ")"
+        d2 = F.expr(
+            f"aggregate(zip_with({vec_col}, {arr}, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        entries.append(F.struct(d2.alias("d"), F.lit(j).alias("j")))
+    best = F.array_sort(F.array(*entries))[0]
+    return df.withColumn(topic_col, best["j"]).withColumn(dist_col, best["d"])

@@ -1557,3 +1557,72 @@ def model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-verifiable.  Map-only, zero shuffles, whole-stage codegen."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.hashed_linear_score(docs, buckets=2001)
+
+
+@register(
+    "topic_doc_assignment",
+    """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS e
+  FROM embeddings
+),
+flat AS (SELECT vec_id, UNNEST(e) AS v, UNNEST(generate_series(1, len(e))) AS pos FROM q),
+lq AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS e
+  FROM embeddings
+),
+lf AS (SELECT label, UNNEST(e) AS v, UNNEST(generate_series(1, len(e))) AS pos FROM lq),
+cent AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS c FROM lf GROUP BY label, pos),
+d AS (
+  SELECT f.vec_id, c.label, CAST(SUM((f.v - c.c) * (f.v - c.c)) AS BIGINT) AS d2
+  FROM flat f JOIN cent c USING (pos) GROUP BY f.vec_id, c.label
+),
+best AS (
+  SELECT vec_id, label, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+  FROM d
+)
+SELECT doc.doc_id, doc.lang, CAST(b.label AS INTEGER) AS topic, b.d2
+FROM best b JOIN documents doc ON doc.doc_id = b.vec_id
+WHERE b.rn = 1
+""",
+)
+def topic_doc_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topical curation: assign every document to its nearest label
+    centroid in embedding space (operators.similarity.centroid_assign_exact)
+    and carry the exact integer distance -- the join-the-modalities pass a
+    topic-balanced 100 TB mixture needs (documents <-> embeddings by id).
+
+    Centroid training is one (label, pos) aggregation collected to k x dim
+    driver constants (truncating integer means, engine-portable);
+    assignment is then a zero-shuffle JVM map over the embedding scan, and
+    the only corpus-scale shuffle is the id equi-join to documents."""
+    emb = sim.quantized(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    )
+    stats = (
+        emb.select("label", F.posexplode("qvec").alias("pos0", "v"))
+        .groupBy("label", "pos0")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, int]] = {}
+    for r in stats:
+        s, n = int(r["s"]), int(r["n"])
+        # truncate toward zero like Spark div / DuckDB // (Python // floors)
+        by_label.setdefault(int(r["label"]), {})[int(r["pos0"])] = (
+            -((-s) // n) if s < 0 else s // n
+        )
+    labels = sorted(by_label)
+    cents = [[by_label[l][p] for p in sorted(by_label[l])] for l in labels]
+    label_arr = F.array(*[F.lit(int(l)) for l in labels])
+    assigned = sim.centroid_assign_exact(emb, cents).select(
+        F.col("vec_id").alias("doc_id"),
+        # centroid index -> label value (robust to non-contiguous labels)
+        F.element_at(label_arr, F.col("topic") + 1).cast("int").alias("topic"),
+        "d2",
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return docs.join(assigned, "doc_id").select("doc_id", "lang", "topic", "d2")

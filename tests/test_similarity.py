@@ -66,3 +66,22 @@ def test_pq_adc_recall_floor(spark):
     exact = {(r["qid"], r["cand_id"]) for r in sim.cosine_topk(emb, q, k=5).collect()}
     pq = {(r["qid"], r["cand_id"]) for r in sim.pq_topk(emb, q, k=5, shortlist=64).collect()}
     assert _recall(exact, pq) >= 0.7, "PQ-ADC recall collapsed"
+
+
+def test_centroid_assign_exact_argmin_and_ties(spark):
+    from odp_dynamic_data_pipeline_spark.operators.similarity import (
+        centroid_assign_exact,
+        quantized,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),   # equidistant from both centroids -> lowest index
+        (2, [4.0, 0.0]),   # nearest c1
+        (3, [-1.0, 0.0]),  # nearest c0
+    ]
+    df = quantized(spark.createDataFrame(rows, "vec_id long, embedding array<float>"))
+    cents = [[0, 0], [2_000_000, 0]]  # e6-quantized constants
+    out = {r["vec_id"]: (r["topic"], r["d2"]) for r in centroid_assign_exact(df, cents).collect()}
+    assert out[1] == (0, 1_000_000**2)
+    assert out[2] == (1, 2_000_000**2)
+    assert out[3] == (0, 1_000_000**2)
