@@ -1626,3 +1626,119 @@ def topic_doc_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return docs.join(assigned, "doc_id").select("doc_id", "lang", "topic", "d2")
+
+
+@register(
+    "source_overlap_matrix",
+    r"""
+WITH toks AS (SELECT source, regexp_extract_all(text, '\S+') AS t FROM documents),
+st AS (SELECT source, t, UNNEST(generate_series(1, len(t) - 7)) AS i
+       FROM toks WHERE len(t) >= 8),
+sp AS (SELECT DISTINCT source, md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+       FROM st)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared_spans
+FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content overlap: for every source pair, how many
+    distinct 8-token span fingerprints both contain -- the diagnostic that
+    decides which crawl snapshots/feeds are redundant before ingesting
+    them.  Span level (not whole-document) so partial mirroring shows up.
+    The self-join runs on the DISTINCT (source, span-hash) table; the
+    corpus-sized explode collapses in the map-side distinct first."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    w = 8
+    sp = (
+        docs.withColumn("__toks", tx.tokens("text"))
+        .where(F.expr(f"size(__toks) >= {w}"))
+        .withColumn(
+            "__spans",
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {w - 1}),"
+                f" i -> md5(array_join(slice(__toks, i, {w}), ' ')))"
+            ),
+        )
+        .select("source", F.explode("__spans").alias("h"))
+        .distinct()
+    )
+    a = sp.select(F.col("source").alias("source_a"), "h")
+    b = sp.select(F.col("source").alias("source_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )
+
+
+@register(
+    "dup_rate_by_source",
+    r"""
+WITH fp AS (
+  SELECT source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT fingerprint) AS n_distinct,
+       (1000000 * (COUNT(*) - COUNT(DISTINCT fingerprint))) // COUNT(*) AS dup_rate_e6
+FROM fp GROUP BY source
+""",
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate: documents minus distinct
+    fingerprints over documents -- the first number a source-quality report
+    leads with.  One shuffle; count_distinct expands to a two-phase
+    partial aggregate, no extra pass."""
+    docs = tx.fingerprint(load_table(spark, sf_dir, "documents").select("source", "text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fingerprint").alias("n_distinct"),
+        F.expr(
+            "(1000000 * (count(1) - count(DISTINCT fingerprint))) div count(1)"
+        ).alias("dup_rate_e6"),
+    )
+
+
+@register(
+    "join_key_skew_report",
+    """
+WITH k AS (SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total, COUNT(*) AS n_keys FROM k),
+top AS (SELECT key, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank
+        FROM k)
+SELECT rank, key, n,
+       (1000000 * n * n_keys) // n_total AS skew_x_e6
+FROM top, tot WHERE rank <= 20
+""",
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: top-20 heaviest keys with their load
+    relative to the mean key (skew_x_e6 = n/mean * 1e6) -- the report that
+    decides whether a join needs salting or AQE skew handling BEFORE it
+    runs at 100 TB.  TakeOrderedAndProject head + broadcast single-row
+    totals; never materializes the full key histogram to the driver."""
+    k = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = k.agg(
+        F.sum(F.col("n").cast("decimal(38,0)")).cast("long").alias("n_total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = k.orderBy(F.desc("n"), "key").limit(20)
+    w = Window.orderBy(F.desc("n"), "key")
+    ranked = top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "key", "n"
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "key",
+        "n",
+        F.expr("(1000000 * n * n_keys) div n_total").alias("skew_x_e6"),
+    )
