@@ -541,6 +541,7 @@ def shard_assignment(
     *,
     seed: int = 42,
     n_shards: int = 16,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic global training shuffle: every document gets a
     pseudo-random but reproducible (shard, position) from
@@ -556,6 +557,7 @@ def shard_assignment(
     Output: (id_col, shard, pos) -- pos is 1-based within the shard."""
     keyed = df.select(
         id_col,
+        *extra_cols,
         F.expr(f"md5(concat('{seed}:', CAST({id_col} AS STRING)))").alias("__k"),
     ).withColumn(
         "shard",
@@ -563,7 +565,7 @@ def shard_assignment(
     )
     w = Window.partitionBy("shard").orderBy("__k", id_col)
     return keyed.select(
-        id_col, "shard", F.row_number().over(w).cast("long").alias("pos")
+        id_col, *extra_cols, "shard", F.row_number().over(w).cast("long").alias("pos")
     )
 
 

@@ -1742,3 +1742,53 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("(1000000 * n * n_keys) div n_total").alias("skew_x_e6"),
     )
+
+
+@register(
+    "training_mixture_manifest",
+    r"""
+WITH base AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens
+  FROM documents
+),
+q AS (SELECT * FROM base WHERE n_tokens >= 20),
+keep AS (
+  SELECT * FROM q QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint)
+),
+samp AS (
+  SELECT doc_id, lang FROM keep
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+        CASE lang WHEN 'en' THEN '8' WHEN 'fr' THEN 'c' ELSE 'g' END
+),
+k AS (SELECT doc_id, lang, md5('7:' || CAST(doc_id AS VARCHAR)) AS kk FROM samp),
+s AS (SELECT doc_id, lang, kk, ('0x' || substr(kk, 1, 8))::BIGINT % 8 AS shard FROM k)
+SELECT doc_id, lang, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY kk, doc_id) AS BIGINT) AS pos
+FROM s
+""",
+)
+def training_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-mixture build, stage two of the curation story
+    (corpus_curation_pipeline ends at token budgets; this ends at the
+    actual training order): quality gate -> exact-dedup keeper ->
+    deterministic stratified mixture (en 8/16, fr 12/16, rest kept) ->
+    seeded global shuffle into an 8-shard manifest with in-shard positions.
+
+    One fused plan, two shuffles total (fingerprint keeper window, shard
+    position window); every gate is a deterministic md5 rule, so the same
+    manifest falls out on any engine, cluster layout, or retry."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    base = tx.fingerprint(docs).withColumn("__n", F.size(tx.tokens("text")))
+    q = base.where(F.col("__n") >= 20)
+    w = Window.partitionBy("fingerprint")
+    keep = (
+        q.withColumn("__keeper", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("__keeper"))
+        .select("doc_id", "lang")
+    )
+    samp = tx.stratified_sample(
+        keep, "lang", {"en": 8, "fr": 12}, default_16ths=16
+    )
+    return tx.shard_assignment(samp, seed=7, n_shards=8, extra_cols=("lang",))
