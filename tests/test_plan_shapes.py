@@ -124,3 +124,41 @@ def test_no_inferred_size_filter_under_explode(spark):
     for line in plan.splitlines():
         if line.strip().startswith("Filter") or "+- Filter" in line:
             assert "transform(" not in line, f"lambda leaked into a Filter: {line[:200]}"
+
+
+def test_model_quality_score_is_map_only(spark):
+    """The hashed-linear scorer must run inside the scan stage: no
+    exchange, no Python, the whole fold in whole-stage codegen."""
+    plan = plan_of(spark, "model_quality_score")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # codegen stages show as "*(n)" in executedPlan.toString
+    assert "*(" in plan
+
+
+def test_topic_assignment_no_shuffle_before_join(spark):
+    """Centroid assignment is a folded-constant map; the only exchanges
+    allowed belong to the doc join (none when AQE broadcasts it)."""
+    plan = plan_of(spark, "topic_doc_assignment")
+    import re as _re
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # no aggregation exchange in the final assignment plan (training ran
+    # eagerly at build time); at sf0.001 the doc join broadcasts
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 0
+
+
+def test_head_reports_use_take_ordered(spark):
+    """Top-k head reports must compile to TakeOrderedAndProject (per-
+    partition heaps), never a global Sort of the full vocab/key table."""
+    for name in ("bpe_top_merges", "zipf_head_coverage", "join_key_skew_report"):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Sort [" not in plan.split("TakeOrderedAndProject")[0], name
+
+
+def test_shard_manifest_single_shuffle(spark):
+    """Seeded shard shuffle: exactly one hash-partition exchange (by
+    shard), the window sorts within partitions only."""
+    plan = plan_of(spark, "shard_manifest")
+    import re as _re
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
