@@ -413,3 +413,48 @@ def connected_components(
     return labels.unionByName(isolated.select("nid", F.col("nid").alias("comp"))).select(
         F.col("nid").alias(id_col), F.col("comp").alias("component")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS algorithm): hash every ``k``-token gram, slide a window of ``w``
+    consecutive gram hashes, keep the minimum hash of each window, distinct
+    per document.  Guarantees every shared run of at least ``w + k - 1``
+    tokens contributes at least one COMMON selected fingerprint between two
+    documents, while storing only ~2/(w+1) of the grams -- the robust
+    middle ground between exact dedup (too brittle) and MinHash (no
+    locality guarantee).
+
+    MAP-ONLY: gram hashing and window minima are array arithmetic inside
+    the scan stage; the only downstream shuffle is whatever the caller
+    does with the exploded (id, fp) stream (e.g. a groupBy or self-join --
+    at 100 TB that join carries 8-byte selected prints at ~2/(w+1)
+    density, not the corpus).
+
+    Ties inside a window resolve to the VALUE minimum (position-free), so
+    selection is deterministic and engine-portable via the md5->bigint
+    prefix hash.  Documents shorter than ``k + w - 1`` tokens have no full
+    window and are dropped.  Output: (id_col, fp) -- distinct per doc."""
+    n_min = k + w - 1
+    hashes = (
+        f"transform(sequence(1, size(__toks) - {k - 1}),"
+        f" i -> CAST(conv(substr(md5(array_join(slice(__toks, i, {k}), ' ')), 1, 15), 16, 10) AS BIGINT))"
+    )
+    mins = (
+        f"array_distinct(transform(sequence(1, size(__hs) - {w - 1}),"
+        f" j -> array_min(slice(__hs, j, {w}))))"
+    )
+    return (
+        ensure_min_parallelism(df.select(id_col, text_col))
+        .withColumn("__toks", F.expr(f"regexp_extract_all({text_col}, r'\\S+', 0)"))
+        .where(F.expr(f"size(__toks) >= {n_min}"))
+        .withColumn("__hs", F.expr(hashes))
+        .select(id_col, F.explode(F.expr(mins)).alias("fp"))
+    )

@@ -1792,3 +1792,53 @@ def training_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep, "lang", {"en": 8, "fr": 12}, default_16ths=16
     )
     return tx.shard_assignment(samp, seed=7, n_shards=8, extra_cols=("lang",))
+
+
+@register(
+    "winnow_fingerprint_stats",
+    r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+ok AS (SELECT doc_id, t FROM toks WHERE len(t) >= 8),
+hs AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(t) - 3),
+           i -> ('0x' || substr(md5(array_to_string(list_slice(t, i, i + 3), ' ')), 1, 15))::BIGINT) AS h
+  FROM ok
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(h) - 4),
+           j -> list_min(list_slice(h, j, j + 4)))) AS s
+  FROM hs
+),
+fp AS (SELECT doc_id, UNNEST(s) AS fp FROM sel),
+cnt AS (SELECT fp, COUNT(*) AS nd FROM fp GROUP BY fp)
+SELECT fp.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_sel,
+       MIN(fp.fp) AS min_fp,
+       MAX(fp.fp) AS max_fp
+FROM fp JOIN cnt USING (fp)
+GROUP BY fp.doc_id
+""",
+)
+def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators.dedup.winnow_fingerprints, the
+    MOSS selection rule): per document, how many window-min gram hashes
+    were selected and how many of those appear in at least one other
+    document -- the locality-guaranteed overlap signal (any shared run of
+    >= w+k-1 tokens WILL share a print).  Selection is map-only; the stats
+    cost one fp groupBy plus the join back."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wf = dd.winnow_fingerprints(docs, k=4, w=5)
+    cnt = wf.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        wf.join(cnt, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("long").alias("n_shared_sel"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+    )

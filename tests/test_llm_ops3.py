@@ -170,3 +170,28 @@ def test_hashed_linear_score_mean_weight(spark):
     # Spark's div truncates toward zero, like Python's int() on the float
     assert out[1]["score_e6"] == int(1_000_000 * exp / 3)
     assert 2 not in out                           # empty docs filtered
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing guarantee: any shared token run of >= w+k-1 tokens yields
+    at least one common selected fingerprint; disjoint docs yield none."""
+    from odp_dynamic_data_pipeline_spark.operators.dedup import winnow_fingerprints
+
+    shared = " ".join(f"s{i}" for i in range(8))  # w+k-1 = 8 with k=4, w=5
+    rows = [
+        (1, "p1 p2 p3 p4 " + shared + " q1 q2"),
+        (2, shared + " r1 r2 r3 r4 r5"),
+        (3, " ".join(f"z{i}" for i in range(12))),  # disjoint vocabulary
+    ]
+    out = winnow_fingerprints(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=4, w=5
+    ).collect()
+    by_doc: dict[int, set] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a print"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # density: far fewer prints than grams (selection actually thins)
+    for d, (_, t) in zip((1, 2, 3), rows):
+        n_grams = len(t.split()) - 3
+        assert len(by_doc[d]) < n_grams
