@@ -654,3 +654,51 @@ def hashed_linear_score(
         F.expr("(1000000 * score_sum) div n_tokens").alias("score_e6"),
         (F.col("score_sum") > 0).alias("keep"),
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conditional (bigram-LM) surprisal score: per document, the sum and
+    mean of ``bits(c(prev) / c(prev, cur))`` over adjacent token pairs --
+    one LM order above :func:`unigram_surprisal`, so it also catches
+    documents whose words are individually common but ungrammatically
+    ordered (shuffled text, keyword stuffing, template damage).
+
+    Same integer discipline: ``bits(x) = length(bin(x))`` is binary-digit
+    counting, bit-identical across engines, never a transcendental log.
+
+    Scale shape: one shuffle builds the bigram table (map-side combine),
+    the context table is a second tiny aggregate OF that table, and the
+    occurrence stream takes two equi-joins (at corpus scale both tables
+    get a frequency floor; rare bigrams default to the max-bits bucket).
+
+    Output: (id_col, n_bigrams, surprisal_bits, mean_surprisal_e3)."""
+    pairs_expr = (
+        "transform(sequence(1, size(__toks) - 1),"
+        " i -> struct(element_at(__toks, i) AS prev, element_at(__toks, i + 1) AS cur))"
+    )
+    bi = (
+        with_tokens(df.select(id_col, text_col), text_col, "__toks")
+        .where(F.expr("size(__toks) >= 2"))
+        .select(id_col, F.explode(F.expr(pairs_expr)).alias("p"))
+        .select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    )
+    c2 = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("prev").agg(F.sum("n2").cast("long").alias("n1"))
+    scored = (
+        bi.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .select(
+            id_col,
+            F.expr("length(bin(CAST(n1 AS BIGINT) div CAST(n2 AS BIGINT)))").alias("bits"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("surprisal_bits"),
+        F.expr("(1000 * CAST(sum(bits) AS BIGINT)) div count(1)").alias("mean_surprisal_e3"),
+    )

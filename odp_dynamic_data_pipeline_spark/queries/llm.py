@@ -1842,3 +1842,33 @@ def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("fp").alias("max_fp"),
         )
     )
+
+
+@register(
+    "bigram_surprisal_scores",
+    r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+bi AS (
+  SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+  FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+),
+c2 AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS n2 FROM bi GROUP BY prev, cur),
+c1 AS (SELECT prev, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY prev),
+scored AS (
+  SELECT bi.doc_id, length(format('{:b}', n1 // n2)) AS bits
+  FROM bi JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
+       (1000 * CAST(SUM(bits) AS BIGINT)) // COUNT(*) AS mean_surprisal_e3
+FROM scored GROUP BY doc_id
+""",
+)
+def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal (operators.text.bigram_surprisal): integer
+    bits(c(prev)/c(prev,cur)) summed per document -- the order-sensitive
+    perplexity proxy that flags shuffled/stuffed text unigram stats miss."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.bigram_surprisal(docs)

@@ -195,3 +195,19 @@ def test_winnow_shared_run_guarantee(spark):
     for d, (_, t) in zip((1, 2, 3), rows):
         n_grams = len(t.split()) - 3
         assert len(by_doc[d]) < n_grams
+
+
+def test_bigram_surprisal_conditional_bits(spark):
+    from odp_dynamic_data_pipeline_spark.operators.text import bigram_surprisal
+
+    # corpus bigrams: (a,b) x2, (b,a) x1, (a,c) x1 -> c1(a)=3, c1(b)=1
+    rows = [(1, "a b a c"), (2, "a b")]
+    out = {r["doc_id"]: r for r in bigram_surprisal(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()}
+    # bits(x) = floor(log2(x)) + 1
+    # doc1: (a,b): 3//2=1 -> 1 bit; (b,a): 1//1=1 -> 1; (a,c): 3//1=3 -> 2
+    assert out[1]["n_bigrams"] == 3 and out[1]["surprisal_bits"] == 4
+    assert out[1]["mean_surprisal_e3"] == 4000 // 3
+    # doc2: (a,b) -> 1 bit
+    assert out[2]["n_bigrams"] == 1 and out[2]["surprisal_bits"] == 1
