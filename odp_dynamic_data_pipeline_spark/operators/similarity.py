@@ -557,6 +557,47 @@ def pq_topk(
     )
 
 
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    *,
+    out_dim: int = 16,
+    scale: int = 10000,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a deterministic
+    Rademacher (+1/-1) matrix: proj[j] = sum_i q[i] * sign(i, j), where q
+    quantizes the float vector to integers (floor(x*scale + 0.5)) and
+    sign(i, j) is the parity of the first md5 nibble of "i_j".
+
+    Achlioptas (2001) shows +-1 entries give the JL guarantee, so pairwise
+    distances survive 64 -> out_dim within ~1/sqrt(out_dim).  Everything is
+    integer arithmetic on md5 parities, so any engine reproduces the exact
+    projection -- no stored projection matrix to ship.  Map-only: the whole
+    operator is one nested higher-order expression per row, NO shuffle, NO
+    Python, NO driver state; at 100 TB it runs at scan speed and cuts every
+    downstream ANN/cluster shuffle by dim/out_dim.
+
+    Parity of the reference's feature-engineering surface
+    (src/data_processor.py transform stage) extended to embedding columns."""
+    q = (
+        f"transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT))"
+    )
+    proj = (
+        f"transform(sequence(0, {out_dim - 1}), j -> "
+        f"aggregate(zip_with(__q, sequence(0, size(__q) - 1), "
+        f"(x, i) -> x * (2 * (CAST(conv(substr(md5(concat(i, '_', j)), 1, 1), 16, 10)"
+        f" AS BIGINT) % 2) - 1)), "
+        f"CAST(0 AS BIGINT), (a, x) -> a + x))"
+    )
+    return (
+        df.withColumn("__q", F.expr(q))
+        .withColumn(out_col, F.expr(proj))
+        .drop("__q")
+    )
+
+
 def centroid_assign_exact(
     df: DataFrame,
     centroids: list[list[int]],

@@ -1845,6 +1845,74 @@ def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_drift_by_source",
+    r"""
+WITH tok AS (
+  SELECT source, UNNEST(regexp_extract_all(text, '\S+')) AS token FROM documents
+),
+st AS (SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token),
+s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot_s FROM st GROUP BY source),
+g AS (SELECT token, CAST(SUM(n) AS BIGINT) AS n_g FROM st GROUP BY token),
+gt AS (SELECT CAST(SUM(tot_s) AS BIGINT) AS tot_g FROM s),
+d AS (
+  SELECT st.source,
+         ABS((1000000 * CAST(st.n AS HUGEINT)) // CAST(s.tot_s AS HUGEINT)
+           - (1000000 * CAST(g.n_g AS HUGEINT)) // CAST(gt.tot_g AS HUGEINT)) AS diff_e6
+  FROM st JOIN s USING (source) JOIN g USING (token), gt
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens_distinct,
+       CAST(SUM(diff_e6) AS BIGINT) AS drift_l1_e6,
+       CAST(MAX(diff_e6) AS BIGINT) AS max_token_drift_e6
+FROM d GROUP BY source
+""",
+)
+def token_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-frequency drift vs the whole corpus: L1 distance
+    between the source's unigram distribution and the global one, in
+    integer ppm over the source's own vocabulary -- the report that flags
+    a crawl snapshot whose language mix silently shifted before it
+    contaminates the training mixture.
+
+    Every branch (per-source totals, global token counts, grand total)
+    hangs off the SAME (source, token) partial aggregate, so Catalyst's
+    ReuseExchange materializes the tokenize+count shuffle once; the
+    per-source and grand totals are broadcast back.  Ratios are integer
+    ppm (decimal(38,0) div / HUGEINT //) so Spark and DuckDB agree
+    bit-for-bit at any count magnitude."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    st = (
+        docs.select("source", F.explode(tx.tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = st.groupBy("source").agg(
+        F.sum(F.col("n").cast("decimal(38,0)")).cast("long").alias("tot_s")
+    )
+    gt = s.agg(F.sum(F.col("tot_s").cast("decimal(38,0)")).cast("long").alias("tot_g"))
+    g = st.groupBy("token").agg(
+        F.sum(F.col("n").cast("decimal(38,0)")).cast("long").alias("n_g")
+    )
+    d = (
+        st.join(F.broadcast(s), "source")
+        .join(g, "token")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            F.expr(
+                "abs((1000000 * cast(n as decimal(38,0))) div tot_s"
+                " - (1000000 * cast(n_g as decimal(38,0))) div tot_g)"
+            ).alias("diff_e6"),
+        )
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_distinct"),
+        F.sum(F.col("diff_e6").cast("decimal(38,0)")).cast("long").alias("drift_l1_e6"),
+        F.max("diff_e6").cast("long").alias("max_token_drift_e6"),
+    )
+
+
+@register(
     "bigram_surprisal_scores",
     r"""
 WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
