@@ -29,6 +29,7 @@ from odp_dynamic_data_pipeline_spark.operators.similarity import (
     lsh_topk,
     pq_topk,
     quantize_int8,
+    random_projection,
 )
 from odp_dynamic_data_pipeline_spark.operators.text import (
     boilerplate_scrub,
@@ -68,6 +69,7 @@ __all__ = [
     "pq_topk",
     "quality_features",
     "quantize_int8",
+    "random_projection",
     "scrub_pii",
     "shingles",
     "simhash",

@@ -1845,6 +1845,48 @@ def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_random_projection",
+    r"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id, label,
+         list_transform(generate_series(0, 15), j ->
+           list_sum(list_transform(generate_series(1, len(qv)), i ->
+             qv[i] * (2 * (('0x' || substr(md5((i - 1) || '_' || j), 1, 1))::BIGINT % 2) - 1)))) AS proj
+  FROM q
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       md5(array_to_string(proj, ',')) AS proj_md5,
+       CAST(list_sum(list_transform(proj, x -> x * x)) AS BIGINT) AS proj_l2
+FROM p
+""",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JL dimensionality reduction (operators.similarity.
+    random_projection): 64 -> 16 dims through a Rademacher matrix derived
+    from md5 parities, verified cross-engine by fingerprinting the exact
+    integer projection (md5 of the array + its L2).  Map-only, no shuffle --
+    the pre-pass that shrinks every downstream ANN / clustering shuffle 4x."""
+    e = sim.random_projection(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"),
+        out_dim=16,
+        scale=10000,
+    )
+    return e.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.md5(F.array_join("proj", ",")).alias("proj_md5"),
+        F.expr(
+            "aggregate(transform(proj, x -> x * x), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("proj_l2"),
+    )
+
+
+@register(
     "token_drift_by_source",
     r"""
 WITH tok AS (

@@ -85,3 +85,31 @@ def test_centroid_assign_exact_argmin_and_ties(spark):
     assert out[1] == (0, 1_000_000**2)
     assert out[2] == (1, 2_000_000**2)
     assert out[3] == (0, 1_000_000**2)
+
+def test_random_projection_exact_and_jl(spark):
+    """random_projection equals a pure-Python replay of the md5-parity
+    Rademacher matrix (exact integers), and the projection obeys the JL
+    energy law: E[||Pv||^2] = d_out * ||v||^2 within sampling error."""
+    import hashlib
+
+    emb = load_table(spark, SF, "embeddings").where(F.col("vec_id") < 30)
+    rows = sim.random_projection(emb, out_dim=16).select("vec_id", "embedding", "proj").collect()
+    assert rows
+
+    def sign(i, j):
+        return 1 if int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0], 16) % 2 else -1
+
+    import math
+
+    ratios = []
+    for r in rows:
+        q = [math.floor(float(x) * 10000 + 0.5) for x in r["embedding"]]
+        expect = [sum(q[i] * sign(i, j) for i in range(len(q))) for j in range(16)]
+        assert list(r["proj"]) == expect, f"vec {r['vec_id']} projection mismatch"
+        n_orig = sum(x * x for x in q)
+        n_proj = sum(x * x for x in expect)
+        if n_orig:
+            ratios.append(n_proj / n_orig)
+    mean_ratio = sum(ratios) / len(ratios)
+    # E[ratio] = 16 exactly for +-1 entries; per-vector std ~ sqrt(2/16)*16
+    assert 10.0 < mean_ratio < 24.0, f"JL energy law violated: {mean_ratio:.2f}"
