@@ -65,6 +65,50 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    candidates: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    highest-cosine candidates whose label DIFFERS from the query's --
+    the near-miss examples a retrieval/embedding model learns the most
+    from (DPR, Karpukhin et al. 2020).
+
+    Exact brute-force baseline (scan x broadcast queries), same integer
+    dot/norm arithmetic as cosine_topk so any engine reproduces the
+    ranking bitwise.  The 100 TB path swaps the cross join for
+    lsh_topk/ivf_topk candidate generation and keeps the same
+    different-label filter; this exact form is the recall oracle for it.
+    Returns (qid, cand_id, cand_label, rank, cosine)."""
+    cand = quantized(
+        candidates.select(
+            F.col(id_col).alias("cand_id"), F.col(label_col).alias("cand_label"), vec_col
+        ),
+        vec_col,
+    )
+    qry = quantized(
+        queries.select(F.col(id_col).alias("qid"), F.col(label_col).alias("q_label"), vec_col),
+        vec_col,
+    ).select("qid", "q_label", F.col("qvec").alias("q_qvec"), F.col("qnorm").alias("q_qnorm"))
+    pairs = cand.crossJoin(F.broadcast(qry)).where(F.col("cand_label") != F.col("q_label"))
+    dot = F.expr(DOT.format(a="q_qvec", b="qvec"))
+    cosine = dot.cast("double") / F.sqrt(
+        F.col("q_qnorm").cast("double") * F.col("qnorm").cast("double")
+    )
+    scored = pairs.select("qid", "cand_id", "cand_label", cosine.alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cand_id", "cand_label", "rank", "cosine")
+    )
+
+
 def _const_vec(ints) -> F.Column:
     return F.array(*[F.lit(int(x)) for x in ints])
 

@@ -1845,6 +1845,94 @@ def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hard_negative_mining",
+    """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
+  FROM (SELECT vec_id, UNNEST(q) AS v FROM e) GROUP BY vec_id
+),
+pairs AS (
+  SELECT qe.vec_id AS qid, ce.vec_id AS cand_id, CAST(ce.label AS BIGINT) AS cand_label,
+         UNNEST(qe.q) AS qv, UNNEST(ce.q) AS cv
+  FROM e qe, e ce
+  WHERE qe.vec_id < 10 AND ce.label <> qe.label
+),
+dots AS (SELECT qid, cand_id, cand_label, CAST(SUM(qv * cv) AS BIGINT) AS dot
+         FROM pairs GROUP BY qid, cand_id, cand_label),
+scored AS (
+  SELECT d.qid, d.cand_id, d.cand_label,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.qid
+  JOIN norms nc ON nc.vec_id = d.cand_id
+)
+SELECT qid, cand_id, cand_label, rank, cosine FROM (
+  SELECT qid, cand_id, cand_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives (operators.similarity.hard_negatives):
+    per query vector, the 5 most-similar DIFFERENT-label candidates --
+    exact integer-cosine baseline the ANN-backed production path is
+    measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.hard_negatives(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return out.withColumn("cand_label", F.col("cand_label").cast("long"))
+
+
+@register(
+    "oov_rate_report",
+    r"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS token FROM documents
+),
+cnt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+vocab AS (SELECT token FROM cnt ORDER BY n DESC, token LIMIT 1000)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       (1000000 * CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT))
+         // COUNT(*) AS oov_ppm
+FROM tok t LEFT JOIN vocab v USING (token)
+GROUP BY t.doc_id
+""",
+)
+def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per-document out-of-vocabulary rate
+    against the corpus's own top-1000 token vocabulary -- the report that
+    sizes a tokenizer (or flags a corpus slice the tokenizer will shred
+    into bytes) before training starts.
+
+    The vocabulary is a TakeOrdered head (1000 rows however big the
+    corpus) broadcast back over the token stream: one shuffle to count
+    tokens, a map-side hash anti-probe for the OOV flag, one shuffle for
+    the per-doc rollup."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tx.tokens("text")).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    vocab = cnt.orderBy(F.desc("n"), "token").limit(1000).select("token", F.lit(1).alias("__v"))
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+            F.expr(
+                "(1000000 * cast(sum(CASE WHEN __v IS NULL THEN 1 ELSE 0 END) as decimal(38,0)))"
+                " div count(1)"
+            ).alias("oov_ppm"),
+        )
+    )
+
+
+@register(
     "embedding_random_projection",
     r"""
 WITH q AS (

@@ -113,3 +113,13 @@ def test_random_projection_exact_and_jl(spark):
     mean_ratio = sum(ratios) / len(ratios)
     # E[ratio] = 16 exactly for +-1 entries; per-vector std ~ sqrt(2/16)*16
     assert 10.0 < mean_ratio < 24.0, f"JL energy law violated: {mean_ratio:.2f}"
+
+def test_hard_negatives_labels_differ(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    rows = sim.hard_negatives(emb, q, k=5).collect()
+    assert len(rows) == 25
+    qlabels = {r["vec_id"]: r["label"] for r in q.select("vec_id", "label").collect()}
+    for r in rows:
+        assert r["cand_label"] != qlabels[r["qid"]]
+        assert 1 <= r["rank"] <= 5

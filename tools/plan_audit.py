@@ -37,6 +37,7 @@ PANDAS_BY_DESIGN = {
 BROADCAST_NLJ_BY_DESIGN = {
     "range_join_value_tiers",      # 3-row tier bounds table
     "embedding_cosine_topk",       # brute-force baseline: scan x broadcast queries
+    "hard_negative_mining",        # brute-force baseline: scan x broadcast queries
     "embedding_neardup_by_label",  # label-blocked exact pass
     "similarity_pq_topk",          # ADC scan x broadcast query tables
     "tfidf_top_terms",             # corpus-constant N broadcast
