@@ -401,6 +401,73 @@ GROUP BY a.doc_id, b.doc_id
 )
 
 
+LSH_PRECISION_ORACLE = (
+    MINHASH_MD5_ORACLE.replace(
+        "SELECT a.doc_id AS id_a", ", cand AS (\nSELECT a.doc_id AS id_a", 1
+    )
+    + """),
+ids AS (SELECT id_a AS doc_id FROM cand UNION SELECT id_b FROM cand),
+sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN ids USING (doc_id)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+          FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT c.id_a, c.id_b, c.n_shared_bands,
+       (1000000 * COALESCE(i.n_inter, 0))
+         // (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) AS jaccard_e6
+FROM cand c
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+"""
+)
+
+
+@register("lsh_precision_report", LSH_PRECISION_ORACLE)
+def lsh_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality audit: every minhash-band candidate pair annotated with
+    its EXACT shingle Jaccard (integer ppm) -- the report that tunes the
+    (bands, rows-per-band) dial by showing how many candidates are real
+    near-dups vs banding noise.
+
+    The exact verification runs ONLY on candidate-pair documents (semi-join
+    on the candidate id set), so its cost scales with the candidate count,
+    not the corpus: the standard verify stage of a production LSH dedup at
+    100 TB.  Same md5-minhash algebra as dedup_minhash_md5, so the whole
+    candidates+verdicts table sits behind the DuckDB oracle gate."""
+    pairs = dedup_minhash_md5(spark, sf_dir)
+    docs = dd.shingles(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = docs.select("doc_id", F.explode("shingles").alias("s"))
+    ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh2 = sh.join(ids, "doc_id", "leftsemi")
+    sizes = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh2.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh2.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_bands",
+            F.expr(
+                "(1000000 * coalesce(n_inter, 0)) div (sz_a + sz_b - coalesce(n_inter, 0))"
+            ).alias("jaccard_e6"),
+        )
+    )
+
+
 @register("dedup_minhash_md5", MINHASH_MD5_ORACLE)
 def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banding with one md5 per shingle plus an arithmetic
