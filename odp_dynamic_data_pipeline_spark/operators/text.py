@@ -435,6 +435,70 @@ def mixture_weights(
     )
 
 
+def allocate_token_budget(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    *,
+    budget: int = 10_000_000,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed training
+    token budget across groups, weighted by the alpha = 0.5 temperature
+    rule w_g = floor(sqrt(n_tokens_g * 1e6)).
+
+    Hamilton's method is the unique quota-respecting allocation: every
+    group gets floor(budget * w_g / W) and the residual budget goes +1
+    each to the largest fractional remainders (ties broken by group name).
+    sum(quota) == budget EXACTLY -- the invariant a shard planner needs --
+    and every step is integer arithmetic both engines reproduce.
+
+    One corpus shuffle for the group token counts; everything after runs
+    on |groups| rows (two single-row broadcast totals, one tiny window).
+    epochs_e3 shows repetition pressure: quota relative to the group's
+    own token supply."""
+    counts = df.select(group_col, text_col).groupBy(group_col).agg(
+        F.sum(F.size(tokens(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = counts.withColumn(
+        "weight_e3",
+        F.expr("CAST(floor(sqrt(CAST(n_tokens * 1000000 AS DOUBLE))) AS BIGINT)"),
+    )
+    wt = w.agg(F.sum(F.col("weight_e3").cast("decimal(38,0)")).cast("long").alias("w_total"))
+    based = w.crossJoin(F.broadcast(wt)).select(
+        group_col,
+        "n_tokens",
+        "weight_e3",
+        F.expr(
+            f"CAST((CAST({budget} AS decimal(38,0)) * weight_e3) div w_total AS BIGINT)"
+        ).alias("base_tokens"),
+        F.expr(
+            f"CAST((CAST({budget} AS decimal(38,0)) * weight_e3) % w_total AS BIGINT)"
+        ).alias("rem"),
+    )
+    lt = based.agg(
+        (F.lit(budget) - F.sum(F.col("base_tokens").cast("decimal(38,0)")).cast("long")).alias(
+            "leftover"
+        )
+    )
+    rk = Window.orderBy(F.desc("rem"), group_col)
+    return (
+        based.crossJoin(F.broadcast(lt))
+        .withColumn("__rk", F.row_number().over(rk))
+        .select(
+            group_col,
+            "n_tokens",
+            "weight_e3",
+            (F.col("base_tokens") + F.when(F.col("__rk") <= F.col("leftover"), 1).otherwise(0))
+            .cast("long")
+            .alias("quota_tokens"),
+            F.expr(
+                f"CAST((1000 * (base_tokens + CASE WHEN __rk <= leftover THEN 1 ELSE 0 END))"
+                f" div n_tokens AS BIGINT)"
+            ).alias("epochs_e3"),
+        )
+    )
+
+
 def span_novelty(
     df: DataFrame,
     id_col: str = "doc_id",

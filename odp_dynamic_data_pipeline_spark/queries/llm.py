@@ -1513,6 +1513,46 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_budget_allocation",
+    r"""
+WITH counts AS (
+  SELECT lang, CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens * 1000000 AS DOUBLE))) AS BIGINT) AS weight_e3
+  FROM counts
+),
+t AS (SELECT CAST(SUM(weight_e3) AS BIGINT) AS w_total FROM w),
+based AS (
+  SELECT lang, n_tokens, weight_e3,
+         CAST((10000000 * CAST(weight_e3 AS HUGEINT)) // w_total AS BIGINT) AS base_tokens,
+         CAST((10000000 * CAST(weight_e3 AS HUGEINT)) % w_total AS BIGINT) AS rem
+  FROM w, t
+),
+lt AS (SELECT 10000000 - CAST(SUM(base_tokens) AS BIGINT) AS leftover FROM based),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rnk FROM based
+)
+SELECT lang, n_tokens, weight_e3,
+       CAST(base_tokens + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota_tokens,
+       CAST((1000 * (base_tokens + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)) // n_tokens
+            AS BIGINT) AS epochs_e3
+FROM rk, lt
+""",
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder split of a 10M-token training budget
+    across languages (operators.text.allocate_token_budget): temperature
+    alpha = 0.5 weights, quota-exact (quotas sum to the budget to the
+    token), deterministic tie-break -- the allocation table a shard
+    planner consumes."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return tx.allocate_token_budget(docs, group_col="lang", budget=10_000_000)
+
+
+@register(
     "span_novelty_scores",
     """
 WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),

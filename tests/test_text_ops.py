@@ -178,3 +178,19 @@ def test_unigram_surprisal_hand_computed(spark):
     assert got[1]["surprisal_bits"] == 2 + 2 + 3 + 4  # 11
     assert got[2]["surprisal_bits"] == 11
     assert got[1]["mean_surprisal_e3"] == (1000 * 11) // 4
+
+
+def test_token_budget_allocation_quota_exact(spark):
+    from odp_dynamic_data_pipeline_spark.operators.text import allocate_token_budget
+
+    rows = [(f"l{i % 7}", "tok " * (10 + 13 * i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = allocate_token_budget(df, budget=1_000_003).collect()
+    assert len(out) == 7
+    # Hamilton invariant: quotas sum EXACTLY to the budget
+    assert sum(r["quota_tokens"] for r in out) == 1_000_003
+    # quota property: each within 1 of the exact proportional share
+    W = sum(r["weight_e3"] for r in out)
+    for r in out:
+        exact = 1_000_003 * r["weight_e3"] / W
+        assert exact - 1 < r["quota_tokens"] < exact + 1
