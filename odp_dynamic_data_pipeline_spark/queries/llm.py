@@ -1513,6 +1513,195 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "length_curriculum_buckets",
+    r"""
+WITH d AS (
+  SELECT lang, doc_id, n_chars, len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT lang, CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM d GROUP BY lang, decile
+""",
+)
+def length_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum manifest: per-language document deciles by length
+    (shortest first), with the char range and token supply of each bucket
+    -- the table a curriculum sampler walks to serve short documents in
+    early training steps.
+
+    NTILE over a (lang)-partitioned ordering: the sort is per-language
+    partition, never global, so the plan scales with the widest language,
+    not the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars", "text")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    d = docs.select(
+        "lang",
+        "n_chars",
+        F.expr(r"size(regexp_extract_all(text, r'\S+', 0))").alias("n_tokens"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return d.groupBy("lang", F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+@register(
+    "filter_ablation_report",
+    r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq FROM toks
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS gram
+  FROM (SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS i FROM toks)
+),
+per AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram),
+rep AS (SELECT doc_id, (1000000 * MAX(c)) // SUM(c) AS top2_e6 FROM per GROUP BY doc_id),
+flags AS (
+  SELECT b.doc_id,
+         CASE WHEN b.n_tokens < 20 THEN 1 ELSE 0 END
+       + CASE WHEN COALESCE(r.top2_e6, 0) >= 200000 THEN 2 ELSE 0 END
+       + CASE WHEN 1000000 * b.n_uniq < 300000 * b.n_tokens THEN 4 ELSE 0 END AS mask
+  FROM base b LEFT JOIN rep r USING (doc_id)
+)
+SELECT CAST(mask AS BIGINT) AS mask,
+       CAST(mask % 2 AS BIGINT) AS r_short,
+       CAST((mask // 2) % 2 AS BIGINT) AS r_repetitive,
+       CAST((mask // 4) % 2 AS BIGINT) AS r_low_diversity,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM flags GROUP BY mask
+""",
+)
+def filter_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-rule ablation: every document tagged with the bitmask of the
+    quality rules it fails (short / repetitive / low lexical diversity),
+    rolled up to counts per failure combination -- the report that shows
+    which rules overlap, which reject uniquely (mask = a single bit), and
+    what a rule's removal would re-admit, WITHOUT re-running the corpus
+    per ablation arm.
+
+    The token-stat legs are map-only; the repetition leg reuses the one
+    (doc_id, gram) shuffle; the rollup groups on an 8-value key."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        F.expr(r"size(regexp_extract_all(text, r'\S+', 0))").alias("n_tokens"),
+        F.expr(r"size(array_distinct(regexp_extract_all(text, r'\S+', 0)))").alias("n_uniq"),
+    )
+    per = (
+        tx.repetition_grams(docs, "text", n=2)
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rep = per.groupBy("doc_id").agg(F.expr("(1000000 * max(c)) div sum(c)").alias("top2_e6"))
+    flags = base.join(rep, "doc_id", "left").select(
+        (
+            F.when(F.col("n_tokens") < 20, 1).otherwise(0)
+            + F.when(F.coalesce(F.col("top2_e6"), F.lit(0)) >= 200000, 2).otherwise(0)
+            + F.when(
+                F.lit(1000000) * F.col("n_uniq") < F.lit(300000) * F.col("n_tokens"), 4
+            ).otherwise(0)
+        ).alias("mask")
+    )
+    return flags.groupBy("mask").agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+        F.col("mask").cast("long").alias("mask"),
+        F.expr("CAST(mask % 2 AS BIGINT)").alias("r_short"),
+        F.expr("CAST((mask div 2) % 2 AS BIGINT)").alias("r_repetitive"),
+        F.expr("CAST((mask div 4) % 2 AS BIGINT)").alias("r_low_diversity"),
+        "n_docs",
+    )
+
+
+@register(
+    "quality_signal_correlation",
+    r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS tok FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+total AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM freq),
+scored AS (
+  SELECT t.doc_id, length(format('{:b}', n // tf)) AS bits
+  FROM toks t JOIN freq f ON f.tok = t.tok, total
+),
+sx AS (SELECT doc_id, (1000 * CAST(SUM(bits) AS BIGINT)) // COUNT(*) AS x
+       FROM scored GROUP BY doc_id),
+tarr AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS gram
+  FROM (SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS i FROM tarr)
+),
+per AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram),
+sy AS (SELECT doc_id, (1000000 * MAX(c)) // SUM(c) AS y FROM per GROUP BY doc_id),
+j AS (SELECT CAST(sx.x AS BIGINT) AS x, CAST(sy.y AS BIGINT) AS y FROM sx JOIN sy USING (doc_id)),
+a AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx1, CAST(SUM(y) AS BIGINT) AS sy1,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       (sx1 // n) AS mean_surprisal_e3,
+       (sy1 // n) AS mean_top2gram_e6,
+       ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE)))
+         / (sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)))
+            * sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)) - (CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)))) AS pearson
+FROM a
+""",
+)
+def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the quality filters agree?  Exact-moment Pearson correlation
+    between per-doc unigram surprisal (mean_surprisal_e3) and Gopher-style
+    repetition (top-2-gram fraction ppm) -- the calibration report that
+    decides whether two filters are redundant or complementary before
+    spending a 100 TB pass on both.
+
+    All five moments are exact integer sums (decimal accumulators); the
+    only doubles are the final deterministic IEEE expression -- the
+    stats_moments discipline applied across two signal pipelines joined
+    per document."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    x = tx.unigram_surprisal(docs).select("doc_id", F.col("mean_surprisal_e3").alias("x"))
+    per = (
+        tx.repetition_grams(docs, "text", n=2)
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    y = per.groupBy("doc_id").agg(
+        F.expr("(1000000 * max(c)) div sum(c)").alias("y")
+    )
+    j = x.join(y, "doc_id").select("x", "y")
+    a = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("long").alias("sx1"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("long").alias("sy1"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).cast("long").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).cast("long").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).cast("long").alias("syy"),
+    )
+    return a.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("sx1 div n").alias("mean_surprisal_e3"),
+        F.expr("sy1 div n").alias("mean_top2gram_e6"),
+        F.expr(
+            "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE)))"
+            " / (sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)))"
+            " * sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)) - (CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))))"
+        ).alias("pearson"),
+    )
+
+
+@register(
     "token_budget_allocation",
     r"""
 WITH counts AS (

@@ -47,6 +47,7 @@ BROADCAST_NLJ_BY_DESIGN = {
     "join_key_skew_report",        # single-row key-universe totals broadcast
     "token_drift_by_source",       # single-row grand-total broadcast
     "token_budget_allocation",     # single-row weight-total + leftover broadcasts
+    "quality_signal_correlation",  # corpus-constant token total broadcast (surprisal leg)
     "q11_value_concentration",     # scalar subquery threshold
     "q14_promo_share", "q17_small_quantity_revenue", "q8_market_share",
     "q20_dominant_suppliers", "q22_dormant_customers", "q6_forecast_revenue",
