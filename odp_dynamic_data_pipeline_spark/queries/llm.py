@@ -1513,6 +1513,66 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dataset_card_report",
+    r"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+       (1000 * CAST(SUM(n_tokens) AS BIGINT)) // COUNT(*) AS mean_tokens_e3,
+       quantile_cont(n_tokens, 0.5) AS p50_tokens,
+       (1000000 * (COUNT(*) - COUNT(DISTINCT fp))) // COUNT(*) AS dup_rate_e6,
+       (1000000 * CAST(SUM(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS BIGINT))
+         // COUNT(*) AS short_docs_ppm
+FROM d
+""",
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: corpus size, language/source diversity, token
+    supply, exact-duplicate rate, median document length, short-doc share
+    -- the summary table a dataset release ships (Gebru et al., Datasheets
+    for Datasets).
+
+    One corpus pass: per-doc stats are map-only, the rollup is a single
+    global aggregate.  The exact median stays scalable because
+    percentile() buckets by VALUE (distinct doc lengths, bounded by the
+    longest document), not by row count; the three distinct-counts ride
+    Spark's Expand rewrite on one-row-per-doc inputs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    d = docs.select(
+        "lang",
+        "source",
+        F.expr(r"size(regexp_extract_all(text, r'\S+', 0))").alias("n_tokens"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("fp"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.sum(F.col("n_tokens").cast("decimal(38,0)")).cast("long").alias("n_tokens_total"),
+        F.expr(
+            "(1000 * cast(sum(cast(n_tokens as decimal(38,0))) as bigint)) div count(1)"
+        ).alias("mean_tokens_e3"),
+        F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
+        F.expr(
+            "(1000000 * (count(1) - count(DISTINCT fp))) div count(1)"
+        ).alias("dup_rate_e6"),
+        F.expr(
+            "(1000000 * cast(sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) as bigint))"
+            " div count(1)"
+        ).alias("short_docs_ppm"),
+    )
+
+
+@register(
     "length_curriculum_buckets",
     r"""
 WITH d AS (

@@ -211,3 +211,26 @@ def test_bigram_surprisal_conditional_bits(spark):
     assert out[1]["mean_surprisal_e3"] == 4000 // 3
     # doc2: (a,b) -> 1 bit
     assert out[2]["n_bigrams"] == 1 and out[2]["surprisal_bits"] == 1
+
+
+def test_token_drift_hand_computed(spark, tmp_path):
+    """Two-source corpus with integer-ppm drift computed by hand."""
+    from odp_dynamic_data_pipeline_spark.queries import SPARK_QUERIES
+
+    rows = [(1, "a a b", "en", "A", 5), (2, "a c", "en", "B", 3)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in SPARK_QUERIES["token_drift_by_source"](spark, str(tmp_path)).collect()
+    }
+    # global: a 3/5 (600000 ppm), b 1/5 (200000), c 1/5 (200000)
+    # A (3 tokens): a 666666, diff 66666; b 333333, diff 133333
+    assert out["A"]["n_tokens_distinct"] == 2
+    assert out["A"]["drift_l1_e6"] == 66666 + 133333
+    assert out["A"]["max_token_drift_e6"] == 133333
+    # B (2 tokens): a 500000, diff 100000; c 500000, diff 300000
+    assert out["B"]["drift_l1_e6"] == 100000 + 300000
+    assert out["B"]["max_token_drift_e6"] == 300000
