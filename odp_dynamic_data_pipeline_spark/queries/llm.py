@@ -1513,6 +1513,80 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_split_drift",
+    r"""
+WITH h AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS half
+  FROM embeddings
+),
+n AS (SELECT label, half, COUNT(*) AS n FROM h GROUP BY label, half),
+dims AS (SELECT label, half, i, qv[i] AS v
+         FROM (SELECT label, half, qv, UNNEST(generate_series(1, len(qv))) AS i FROM h)),
+s AS (SELECT label, half, i, CAST(SUM(v) AS BIGINT) AS s FROM dims GROUP BY label, half, i),
+m AS (SELECT s.label, s.i, s.half, s.s // n.n AS m, n.n AS n FROM s JOIN n USING (label, half)),
+j AS (SELECT a.label, a.i, a.m AS ma, b.m AS mb, a.n AS n_a, b.n AS n_b
+      FROM m a JOIN m b ON a.label = b.label AND a.i = b.i AND a.half = 0 AND b.half = 1)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(SUM((ma - mb) * (ma - mb)) AS BIGINT) AS drift_d2
+FROM j GROUP BY label
+""",
+)
+def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-pipeline stability check: split each label's vectors into
+    two deterministic halves (md5 parity of vec_id -- retry- and
+    engine-stable, no rand()), compare the per-half centroids, and report
+    the squared L2 distance between them in integer micro-units.  A healthy
+    embedding pipeline shows near-zero drift between random halves; a large
+    drift_d2 for one label flags batch effects (encoder version skew,
+    truncation changes) before those vectors poison a dedup or retrieval
+    pass.
+
+    Per-dim sums aggregate exploded (label, half, dim) keys -- partial
+    map-side combine collapses the 64x fan-out before the shuffle; the
+    half-vs-half join runs on |labels| x 64 rows.  Centroid components are
+    truncating integer divisions, identical in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    h = emb.select(
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        ).alias("qv"),
+        F.expr(
+            "CAST(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) AS BIGINT) % 2"
+        ).alias("half"),
+    )
+    n = h.groupBy("label", "half").agg(F.count(F.lit(1)).alias("n"))
+    dims = h.select("label", "half", F.posexplode("qv").alias("i", "v"))
+    s = dims.groupBy("label", "half", "i").agg(
+        F.sum(F.col("v").cast("decimal(38,0)")).cast("long").alias("s")
+    )
+    m = s.join(n, ["label", "half"]).select(
+        "label", "i", "half", F.expr("s div n").alias("m"), "n"
+    )
+    a = m.where(F.col("half") == 0).select(
+        "label", "i", F.col("m").alias("ma"), F.col("n").alias("n_a")
+    )
+    b = m.where(F.col("half") == 1).select(
+        "label", "i", F.col("m").alias("mb"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, ["label", "i"])
+        .groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
+            .cast("long")
+            .alias("drift_d2"),
+        )
+    )
+
+
+@register(
     "dataset_card_report",
     r"""
 WITH d AS (
