@@ -122,6 +122,29 @@ def _apply_transform(df: DataFrame, t: dict) -> DataFrame:
             min_docs=t.get("min_docs", 3),
             id_col=t.get("id_col", "doc_id"),
         )
+    if op == "language_id":
+        return _text.language_id(df, t.get("text_col", "text"), t.get("out_col", "pred_lang"))
+    if op == "allocate_token_budget":
+        return _text.allocate_token_budget(
+            df,
+            t.get("group_col", "lang"),
+            t.get("text_col", "text"),
+            budget=t.get("budget", 10_000_000),
+        )
+    if op == "random_projection":
+        from odp_dynamic_data_pipeline_spark.operators import similarity as _sim
+
+        return _sim.random_projection(
+            df,
+            t.get("vec_col", "embedding"),
+            t.get("out_col", "proj"),
+            out_dim=t.get("out_dim", 16),
+            scale=t.get("scale", 10000),
+        )
+    if op == "quantize_int8":
+        from odp_dynamic_data_pipeline_spark.operators import similarity as _sim
+
+        return _sim.quantize_int8(df, t.get("vec_col", "embedding"))
     raise ValueError(f"unknown transform op: {op}")
 
 

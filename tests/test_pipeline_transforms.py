@@ -110,3 +110,49 @@ def test_yaml_boilerplate_scrub_equals_operator(spark):
     got = {r["doc_id"]: (r["n_blocks"], r["n_dropped"]) for r in out.collect()}
     want = {r["doc_id"]: (r["n_blocks"], r["n_dropped"]) for r in hand.collect()}
     assert got == want and len(got) > 0
+
+
+RP_SPEC = """
+pipeline_name: proj_demo
+stages:
+  proj:
+    description: JL projection + budget from config
+    input:
+      format: parquet
+      path: "{sf}/embeddings.parquet"
+    transforms:
+      - op: random_projection
+        out_dim: 8
+"""
+
+BUDGET_SPEC = """
+pipeline_name: budget_demo
+stages:
+  alloc:
+    description: Hamilton budget from config
+    input:
+      format: parquet
+      path: "{sf}/documents.parquet"
+    transforms:
+      - op: allocate_token_budget
+        budget: 999983
+"""
+
+
+def test_yaml_random_projection_equals_operator(spark):
+    from odp_dynamic_data_pipeline_spark.operators.similarity import random_projection
+
+    p = Pipeline(yaml.safe_load(RP_SPEC))
+    out = p.compile(spark, path_vars={"sf": SF})[0]["proj"]
+    hand = random_projection(
+        load_table(spark, SF, "embeddings"), out_dim=8
+    )
+    got = {r["vec_id"]: list(r["proj"]) for r in out.collect()}
+    want = {r["vec_id"]: list(r["proj"]) for r in hand.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_yaml_token_budget_quota_exact(spark):
+    p = Pipeline(yaml.safe_load(BUDGET_SPEC))
+    out = p.compile(spark, path_vars={"sf": SF})[0]["alloc"].collect()
+    assert sum(r["quota_tokens"] for r in out) == 999983
