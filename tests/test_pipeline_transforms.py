@@ -156,3 +156,33 @@ def test_yaml_token_budget_quota_exact(spark):
     p = Pipeline(yaml.safe_load(BUDGET_SPEC))
     out = p.compile(spark, path_vars={"sf": SF})[0]["alloc"].collect()
     assert sum(r["quota_tokens"] for r in out) == 999983
+
+
+def test_shipped_corpus_pipeline_compiles_and_curates(spark):
+    """The shipped corpus_curation_pipeline.yaml compiles to lazy plans
+    whose results match the hand-built operator chain."""
+    from odp_dynamic_data_pipeline_spark.operators.dedup import exact_dedup
+    from odp_dynamic_data_pipeline_spark.plans.pipeline import load_pipeline
+
+    pipe = load_pipeline("pipelines/corpus_curation_pipeline.yaml")
+    outs, _ = pipe.compile(spark, path_vars={"sf": SF})
+    chunks = outs["curate"]
+    budget = outs["budget"].collect()
+    vecs = outs["vectors"]
+
+    # budget stage: Hamilton invariant
+    assert sum(r["quota_tokens"] for r in budget) == 10_000_000
+
+    # vectors stage: projection + int8 columns exist, row count preserved
+    n_emb = load_table(spark, SF, "embeddings").count()
+    assert vecs.count() == n_emb
+    assert {"proj", "codes", "scale"} <= set(vecs.columns)
+
+    # curate stage: same chunk count as the hand-built chain
+    hand = tx.quality_features(load_table(spark, SF, "documents"))
+    hand = hand.where("n_tokens >= 5 AND 1000000 * n_unique_tokens >= 200000 * n_tokens")
+    hand = tx.scrub_pii(hand)
+    hand = tx.fingerprint(hand)
+    hand = exact_dedup(hand, ["fingerprint"], "doc_id")
+    hand = tx.chunk_documents(hand, chunk_tokens=64, stride=48, id_cols=["doc_id", "lang"])
+    assert chunks.count() == hand.count() > 0
