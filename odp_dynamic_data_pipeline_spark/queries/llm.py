@@ -1513,6 +1513,50 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_rate_anomalies",
+    """
+WITH c AS (
+  SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM c GROUP BY 1),
+d AS (SELECT c.event_type, c.hour_epoch, c.n, m.med, abs(c.n - m.med) AS dev
+      FROM c JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+SELECT d.event_type, d.hour_epoch, d.n, d.med, md.mad
+FROM d JOIN md USING (event_type)
+WHERE d.dev > 3 * md.mad AND md.mad > 0
+""",
+)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-rate anomaly detection, median/MAD style (robust to the
+    outliers it is hunting, unlike mean/stddev): hours whose event count
+    deviates from the event-type's median hourly rate by more than 3x the
+    median absolute deviation -- the monitor that catches a stuck producer
+    or a replay storm in the telemetry feed the reference ingests.
+
+    Two exact percentiles over the (type, hour) count table -- percentile()
+    buckets by VALUE, and the count table is |types| x |hours| however big
+    the raw stream; the stream itself is touched by exactly one counting
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.withColumn("hour_epoch", F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
+        .groupBy("event_type", "hour_epoch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = c.groupBy("event_type").agg(F.expr("percentile(n, 0.5)").alias("med"))
+    d = c.join(m, "event_type").withColumn("dev", F.abs(F.col("n") - F.col("med")))
+    md = d.groupBy("event_type").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    return (
+        d.join(md, "event_type")
+        .where((F.col("dev") > 3 * F.col("mad")) & (F.col("mad") > 0))
+        .select("event_type", "hour_epoch", "n", "med", "mad")
+    )
+
+
+@register(
     "embedding_split_drift",
     r"""
 WITH h AS (
