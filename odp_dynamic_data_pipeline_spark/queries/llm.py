@@ -1513,6 +1513,93 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tokenizer_fertility_report",
+    r"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text,
+         '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))) AS BIGINT)
+         AS bpe_pretokens,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+       (1000 * CAST(SUM(len(regexp_extract_all(text,
+         '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))) AS BIGINT))
+         // CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS fertility_e3,
+       (1000 * CAST(SUM(octet_length(encode(text))) AS BIGINT))
+         // CAST(SUM(len(regexp_extract_all(text,
+         '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))) AS BIGINT)
+         AS bytes_per_pretoken_e3
+FROM documents GROUP BY lang
+""",
+)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword fertility per language: BPE-style pre-tokens per whitespace
+    word and bytes per pre-token -- the report that shows which languages a
+    tokenizer will fragment (fertility >> 1000) and where the byte budget
+    goes.  Map-only feature extraction, one rollup shuffle on lang."""
+    pat = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(r"size(regexp_extract_all(text, r'\S+', 0))").alias("ws"),
+        F.expr(f'CAST(regexp_count(text, r"{pat}") AS BIGINT)').alias("bpe"),
+        F.expr("CAST(octet_length(text) AS BIGINT)").alias("nb"),
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("ws").cast("decimal(38,0)")).cast("long").alias("ws_tokens"),
+        F.sum(F.col("bpe").cast("decimal(38,0)")).cast("long").alias("bpe_pretokens"),
+        F.sum(F.col("nb").cast("decimal(38,0)")).cast("long").alias("n_bytes"),
+        F.expr(
+            "(1000 * cast(sum(cast(bpe as decimal(38,0))) as bigint))"
+            " div cast(sum(cast(ws as decimal(38,0))) as bigint)"
+        ).alias("fertility_e3"),
+        F.expr(
+            "(1000 * cast(sum(cast(nb as decimal(38,0))) as bigint))"
+            " div cast(sum(cast(bpe as decimal(38,0))) as bigint)"
+        ).alias("bytes_per_pretoken_e3"),
+    )
+
+
+@register(
+    "packing_efficiency_report",
+    r"""
+WITH t AS (
+  SELECT lang, CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY lang
+)
+SELECT lang, total_tokens,
+       (total_tokens + 255) // 256 AS n_seqs,
+       ((total_tokens + 255) // 256) * 256 - total_tokens AS pad_tokens,
+       (1000000 * (((total_tokens + 255) // 256) * 256 - total_tokens))
+         // (((total_tokens + 255) // 256) * 256) AS pad_ppm
+FROM t
+""",
+)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding waste of the concat-and-cut packing (pack_sequences at
+    L=256): per language, how many sequences the token supply fills and
+    what fraction of the final shard is padding -- the efficiency number a
+    packing strategy is judged by.  Pure arithmetic on one per-lang
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.expr(r"size(regexp_extract_all(text, r'\S+', 0))").alias("nt")
+    )
+    t = docs.groupBy("lang").agg(
+        F.sum(F.col("nt").cast("decimal(38,0)")).cast("long").alias("total_tokens")
+    )
+    return t.select(
+        "lang",
+        "total_tokens",
+        F.expr("(total_tokens + 255) div 256").alias("n_seqs"),
+        F.expr("((total_tokens + 255) div 256) * 256 - total_tokens").alias("pad_tokens"),
+        F.expr(
+            "(1000000 * (((total_tokens + 255) div 256) * 256 - total_tokens))"
+            " div (((total_tokens + 255) div 256) * 256)"
+        ).alias("pad_ppm"),
+    )
+
+
+@register(
     "event_rate_anomalies",
     """
 WITH c AS (

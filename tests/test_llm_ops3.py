@@ -234,3 +234,18 @@ def test_token_drift_hand_computed(spark, tmp_path):
     # B (2 tokens): a 500000, diff 100000; c 500000, diff 300000
     assert out["B"]["drift_l1_e6"] == 100000 + 300000
     assert out["B"]["max_token_drift_e6"] == 300000
+
+
+def test_tokenizer_fertility_punctuated(spark, tmp_path):
+    """On punctuated text the BPE pre-tokenizer yields more units than
+    whitespace splitting (fertility_e3 > 1000)."""
+    from odp_dynamic_data_pipeline_spark.queries import SPARK_QUERIES
+
+    rows = [(1, "Hello, world! It's a test: 123 tokens.", "en", "A", 38)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = SPARK_QUERIES["tokenizer_fertility_report"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["fertility_e3"] > 1000
+    assert out[0]["bpe_pretokens"] > out[0]["ws_tokens"]
