@@ -468,11 +468,18 @@ def allocate_token_budget(
         group_col,
         "n_tokens",
         "weight_e3",
+        # greatest(..., 1): a corpus slice of all-empty documents has
+        # w_total = 0; with the rem > 0 gate below the allocation then
+        # degrades to all-zero quotas instead of an ANSI divide-by-zero
+        # job failure (the quota == budget invariant only holds when some
+        # group has tokens to receive them)
         F.expr(
-            f"CAST((CAST({budget} AS decimal(38,0)) * weight_e3) div w_total AS BIGINT)"
+            f"CAST((CAST({budget} AS decimal(38,0)) * weight_e3)"
+            f" div greatest(w_total, 1) AS BIGINT)"
         ).alias("base_tokens"),
         F.expr(
-            f"CAST((CAST({budget} AS decimal(38,0)) * weight_e3) % w_total AS BIGINT)"
+            f"CAST((CAST({budget} AS decimal(38,0)) * weight_e3)"
+            f" % greatest(w_total, 1) AS BIGINT)"
         ).alias("rem"),
     )
     lt = based.agg(
@@ -488,12 +495,20 @@ def allocate_token_budget(
             group_col,
             "n_tokens",
             "weight_e3",
-            (F.col("base_tokens") + F.when(F.col("__rk") <= F.col("leftover"), 1).otherwise(0))
+            # rem > 0: ranks 1..leftover always carry positive remainders
+            # in a real allocation (leftover = sum of fractional parts), so
+            # this changes nothing there -- but when every weight is 0 the
+            # degenerate answer becomes all-zero quotas, not spurious +1s
+            (
+                F.col("base_tokens")
+                + F.when((F.col("__rk") <= F.col("leftover")) & (F.col("rem") > 0), 1).otherwise(0)
+            )
             .cast("long")
             .alias("quota_tokens"),
             F.expr(
-                f"CAST((1000 * (base_tokens + CASE WHEN __rk <= leftover THEN 1 ELSE 0 END))"
-                f" div n_tokens AS BIGINT)"
+                f"CAST((1000 * (base_tokens +"
+                f" CASE WHEN __rk <= leftover AND rem > 0 THEN 1 ELSE 0 END))"
+                f" div greatest(n_tokens, 1) AS BIGINT)"
             ).alias("epochs_e3"),
         )
     )

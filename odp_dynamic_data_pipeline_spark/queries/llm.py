@@ -1513,6 +1513,49 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_frontend_corpus",
+    r"""
+WITH fp AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_distinct,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       (1000000 * (COUNT(*) - COUNT(DISTINCT fingerprint))) // COUNT(*) AS dup_rate_e6
+FROM fp GROUP BY lang
+""",
+)
+def sql_frontend_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus surface through the SQL frontend: documents registered
+    as a temp view, per-language dedup stats expressed as Spark SQL text
+    -- proof the LLM-data operators are reachable from BOTH query
+    surfaces (same Catalyst plan either way)."""
+    from odp_dynamic_data_pipeline_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        r"""
+        WITH fp AS (
+          SELECT lang,
+                 size(regexp_extract_all(text, r'\S+', 0)) AS n_tokens,
+                 md5(trim(regexp_replace(lower(text), r'\s+', ' '))) AS fingerprint
+          FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_distinct,
+               CAST(SUM(CAST(n_tokens AS decimal(38,0))) AS BIGINT) AS n_tokens,
+               (1000000 * (COUNT(*) - COUNT(DISTINCT fingerprint))) div COUNT(*) AS dup_rate_e6
+        FROM fp GROUP BY lang
+        """
+    )
+
+
+@register(
     "tokenizer_fertility_report",
     r"""
 SELECT lang,
@@ -1730,11 +1773,11 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
-       (1000 * CAST(SUM(n_tokens) AS BIGINT)) // COUNT(*) AS mean_tokens_e3,
+       (1000 * CAST(SUM(n_tokens) AS BIGINT)) // greatest(COUNT(*), 1) AS mean_tokens_e3,
        quantile_cont(n_tokens, 0.5) AS p50_tokens,
-       (1000000 * (COUNT(*) - COUNT(DISTINCT fp))) // COUNT(*) AS dup_rate_e6,
+       (1000000 * (COUNT(*) - COUNT(DISTINCT fp))) // greatest(COUNT(*), 1) AS dup_rate_e6,
        (1000000 * CAST(SUM(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS BIGINT))
-         // COUNT(*) AS short_docs_ppm
+         // greatest(COUNT(*), 1) AS short_docs_ppm
 FROM d
 """,
 )
@@ -1764,15 +1807,16 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("source").cast("long").alias("n_sources"),
         F.sum(F.col("n_tokens").cast("decimal(38,0)")).cast("long").alias("n_tokens_total"),
         F.expr(
-            "(1000 * cast(sum(cast(n_tokens as decimal(38,0))) as bigint)) div count(1)"
+            "(1000 * cast(sum(cast(n_tokens as decimal(38,0))) as bigint))"
+            " div greatest(count(1), 1)"
         ).alias("mean_tokens_e3"),
         F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
         F.expr(
-            "(1000000 * (count(1) - count(DISTINCT fp))) div count(1)"
+            "(1000000 * (count(1) - count(DISTINCT fp))) div greatest(count(1), 1)"
         ).alias("dup_rate_e6"),
         F.expr(
             "(1000000 * cast(sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) as bigint))"
-            " div count(1)"
+            " div greatest(count(1), 1)"
         ).alias("short_docs_ppm"),
     )
 
@@ -1981,8 +2025,8 @@ w AS (
 t AS (SELECT CAST(SUM(weight_e3) AS BIGINT) AS w_total FROM w),
 based AS (
   SELECT lang, n_tokens, weight_e3,
-         CAST((10000000 * CAST(weight_e3 AS HUGEINT)) // w_total AS BIGINT) AS base_tokens,
-         CAST((10000000 * CAST(weight_e3 AS HUGEINT)) % w_total AS BIGINT) AS rem
+         CAST((10000000 * CAST(weight_e3 AS HUGEINT)) // greatest(w_total, 1) AS BIGINT) AS base_tokens,
+         CAST((10000000 * CAST(weight_e3 AS HUGEINT)) % greatest(w_total, 1) AS BIGINT) AS rem
   FROM w, t
 ),
 lt AS (SELECT 10000000 - CAST(SUM(base_tokens) AS BIGINT) AS leftover FROM based),
@@ -1990,9 +2034,10 @@ rk AS (
   SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rnk FROM based
 )
 SELECT lang, n_tokens, weight_e3,
-       CAST(base_tokens + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota_tokens,
-       CAST((1000 * (base_tokens + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)) // n_tokens
-            AS BIGINT) AS epochs_e3
+       CAST(base_tokens + CASE WHEN rnk <= leftover AND rem > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS quota_tokens,
+       CAST((1000 * (base_tokens + CASE WHEN rnk <= leftover AND rem > 0 THEN 1 ELSE 0 END))
+            // greatest(n_tokens, 1) AS BIGINT) AS epochs_e3
 FROM rk, lt
 """,
 )

@@ -249,3 +249,41 @@ def test_tokenizer_fertility_punctuated(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["fertility_e3"] > 1000
     assert out[0]["bpe_pretokens"] > out[0]["ws_tokens"]
+
+
+def test_corpus_queries_survive_empty_input(spark, tmp_path):
+    """A fresh (empty) corpus partition must not crash the curation
+    reports -- no div-by-zero, no None explosions in the plans."""
+    from odp_dynamic_data_pipeline_spark.queries import SPARK_QUERIES
+
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    for name in [
+        "token_drift_by_source",
+        "oov_rate_report",
+        "filter_ablation_report",
+        "length_curriculum_buckets",
+        "token_budget_allocation",
+        "tokenizer_fertility_report",
+        "packing_efficiency_report",
+        "sql_frontend_corpus",
+    ]:
+        rows = SPARK_QUERIES[name](spark, str(tmp_path)).collect()
+        assert rows == [] or all(r["lang"] is not None for r in rows), name
+    # global aggregates return a well-formed zero row, not DIVIDE_BY_ZERO
+    card = SPARK_QUERIES["dataset_card_report"](spark, str(tmp_path)).collect()
+    assert len(card) == 1 and card[0]["n_docs"] == 0
+
+
+def test_token_budget_degenerate_all_empty(spark, tmp_path):
+    """All-empty documents (total weight 0): quotas degrade to zero
+    instead of an ANSI divide-by-zero job failure."""
+    from odp_dynamic_data_pipeline_spark.queries import SPARK_QUERIES
+
+    spark.createDataFrame(
+        [(1, "", "en", "A", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = SPARK_QUERIES["token_budget_allocation"](spark, str(tmp_path)).collect()
+    assert [(r["quota_tokens"], r["epochs_e3"]) for r in out] == [(0, 0)]
