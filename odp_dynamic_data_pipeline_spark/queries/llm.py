@@ -1567,10 +1567,10 @@ SELECT lang,
        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
        (1000 * CAST(SUM(len(regexp_extract_all(text,
          '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))) AS BIGINT))
-         // CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS fertility_e3,
+         // greatest(CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT), 1) AS fertility_e3,
        (1000 * CAST(SUM(octet_length(encode(text))) AS BIGINT))
-         // CAST(SUM(len(regexp_extract_all(text,
-         '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))) AS BIGINT)
+         // greatest(CAST(SUM(len(regexp_extract_all(text,
+         '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))) AS BIGINT), 1)
          AS bytes_per_pretoken_e3
 FROM documents GROUP BY lang
 """,
@@ -1594,11 +1594,11 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("nb").cast("decimal(38,0)")).cast("long").alias("n_bytes"),
         F.expr(
             "(1000 * cast(sum(cast(bpe as decimal(38,0))) as bigint))"
-            " div cast(sum(cast(ws as decimal(38,0))) as bigint)"
+            " div greatest(cast(sum(cast(ws as decimal(38,0))) as bigint), 1)"
         ).alias("fertility_e3"),
         F.expr(
             "(1000 * cast(sum(cast(nb as decimal(38,0))) as bigint))"
-            " div cast(sum(cast(bpe as decimal(38,0))) as bigint)"
+            " div greatest(cast(sum(cast(bpe as decimal(38,0))) as bigint), 1)"
         ).alias("bytes_per_pretoken_e3"),
     )
 
@@ -1614,7 +1614,7 @@ SELECT lang, total_tokens,
        (total_tokens + 255) // 256 AS n_seqs,
        ((total_tokens + 255) // 256) * 256 - total_tokens AS pad_tokens,
        (1000000 * (((total_tokens + 255) // 256) * 256 - total_tokens))
-         // (((total_tokens + 255) // 256) * 256) AS pad_ppm
+         // greatest(((total_tokens + 255) // 256) * 256, 1) AS pad_ppm
 FROM t
 """,
 )
@@ -1637,7 +1637,7 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("((total_tokens + 255) div 256) * 256 - total_tokens").alias("pad_tokens"),
         F.expr(
             "(1000000 * (((total_tokens + 255) div 256) * 256 - total_tokens))"
-            " div (((total_tokens + 255) div 256) * 256)"
+            " div greatest(((total_tokens + 255) div 256) * 256, 1)"
         ).alias("pad_ppm"),
     )
 
