@@ -3,11 +3,16 @@
 Normalizes physical quirks at the scan boundary so every operator sees clean
 logical types:
 
-* ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it as
-  long nanos (see session.RUNTIME_CONFS) and we convert to TimestampType by
-  integer-truncating to microseconds -- the same truncation DuckDB applies,
-  which keeps ordering and second-level arithmetic bit-identical between the
-  engine and the oracle.
+* Timestamp columns (``events.ts``, ``orders.o_orderdate``,
+  ``lineitem.l_shipdate``) have shipped in two physical flavors across
+  testdata generations: parquet TIMESTAMP(NANOS) -- which Spark reads as
+  long nanos under the ``nanosAsLong`` flag (session.RUNTIME_CONFS) -- and
+  plain TIMESTAMP(MICROS) without UTC adjustment, which Spark 4 reads as
+  TIMESTAMP_NTZ.  Both normalize to TimestampType here: nanos by integer
+  truncation to micros (the same truncation DuckDB applies), NTZ by a cast
+  that, under the UTC session timezone, reinterprets the wall-clock as the
+  identical instant DuckDB's naive timestamps denote.  Downstream operators
+  therefore always see TimestampType and ``unix_micros`` et al. just work.
 
 Scans stay fully pushdown-friendly: the conversion is a projection on top of
 the parquet scan, so filters on other columns still reach the reader.
@@ -41,6 +46,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # long nanos -> TimestampType (micros), integer truncation
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        # NTZ wall-clock == UTC instant under the UTC session timezone;
+        # still a projection over the scan, pushdown unaffected
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
