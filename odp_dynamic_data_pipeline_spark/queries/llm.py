@@ -994,10 +994,10 @@ grams AS (
 ),
 per AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram)
 SELECT doc_id,
-       SUM(c) AS n_2grams,
+       CAST(SUM(c) AS BIGINT) AS n_2grams,
        COUNT(*) AS distinct_2grams,
        MAX(c) AS top_2gram_count,
-       (1000000 * MAX(c)) // SUM(c) AS top_2gram_frac_e6
+       CAST((1000000 * MAX(c)) // SUM(c) AS BIGINT) AS top_2gram_frac_e6
 FROM per GROUP BY doc_id
 """,
 )

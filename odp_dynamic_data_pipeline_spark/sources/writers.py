@@ -35,6 +35,18 @@ def write_bucketed_table(
     recur on the same key (broadcast only covers dimension-sized sides)."""
     if isinstance(bucket_cols, str):
         bucket_cols = [bucket_cols]
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        # An orphaned warehouse directory (crashed run: location written but
+        # catalog entry never committed) makes saveAsTable throw
+        # LOCATION_ALREADY_EXISTS and DROP TABLE can't clear it; remove it.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        loc = os.path.join(wh.path or wh.netloc, table.split(".")[-1].lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         if isinstance(sort_cols, str):

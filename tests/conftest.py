@@ -14,8 +14,16 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    # Isolated warehouse: a crashed run must not poison later runs with
+    # orphaned saveAsTable locations (LOCATION_ALREADY_EXISTS).
+    wh = str(tmp_path_factory.mktemp("spark-warehouse"))
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_confs={"spark.sql.warehouse.dir": wh},
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

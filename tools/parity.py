@@ -57,6 +57,26 @@ def compare(name, spark, con, sf_dir, spark_fn, oracle):
     drows = res.fetchall()
     t_duck = time.time() - t0
     problems = []
+    # Driver-faithful dtype check: the driver materializes both sides to
+    # pandas before hashing, so a DuckDB HUGEINT (-> float64 in pandas) vs a
+    # Spark BIGINT (-> int64) hash-mismatches even when values are equal.
+    try:
+        ddf = con.execute(oracle).df()
+        pdf = sdf.toPandas()
+        for c in ddf.columns:
+            if c not in pdf.columns:
+                continue
+            dk, sk = str(ddf[c].dtype), str(pdf[c].dtype)
+            d_float = dk.startswith("float")
+            s_float = sk.startswith("float")
+            d_int = dk.startswith("int") or dk.startswith("uint")
+            s_int = sk.startswith("int") or sk.startswith("uint")
+            if (d_float and s_int) or (d_int and s_float):
+                problems.append(
+                    f"pandas dtype mismatch on '{c}': duck={dk} spark={sk} "
+                    "(driver hash will diverge; CAST the oracle)")
+    except Exception:  # pragma: no cover - pandas materialization edge
+        pass
     if sorted(scols) != sorted(dcols):
         problems.append(f"columns differ: spark={sorted(scols)} duck={sorted(dcols)}")
     if len(srows) != len(drows):
