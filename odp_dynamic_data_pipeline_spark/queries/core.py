@@ -90,6 +90,66 @@ def tlb_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("tlb_session_metrics_stream", TLB_ORACLE)
+def tlb_session_metrics_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of tlb_session_metrics, checked against the SAME
+    oracle: events replayed through the file-stream source, page-view
+    pairing done by pair_page_views_stream (register in the state store,
+    Trigger.AvailableNow -- SURVEY section 2.7 W2), then the per-user
+    conditional counts joined on.  A green row here is the driver-verified
+    proof that stream == batch == oracle for the stateful operator.
+
+    Durations cross the stream boundary as exact integer microseconds and
+    are divided once after the batch sum, so the double result is
+    bit-identical to the batch path."""
+    import tempfile
+
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        pair_page_views_stream,
+        run_available_now,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="tlb_stream_")
+    src, out, ckpt = f"{tmp}/in", f"{tmp}/pairs", f"{tmp}/ckpt"
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    pairs = pair_page_views_stream(
+        stream,
+        group_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        start_type="view",
+        end_type="purchase",
+        order_cols=["ts", "event_id"],
+        group_type="bigint",
+        duration_unit="us",
+    )
+    run_available_now(pairs, format="parquet", query_name="", path=out, checkpoint=ckpt)
+    pair_durs = (
+        spark.read.schema("user_id bigint, end_ts timestamp, dur_us long")
+        .parquet(out)
+        .groupBy("user_id")
+        .agg(F.sum("dur_us").alias("dur_us"))
+    )
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("error_count"),
+        F.count(F.when(F.col("event_type") == "signup", 1)).alias("signup_count"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("click_count"),
+    )
+    return counts.join(pair_durs, "user_id", "left").select(
+        "user_id",
+        (F.coalesce(F.col("dur_us"), F.lit(0)).cast("double") / F.lit(1000000.0)).alias(
+            "page_view_time"
+        ),
+        "error_count",
+        "signup_count",
+        "click_count",
+    )
+
+
 @register(
     "pivot_event_counts",
     """

@@ -40,16 +40,39 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame with normalized types."""
+    """Load one testdata table as a DataFrame with normalized types.
+
+    Normalization covers TOP-LEVEL columns only (``df.dtypes``); the
+    testdata has no timestamps nested in structs/arrays, and a source that
+    does should normalize them at its own boundary.
+
+    Pushdown tradeoff: a filter on a normalized (cast) column compares
+    against a projection, so it no longer reaches the parquet reader for
+    row-group pruning -- filters on every OTHER column still push down.  At
+    scale, date-range-heavy workloads should rewrite such predicates to NTZ
+    literals below the cast (or partition on the date column, as the hour
+    layout does) rather than rely on row-group stats.
+    """
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # long nanos -> TimestampType (micros), integer truncation
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        # NTZ wall-clock == UTC instant ONLY under the UTC session timezone;
+        # ensure_runtime_confs sets it but swallows failures on a host
+        # session with locked confs, so verify before relying on the cast --
+        # a silent non-UTC session would shift every instant by the offset.
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise RuntimeError(
+                f"timestamp_ntz normalization requires a UTC session timezone, "
+                f"got {tz!r}: spark.sql.session.timeZone could not be set on "
+                "this session (locked by the host?)"
+            )
     for c in ntz_cols:
-        # NTZ wall-clock == UTC instant under the UTC session timezone;
-        # still a projection over the scan, pushdown unaffected
+        # still a projection over the scan, pushdown unaffected for other cols
         df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 

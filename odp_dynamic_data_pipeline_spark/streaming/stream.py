@@ -145,61 +145,180 @@ def pair_page_views_stream(
     start_type: str = "page_view_start",
     end_type: str = "page_view_end",
     state_ttl_ms: int | None = None,
+    order_cols: list[str] | None = None,
+    group_type: str = "string",
+    duration_unit: str = "seconds",
 ) -> DataFrame:
     """Streaming page-view pairing with the register persisted across
     micro-batches in the state store (W2 exact semantics: overwrite on
     double start, consume-once, ignore unmatched end).
 
-    Events are processed in event-time order *within* each micro-batch;
+    Events are processed in event-time order *within* each micro-batch
+    (``order_cols`` adds a deterministic tiebreak for equal timestamps);
     cross-batch disorder is bounded by upstream watermarking/file cadence
     (the reference's hourly batches have the same property).
+
+    The walk is VECTORIZED: the sequential register semantics have a closed
+    form (the same window identity operators.sessionize uses batch-side) --
+    an end event emits iff the running-max start timestamp exists and is
+    newer than the running-max end timestamp -- so each group's micro-batch
+    is two numpy cummax passes, not a Python row loop.  The register state
+    carried across batches stays one scalar: it is stored only while live
+    (consume-once removes it), so "live" == "state exists".
 
     ``state_ttl_ms`` bounds state growth: a register older than the TTL (in
     event time; requires a watermark on the input) is dropped -- the
     streaming analogue of the reference discarding unmatched trailing starts
     at batch end.  Without it, one start-without-end per client would pin
     state forever on an unbounded key space.
+
+    ``duration_unit='us'`` emits exact integer microseconds (column
+    ``dur_us``) so a downstream sum can divide ONCE -- bit-identical to the
+    batch aggregate; the default emits per-pair seconds as double.
     """
-    out_schema = f"{group_col} string, end_ts timestamp, page_view_duration double"
+    exact_us = duration_unit == "us"
+    dur_field = "dur_us long" if exact_us else "page_view_duration double"
+    dur_name = dur_field.split(" ")[0]
+    out_schema = f"{group_col} {group_type}, end_ts timestamp, {dur_field}"
     state_schema = "last_start_us long"
+    sort_cols = order_cols or [ts_col]
     timeout_mode = (
         GroupStateTimeout.EventTimeTimeout if state_ttl_ms else GroupStateTimeout.NoTimeout
     )
 
     def walk(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         if state.hasTimedOut:
             # expire the unmatched register (reference drops trailing starts)
             state.remove()
             return
-        last_start_us = state.get[0] if state.exists else None
-        rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col, kind="mergesort")
-            for _, r in pdf.iterrows():
-                t = r[type_col]
-                ts_us = r[ts_col].value // 1000  # pandas ns -> us
-                if t == start_type:
-                    last_start_us = ts_us
-                elif t == end_type and last_start_us is not None:
-                    rows.append((key[0], r[ts_col], (ts_us - last_start_us) / 1_000_000.0))
-                    last_start_us = None
-        if last_start_us is None:
+        NEG = np.iinfo(np.int64).min
+        init_start = state.get[0] if state.exists else NEG
+        # A group's micro-batch can arrive as SEVERAL chunks; event-time
+        # order must be global per group, so concat before the sort.
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        ts_us = pdf[ts_col].to_numpy("datetime64[ns]").astype(np.int64) // 1000
+        tv = pdf[type_col].to_numpy()
+        is_start = tv == start_type
+        is_end = tv == end_type
+        s = np.where(is_start, ts_us, NEG)
+        e = np.where(is_end, ts_us, NEG)
+        prev_s = np.maximum.accumulate(np.concatenate(([init_start], s)))[:-1]
+        prev_e = np.maximum.accumulate(np.concatenate(([NEG], e)))[:-1]
+        emit = is_end & (prev_s != NEG) & (prev_s > prev_e)
+        dur_us_arr = ts_us[emit] - prev_s[emit]
+        out = pd.DataFrame(
+            {
+                group_col: np.repeat(key[0], int(emit.sum())),
+                "end_ts": pdf[ts_col].to_numpy()[emit],
+                dur_name: dur_us_arr if exact_us else dur_us_arr / 1_000_000.0,
+            }
+        )
+        last_start = max(init_start, int(s.max()) if len(s) else NEG)
+        last_end = int(e.max()) if len(e) else NEG
+        if last_start == NEG or last_start <= last_end:
             if state.exists:
                 state.remove()
         else:
-            state.update((last_start_us,))
+            state.update((int(last_start),))
             if state_ttl_ms:
-                expiry = last_start_us // 1000 + state_ttl_ms
+                expiry = int(last_start) // 1000 + state_ttl_ms
                 # timeout must be beyond the current watermark
                 expiry = max(expiry, state.getCurrentWatermarkMs() + 1)
                 state.setTimeoutTimestamp(expiry)
-        yield pd.DataFrame(rows, columns=[group_col, "end_ts", "page_view_duration"])
+        yield out
 
     return stream.groupBy(group_col).applyInPandasWithState(
         walk, out_schema, state_schema, "append", timeout_mode
     )
+
+
+def make_pair_processor(
+    *,
+    group_col: str = "clientId",
+    ts_col: str = "event_time",
+    type_col: str = "eventType",
+    start_type: str = "page_view_start",
+    end_type: str = "page_view_end",
+    state_ttl_ms: int | None = None,
+    order_cols: list[str] | None = None,
+    group_type: str = "string",
+    duration_unit: str = "seconds",
+):
+    """Build the (StatefulProcessor instance, output schema) pair used by
+    :func:`pair_page_views_tws`.  Module-level so the processor's register
+    logic is directly drivable with a stub StatefulProcessorHandle in tests
+    -- the transformWithState WORKER protocol needs protobuf, but the
+    processor itself is plain Python, so environments without protobuf can
+    still verify this exact class emits the same pairs as the
+    applyInPandasWithState twin (tests/test_streaming.py)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    exact_us = duration_unit == "us"
+    dur_field = "dur_us long" if exact_us else "page_view_duration double"
+    dur_name = dur_field.split(" ")[0]
+    out_schema = f"{group_col} {group_type}, end_ts timestamp, {dur_field}"
+    sort_cols = order_cols or [ts_col]
+
+    class _PairProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            if state_ttl_ms:
+                self._reg = handle.getValueState(
+                    "register", "last_start_us long", ttlDurationMs=state_ttl_ms
+                )
+            else:
+                self._reg = handle.getValueState("register", "last_start_us long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            NEG = np.iinfo(np.int64).min
+            last = self._reg.get()
+            init_start = last[0] if last is not None else NEG
+            chunks = list(rows)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+            ts_us = pdf[ts_col].to_numpy("datetime64[ns]").astype(np.int64) // 1000
+            tv = pdf[type_col].to_numpy()
+            is_start = tv == start_type
+            is_end = tv == end_type
+            s = np.where(is_start, ts_us, NEG)
+            e = np.where(is_end, ts_us, NEG)
+            prev_s = np.maximum.accumulate(np.concatenate(([init_start], s)))[:-1]
+            prev_e = np.maximum.accumulate(np.concatenate(([NEG], e)))[:-1]
+            emit = is_end & (prev_s != NEG) & (prev_s > prev_e)
+            dur_us_arr = ts_us[emit] - prev_s[emit]
+            out = pd.DataFrame(
+                {
+                    group_col: np.repeat(key[0], int(emit.sum())),
+                    "end_ts": pdf[ts_col].to_numpy()[emit],
+                    dur_name: dur_us_arr if exact_us else dur_us_arr / 1_000_000.0,
+                }
+            )
+            last_start = max(init_start, int(s.max()) if len(s) else NEG)
+            last_end = int(e.max()) if len(e) else NEG
+            if last_start == NEG or last_start <= last_end:
+                self._reg.clear()
+            else:
+                self._reg.update((int(last_start),))
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return _PairProcessor(), out_schema
 
 
 def pair_page_views_tws(
@@ -211,6 +330,9 @@ def pair_page_views_tws(
     start_type: str = "page_view_start",
     end_type: str = "page_view_end",
     state_ttl_ms: int | None = None,
+    order_cols: list[str] | None = None,
+    group_type: str = "string",
+    duration_unit: str = "seconds",
 ) -> DataFrame:
     """Page-view pairing on ``transformWithStateInPandas`` -- the Spark 4
     arbitrary-state API (typed state variables + declarative TTL) that
@@ -227,52 +349,21 @@ def pair_page_views_tws(
     Runtime requirement: the transformWithState worker protocol speaks
     protobuf (google.protobuf must be importable on driver and executors);
     environments without it should use :func:`pair_page_views_stream`,
-    which has identical semantics on the older API."""
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
+    which has identical semantics on the older API (equivalence of the two
+    is asserted by tests/test_streaming.py's stub-handle harness)."""
+    processor, out_schema = make_pair_processor(
+        group_col=group_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        start_type=start_type,
+        end_type=end_type,
+        state_ttl_ms=state_ttl_ms,
+        order_cols=order_cols,
+        group_type=group_type,
+        duration_unit=duration_unit,
     )
-
-    out_schema = f"{group_col} string, end_ts timestamp, page_view_duration double"
-
-    class _PairProcessor(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            if state_ttl_ms:
-                self._reg = handle.getValueState(
-                    "register", "last_start_us long", ttlDurationMs=state_ttl_ms
-                )
-            else:
-                self._reg = handle.getValueState("register", "last_start_us long")
-
-        def handleInputRows(self, key, rows, timerValues):
-            import pandas as pd
-
-            last = self._reg.get()
-            last_start_us = last[0] if last is not None else None
-            out = []
-            for pdf in rows:
-                pdf = pdf.sort_values(ts_col, kind="mergesort")
-                for _, r in pdf.iterrows():
-                    t = r[type_col]
-                    ts_us = r[ts_col].value // 1000
-                    if t == start_type:
-                        last_start_us = ts_us
-                    elif t == end_type and last_start_us is not None:
-                        out.append(
-                            (key[0], r[ts_col], (ts_us - last_start_us) / 1_000_000.0)
-                        )
-                        last_start_us = None
-            if last_start_us is None:
-                self._reg.clear()
-            else:
-                self._reg.update((last_start_us,))
-            yield pd.DataFrame(out, columns=[group_col, "end_ts", "page_view_duration"])
-
-        def close(self) -> None:
-            pass
-
     return stream.groupBy(group_col).transformWithStateInPandas(
-        statefulProcessor=_PairProcessor(),
+        statefulProcessor=processor,
         outputStructType=out_schema,
         outputMode="append",
         timeMode="None",

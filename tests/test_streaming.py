@@ -102,3 +102,160 @@ def test_stateful_pairing_tws(spark, stream_dir, tmp_path):
     got = {r["clientId"]: r["page_view_duration"] for r in rows}
     assert got["cA"] == 120.0
     assert got["cB"] == 4800.0
+
+
+# ---------------------------------------------------------------------------
+# tws processor equivalence without the protobuf worker protocol
+# ---------------------------------------------------------------------------
+
+class _StubValueState:
+    """Minimal stand-in for pyspark's ValueState proxy (get/update/clear)."""
+
+    def __init__(self):
+        self.v = None
+
+    def get(self):
+        return self.v
+
+    def update(self, t):
+        self.v = tuple(t)
+
+    def clear(self):
+        self.v = None
+
+
+class _StubHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _StubValueState())
+
+
+def _drive_tws_processor(chunks_per_batch, key, **kw):
+    """Feed micro-batches (list of pandas chunk-lists) through the exact
+    _PairProcessor class pair_page_views_tws ships to the cluster, using a
+    stub handle in place of the protobuf-spoken state store."""
+    import pandas as pd
+
+    from odp_dynamic_data_pipeline_spark.streaming import make_pair_processor
+
+    processor, _schema = make_pair_processor(**kw)
+    processor.init(_StubHandle())
+    outs = []
+    for chunks in chunks_per_batch:
+        outs.extend(processor.handleInputRows((key,), iter(chunks), None))
+    processor.close()
+    out = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
+    return out
+
+
+def _ref_register_walk(events):
+    """Independent sequential oracle: (ts_us, type) -> list of (end_us, dur_us).
+    W2 semantics: start overwrites, end consumes once, unmatched end ignored."""
+    reg, out = None, []
+    for ts_us, typ in events:
+        if typ == "page_view_start":
+            reg = ts_us
+        elif typ == "page_view_end" and reg is not None:
+            out.append((ts_us, ts_us - reg))
+            reg = None
+    return out
+
+
+def test_tws_processor_matches_sequential_oracle():
+    """The vectorized tws register walk == a row-at-a-time reference walk,
+    across many random in-contract (event-time ordered across batches)
+    micro-batch splits, including chunked delivery within one batch.
+
+    This is the no-protobuf verification of pair_page_views_tws's logic:
+    the class under test is byte-for-byte the one transformWithStateInPandas
+    would ship; only the state-store transport is stubbed."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    rng = random.Random(42)
+    for trial in range(20):
+        n = rng.randint(1, 60)
+        ts = sorted(rng.sample(range(1, 10_000), n))
+        types = [
+            rng.choice(["page_view_start", "page_view_end", "other"]) for _ in range(n)
+        ]
+        events = [(t * 1_000_000, ty) for t, ty in zip(ts, types)]
+        expected = _ref_register_walk(events)
+
+        # split the ordered sequence into 1-4 micro-batches; shuffle rows
+        # WITHIN a batch (the walk must sort) and deliver one batch as
+        # multiple chunks sometimes (global per-group sort must span chunks)
+        cuts = sorted(rng.sample(range(n + 1), rng.randint(0, min(3, n))))
+        bounds = [0, *cuts, n]
+        batches = []
+        for lo, hi in zip(bounds, bounds[1:]):
+            rows = events[lo:hi]
+            rng.shuffle(rows)
+            pdf = pd.DataFrame(
+                {
+                    "clientId": "c1",
+                    "event_time": pd.to_datetime(
+                        np.array([e[0] for e in rows], dtype="int64") * 1000
+                    ),
+                    "eventType": [e[1] for e in rows],
+                }
+            )
+            if len(pdf) > 1 and rng.random() < 0.5:
+                mid = len(pdf) // 2
+                batches.append([pdf.iloc[:mid], pdf.iloc[mid:]])
+            else:
+                batches.append([pdf])
+        got = _drive_tws_processor(batches, "c1", duration_unit="us")
+        got_pairs = (
+            sorted(
+                zip(
+                    got["end_ts"].astype("int64") // 1000,
+                    got["dur_us"].astype("int64"),
+                )
+            )
+            if len(got)
+            else []
+        )
+        assert got_pairs == sorted(expected), f"trial {trial} diverged"
+
+
+def test_tws_processor_matches_streaming_twin(spark, stream_dir, tmp_path):
+    """Stub-driven tws processor output == the applyInPandasWithState twin's
+    REAL streaming output on the same two-file fixture (register surviving a
+    micro-batch boundary for cB)."""
+    import pandas as pd
+
+    stream = with_event_time(read_file_stream(spark, stream_dir, USER_EXP_SCHEMA, multiline=False))
+    paired = pair_page_views_stream(stream)
+    run_available_now(paired, query_name="paired_eq", checkpoint=str(tmp_path / "ck_eq"))
+    twin = {
+        r["clientId"]: r["page_view_duration"]
+        for r in spark.sql("select * from paired_eq").collect()
+    }
+
+    got = {}
+    for client in ("cA", "cB"):
+        batches = []
+        for lo, hi in ((0, 2), (2, 4)):
+            rows = [e for e in EVENTS[lo:hi] if e["clientId"] == client]
+            if not rows:
+                continue
+            batches.append(
+                [
+                    pd.DataFrame(
+                        {
+                            "clientId": client,
+                            "event_time": pd.to_datetime([r["timestamp"] for r in rows]),
+                            "eventType": [r["eventType"] for r in rows],
+                        }
+                    )
+                ]
+            )
+        out = _drive_tws_processor(batches, client)
+        for _, r in out.iterrows():
+            got[r["clientId"]] = r["page_view_duration"]
+    assert got == twin == {"cA": 120.0, "cB": 4800.0}
