@@ -90,6 +90,15 @@ def tlb_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _replay_stream(spark: SparkSession, df: DataFrame, tmp: str):
+    """Materialize a batch DataFrame to parquet and re-read it as a file
+    STREAM -- the local stand-in for the production file-arrival source, so
+    streaming queries can be driver-checked against batch oracles."""
+    src = f"{tmp}/in"
+    df.write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(df.schema).parquet(src)
+
+
 @register("tlb_session_metrics_stream", TLB_ORACLE)
 def tlb_session_metrics_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of tlb_session_metrics, checked against the SAME
@@ -113,9 +122,8 @@ def tlb_session_metrics_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type"
     )
     tmp = tempfile.mkdtemp(prefix="tlb_stream_")
-    src, out, ckpt = f"{tmp}/in", f"{tmp}/pairs", f"{tmp}/ckpt"
-    ev.write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out, ckpt = f"{tmp}/pairs", f"{tmp}/ckpt"
+    stream = _replay_stream(spark, ev, tmp)
     pairs = pair_page_views_stream(
         stream,
         group_col="user_id",
@@ -148,6 +156,113 @@ def tlb_session_metrics_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signup_count",
         "click_count",
     )
+
+
+@register(
+    "hourly_event_counts_stream",
+    """
+SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+       COUNT(*) AS n_events
+FROM events GROUP BY hour_ts, event_type
+""",
+)
+def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the hourly aggregation (SURVEY section 2.7
+    windowed aggs): events replayed through the file-stream source, tumbling
+    1-hour windows with a watermark, Trigger.AvailableNow in complete mode,
+    checked against the batch GROUP BY date_trunc oracle.  Proves the
+    window/watermark path end-to-end, not just unit-level."""
+    import tempfile
+
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    tmp = tempfile.mkdtemp(prefix="hourly_stream_")
+    stream = _replay_stream(spark, ev, tmp)
+    counts = windowed_event_counts(
+        stream, ts_col="ts", window="1 hour", watermark="2 hours", group_cols=["event_type"]
+    )
+    run_available_now(
+        counts,
+        query_name="hourly_counts_stream_mem",
+        checkpoint=f"{tmp}/ckpt",
+        output_mode="complete",
+    )
+    return spark.table("hourly_counts_stream_mem").select(
+        F.col("window.start").alias("hour_ts"), "event_type", "n_events"
+    )
+
+
+@register(
+    "incremental_dedup_stream",
+    r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id % 3 = 0
+),
+fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM corpus
+)
+SELECT MIN(doc_id) AS doc_id, fingerprint
+FROM fp GROUP BY fingerprint
+""",
+)
+def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus ingestion == batch dedup, driver-verified: the
+    corpus (documents plus an UPPERCASED echo of every third document, so
+    real normalized duplicates exist and land in the LATER batch) is
+    replayed as TWO micro-batches (doc_id split, one file per trigger,
+    oldest-first), through run_incremental_dedup's persistent fingerprint
+    store with the deterministic keep-min-doc_id policy.  The surviving
+    (doc_id, fingerprint) set must equal the batch exact-dedup oracle: min
+    doc_id per normalized-text md5 -- proving the incremental path drops
+    cross-batch duplicates and admits exactly one, earliest, survivor per
+    fingerprint."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from odp_dynamic_data_pipeline_spark.streaming.stream import run_incremental_dedup
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = base.unionAll(
+        base.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), F.upper("text").alias("text")
+        )
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = (lo + hi) // 2
+    tmp = tempfile.mkdtemp(prefix="incdedup_stream_")
+    src = f"{tmp}/in"
+    os.makedirs(src)
+    # one file per batch, mtimes forcing oldest-first = ascending doc_id
+    for i, pred in enumerate((F.col("doc_id") <= cut, F.col("doc_id") > cut)):
+        part_dir = f"{tmp}/part{i}"
+        docs.where(pred).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        (part_file,) = glob.glob(f"{part_dir}/part-*.parquet")
+        dst = f"{src}/batch{i}.parquet"
+        shutil.move(part_file, dst)
+        os.utime(dst, (1_700_000_000 + i * 600, 1_700_000_000 + i * 600))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_incremental_dedup(
+        stream,
+        f"{tmp}/store",
+        f"{tmp}/out",
+        checkpoint=f"{tmp}/ckpt",
+        order_col="doc_id",
+    )
+    return spark.read.parquet(f"{tmp}/out").select("doc_id", "fingerprint")
 
 
 @register(

@@ -402,10 +402,18 @@ def run_incremental_dedup(
     checkpoint: str,
     text_col: str = "text",
     fp_col: str = "fingerprint",
+    order_col: str | None = None,
 ):
     """The closed-loop version of dedup_incremental: per micro-batch,
     anti-join the batch against the CURRENT fingerprint store, append the
     survivors to ``out_path`` and their fingerprints to ``store_path``.
+
+    ``order_col`` makes the within-batch survivor DETERMINISTIC (the row
+    with the minimum value per fingerprint, e.g. the smallest doc_id)
+    instead of dropDuplicates' arbitrary pick -- required for replayable /
+    auditable corpus builds, and what makes the stream==batch oracle query
+    (queries.core incremental_dedup_stream) possible.  Same cost class:
+    one shuffle on the fingerprint either way.
 
     The store re-read and the join happen inside foreachBatch because a
     streaming-static join analyzes its static side once -- it would never
@@ -431,7 +439,18 @@ def run_incremental_dedup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        fp = fingerprint(batch_df, text_col, out_col=fp_col).dropDuplicates([fp_col])
+        fp = fingerprint(batch_df, text_col, out_col=fp_col)
+        if order_col:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(fp_col).orderBy(order_col)
+            fp = (
+                fp.withColumn("__rk", SF.row_number().over(w))
+                .where(SF.col("__rk") == 1)
+                .drop("__rk")
+            )
+        else:
+            fp = fp.dropDuplicates([fp_col])
         if _path_exists(spark, store_path):
             # exclude this batch's own partition: a retry must not see the
             # failed attempt's fingerprints and drop the whole batch
