@@ -266,6 +266,65 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join_pairs",
+    """
+SELECT l.event_id AS view_id, r.event_id AS purchase_id, l.user_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'view' AND r.event_type = 'purchase'
+ AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts + INTERVAL 30 MINUTE
+WHERE l.user_id % 3 = 0
+""",
+)
+def stream_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM time-bounded join, driver-verified against the batch
+    range-join oracle: views and purchases replayed as two streams, joined
+    on user within +/-30 minutes of event time (watermarks on both sides
+    bound the join state -- SURVEY section 2.7), AvailableNow to parquet.
+    The deterministic user thinning keeps the pair count proportional
+    rather than quadratic in scale factor."""
+    import tempfile
+
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        run_available_now,
+        stream_stream_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="ssj_stream_")
+    views = _replay_stream(
+        spark,
+        ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts"),
+        f"{tmp}/v",
+    )
+    purchases = _replay_stream(
+        spark,
+        ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts"),
+        f"{tmp}/p",
+    )
+    joined = stream_stream_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_watermark="1 hour",
+        right_watermark="1 hour",
+        within="30 minutes",
+    ).select(
+        F.col("event_id").alias("view_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        "user_id",
+    )
+    run_available_now(
+        joined, format="parquet", query_name="", path=f"{tmp}/out", checkpoint=f"{tmp}/ckpt"
+    )
+    return spark.read.schema("view_id bigint, purchase_id bigint, user_id bigint").parquet(
+        f"{tmp}/out"
+    )
+
+
+@register(
     "pivot_event_counts",
     """
 SELECT user_id,

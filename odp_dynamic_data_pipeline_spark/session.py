@@ -26,6 +26,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # deterministic timestamp semantics for oracle parity
     "spark.sql.session.timeZone": "UTC",
+    # read parquet TIMESTAMP(isAdjustedToUTC=false) directly as TimestampType
+    # (raw micros as UTC instants -- identical semantics to the catalog's
+    # cast-under-UTC) instead of TIMESTAMP_NTZ.  This keeps date predicates
+    # pushdown-eligible at the scan: a filter on a cast projection cannot
+    # reach the reader for row-group pruning, a filter on the scanned column
+    # can.  catalog.load_table retains the NTZ->cast fallback (with a UTC
+    # guard) for host sessions where this conf is locked.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

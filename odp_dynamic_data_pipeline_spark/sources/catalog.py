@@ -46,12 +46,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     testdata has no timestamps nested in structs/arrays, and a source that
     does should normalize them at its own boundary.
 
-    Pushdown tradeoff: a filter on a normalized (cast) column compares
-    against a projection, so it no longer reaches the parquet reader for
-    row-group pruning -- filters on every OTHER column still push down.  At
-    scale, date-range-heavy workloads should rewrite such predicates to NTZ
-    literals below the cast (or partition on the date column, as the hour
-    layout does) rather than rely on row-group stats.
+    Pushdown: with ``spark.sql.parquet.inferTimestampNTZ.enabled=false``
+    (session.RUNTIME_CONFS) the NTZ-flavored date columns scan directly as
+    TimestampType, so date predicates reach the parquet reader for
+    row-group pruning and the NTZ branch below never fires.  On a host
+    session where that conf is locked, the cast fallback still normalizes
+    types but its filters compare against a projection (no row-group
+    pruning on those columns) -- date-range-heavy workloads there should
+    partition on the date column, as the hour layout does.
     """
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

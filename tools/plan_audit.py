@@ -52,6 +52,22 @@ BROADCAST_NLJ_BY_DESIGN = {
     "q14_promo_share", "q17_small_quantity_revenue", "q8_market_share",
     "q20_dominant_suppliers", "q22_dormant_customers", "q6_forecast_revenue",
 }
+# queries where a GLOBAL (unpartitioned) window is safe: its input is
+# already bounded to <= top_k rows by TakeOrderedAndProject / limit, or to a
+# fixed-cardinality group set -- the single partition holds K rows, never
+# the data.  Every other global window is a 100 TB failure (all rows to one
+# task) and gets flagged.
+GLOBAL_WINDOW_BOUNDED = {
+    "join_key_skew_report",    # rank over top-20 skew keys (limit 20)
+    "token_budget_allocation", # rank over per-source rows (bounded sources)
+    "bpe_top_merges",          # rank over top-k merge pairs (limit top_k)
+    "oov_rate_report",         # rank over top-k vocab tokens (limit top_k)
+    "tokenizer_fertility_report",  # rank over top-k vocab (limit top_k)
+    "corpus_mixture_weights",  # largest-remainder rank over bounded sources
+    "training_mixture_manifest",   # same largest-remainder pattern
+    "zipf_head_coverage",      # cumulative share over top-k tokens
+    "dataset_card_report",     # ordered rows of a fixed-size report
+}
 
 
 def main() -> None:
@@ -90,6 +106,15 @@ def main() -> None:
         for m in re.finditer(r"SortMergeJoin.*?(n_nationkey|r_regionkey)", plan):
             flags.append("SMJ-ON-DIM")
             break
+        if name not in GLOBAL_WINDOW_BOUNDED:
+            for ln in plan.splitlines():
+                if "Window [" in ln and " WindowGroupLimit" not in ln:
+                    # a partitioned Window prints 3 bracket groups
+                    # (functions, partition, order) => two "], [" seps;
+                    # a global one prints 2 groups => one sep
+                    if ln.count("], [") < 2:
+                        flags.append("GLOBAL-WINDOW")
+                        break
         n_exch = plan.count("Exchange hashpartitioning")
         n_bhj = plan.count("BroadcastHashJoin")
         n_smj = plan.count("SortMergeJoin")
@@ -106,8 +131,15 @@ def main() -> None:
         "Whitelists in tools/plan_audit.py document every deliberate "
         "Python-path / broadcast-NLJ usage."
     )
+    # hand-written adjudications below this marker survive regeneration
+    marker = "## Adjudications"
+    kept = ""
+    if os.path.exists(out):
+        prev = open(out).read()
+        if marker in prev:
+            kept = "\n" + prev[prev.index(marker):]
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + kept)
     print(f"wrote {out}: {len(SPARK_QUERIES)} queries, {failures} flagged")
     spark.stop()
     sys.exit(1 if failures else 0)
