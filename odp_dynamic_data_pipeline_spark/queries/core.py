@@ -8,6 +8,8 @@ documents/embeddings host the LLM-data operators (queries.llm).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -99,6 +101,24 @@ def _replay_stream(spark: SparkSession, df: DataFrame, tmp: str):
     return spark.readStream.schema(df.schema).parquet(src)
 
 
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = 8):
+    """Cap shuffle (= state store) partitions while a local replay stream
+    runs: every state-store partition pays provider init + delta-file I/O
+    per micro-batch, which dominates these seconds-long AvailableNow
+    catch-ups.  The partition count is baked into each checkpoint at stream
+    start, and these queries use fresh single-run checkpoints, so capping
+    is safe here; a production deployment sizes it to the cluster instead.
+    Restores the session value afterwards (the batch plans around the
+    stream keep the session's parallelism)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 @register("tlb_session_metrics_stream", TLB_ORACLE)
 def tlb_session_metrics_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of tlb_session_metrics, checked against the SAME
@@ -135,7 +155,8 @@ def tlb_session_metrics_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_type="bigint",
         duration_unit="us",
     )
-    run_available_now(pairs, format="parquet", query_name="", path=out, checkpoint=ckpt)
+    with _stream_shuffle(spark):
+        run_available_now(pairs, format="parquet", query_name="", path=out, checkpoint=ckpt)
     pair_durs = (
         spark.read.schema("user_id bigint, end_ts timestamp, dur_us long")
         .parquet(out)
@@ -185,12 +206,13 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = windowed_event_counts(
         stream, ts_col="ts", window="1 hour", watermark="2 hours", group_cols=["event_type"]
     )
-    run_available_now(
-        counts,
-        query_name="hourly_counts_stream_mem",
-        checkpoint=f"{tmp}/ckpt",
-        output_mode="complete",
-    )
+    with _stream_shuffle(spark):
+        run_available_now(
+            counts,
+            query_name="hourly_counts_stream_mem",
+            checkpoint=f"{tmp}/ckpt",
+            output_mode="complete",
+        )
     return spark.table("hourly_counts_stream_mem").select(
         F.col("window.start").alias("hour_ts"), "event_type", "n_events"
     )
@@ -255,14 +277,62 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    run_incremental_dedup(
-        stream,
-        f"{tmp}/store",
-        f"{tmp}/out",
-        checkpoint=f"{tmp}/ckpt",
-        order_col="doc_id",
-    )
+    with _stream_shuffle(spark):
+        run_incremental_dedup(
+            stream,
+            f"{tmp}/store",
+            f"{tmp}/out",
+            checkpoint=f"{tmp}/ckpt",
+            order_col="doc_id",
+        )
     return spark.read.parquet(f"{tmp}/out").select("doc_id", "fingerprint")
+
+
+@register(
+    "incremental_agg_stream",
+    """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+""",
+)
+def incremental_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL materialized aggregate == batch aggregate, driver-
+    verified: events replayed as multiple micro-batches folded into
+    run_incremental_agg's versioned store (manifest-flip exactly-once), the
+    final store version checked against the one-shot batch GROUP BY oracle.
+    Sums travel in exact integer cents, so equality is bitwise."""
+    import tempfile
+
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        read_incremental_agg,
+        run_incremental_agg,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "event_type", _cents("value").alias("cents"))
+        .repartition(4)
+    )
+    tmp = tempfile.mkdtemp(prefix="incagg_stream_")
+    src = f"{tmp}/in"
+    ev.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    with _stream_shuffle(spark):
+        run_incremental_agg(
+            stream,
+            f"{tmp}/store",
+            checkpoint=f"{tmp}/ckpt",
+            key_cols=["event_type"],
+            sum_col="cents",
+        )
+    return read_incremental_agg(spark, f"{tmp}/store").select(
+        "event_type", "n", F.col("sum_cents").cast("long").alias("sum_cents")
+    )
 
 
 @register(
@@ -316,9 +386,10 @@ def stream_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("purchase_id"),
         "user_id",
     )
-    run_available_now(
-        joined, format="parquet", query_name="", path=f"{tmp}/out", checkpoint=f"{tmp}/ckpt"
-    )
+    with _stream_shuffle(spark):
+        run_available_now(
+            joined, format="parquet", query_name="", path=f"{tmp}/out", checkpoint=f"{tmp}/ckpt"
+        )
     return spark.read.schema("view_id bigint, purchase_id bigint, user_id bigint").parquet(
         f"{tmp}/out"
     )

@@ -513,6 +513,80 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_LEAKAGE_ORACLE = (
+    MINHASH_MD5_ORACLE[: MINHASH_MD5_ORACLE.index("SELECT a.doc_id AS id_a")]
+    + """, split AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+           AS is_test
+  FROM documents
+),
+cand AS (
+  SELECT a.doc_id AS test_id, b.doc_id AS train_id
+  FROM bands a
+  JOIN bands b ON a.bi = b.bi AND a.b = b.b AND a.doc_id <> b.doc_id
+  JOIN split sa ON sa.doc_id = a.doc_id AND sa.is_test
+  JOIN split sb ON sb.doc_id = b.doc_id AND NOT sb.is_test
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT test_id, COUNT(*) AS n_train_neardups
+FROM cand GROUP BY test_id
+"""
+)
+
+
+@register("split_leakage_report", SPLIT_LEAKAGE_ORACLE)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split audit: split the corpus 90/10 by a
+    deterministic md5 gate on doc_id (engine-portable, survives retries and
+    re-runs), then report every TEST document that shares a MinHash LSH
+    band with any TRAIN document -- near-duplicate contamination that would
+    inflate eval scores.  The candidate generation is the same banded
+    bucket join as dedup_minhash_md5 (never all-pairs); the split flag is a
+    map-side expression, so the whole audit adds one semi-join-shaped
+    band-bucket shuffle on top of signature computation.  A clean pipeline
+    gates test-set admission on this report being empty (or quarantines the
+    listed docs)."""
+    docs = dd.shingles(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = docs.select("doc_id", F.explode("shingles").alias("s"))
+    hs = sh.select(
+        "doc_id",
+        F.expr(
+            f"CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % {MINHASH_P}"
+        ).alias("h"),
+    )
+    mins = [
+        F.expr(f"min(CAST(({a} * h + {b}) % {MINHASH_P} AS BIGINT))").alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    sig = hs.groupBy("doc_id").agg(*mins)
+    band_exprs = [
+        F.md5(F.concat_ws("|", *[F.col(f"m{i}").cast("string") for i in range(b * 4, b * 4 + 4)]))
+        for b in range(4)
+    ]
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("bi"), band_exprs[b].alias("b")) for b in range(4)])
+        ).alias("x"),
+    ).select("doc_id", F.col("x.bi").alias("bi"), F.col("x.b").alias("b"))
+    is_test = F.expr(
+        "CAST(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS BIGINT) % 10 = 0"
+    )
+    flagged = bands.withColumn("is_test", is_test)
+    test_side = flagged.where("is_test").select(F.col("doc_id").alias("test_id"), "bi", "b")
+    train_side = flagged.where(~F.col("is_test")).select(
+        F.col("doc_id").alias("train_id"), "bi", "b"
+    )
+    return (
+        test_side.join(train_side, ["bi", "b"])
+        .select("test_id", "train_id")
+        .distinct()
+        .groupBy("test_id")
+        .agg(F.count(F.lit(1)).alias("n_train_neardups"))
+    )
+
+
 @register(
     "dedup_simhash_md5",
     """
