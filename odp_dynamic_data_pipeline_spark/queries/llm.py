@@ -1587,6 +1587,105 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_frontend_tlb",
+    # same oracle as tlb_session_metrics (queries/core.py TLB_ORACLE)
+    """
+WITH w AS (
+  SELECT user_id, event_id, event_type, ts,
+         MAX(CASE WHEN event_type = 'view' THEN ts END) OVER win AS prev_start,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER win AS prev_end
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), d AS (
+  SELECT user_id, event_type,
+         CASE WHEN event_type = 'purchase' AND prev_start IS NOT NULL
+                   AND (prev_end IS NULL OR prev_start > prev_end)
+              THEN epoch_us(ts) - epoch_us(prev_start) END AS dur_us
+  FROM w
+)
+SELECT user_id,
+       CAST(COALESCE(SUM(dur_us), 0) AS DOUBLE) / 1000000.0 AS page_view_time,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_count,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_count,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_count
+FROM d
+GROUP BY user_id
+""",
+)
+def sql_frontend_tlb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship W2 register algebra as PURE SQL TEXT on the Spark SQL
+    frontend -- near-verbatim the DuckDB oracle (named WINDOW clause,
+    running-max frames; only epoch_us -> unix_micros differs by dialect).
+    Proof that a SQL-only user of the engine gets the exact reference
+    semantics with no DataFrame code."""
+    from odp_dynamic_data_pipeline_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        WITH w AS (
+          SELECT user_id, event_id, event_type, ts,
+                 MAX(CASE WHEN event_type = 'view' THEN ts END) OVER win AS prev_start,
+                 MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER win AS prev_end
+          FROM events
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ), d AS (
+          SELECT user_id, event_type,
+                 CASE WHEN event_type = 'purchase' AND prev_start IS NOT NULL
+                           AND (prev_end IS NULL OR prev_start > prev_end)
+                      THEN unix_micros(ts) - unix_micros(prev_start) END AS dur_us
+          FROM w
+        )
+        SELECT user_id,
+               CAST(COALESCE(SUM(dur_us), 0) AS DOUBLE) / 1000000.0 AS page_view_time,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_count,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_count,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_count
+        FROM d
+        GROUP BY user_id
+        """
+    )
+
+
+@register(
+    "sql_frontend_dedup",
+    r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+k AS (SELECT fingerprint, MIN(doc_id) AS keeper FROM fp GROUP BY fingerprint)
+SELECT f.source, COUNT(*) AS n_kept
+FROM fp f JOIN k ON f.doc_id = k.keeper
+GROUP BY f.source
+""",
+)
+def sql_frontend_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (keep min doc_id per content fingerprint) as SQL text on
+    the frontend, reported per source -- the dedup family reachable without
+    any DataFrame code."""
+    from odp_dynamic_data_pipeline_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        r"""
+        WITH fp AS (
+          SELECT doc_id, source,
+                 md5(trim(regexp_replace(lower(text), r'\s+', ' '))) AS fingerprint
+          FROM documents
+        ),
+        k AS (SELECT fingerprint, MIN(doc_id) AS keeper FROM fp GROUP BY fingerprint)
+        SELECT f.source, COUNT(*) AS n_kept
+        FROM fp f JOIN k ON f.doc_id = k.keeper
+        GROUP BY f.source
+        """
+    )
+
+
+@register(
     "sql_frontend_corpus",
     r"""
 WITH fp AS (
