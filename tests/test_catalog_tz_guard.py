@@ -29,3 +29,18 @@ def test_non_utc_session_raises(spark, monkeypatch):
 def test_utc_session_loads(spark):
     df = catalog.load_table(spark, SF, "orders")
     assert dict(df.dtypes)["o_orderdate"] == "timestamp"
+
+
+def test_stream_shuffle_restores_on_error(spark):
+    """The replay-stream shuffle cap must restore the session value even
+    when the streaming job dies mid-run."""
+    import pytest as _pytest
+
+    from odp_dynamic_data_pipeline_spark.queries.core import _stream_shuffle
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with _pytest.raises(ValueError):
+        with _stream_shuffle(spark, 8):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+            raise ValueError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
