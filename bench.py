@@ -50,6 +50,28 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # streaming machinery (micro-batch engine, state store providers,
+    # checkpoint I/O paths) is another per-session fixed cost; a tiny
+    # AvailableNow run here keeps it off the first *_stream query's bill
+    import tempfile
+
+    _stmp = tempfile.mkdtemp(prefix="bench_warm_stream_")
+    spark.range(100).selectExpr("id", "id % 5 AS k").write.mode("overwrite").parquet(
+        f"{_stmp}/in"
+    )
+    (
+        spark.readStream.schema("id long, k long")
+        .parquet(f"{_stmp}/in")
+        .groupBy("k")
+        .count()
+        .writeStream.format("noop")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{_stmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
     # touch every table once: file listing, footer reads, and the nanos
     # timestamp conversion are per-session costs, not per-query costs --
     # without this they bill to whichever query reads each table first
