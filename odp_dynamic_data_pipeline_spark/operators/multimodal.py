@@ -130,11 +130,9 @@ def _decode_wav(payload: bytes) -> dict:
     }
 
 
-def _decode_ppm(payload: bytes) -> dict:
-    """Binary PPM (P6) decode, numpy only: whitespace/comment-tolerant
-    header parse, then an (h, w, 3) uint8 grid reduced to features."""
-    import numpy as np
-
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Whitespace/comment-tolerant P6 header parse.
+    Returns (width, height, maxval, raster_offset)."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     # header = 4 whitespace-separated tokens (magic, w, h, maxval);
@@ -157,6 +155,15 @@ def _decode_ppm(payload: bytes) -> dict:
     w, h, maxval = (int(t) for t in tokens)
     if maxval <= 0 or maxval > 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    return w, h, maxval, pos
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """Binary PPM (P6) decode, numpy only: whitespace/comment-tolerant
+    header parse, then an (h, w, 3) uint8 grid reduced to features."""
+    import numpy as np
+
+    w, h, maxval, pos = _ppm_header(payload)
     pix = np.frombuffer(payload[pos : pos + w * h * 3], dtype=np.uint8)
     if len(pix) < w * h * 3:
         raise ValueError("PPM raster truncated")
@@ -334,6 +341,86 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", *, fake: bool = True
             yield out
 
     return df.select(id_col, "payload").mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("out_w", IntegerType(), False),
+        StructField("out_h", IntegerType(), False),
+        StructField("mean_level_e6", LongType(), False),
+        StructField("resized", BinaryType(), False),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    out_w: int = 4,
+    out_h: int = 2,
+) -> DataFrame:
+    """Image resize over PPM P6 payloads: BOX-MEAN downsample to
+    (out_w, out_h) -- each output pixel is the integer-floor mean of its
+    input box -- re-encoded as PPM so downstream stages keep one payload
+    contract.  Input dims must be integer multiples of the output dims
+    (corpus resizing picks pyramid levels; arbitrary-ratio resampling is a
+    decode-library concern, out of scope without external deps).
+
+    Arrow-batched mapInPandas, numpy reshape-mean per image, no Python
+    per-pixel loops; at 100 TB this is a map-only stage whose output is
+    (out_w*out_h/[w*h]) the input bytes -- resize EARLY in a media
+    pipeline for exactly this reason.  ``mean_level_e6`` is an exact
+    integer ((1e6 * pixel_sum) // (255 * n_subpixels)), so results are
+    engine- and platform-stable."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                w, h, _maxval, pos = _ppm_header(raw)
+                if w % out_w or h % out_h:
+                    raise ValueError(
+                        f"resize {w}x{h} -> {out_w}x{out_h}: dims must divide evenly"
+                    )
+                pix = (
+                    np.frombuffer(raw[pos : pos + w * h * 3], dtype=np.uint8)
+                    .reshape(h, w, 3)
+                    .astype(np.int64)
+                )
+                by, bx = h // out_h, w // out_w
+                boxes = pix.reshape(out_h, by, out_w, bx, 3)
+                summed = boxes.sum(axis=(1, 3))
+                resized = (summed // (by * bx)).astype(np.uint8)
+                total = int(resized.sum(dtype=np.int64))
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        out_w,
+                        out_h,
+                        (1_000_000 * total) // (255 * out_w * out_h * 3),
+                        synth_ppm(resized),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "out_w", "out_h",
+                    "mean_level_e6", "resized",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
 def audio_segments(

@@ -930,6 +930,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(docs)
 
 
+@register("multimodal_resize")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize stage (operators.multimodal.resize_image): synthesize
+    real PPM payloads for the image-typed docs, box-mean downsample 8x4 ->
+    4x2, return exact integer per-doc features.  Rows-only: no SQL engine
+    parses PPM; the box-mean arithmetic is value-asserted against an
+    independent numpy reference in tests/test_multimodal_decode.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        (F.col("doc_id") < 200) & (F.col("doc_id") % 2 == 1)  # odd ids = images
+    )
+    media = mm.attach_synth_media(docs)
+    return (
+        mm.resize_image(media, out_w=4, out_h=2)
+        .select("doc_id", "width", "height", "out_w", "out_h", "mean_level_e6")
+        .orderBy("doc_id")
+    )
+
+
 @register("multimodal_real_decode")
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode (operators.multimodal._decode_payload): synthesize

@@ -122,3 +122,55 @@ def test_binary_file_ingest_max_bytes(spark, tmp_path):
     (media / "big.bin").write_bytes(b"x" * 10_000)
     df = read_binary_files(spark, str(media), max_bytes=1000)
     assert [r["length"] for r in df.collect()] == [100]
+
+
+def test_resize_image_box_mean_exact(spark):
+    """resize_image must compute exact integer box means, re-encode a valid
+    PPM, and be idempotent on dims: verified against an independent numpy
+    reference in the test."""
+    import numpy as np
+
+    from odp_dynamic_data_pipeline_spark.operators.multimodal import (
+        _decode_ppm,
+        _ppm_header,
+        resize_image,
+        synth_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    pix = rng.integers(0, 256, size=(4, 8, 3), dtype=np.int64)
+    df = spark.createDataFrame(
+        [(1, bytearray(synth_ppm(pix.astype(np.uint8))))],
+        "doc_id long, payload binary",
+    )
+    out = resize_image(df, out_w=4, out_h=2).collect()[0]
+    assert (out["width"], out["height"], out["out_w"], out["out_h"]) == (8, 4, 4, 2)
+
+    # independent reference: mean over each 2x2 box, floor division
+    ref = pix.reshape(2, 2, 4, 2, 3).sum(axis=(1, 3)) // 4
+    w, h, maxval, pos = _ppm_header(bytes(out["resized"]))
+    assert (w, h, maxval) == (4, 2, 255)
+    got = np.frombuffer(bytes(out["resized"])[pos:], dtype=np.uint8).reshape(2, 4, 3)
+    assert (got == ref).all()
+    assert out["mean_level_e6"] == (1_000_000 * int(ref.sum())) // (255 * 4 * 2 * 3)
+    # resized payload still decodes through the standard path
+    meta = _decode_ppm(bytes(out["resized"]))
+    assert (meta["width"], meta["height"]) == (4, 2)
+
+
+def test_resize_image_rejects_uneven(spark):
+    import numpy as np
+    import pytest
+
+    from odp_dynamic_data_pipeline_spark.operators.multimodal import (
+        resize_image,
+        synth_ppm,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    pix = np.zeros((4, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(synth_ppm(pix)))], "doc_id long, payload binary"
+    )
+    with pytest.raises((Py4JJavaError, Exception)):
+        resize_image(df, out_w=3, out_h=2).collect()

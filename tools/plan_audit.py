@@ -32,6 +32,7 @@ PANDAS_BY_DESIGN = {
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_real_decode",  # mapInPandas WAV/PPM decode IS the operator
+    "multimodal_resize",       # mapInPandas box-mean resize IS the operator
 }
 # queries where a cartesian against a broadcast side is the algorithm
 BROADCAST_NLJ_BY_DESIGN = {
