@@ -136,6 +136,83 @@ def dedup_within_watermark(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def _walk_group_batch(
+    pdf,
+    init_start: int,
+    *,
+    sort_cols,
+    ts_col,
+    type_col,
+    start_type,
+    end_type,
+    group_col,
+    key0,
+    dur_name,
+    exact_us,
+):
+    """Closed-form W2 register walk over one group's (concatenated)
+    micro-batch.  Shared by both stateful APIs (applyInPandasWithState and
+    transformWithStateInPandas) so their semantics cannot drift.
+
+    Returns ``(out_pdf, register)`` where ``register`` is the last unmatched
+    start in integer microseconds, or ``None`` when the register is consumed
+    or absent at batch end.
+
+    The cummax identity (an end emits iff running-max start > running-max
+    end) equals the sequential register walk only when the carried register
+    is no newer than every start/end in the batch — the in-contract,
+    event-time-ordered-across-batches case.  Late rows (bounded by watermark
+    lateness) sort BEFORE the carried start and would otherwise re-pair
+    against it on EVERY late end; the guard replays the sequential semantics
+    for the carried scalar alone: a first late END consumes the register
+    exactly once (single pair, possibly negative duration — exactly what the
+    row-at-a-time walk emitted), a first late START overwrites it.  Either
+    way the carried register is dead before the identity runs, so the
+    identity's init resets to "empty"."""
+    import numpy as np
+    import pandas as pd
+
+    NEG = np.iinfo(np.int64).min
+    pdf = pdf.sort_values(sort_cols, kind="mergesort")
+    ts_np = pdf[ts_col].to_numpy("datetime64[ns]")
+    ts_us = ts_np.astype(np.int64) // 1000
+    tv = pdf[type_col].to_numpy()
+    is_start = tv == start_type
+    is_end = tv == end_type
+    first_pair = None
+    if init_start != NEG:
+        se = np.flatnonzero(is_start | is_end)
+        if len(se) and ts_us[se[0]] < init_start:
+            j = se[0]
+            if is_end[j]:
+                first_pair = (ts_np[j], int(ts_us[j]) - init_start)
+            init_start = NEG
+    s = np.where(is_start, ts_us, NEG)
+    e = np.where(is_end, ts_us, NEG)
+    prev_s = np.maximum.accumulate(np.concatenate(([init_start], s)))[:-1]
+    prev_e = np.maximum.accumulate(np.concatenate(([NEG], e)))[:-1]
+    emit = is_end & (prev_s != NEG) & (prev_s > prev_e)
+    end_ts = ts_np[emit]
+    dur_us_arr = (ts_us[emit] - prev_s[emit]).astype(np.int64)
+    if first_pair is not None:
+        end_ts = np.concatenate(([first_pair[0]], end_ts))
+        dur_us_arr = np.concatenate(
+            ([np.int64(first_pair[1])], dur_us_arr)
+        ).astype(np.int64)
+    out = pd.DataFrame(
+        {
+            group_col: np.repeat(key0, len(dur_us_arr)),
+            "end_ts": end_ts,
+            dur_name: dur_us_arr if exact_us else dur_us_arr / 1_000_000.0,
+        }
+    )
+    last_start = max(init_start, int(s.max()) if len(s) else NEG)
+    last_end = int(e.max()) if len(e) else NEG
+    if last_start == NEG or last_start <= last_end:
+        return out, None
+    return out, int(last_start)
+
+
 def pair_page_views_stream(
     stream: DataFrame,
     *,
@@ -156,7 +233,10 @@ def pair_page_views_stream(
     Events are processed in event-time order *within* each micro-batch
     (``order_cols`` adds a deterministic tiebreak for equal timestamps);
     cross-batch disorder is bounded by upstream watermarking/file cadence
-    (the reference's hourly batches have the same property).
+    (the reference's hourly batches have the same property).  Late rows that
+    arrive BELOW the carried register's timestamp are still handled with the
+    sequential walk's semantics (consume-once / overwrite) by an explicit
+    guard in :func:`_walk_group_batch`.
 
     The walk is VECTORIZED: the sequential register semantics have a closed
     form (the same window identity operators.sessionize uses batch-side) --
@@ -202,33 +282,26 @@ def pair_page_views_stream(
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        ts_us = pdf[ts_col].to_numpy("datetime64[ns]").astype(np.int64) // 1000
-        tv = pdf[type_col].to_numpy()
-        is_start = tv == start_type
-        is_end = tv == end_type
-        s = np.where(is_start, ts_us, NEG)
-        e = np.where(is_end, ts_us, NEG)
-        prev_s = np.maximum.accumulate(np.concatenate(([init_start], s)))[:-1]
-        prev_e = np.maximum.accumulate(np.concatenate(([NEG], e)))[:-1]
-        emit = is_end & (prev_s != NEG) & (prev_s > prev_e)
-        dur_us_arr = ts_us[emit] - prev_s[emit]
-        out = pd.DataFrame(
-            {
-                group_col: np.repeat(key[0], int(emit.sum())),
-                "end_ts": pdf[ts_col].to_numpy()[emit],
-                dur_name: dur_us_arr if exact_us else dur_us_arr / 1_000_000.0,
-            }
+        out, register = _walk_group_batch(
+            pdf,
+            init_start,
+            sort_cols=sort_cols,
+            ts_col=ts_col,
+            type_col=type_col,
+            start_type=start_type,
+            end_type=end_type,
+            group_col=group_col,
+            key0=key[0],
+            dur_name=dur_name,
+            exact_us=exact_us,
         )
-        last_start = max(init_start, int(s.max()) if len(s) else NEG)
-        last_end = int(e.max()) if len(e) else NEG
-        if last_start == NEG or last_start <= last_end:
+        if register is None:
             if state.exists:
                 state.remove()
         else:
-            state.update((int(last_start),))
+            state.update((register,))
             if state_ttl_ms:
-                expiry = int(last_start) // 1000 + state_ttl_ms
+                expiry = register // 1000 + state_ttl_ms
                 # timeout must be beyond the current watermark
                 expiry = max(expiry, state.getCurrentWatermarkMs() + 1)
                 state.setTimeoutTimestamp(expiry)
@@ -289,30 +362,23 @@ def make_pair_processor(
             if not chunks:
                 return
             pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-            pdf = pdf.sort_values(sort_cols, kind="mergesort")
-            ts_us = pdf[ts_col].to_numpy("datetime64[ns]").astype(np.int64) // 1000
-            tv = pdf[type_col].to_numpy()
-            is_start = tv == start_type
-            is_end = tv == end_type
-            s = np.where(is_start, ts_us, NEG)
-            e = np.where(is_end, ts_us, NEG)
-            prev_s = np.maximum.accumulate(np.concatenate(([init_start], s)))[:-1]
-            prev_e = np.maximum.accumulate(np.concatenate(([NEG], e)))[:-1]
-            emit = is_end & (prev_s != NEG) & (prev_s > prev_e)
-            dur_us_arr = ts_us[emit] - prev_s[emit]
-            out = pd.DataFrame(
-                {
-                    group_col: np.repeat(key[0], int(emit.sum())),
-                    "end_ts": pdf[ts_col].to_numpy()[emit],
-                    dur_name: dur_us_arr if exact_us else dur_us_arr / 1_000_000.0,
-                }
+            out, register = _walk_group_batch(
+                pdf,
+                init_start,
+                sort_cols=sort_cols,
+                ts_col=ts_col,
+                type_col=type_col,
+                start_type=start_type,
+                end_type=end_type,
+                group_col=group_col,
+                key0=key[0],
+                dur_name=dur_name,
+                exact_us=exact_us,
             )
-            last_start = max(init_start, int(s.max()) if len(s) else NEG)
-            last_end = int(e.max()) if len(e) else NEG
-            if last_start == NEG or last_start <= last_end:
+            if register is None:
                 self._reg.clear()
             else:
-                self._reg.update((int(last_start),))
+                self._reg.update((register,))
             yield out
 
         def close(self) -> None:

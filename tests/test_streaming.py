@@ -163,6 +163,25 @@ def _ref_register_walk(events):
     return out
 
 
+def _ref_register_walk_batched(batches):
+    """Sequential oracle over MICRO-BATCHES: each batch is time-sorted
+    independently, the register carries across batch boundaries.  This is the
+    out-of-contract contract: when a later batch holds events OLDER than the
+    carried register (late arrivals within watermark lateness), a late end
+    consumes the register exactly once (possibly negative duration) and a
+    late start overwrites it — never the duplicate re-pairing the pre-r5
+    vectorized walk produced."""
+    reg, out = None, []
+    for batch in batches:
+        for ts_us, typ in sorted(batch):
+            if typ == "page_view_start":
+                reg = ts_us
+            elif typ == "page_view_end" and reg is not None:
+                out.append((ts_us, ts_us - reg))
+                reg = None
+    return out
+
+
 def test_tws_processor_matches_sequential_oracle():
     """The vectorized tws register walk == a row-at-a-time reference walk,
     across many random in-contract (event-time ordered across batches)
@@ -210,6 +229,113 @@ def test_tws_processor_matches_sequential_oracle():
             else:
                 batches.append([pdf])
         got = _drive_tws_processor(batches, "c1", duration_unit="us")
+        got_pairs = (
+            sorted(
+                zip(
+                    got["end_ts"].astype("int64") // 1000,
+                    got["dur_us"].astype("int64"),
+                )
+            )
+            if len(got)
+            else []
+        )
+        assert got_pairs == sorted(expected), f"trial {trial} diverged"
+
+
+def _batches_to_pdfs(batches_events, rng):
+    import numpy as np
+    import pandas as pd
+
+    batches = []
+    for rows in batches_events:
+        rows = list(rows)
+        rng.shuffle(rows)
+        pdf = pd.DataFrame(
+            {
+                "clientId": "c1",
+                "event_time": pd.to_datetime(
+                    np.array([e[0] for e in rows], dtype="int64") * 1000
+                ),
+                "eventType": [e[1] for e in rows],
+            }
+        )
+        if len(pdf) > 1 and rng.random() < 0.5:
+            mid = len(pdf) // 2
+            batches.append([pdf.iloc[:mid], pdf.iloc[mid:]])
+        else:
+            batches.append([pdf])
+    return batches
+
+
+def test_tws_processor_late_end_after_carried_start():
+    """OUT-of-contract cross-batch disorder: batch 2 carries events OLDER
+    than the register carried from batch 1.  The sequential register walk
+    consumes the register on the FIRST late end (one pair, negative
+    duration) and ignores further unmatched ends; a late start overwrites
+    it.  Regression test for the pre-r5 vectorized walk, which re-paired
+    the carried start against EVERY late end."""
+    import random
+
+    rng = random.Random(7)
+    S, E = "page_view_start", "page_view_end"
+    M = 1_000_000
+    cases = [
+        # carried start @100s, then two late ends: first consumes (dur -90s),
+        # second ignored; fresh pair afterwards
+        [[(100 * M, S)], [(10 * M, E), (20 * M, E), (150 * M, S), (160 * M, E)]],
+        # late START overwrites the carried register; no negative pair
+        [[(100 * M, S)], [(20 * M, S), (30 * M, E)]],
+        # late end alone: consume once, state must NOT survive the batch
+        [[(100 * M, S)], [(10 * M, E)], [(200 * M, E)]],
+        # equal-timestamp end (in-contract boundary): zero-duration pair once
+        [[(100 * M, S)], [(100 * M, E), (100 * M, E)]],
+        # disorder two batches deep
+        [[(300 * M, S)], [(250 * M, E), (400 * M, S)], [(350 * M, E), (500 * M, E)]],
+    ]
+    for i, batches_events in enumerate(cases):
+        expected = _ref_register_walk_batched(batches_events)
+        got = _drive_tws_processor(
+            _batches_to_pdfs(batches_events, rng), "c1", duration_unit="us"
+        )
+        got_pairs = (
+            sorted(
+                zip(
+                    got["end_ts"].astype("int64") // 1000,
+                    got["dur_us"].astype("int64"),
+                )
+            )
+            if len(got)
+            else []
+        )
+        assert got_pairs == sorted(expected), f"case {i} diverged"
+
+
+def test_tws_processor_random_cross_batch_disorder():
+    """Randomized batched-oracle equivalence where batches are NOT
+    event-time ordered relative to each other (each batch drawn from an
+    overlapping time range) — the general disorder the out-of-contract
+    guard must survive."""
+    import random
+
+    rng = random.Random(99)
+    types = ["page_view_start", "page_view_end", "other"]
+    for trial in range(30):
+        n_batches = rng.randint(1, 4)
+        batches_events = []
+        for _ in range(n_batches):
+            n = rng.randint(0, 12)
+            ts = rng.sample(range(1, 5_000), n)
+            batches_events.append(
+                [(t * 1_000_000, rng.choice(types)) for t in sorted(ts)]
+            )
+        expected = _ref_register_walk_batched(batches_events)
+        got = _drive_tws_processor(
+            _batches_to_pdfs(
+                [b for b in batches_events if b], rng
+            ),
+            "c1",
+            duration_unit="us",
+        )
         got_pairs = (
             sorted(
                 zip(
