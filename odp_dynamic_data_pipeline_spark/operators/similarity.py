@@ -464,6 +464,28 @@ def pq_train(
     return books
 
 
+def pq_md5_codebooks(
+    *, m: int = 8, k: int = 16, dsub: int = 8, scale: int = 1_000_000
+) -> list[list[list[int]]]:
+    """Deterministic, engine-portable PQ codebooks: coordinate (s, j, d) is
+    an md5-derived integer in [-scale, scale] (micro-units, the same range
+    as quantized embeddings).  Used where an external oracle must replay the
+    ADC pipeline value-for-value: the codebooks are pure literals derivable
+    by any engine, so encode -> ADC tables -> shortlist -> re-rank all sit
+    behind the oracle gate.  Codebook TRAINING is oracle-proven separately
+    (kmeans_ivf_lists replays Lloyd in SQL); pq_train remains the
+    data-adaptive path."""
+    import hashlib
+
+    def coord(s: int, j: int, d: int) -> int:
+        h = hashlib.md5(f"pq|{s}|{j}|{d}".encode()).hexdigest()
+        return int(h[:15], 16) % (2 * scale + 1) - scale
+
+    return [
+        [[coord(s, j, d) for d in range(dsub)] for j in range(k)] for s in range(m)
+    ]
+
+
 def _book_literal(book: list[list[int]]) -> str:
     """SQL literal array<array<bigint>> for a subspace codebook."""
     return "array(" + ", ".join(
@@ -561,9 +583,16 @@ def pq_topk(
         "qid", F.col("qvec").alias("q_qvec"), F.col("qnorm").alias("q_qnorm")
     )
     # slim pair stream: codes only -- the full vectors stay OUT of the
-    # per-pair plan until after the shortlist cut
+    # per-pair plan until after the shortlist cut.  The codes are
+    # materialized ONCE (lazy localCheckpoint): the cutoff pass and the
+    # filter pass below both read the stored m-byte codes instead of
+    # re-running the encode expressions -- the operator-level analogue of
+    # "PQ codes are the stored representation" (and it halves the plan's
+    # codebook-literal footprint, which is what dominates small-scale
+    # latency).
+    cand_codes = cand.select("cand_id", "pq_codes").localCheckpoint(eager=False)
     pairs = (
-        cand.select("cand_id", "pq_codes")
+        cand_codes
         .crossJoin(F.broadcast(qry_tables))
         .where(F.col("cand_id") != F.col("qid"))
     )
@@ -571,9 +600,41 @@ def pq_topk(
     for s in range(m):
         term = F.element_at(F.col(f"__dt_{s}"), F.col("pq_codes")[s] + 1)
         approx = term if approx is None else approx + term
+    slim = pairs.select("qid", "cand_id", approx.alias("approx_d2"))
+    # Partial top-k BEFORE the global per-qid window, via a bucket-minima
+    # cutoff: hash candidates into B = margin*shortlist buckets and take
+    # min(approx_d2) per (qid, bucket) -- a scalar-buffer aggregate that
+    # partial-combines map-side, so the shuffle carries B x Q scalars
+    # instead of the N x Q pair stream.  The `shortlist`-th smallest bucket
+    # minimum is a PROVABLY valid cutoff: each of the shortlist smallest
+    # bucket minima witnesses a distinct pair <= it, so the value at true
+    # rank `shortlist` is <= that minimum, and the <=-filter (ties kept)
+    # passes a superset of the exact shortlist -- the window then produces
+    # the identical result, ranking ~1.2x shortlist survivors per query
+    # (64th order statistic of bucket minima, B = 4x shortlist) instead of
+    # every candidate.  A qid with fewer than `shortlist` non-empty buckets
+    # gets no cutoff row (NULL after the left join) and keeps everything.
+    # The ADC lookup runs twice (cutoff pass + filter pass); deployed, the
+    # codes are the STORED m-byte representation, so both passes scan
+    # codes, not vectors -- two scans of the 100x-smaller table beat one
+    # N x Q shuffle.
+    B = 4 * shortlist
+    bmin = slim.groupBy(
+        "qid", F.pmod(F.xxhash64("cand_id"), F.lit(B)).alias("__bkt")
+    ).agg(F.min("approx_d2").alias("__bmin"))
+    cutoffs = (
+        bmin.withColumn(
+            "__rk",
+            F.row_number().over(Window.partitionBy("qid").orderBy("__bmin")),
+        )
+        .where(F.col("__rk") == shortlist)
+        .select("qid", F.col("__bmin").alias("__cut"))
+    )
+    slim = slim.join(F.broadcast(cutoffs), "qid", "left").where(
+        F.col("__cut").isNull() | (F.col("approx_d2") <= F.col("__cut"))
+    )
     shortlisted = (
-        pairs.select("qid", "cand_id", approx.alias("approx_d2"))
-        .withColumn(
+        slim.withColumn(
             "__rk",
             F.row_number().over(
                 Window.partitionBy("qid").orderBy("approx_d2", "cand_id")

@@ -1269,16 +1269,91 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_pq_topk")
+def _pq_topk_oracle(*, m: int = 8, k: int = 16, dsub: int = 8, shortlist: int = 64, topk: int = 5, q_max: int = 20) -> str:
+    """DuckDB replay of the ENTIRE pq_topk pipeline with md5-derived
+    codebooks: encode (per-subspace argmin), per-query ADC tables, approx
+    distance via code lookups, shortlist cut, exact cosine re-rank.  The
+    codebooks are the same literals the Spark side folds into codegen
+    (operators.similarity.pq_md5_codebooks), so every stage is integer-exact
+    on both engines."""
+    books = sim.pq_md5_codebooks(m=m, k=k, dsub=dsub)
+    cb_rows = ",\n         ".join(
+        f"({s}, {j}, [{', '.join(str(x) for x in books[s][j])}])"
+        for s in range(m)
+        for j in range(k)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
+  FROM (SELECT vec_id, UNNEST(q) AS v FROM e) GROUP BY vec_id
+),
+cb AS (
+  SELECT * FROM (VALUES {cb_rows}) AS t(s, j, cq)
+),
+sub AS (
+  SELECT e.vec_id, cb.s, cb.j,
+         UNNEST(list_slice(e.q, cb.s * {dsub} + 1, (cb.s + 1) * {dsub})) AS v,
+         UNNEST(cb.cq) AS cv
+  FROM e, cb
+),
+d2 AS (
+  SELECT vec_id, s, j, CAST(SUM((v - cv) * (v - cv)) AS BIGINT) AS dist
+  FROM sub GROUP BY vec_id, s, j
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT vec_id, s, j, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rk
+    FROM d2
+  ) WHERE rk = 1
+),
+approx AS (
+  SELECT qd.vec_id AS qid, c.vec_id AS cand_id, SUM(qd.dist) AS approx_d2
+  FROM codes c JOIN d2 qd ON qd.s = c.s AND qd.j = c.code
+  WHERE qd.vec_id < {q_max} AND c.vec_id <> qd.vec_id
+  GROUP BY qid, cand_id
+),
+short AS (
+  SELECT qid, cand_id FROM (
+    SELECT qid, cand_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_d2, cand_id) AS rk
+    FROM approx
+  ) WHERE rk <= {shortlist}
+),
+pv AS (
+  SELECT p.qid, p.cand_id, UNNEST(qe.q) AS qv, UNNEST(ce.q) AS cv
+  FROM short p JOIN e qe ON qe.vec_id = p.qid JOIN e ce ON ce.vec_id = p.cand_id
+),
+dots AS (SELECT qid, cand_id, CAST(SUM(qv * cv) AS BIGINT) AS dot FROM pv GROUP BY qid, cand_id),
+scored AS (
+  SELECT d.qid, d.cand_id,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+  FROM dots d JOIN norms nq ON nq.vec_id = d.qid JOIN norms nc ON nc.vec_id = d.cand_id
+)
+SELECT qid, cand_id, rank, cosine FROM (
+  SELECT qid, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= {topk}
+"""
+
+
+@register("similarity_pq_topk", _pq_topk_oracle())
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (operators.similarity.pq_topk): sample-
-    trained codebooks, constant-folded encode (map-only), ADC scoring via
-    per-pair table lookups, exact re-rank of the shortlist.  Rows-only:
-    codebooks are data-dependent (no SQL oracle); the recall floor lives in
-    tests/test_similarity.py."""
+    """Product-quantization ANN (operators.similarity.pq_topk): md5-derived
+    engine-portable codebooks, constant-folded encode (map-only), ADC
+    scoring via per-pair table lookups, percentile-cutoff partial top-k,
+    exact re-rank of the shortlist.  The DuckDB oracle replays every stage
+    value-for-value (codebooks are shared literals), so the full ADC
+    pipeline sits behind the hash gate; the sample-TRAINED codebook path
+    (pq_train) stays covered by the recall floors in
+    tests/test_similarity.py and the Lloyd-replay oracle of
+    kmeans_ivf_lists."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20)
-    return sim.pq_topk(emb, q, k=5, shortlist=64)
+    return sim.pq_topk(emb, q, k=5, shortlist=64, codebooks=sim.pq_md5_codebooks())
 
 
 @register(
