@@ -1367,20 +1367,81 @@ def sql_frontend_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_stats")
+APPROX_DISTINCT_ORACLE = """
+WITH agg AS (
+  SELECT event_type,
+         COUNT(DISTINCT user_id) AS exact_users,
+         approx_count_distinct(user_id) AS hll,
+         approx_quantile(value, 0.5) AS p50,
+         approx_quantile(value, 0.95) AS p95,
+         COUNT(*) AS n_events,
+         COUNT(value) AS n_val
+  FROM events GROUP BY event_type
+),
+rk AS (
+  SELECT e.event_type,
+         SUM(CASE WHEN e.value <= a.p50 THEN 1 ELSE 0 END) AS le_p50,
+         SUM(CASE WHEN e.value <  a.p50 THEN 1 ELSE 0 END) AS lt_p50,
+         SUM(CASE WHEN e.value <= a.p95 THEN 1 ELSE 0 END) AS le_p95,
+         SUM(CASE WHEN e.value <  a.p95 THEN 1 ELSE 0 END) AS lt_p95
+  FROM events e JOIN agg a USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT a.event_type, a.n_events, a.exact_users,
+       100 * abs(a.hll - a.exact_users) <= 15 * a.exact_users AS hll_ok,
+       (100 * r.le_p50 >= 47 * a.n_val) AND (100 * r.lt_p50 <= 53 * a.n_val) AS p50_ok,
+       (100 * r.le_p95 >= 92 * a.n_val) AND (100 * r.lt_p95 <= 98 * a.n_val) AS p95_ok
+FROM agg a JOIN rk r USING (event_type)
+"""
+
+
+@register("approx_distinct_stats", APPROX_DISTINCT_ORACLE)
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL++ distinct count, approximate quantiles)
     -- the sketches a 100 TB profiling pass uses instead of exact
-    shuffle-heavy versions.  No oracle: sketch results are
-    implementation-defined (rows-only check)."""
+    shuffle-heavy versions.
+
+    The sketch VALUES are implementation-defined (Spark HLL++/GK vs DuckDB
+    HLL/t-digest), so they cannot hash-match across engines; what CAN is
+    the error-bound contract.  The output carries the exact answers plus
+    booleans asserting each engine's own sketch lands inside a shared
+    bound (HLL within 15 percent relative error -- 3x the default 5
+    percent rsd -- and each approximate quantile within 3 rank-percent of
+    its target, integer arithmetic on both sides).  The driver hash then
+    gates: exact groups match AND both engines' sketches honor the bound
+    -- the accuracy check is data, not a skipped column."""
     ev = load_table(spark, sf_dir, "events")
-    # scalar columns only: the driver's comparator sorts rows with pandas,
-    # which cannot hash array cells
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.expr("approx_percentile(value, 0.5, 1000)").alias("value_p50"),
-        F.expr("approx_percentile(value, 0.95, 1000)").alias("value_p95"),
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("__hll"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("__p50"),
+        F.expr("approx_percentile(value, 0.95, 1000)").alias("__p95"),
         F.count(F.lit(1)).alias("n_events"),
+        F.count("value").alias("__n_val"),
+    )
+    rk = (
+        ev.join(F.broadcast(agg.select("event_type", "__p50", "__p95")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") <= F.col("__p50")).cast("long")).alias("__le_p50"),
+            F.sum((F.col("value") < F.col("__p50")).cast("long")).alias("__lt_p50"),
+            F.sum((F.col("value") <= F.col("__p95")).cast("long")).alias("__le_p95"),
+            F.sum((F.col("value") < F.col("__p95")).cast("long")).alias("__lt_p95"),
+        )
+    )
+    return agg.join(rk, "event_type").select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (100 * F.abs(F.col("__hll") - F.col("exact_users")) <= 15 * F.col("exact_users")).alias("hll_ok"),
+        (
+            (100 * F.col("__le_p50") >= 47 * F.col("__n_val"))
+            & (100 * F.col("__lt_p50") <= 53 * F.col("__n_val"))
+        ).alias("p50_ok"),
+        (
+            (100 * F.col("__le_p95") >= 92 * F.col("__n_val"))
+            & (100 * F.col("__lt_p95") <= 98 * F.col("__n_val"))
+        ).alias("p95_ok"),
     )
 
 
