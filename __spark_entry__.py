@@ -45,8 +45,16 @@ def _driver_covered() -> set[str]:
                 continue
             ok = row.get("rows_match") and row.get("schema_match")
             if name in ORACLE_SQL:
+                # a rows-only/no_oracle row from an earlier round does NOT
+                # cover a query that has since GAINED an oracle: it still
+                # needs a hash row, so keep it in the front-loaded pending
+                # set until one lands
                 ok = ok and row.get("hash_match")
-            if ok or row.get("err") == "no_oracle" or "no_oracle" in str(row.get("err", "")):
+            elif not ok and (
+                row.get("err") == "no_oracle" or "no_oracle" in str(row.get("err", ""))
+            ):
+                ok = True
+            if ok:
                 green.add(name)
     return green
 

@@ -930,13 +930,48 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(docs)
 
 
-@register("multimodal_resize")
+def _resize_oracle() -> str:
+    """DuckDB replay of resize_image over the SYNTHETIC payload: the PPM
+    raster is a closed form of doc_id (pixel p = (p * (doc_id%251+1)) % 256,
+    operators.multimodal.attach_synth_media), so the whole
+    encode -> header-parse -> box-mean -> integer-mean chain reduces to
+    arithmetic on (doc_id, output-pixel index).  o in [0, 24) encodes
+    (oy = o//12, ox = (o%12)//3, ch = o%3); each output pixel is the
+    floor-mean of its 2x2 input box."""
+
+    def px(r: str, c: str, ch: str) -> str:
+        return f"((({r}) * 24 + ({c}) * 3 + ({ch})) * k) % 256"
+
+    term = " + ".join(
+        px(f"(o // 12) * 2 + {dr}", f"((o % 12) // 3) * 2 + {dc}", "o % 3")
+        for dr in (0, 1)
+        for dc in (0, 1)
+    )
+    return f"""
+WITH ids AS (
+  SELECT doc_id, doc_id % 251 + 1 AS k FROM documents
+  WHERE doc_id < 200 AND doc_id % 2 = 1
+)
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS out_w, CAST(2 AS INTEGER) AS out_h,
+       CAST((1000000 * CAST(list_sum(list_transform(range(0, 24),
+              o -> ({term}) // 4)) AS BIGINT)) // (255 * 4 * 2 * 3) AS BIGINT)
+         AS mean_level_e6
+FROM ids
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_resize", _resize_oracle())
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize stage (operators.multimodal.resize_image): synthesize
     real PPM payloads for the image-typed docs, box-mean downsample 8x4 ->
-    4x2, return exact integer per-doc features.  Rows-only: no SQL engine
-    parses PPM; the box-mean arithmetic is value-asserted against an
-    independent numpy reference in tests/test_multimodal_decode.py."""
+    4x2, return exact integer per-doc features.  The synthetic raster is a
+    closed form of doc_id, so the DuckDB oracle replays the full
+    synthesize -> decode -> box-mean chain as integer arithmetic (it was
+    rows-only until r5); the numpy value-asserts in
+    tests/test_multimodal_decode.py stay as the independent reference."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
         (F.col("doc_id") < 200) & (F.col("doc_id") % 2 == 1)  # odd ids = images
     )
@@ -948,13 +983,60 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_real_decode")
+REAL_DECODE_ORACLE = """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+img AS (
+  SELECT doc_id,
+         list_transform(range(0, 96),
+           p -> CAST((p * (doc_id % 251 + 1)) % 256 AS DOUBLE) / 255.0) AS x
+  FROM ids WHERE doc_id % 2 = 1
+),
+imgf AS (
+  SELECT doc_id, CAST(32 AS BIGINT) AS n_samples,
+         sqrt(list_sum(list_transform(x, v -> v * v)) / 96.0) AS rms,
+         list_sum(x) / 96.0 AS mean_level
+  FROM img
+),
+aud AS (
+  SELECT doc_id,
+         list_transform(range(0, 400),
+           n -> trunc(0.5 * sin(2 * pi() * (200.0 + CAST(doc_id % 20 AS DOUBLE) * 50.0)
+                                * (CAST(n AS DOUBLE) / 8000.0)) * 32767.0) / 32768.0) AS x
+  FROM ids WHERE doc_id % 2 = 0
+),
+audf AS (
+  SELECT doc_id, CAST(400 AS BIGINT) AS n_samples,
+         sqrt(list_sum(list_transform(x, v -> v * v)) / 400.0) AS rms,
+         list_sum(x) / 400.0 AS mean_level
+  FROM aud
+),
+feats AS (
+  SELECT 'image' AS media_type, n_samples, rms, mean_level FROM imgf
+  UNION ALL
+  SELECT 'audio', n_samples, rms, mean_level FROM audf
+)
+SELECT media_type, COUNT(*) AS n_docs,
+       CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+       ROUND(AVG(rms), 4) AS avg_rms,
+       ROUND(AVG(mean_level), 4) AS avg_mean_level
+FROM feats GROUP BY media_type ORDER BY media_type
+"""
+
+
+@register("multimodal_real_decode", REAL_DECODE_ORACLE)
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode (operators.multimodal._decode_payload): synthesize
     actual WAV PCM16 / PPM P6 payloads per document, decode them pure-numpy
-    in mapInPandas, aggregate per media type.  Rows-only: no SQL engine can
-    parse RIFF/PPM, but the decoded features are value-asserted in
-    tests/test_multimodal_decode.py against analytically known signals."""
+    in mapInPandas, aggregate per media type.
+
+    Oracle-gated since r5: the synthetic payloads are closed forms of
+    doc_id, so DuckDB replays synth -> RIFF/PPM decode -> feature math as
+    arithmetic -- PCM16 samples are trunc(0.5*sin(theta)*32767)/32768
+    (dyadic-exact partial sums, so summation order cannot bite) and image
+    levels are ((p*k)%256)/255.  The only cross-engine float risk is a
+    last-ulp sin() difference flipping a trunc boundary, absorbed by the
+    round(.,4) on the per-type averages; the numpy value-asserts in
+    tests/test_multimodal_decode.py remain the independent reference."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
         F.col("doc_id") < 200  # deterministic subset, not an unordered LIMIT
     )
