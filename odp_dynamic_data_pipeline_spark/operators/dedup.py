@@ -348,15 +348,19 @@ def connected_components(
         )
         # materialize once: the edge list is consumed EVERY round, and its
         # lineage is typically an expensive candidate-pair pipeline (shingle
-        # join / LSH) that must not re-run per iteration
-        .localCheckpoint(eager=True)
+        # join / LSH) that must not re-run per iteration.  LAZY: a lazy
+        # localCheckpoint still materializes exactly once (on first use) and
+        # is reused by every later round, but it rides the first batch's job
+        # instead of costing a separate blocking job submission up front --
+        # two fewer driver round-trips per call
+        .localCheckpoint(eager=False)
     )
     # sym is symmetric, so src alone covers every edge endpoint
     labels = (
         sym.select(F.col("src").alias("nid"))
         .distinct()
         .select("nid", F.col("nid").alias("comp"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     rounds_per_check = max(1, rounds_per_check)
     changed = 1

@@ -1286,14 +1286,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hasher); n-gram hashes are computed straight from the token columns
     # (no shingle strings), and the 8-byte keys shuffle/compare ~2x cheaper
     # than strings with identical counts (collision odds ~n^2/2^64)
-    sh = (
-        dd.hashed_shingles_direct(docs, "doc_id", "text")
-        .select("doc_id", F.explode("hsh").alias("s"))
-        .persist()
+    sh = dd.hashed_shingles_direct(docs, "doc_id", "text").select(
+        "doc_id", F.explode("hsh").alias("s")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"), "s")
-    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    # shuffled-HASH join for the shingle self-join: both sides shuffle
+    # either way, but hashing skips the two 8-byte-key sorts a sort-merge
+    # pays (measured 1.8s -> 1.1s warm at sf0.1).  Per-partition build
+    # memory is bounded by spark.sql.shuffle.partitions, the same dial that
+    # bounds every shuffle here; common-shingle skew hits SMJ and SHJ alike
+    # and is capped upstream by the per-doc distinct.
+    b = sh.select(F.col("doc_id").alias("id_b"), "s").hint("shuffle_hash")
     inter = (
         a.join(b, "s")
         .where(F.col("id_a") < F.col("id_b"))
@@ -1306,9 +1310,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr("(1000000 * inter) div (sza + szb - inter)") >= 300000)
         .select("id_a", "id_b")
     )
-    comp = dd.connected_components(docs.select("doc_id"), edges, id_col="doc_id")
-    sh.unpersist()
-    return comp
+    return dd.connected_components(docs.select("doc_id"), edges, id_col="doc_id")
 
 
 @register(
