@@ -101,6 +101,32 @@ def _replay_stream(spark: SparkSession, df: DataFrame, tmp: str):
     return spark.readStream.schema(df.schema).parquet(src)
 
 
+_STREAM_TMP_ROOT: str | None = None
+
+
+def _stream_tmpdir(name: str) -> str:
+    """Scratch dir for a streaming-twin query.  One session-scoped root,
+    removed at interpreter exit; the per-query subdir is WIPED at the start
+    of each invocation (a reused checkpoint would make AvailableNow skip
+    already-seen files and silently drop rows), so repeated bench/parity
+    runs hold one run's worth of disk instead of accumulating mkdtemp
+    orphans.  Cleanup cannot happen at the END of a call: the returned
+    DataFrame lazily reads the stream's parquet output."""
+    global _STREAM_TMP_ROOT
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if _STREAM_TMP_ROOT is None:
+        _STREAM_TMP_ROOT = tempfile.mkdtemp(prefix="odp_stream_twins_")
+        atexit.register(shutil.rmtree, _STREAM_TMP_ROOT, ignore_errors=True)
+    d = os.path.join(_STREAM_TMP_ROOT, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
 @contextmanager
 def _stream_shuffle(spark: SparkSession, n: int = 8):
     """Cap shuffle (= state store) partitions while a local replay stream
@@ -131,8 +157,6 @@ def tlb_session_metrics_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Durations cross the stream boundary as exact integer microseconds and
     are divided once after the batch sum, so the double result is
     bit-identical to the batch path."""
-    import tempfile
-
     from odp_dynamic_data_pipeline_spark.streaming.stream import (
         pair_page_views_stream,
         run_available_now,
@@ -141,7 +165,7 @@ def tlb_session_metrics_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    tmp = tempfile.mkdtemp(prefix="tlb_stream_")
+    tmp = _stream_tmpdir("tlb_stream")
     out, ckpt = f"{tmp}/pairs", f"{tmp}/ckpt"
     stream = _replay_stream(spark, ev, tmp)
     pairs = pair_page_views_stream(
@@ -193,7 +217,6 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-hour windows with a watermark, Trigger.AvailableNow in complete mode,
     checked against the batch GROUP BY date_trunc oracle.  Proves the
     window/watermark path end-to-end, not just unit-level."""
-    import tempfile
 
     from odp_dynamic_data_pipeline_spark.streaming.stream import (
         run_available_now,
@@ -201,7 +224,7 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
-    tmp = tempfile.mkdtemp(prefix="hourly_stream_")
+    tmp = _stream_tmpdir("hourly_stream")
     stream = _replay_stream(spark, ev, tmp)
     counts = windowed_event_counts(
         stream, ts_col="ts", window="1 hour", watermark="2 hours", group_cols=["event_type"]
@@ -249,7 +272,6 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
 
     from odp_dynamic_data_pipeline_spark.streaming.stream import run_incremental_dedup
 
@@ -261,7 +283,7 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     cut = (lo + hi) // 2
-    tmp = tempfile.mkdtemp(prefix="incdedup_stream_")
+    tmp = _stream_tmpdir("incdedup_stream")
     src = f"{tmp}/in"
     os.makedirs(src)
     # one file per batch, mtimes forcing oldest-first = ascending doc_id
@@ -302,7 +324,6 @@ def incremental_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_incremental_agg's versioned store (manifest-flip exactly-once), the
     final store version checked against the one-shot batch GROUP BY oracle.
     Sums travel in exact integer cents, so equality is bitwise."""
-    import tempfile
 
     from odp_dynamic_data_pipeline_spark.streaming.stream import (
         read_incremental_agg,
@@ -314,7 +335,7 @@ def incremental_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ts", "event_type", _cents("value").alias("cents"))
         .repartition(4)
     )
-    tmp = tempfile.mkdtemp(prefix="incagg_stream_")
+    tmp = _stream_tmpdir("incagg_stream")
     src = f"{tmp}/in"
     ev.write.mode("overwrite").parquet(src)
     stream = (
@@ -353,7 +374,6 @@ def stream_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound the join state -- SURVEY section 2.7), AvailableNow to parquet.
     The deterministic user thinning keeps the pair count proportional
     rather than quadratic in scale factor."""
-    import tempfile
 
     from odp_dynamic_data_pipeline_spark.streaming.stream import (
         run_available_now,
@@ -361,7 +381,7 @@ def stream_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 3 == 0)
-    tmp = tempfile.mkdtemp(prefix="ssj_stream_")
+    tmp = _stream_tmpdir("ssj_stream")
     views = _replay_stream(
         spark,
         ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts"),

@@ -41,11 +41,24 @@ def write_bucketed_table(
         # catalog entry never committed) makes saveAsTable throw
         # LOCATION_ALREADY_EXISTS and DROP TABLE can't clear it; remove it.
         import shutil
+        import warnings
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-        loc = os.path.join(wh.path or wh.netloc, table.split(".")[-1].lower())
+        root = wh.path or wh.netloc
+        # db-qualified tables live under <warehouse>/<db>.db/<table>;
+        # unqualified ones resolve against the session's CURRENT database
+        parts = table.lower().split(".")
+        db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase().lower()
+        sub = [] if db == "default" else [f"{db}.db"]
+        loc = os.path.join(root, *sub, parts[-1])
         if os.path.isdir(loc):
+            warnings.warn(
+                f"write_bucketed_table: removing orphaned location {loc} "
+                f"(directory exists but {table} is not in the catalog)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:

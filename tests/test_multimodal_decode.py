@@ -166,11 +166,11 @@ def test_resize_image_rejects_uneven(spark):
         resize_image,
         synth_ppm,
     )
-    from py4j.protocol import Py4JJavaError
-
     pix = np.zeros((4, 8, 3), dtype=np.uint8)
     df = spark.createDataFrame(
         [(1, bytearray(synth_ppm(pix)))], "doc_id long, payload binary"
     )
-    with pytest.raises((Py4JJavaError, Exception)):
+    # the ValueError surfaces wrapped in Spark's Python-worker exception
+    # chain; match on the message so only the dims-must-divide check passes
+    with pytest.raises(Exception, match="dims must divide evenly"):
         resize_image(df, out_w=3, out_h=2).collect()

@@ -60,23 +60,46 @@ def compare(name, spark, con, sf_dir, spark_fn, oracle):
     # Driver-faithful dtype check: the driver materializes both sides to
     # pandas before hashing, so a DuckDB HUGEINT (-> float64 in pandas) vs a
     # Spark BIGINT (-> int64) hash-mismatches even when values are equal.
+    # Derived WITHOUT re-executing either side: DuckDB types come from a
+    # plan-only DESCRIBE, Spark types from sdf.schema, and the
+    # nullable-integer -> float64 pandas promotion from nulls already
+    # observed in the fetched rows.
     try:
-        ddf = con.execute(oracle).df()
-        pdf = sdf.toPandas()
-        for c in ddf.columns:
-            if c not in pdf.columns:
+        dtypes = {r[0]: str(r[1]) for r in con.execute(f"DESCRIBE {oracle}").fetchall()}
+    except Exception as exc:  # pragma: no cover - DESCRIBE unsupported edge
+        dtypes = {}
+        print(f"[!] {name}: dtype guard skipped (DESCRIBE failed: {exc})", flush=True)
+    if dtypes:
+        from pyspark.sql.types import FractionalType, IntegralType
+
+        def num_class(kind: str, has_null: bool) -> str | None:
+            # pandas numeric class ('int'/'float') as .df()/toPandas() maps it
+            t = kind.upper()
+            if t in ("DOUBLE", "FLOAT", "REAL", "HUGEINT", "UHUGEINT") or t.startswith(
+                "DECIMAL"
+            ):
+                return "float"
+            if "INT" in t:
+                return "float" if has_null else "int"
+            return None
+
+        d_null = {c: any(r[i] is None for r in drows) for i, c in enumerate(dcols)}
+        s_null = {c: any(r[i] is None for r in srows) for i, c in enumerate(scols)}
+        for f in sdf.schema.fields:
+            if f.name not in dtypes:
                 continue
-            dk, sk = str(ddf[c].dtype), str(pdf[c].dtype)
-            d_float = dk.startswith("float")
-            s_float = sk.startswith("float")
-            d_int = dk.startswith("int") or dk.startswith("uint")
-            s_int = sk.startswith("int") or sk.startswith("uint")
-            if (d_float and s_int) or (d_int and s_float):
+            if isinstance(f.dataType, IntegralType):
+                sc = "float" if s_null.get(f.name) else "int"
+            elif isinstance(f.dataType, FractionalType):
+                sc = "float"
+            else:
+                sc = None
+            dc = num_class(dtypes[f.name], d_null.get(f.name, False))
+            if sc != dc and (sc or dc):
                 problems.append(
-                    f"pandas dtype mismatch on '{c}': duck={dk} spark={sk} "
+                    f"pandas dtype mismatch on '{f.name}': duck={dtypes[f.name]} "
+                    f"-> {dc} spark={f.dataType.simpleString()} -> {sc} "
                     "(driver hash will diverge; CAST the oracle)")
-    except Exception:  # pragma: no cover - pandas materialization edge
-        pass
     if sorted(scols) != sorted(dcols):
         problems.append(f"columns differ: spark={sorted(scols)} duck={sorted(dcols)}")
     if len(srows) != len(drows):
