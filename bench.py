@@ -35,6 +35,13 @@ def main() -> None:
     # Untimed warmup: JIT/codegen compilation, shuffle machinery, and the
     # Arrow Python-UDF worker pool are per-session fixed costs; without this
     # they are billed to whichever queries happen to run first.
+    #
+    # FROZEN as of round 5: the warmup set is (1) batch JIT/shuffle/window/
+    # broadcast + pandas worker pool, (2) one tiny AvailableNow stream for
+    # the micro-batch engine, (3) one untimed scan per input table for file
+    # listing/footers.  Do NOT add further warmups -- growing this set
+    # quietly flatters round-over-round comparisons; new fixed costs belong
+    # in the timed numbers unless a PLANS.md adjudication argues otherwise.
     from pyspark.sql import Window
     from pyspark.sql import functions as SF
 
@@ -71,6 +78,9 @@ def main() -> None:
         .start()
         .awaitTermination()
     )
+    import shutil
+
+    shutil.rmtree(_stmp, ignore_errors=True)
 
     # touch every table once: file listing, footer reads, and the nanos
     # timestamp conversion are per-session costs, not per-query costs --
