@@ -1590,6 +1590,61 @@ def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_zipf_salted",
+    """
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0 ELSE l_orderkey % 10000 END AS k,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+  FROM lineitem
+),
+dim AS (
+  SELECT DISTINCT o_orderkey % 10000 AS k FROM orders
+)
+SELECT CAST(d.k % 7 AS BIGINT) AS grp,
+       COUNT(*) AS n_rows,
+       CAST(SUM(f.price_cents) AS BIGINT) AS price_cents
+FROM fact f JOIN dim d ON f.k = d.k
+GROUP BY grp
+""",
+)
+def skew_zipf_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under DELIBERATE Zipf-grade skew, behind the oracle gate:
+    75 percent of the fact rows collapse onto hot key 0 (the worst single-
+    key skew a shuffle join can see), the fact side carries a hash salt,
+    the dim side explodes across all salt values, and the join runs as a
+    forced SHUFFLE join (hinted -- broadcast would sidestep the skew and
+    the demonstration).  The hot key spreads over `salts` partitions
+    instead of one; the oracle proves the result identical to the plain
+    unsalted join.  Measured wall times for salted vs unsalted vs AQE-skew
+    at sf0.1 live in SCALE.md section "Skew".
+    """
+    salts = 16
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CASE WHEN l_orderkey % 4 <> 0 THEN CAST(0 AS BIGINT) "
+            "ELSE l_orderkey % 10000 END"
+        ).alias("k"),
+        _cents("l_extendedprice").alias("price_cents"),
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(salts)).alias("salt"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 10000).alias("k"))
+        .distinct()
+        .select(
+            "k",
+            F.explode(F.array(*[F.lit(i) for i in range(salts)])).alias("salt"),
+        )
+        .hint("shuffle_hash")
+    )
+    joined = li.join(dim, ["k", "salt"])
+    return joined.groupBy((F.col("k") % 7).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("price_cents").cast("decimal(38,0)")).cast("long").alias("price_cents"),
+    )
+
+
+@register(
     "q6_forecast_revenue",
     """
 SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
