@@ -82,6 +82,72 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+_S3A_COMMITTERS = ("magic", "directory", "partitioned")
+
+
+def s3a_confs(
+    *,
+    endpoint: str | None = None,
+    path_style_access: bool = False,
+    committer: str = "magic",
+    max_connections: int = 96,
+    upload_buffer: str = "disk",
+) -> dict[str, str]:
+    """Deployment confs for object-store (s3a://) reads and writes, ready
+    to pass as ``get_spark(extra_confs=...)``.
+
+    The reader/writer paths treat s3a as just another Hadoop filesystem
+    (S2: sources.readers docstrings), but a DEPLOYMENT also needs commit
+    semantics: a rename-based output committer on S3 is both slow (copy +
+    delete per file) and unsafe (non-atomic dir rename), so the S3A
+    committers are mandatory at scale -- ``magic`` writes straight to the
+    final location via multipart uploads completed at job commit;
+    ``directory``/``partitioned`` stage to local disk first.
+
+    This sandbox has no S3 endpoint (README "Environmental verification
+    limits"), so the function is the type-checked, test-asserted record of
+    the config a real deployment needs rather than an integration-tested
+    path.  Every key below is public Hadoop S3A / Spark cloud-committer
+    surface."""
+    if committer not in _S3A_COMMITTERS:
+        raise ValueError(
+            f"s3a_confs: committer must be one of {_S3A_COMMITTERS}, got {committer!r}"
+        )
+    if upload_buffer not in ("disk", "array", "bytebuffer"):
+        raise ValueError(f"s3a_confs: invalid upload_buffer {upload_buffer!r}")
+    if endpoint is not None and not endpoint.startswith(("http://", "https://")):
+        raise ValueError(
+            f"s3a_confs: endpoint must be an http(s) URL, got {endpoint!r}"
+        )
+    confs = {
+        # committer wiring: Spark's cloud commit protocol binds parquet
+        # output to the Hadoop PathOutputCommitter the s3a.committer.name
+        # selects (requires the spark-hadoop-cloud module on the cluster)
+        "spark.sql.sources.commitProtocolClass":
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+        "spark.sql.parquet.output.committer.class":
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+        "spark.hadoop.fs.s3a.committer.name": committer,
+        "spark.hadoop.fs.s3a.committer.magic.enabled": str(committer == "magic").lower(),
+        # connection pool sized to executor-side parallelism; the default
+        # (96 in recent Hadoop, lower historically) throttles wide scans
+        "spark.hadoop.fs.s3a.connection.maximum": str(max_connections),
+        "spark.hadoop.fs.s3a.threads.max": str(max_connections),
+        # multipart upload buffering: disk is the safe default (array /
+        # bytebuffer trade heap/off-heap for throughput)
+        "spark.hadoop.fs.s3a.fast.upload.buffer": upload_buffer,
+        # listing v2 + directory marker retention are the modern defaults;
+        # stated explicitly so a downgraded cluster profile is visible
+        "spark.hadoop.fs.s3a.directory.marker.retention": "keep",
+    }
+    if path_style_access:
+        # minio / on-prem gateways resolve buckets by path, not virtual host
+        confs["spark.hadoop.fs.s3a.path.style.access"] = "true"
+    if endpoint is not None:
+        confs["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    return confs
+
+
 def get_spark(
     app_name: str = "odp-dynamic-data-pipeline-spark",
     master: str | None = None,

@@ -192,3 +192,42 @@ def test_read_parquet_schema_evolution(spark, tmp_path):
     # hour filter still prunes on the evolved table
     h1 = read_parquet(spark, base, hour="h1", merge_schema=True)
     assert sorted(r["id"] for r in h1.collect()) == [3, 4]
+
+
+def test_s3a_confs_deployment_shape():
+    """The s3a deployment config builder (S2 scale path) is type-checked
+    here since the sandbox has no object-store endpoint: committer wiring
+    must bind Spark's cloud commit protocol, magic mode must flip its
+    enable flag, and invalid dials must fail loudly instead of producing a
+    silently-broken cluster profile."""
+    import pytest
+
+    from odp_dynamic_data_pipeline_spark.session import s3a_confs
+
+    c = s3a_confs()
+    assert c["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert c["spark.hadoop.fs.s3a.committer.magic.enabled"] == "true"
+    assert c["spark.sql.sources.commitProtocolClass"].endswith(
+        "PathOutputCommitProtocol"
+    )
+    assert c["spark.sql.parquet.output.committer.class"].endswith(
+        "BindingParquetOutputCommitter"
+    )
+    assert "spark.hadoop.fs.s3a.endpoint" not in c
+    assert "spark.hadoop.fs.s3a.path.style.access" not in c
+    # every value must be a string (SparkConf contract)
+    assert all(isinstance(v, str) for v in c.values())
+
+    minio = s3a_confs(
+        endpoint="http://localhost:9000", path_style_access=True, committer="directory"
+    )
+    assert minio["spark.hadoop.fs.s3a.endpoint"] == "http://localhost:9000"
+    assert minio["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert minio["spark.hadoop.fs.s3a.committer.magic.enabled"] == "false"
+
+    with pytest.raises(ValueError, match="committer must be one of"):
+        s3a_confs(committer="rename")
+    with pytest.raises(ValueError, match="endpoint must be an http"):
+        s3a_confs(endpoint="localhost:9000")
+    with pytest.raises(ValueError, match="invalid upload_buffer"):
+        s3a_confs(upload_buffer="heap")
