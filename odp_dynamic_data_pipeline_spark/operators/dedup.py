@@ -419,6 +419,76 @@ def connected_components(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = 8,
+) -> DataFrame:
+    """Cross-document repeated-substring SPANS at token-window granularity
+    -- the cuttable-span output of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), windowed:
+    every run of >= ``window`` tokens shared verbatim across documents is
+    covered by at least one shared ``window``-gram, so marking every
+    window whose hash occurs in >= 2 distinct documents and merging
+    overlapping marks yields the spans an ExactSubstr pass would cut
+    (rounded out to window granularity; the suffix-array formulation finds
+    character-exact bounds but needs an offline index).
+
+    Plan shape: window hashing is map-side array arithmetic in the scan
+    stage; the only data-sized shuffles are the duplicate-hash groupBy and
+    the per-document island merge, both on (id, pos, 8-byte hash) slim
+    rows -- ~n_tokens rows, the honest lower bound for exact-substring
+    sensitivity.  The island merge windows per document, so no global
+    window exists.
+
+    Returns (id_col, span_start, span_end, n_windows): 1-based inclusive
+    token positions of each merged duplicated span."""
+    L = window
+    toks = (
+        ensure_min_parallelism(df.select(id_col, text_col))
+        .withColumn("__toks", F.expr(f"regexp_extract_all({text_col}, r'\\S+', 0)"))
+        .where(F.expr(f"size(__toks) >= {L}"))
+    )
+    win = toks.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {L - 1}),"
+                f" i -> CAST(conv(substr(md5(array_join(slice(__toks, i, {L}), ' ')), 1, 15), 16, 10) AS BIGINT))"
+            )
+        ).alias("pos0", "h"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
+    dup = (
+        win.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("h")
+    )
+    marked = win.join(dup, "h", "leftsemi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = marked.withColumn(
+        "__island",
+        F.sum(
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") > F.lag("pos").over(w) + (L - 1)),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + (L - 1)).cast("int").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1224,6 +1224,45 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_substring_spans",
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+win AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 7)) AS i
+        FROM toks WHERE len(t) >= 8)
+),
+dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+m AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos > prev + 7 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM m)
+)
+SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+       CAST(MAX(pos) + 7 AS INTEGER) AS span_end,
+       COUNT(*) AS n_windows
+FROM isl GROUP BY doc_id, island
+""",
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup spans (operators.dedup.duplicate_spans):
+    every 8-token window shared verbatim by >= 2 documents, merged into
+    per-document cuttable spans -- the windowed form of ExactSubstr dedup
+    (Lee et al. 2022; the suffix-array formulation gives character-exact
+    bounds but needs an offline index).  Window hashes are md5-derived, so
+    the DuckDB oracle replays hash -> duplicate-set -> island merge
+    value-for-value."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.duplicate_spans(docs, window=8)
+
+
+@register(
     "stratified_sample_langs",
     """
 SELECT doc_id, lang, source, n_chars

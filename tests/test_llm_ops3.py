@@ -287,3 +287,39 @@ def test_token_budget_degenerate_all_empty(spark, tmp_path):
     ).write.parquet(str(tmp_path / "documents.parquet"))
     out = SPARK_QUERIES["token_budget_allocation"](spark, str(tmp_path)).collect()
     assert [(r["quota_tokens"], r["epochs_e3"]) for r in out] == [(0, 0)]
+
+
+def test_duplicate_spans_crafted(spark):
+    """Crafted corpus: the shared 10-token run between docs 1 and 2 must
+    come back as ONE merged span per doc covering exactly the run (three
+    overlapping 8-windows merged), unique text must produce no span, and a
+    doc sharing two disjoint runs must get two spans."""
+    from odp_dynamic_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    run2 = "kilo lima mike november oscar papa quebec romeo"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"{shared} five six seven eight nine"),
+            (3, "totally unique words that appear nowhere else at all ok"),
+            (4, f"start {run2} middle filler words here and then {shared} end"),
+            (5, f"pre {run2} post padding padding2 padding3 padding4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_windows"]
+        for r in duplicate_spans(docs, window=8).collect()
+    }
+    # doc 1: shared run occupies tokens 3..12 -> windows at 3,4,5 merge to [3,12]
+    assert (1, 3, 12) in out and out[(1, 3, 12)] == 3
+    # doc 2: run at tokens 1..10 -> [1,10]
+    assert (2, 1, 10) in out and out[(2, 1, 10)] == 3
+    # doc 3: no duplicated window
+    assert not any(k[0] == 3 for k in out)
+    # doc 4: two DISJOINT spans (run2 at 2..9, shared at 16..25)
+    d4 = sorted((k[1], k[2]) for k in out if k[0] == 4)
+    assert d4 == [(2, 9), (16, 25)]
+    # doc 5: run2 at 2..9
+    assert (5, 2, 9) in out
