@@ -323,3 +323,50 @@ def test_duplicate_spans_crafted(spark):
     assert d4 == [(2, 9), (16, 25)]
     # doc 5: run2 at 2..9
     assert (5, 2, 9) in out
+
+
+def test_duplicate_spans_random_vs_reference(spark):
+    """duplicate_spans == a pure-Python reference (window hashes ->
+    cross-doc duplicate set -> interval merge) on deterministic random
+    corpora over a tiny alphabet (forces shared windows)."""
+    import random
+
+    from odp_dynamic_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    rng = random.Random(11)
+    L = 4
+    for trial in range(5):
+        docs = []
+        for i in range(rng.randint(2, 12)):
+            n = rng.randint(0, 14)
+            docs.append((i, " ".join(rng.choice("xy") for _ in range(n))))
+        # reference: windows keyed by the joined token string itself (the
+        # md5 in the operator is injective up to collisions ~2^-60)
+        win = {}
+        for doc_id, text in docs:
+            toks = text.split()
+            for p in range(len(toks) - L + 1):
+                win.setdefault(" ".join(toks[p : p + L]), set()).add(doc_id)
+        dup_pos = {}
+        for doc_id, text in docs:
+            toks = text.split()
+            for p in range(len(toks) - L + 1):
+                if len(win[" ".join(toks[p : p + L])]) >= 2:
+                    dup_pos.setdefault(doc_id, []).append(p + 1)
+        expected = set()
+        for doc_id, ps in dup_pos.items():
+            start = prev = ps[0]
+            nwin = 1
+            for p in ps[1:]:
+                if p > prev + L - 1:
+                    expected.add((doc_id, start, prev + L - 1, nwin))
+                    start, nwin = p, 0
+                prev = p
+                nwin += 1
+            expected.add((doc_id, start, prev + L - 1, nwin))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+            for r in duplicate_spans(df, window=L).collect()
+        }
+        assert got == expected, f"trial {trial}: {got ^ expected}"
