@@ -215,8 +215,10 @@ def kmeans_quantizer(
     Returns (centroids, assignment DataFrame with 'ivf_list' column).
     """
     cand = quantized(df.select(F.col(id_col).alias("__id"), vec_col), vec_col).persist()
-    dim = len(cand.select("qvec").first()["qvec"])
+    # one seed collect serves both the centroids and the dim probe (a
+    # separate first() would be one more blocking job on the cached table)
     cents = [row["qvec"] for row in cand.orderBy("__id").limit(k).select("qvec").collect()]
+    dim = len(cents[0])
     assigned = None
     for _ in range(iters):
         assigned = ivf_assign(cand, cents, nprobe=1)
