@@ -1713,6 +1713,63 @@ def session_gap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 7200000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) + 7200000000 AS session_end_us,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@register("session_gap_windows_stream", SESSION_GAP_ORACLE)
+def session_gap_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of session_gap_windows, checked against the SAME
+    lag/cumsum oracle: events replayed through the file-stream source,
+    native session_window (2-hour gap) merged in the state store across
+    micro-batches, Trigger.AvailableNow in complete mode.  The sixth
+    stream==batch==oracle family: native session-window state merging
+    (distinct from the custom register pairing of
+    tlb_session_metrics_stream)."""
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        run_available_now,
+        session_window_metrics,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    tmp = _stream_tmpdir("sessgap_stream")
+    stream = _replay_stream(spark, ev, tmp)
+    sess = session_window_metrics(
+        stream, ts_col="ts", gap="2 hours", group_col="user_id", watermark="4 hours"
+    )
+    with _stream_shuffle(spark):
+        run_available_now(
+            sess,
+            query_name="session_gap_stream_mem",
+            checkpoint=f"{tmp}/ckpt",
+            output_mode="complete",
+        )
+    return spark.table("session_gap_stream_mem").select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        "n_events",
+    )
+
+
 @register(
     "pipeline_dynamic_enrich",
     """

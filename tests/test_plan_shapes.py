@@ -200,3 +200,32 @@ def test_runtime_bloom_filter_injection(spark, tmp_path):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_ansi_mode_overflow_discipline(spark):
+    """SCALE.md's overflow contract, enforced: the unbounded accumulators
+    (whole-table cent sums, cross-moments, second moments) must survive
+    ANSI mode -- where int64 overflow is a hard job failure instead of a
+    silent wraparound -- and produce the identical rows they produce with
+    ANSI off.  Catches any future accumulator that forgets the
+    DECIMAL(38,0) discipline."""
+    targets = [
+        "q1_pricing_summary",
+        "q6_forecast_revenue",
+        "stats_moments",
+        "correlation_stats",
+        "salted_join_agg",
+    ]
+    baseline = {}
+    for name in targets:
+        baseline[name] = sorted(
+            tuple(r) for r in SPARK_QUERIES[name](spark, SF).collect()
+        )
+    old = spark.conf.get("spark.sql.ansi.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        for name in targets:
+            got = sorted(tuple(r) for r in SPARK_QUERIES[name](spark, SF).collect())
+            assert got == baseline[name], f"{name} diverged under ANSI mode"
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
