@@ -144,3 +144,54 @@ def write_keyed_object(df: DataFrame, key_col: str, path: str | None = None) -> 
         with open(path, "w") as f:
             json.dump(keyed, f, indent=2, default=str)
     return keyed
+
+
+def format_kafka_value(
+    df: DataFrame,
+    *,
+    key_cols: list[str] | str | None = None,
+    drop_cols: list[str] | None = None,
+) -> DataFrame:
+    """Encode typed rows into the Kafka SINK wire schema: ``value`` =
+    JSON-serialized row (binary), optional ``key`` = concatenated key
+    columns (binary, drives topic partitioning so one entity's events stay
+    ordered within a partition).  The exact inverse of
+    ``readers.parse_kafka_value`` -- round-trip identity is unit-tested
+    without a broker."""
+    from pyspark.sql import functions as SF
+
+    payload = df.drop(*(drop_cols or []))
+    cols = []
+    if key_cols is not None:
+        if isinstance(key_cols, str):
+            key_cols = [key_cols]
+        key = SF.concat_ws("|", *[SF.col(c).cast("string") for c in key_cols])
+        cols.append(key.cast("binary").alias("key"))
+    cols.append(SF.to_json(SF.struct(*payload.columns)).cast("binary").alias("value"))
+    return payload.select(*cols)
+
+
+def kafka_sink_options(
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    checkpoint: str | None = None,
+    include_headers: bool = False,
+) -> dict[str, str]:
+    """Option map for a Kafka writeStream/batch-write sink -- split out so
+    the surface is unit-testable without a broker, mirroring
+    ``readers.kafka_stream_options``.  The sink is at-least-once (Kafka
+    has no transactional Spark sink); exactly-once downstream needs either
+    idempotent consumers or the keyed/offset dedup the incremental stores
+    implement."""
+    if not bootstrap_servers or not topic:
+        raise ValueError("kafka sink needs bootstrap_servers and topic")
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+    }
+    if checkpoint is not None:
+        opts["checkpointLocation"] = checkpoint
+    if include_headers:
+        opts["includeHeaders"] = "true"
+    return opts

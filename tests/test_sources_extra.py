@@ -231,3 +231,48 @@ def test_s3a_confs_deployment_shape():
         s3a_confs(endpoint="localhost:9000")
     with pytest.raises(ValueError, match="invalid upload_buffer"):
         s3a_confs(upload_buffer="heap")
+
+
+def test_kafka_sink_roundtrip_and_options(spark):
+    """Kafka SINK halves, broker-less: format_kafka_value must be the
+    exact inverse of parse_kafka_value (typed rows -> wire bytes -> typed
+    rows is identity), the key must drive per-entity partitioning
+    deterministically, and the sink option builder must reject empty
+    coordinates."""
+    import pytest
+
+    from odp_dynamic_data_pipeline_spark.sources.readers import parse_kafka_value
+    from odp_dynamic_data_pipeline_spark.sources.writers import (
+        format_kafka_value,
+        kafka_sink_options,
+    )
+
+    rows = [(1, "alice", 12.5), (2, "bob", -3.0)]
+    df = spark.createDataFrame(rows, "id long, name string, score double")
+    wire = format_kafka_value(df, key_cols="id")
+    assert wire.columns == ["key", "value"]
+    got_keys = sorted(bytes(r["key"]).decode() for r in wire.collect())
+    assert got_keys == ["1", "2"]
+
+    # round trip through the READER half: add the metadata columns a real
+    # broker would attach, then parse back to typed rows
+    from pyspark.sql import functions as F
+
+    broker = wire.select(
+        "value",
+        F.lit("t").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    back = parse_kafka_value(broker, "id long, name string, score double")
+    assert sorted(
+        (r["id"], r["name"], r["score"]) for r in back.collect()
+    ) == rows
+
+    opts = kafka_sink_options("b:9092", "events", checkpoint="/ck", include_headers=True)
+    assert opts["topic"] == "events"
+    assert opts["checkpointLocation"] == "/ck"
+    assert opts["includeHeaders"] == "true"
+    with pytest.raises(ValueError, match="kafka sink needs"):
+        kafka_sink_options("", "events")
