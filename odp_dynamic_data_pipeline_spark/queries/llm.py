@@ -1325,6 +1325,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hasher); n-gram hashes are computed straight from the token columns
     # (no shingle strings), and the 8-byte keys shuffle/compare ~2x cheaper
     # than strings with identical counts (collision odds ~n^2/2^64)
+    # Unpersisted by choice: sizes + both join sides re-run the shingle
+    # hashing (3 map-side passes).  Measured at sf0.1 the persist cost more
+    # than the recompute (cache write + read of the 4x-wider exploded
+    # stream vs 3 cheap source scans + hash CPU); at warehouse scale the
+    # same trade usually still favors recompute, but a deployment that
+    # feeds MANY consumers from one shingle table should materialize it
+    # once (write the hashed-shingle table, as the PQ path stores codes).
     sh = dd.hashed_shingles_direct(docs, "doc_id", "text").select(
         "doc_id", F.explode("hsh").alias("s")
     )

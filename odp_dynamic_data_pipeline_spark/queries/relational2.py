@@ -542,8 +542,7 @@ SELECT event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS vc_sum,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
-       CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+       CAST(0 AS BIGINT) AS n_missing
 FROM events GROUP BY event_type
 """,
 )
@@ -553,10 +552,12 @@ def variant_semistructured_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     encoding, then extract typed fields with ``variant_get`` path
     expressions -- the open-format answer to schema-on-read JSON columns
     (shredded binary beats per-access string re-parsing at 100 TB;
-    ``try_variant_get`` on an absent path yields NULL, counted here as
-    data).  The oracle recomputes every extracted value from the base
-    columns, proving the JSON -> VARIANT -> typed-path round trip is
-    value-exact."""
+    ``try_variant_get`` on a path the constructed record NEVER contains
+    must yield NULL every row, so its count is structurally zero -- the
+    oracle states that literal, and any Spark-side deviation from
+    NULL-on-absent breaks the hash).  The oracle recomputes every other
+    extracted value from the base columns, proving the JSON -> VARIANT ->
+    typed-path round trip is value-exact."""
     ev = load_table(spark, sf_dir, "events")
     v = F.parse_json(
         F.to_json(

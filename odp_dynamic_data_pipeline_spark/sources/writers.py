@@ -153,22 +153,28 @@ def format_kafka_value(
     drop_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode typed rows into the Kafka SINK wire schema: ``value`` =
-    JSON-serialized row (binary), optional ``key`` = concatenated key
+    JSON-serialized row (binary), optional ``key`` = JSON object of the key
     columns (binary, drives topic partitioning so one entity's events stay
-    ordered within a partition).  The exact inverse of
+    ordered within a partition).  The key is JSON rather than a delimited
+    concat so NULL parts and delimiter characters in the data cannot
+    collapse distinct keys onto one partition.  The exact inverse of
     ``readers.parse_kafka_value`` -- round-trip identity is unit-tested
     without a broker."""
     from pyspark.sql import functions as SF
 
-    payload = df.drop(*(drop_cols or []))
     cols = []
     if key_cols is not None:
         if isinstance(key_cols, str):
             key_cols = [key_cols]
-        key = SF.concat_ws("|", *[SF.col(c).cast("string") for c in key_cols])
+        # key resolves against the FULL input: a key column may also be in
+        # drop_cols (key-only-in-key usage)
+        key = SF.to_json(SF.struct(*[df[c] for c in key_cols]))
         cols.append(key.cast("binary").alias("key"))
-    cols.append(SF.to_json(SF.struct(*payload.columns)).cast("binary").alias("value"))
-    return payload.select(*cols)
+    value_cols = [c for c in df.columns if c not in set(drop_cols or [])]
+    cols.append(
+        SF.to_json(SF.struct(*[df[c] for c in value_cols])).cast("binary").alias("value")
+    )
+    return df.select(*cols)
 
 
 def kafka_sink_options(

@@ -252,7 +252,17 @@ def test_kafka_sink_roundtrip_and_options(spark):
     wire = format_kafka_value(df, key_cols="id")
     assert wire.columns == ["key", "value"]
     got_keys = sorted(bytes(r["key"]).decode() for r in wire.collect())
-    assert got_keys == ["1", "2"]
+    assert got_keys == ['{"id":1}', '{"id":2}']
+    # a key column may also be dropped from the value (key-only-in-key)
+    wire2 = format_kafka_value(df, key_cols="id", drop_cols=["id"])
+    assert sorted(bytes(r["key"]).decode() for r in wire2.collect()) == got_keys
+    assert all(b'"id"' not in bytes(r["value"]) for r in wire2.collect())
+    # NULL key parts and delimiter-looking data must stay distinct keys
+    tricky = spark.createDataFrame(
+        [("x|y", None), ("x", "y")], "a string, b string"
+    )
+    keys = {bytes(r["key"]).decode() for r in format_kafka_value(tricky, key_cols=["a", "b"]).collect()}
+    assert len(keys) == 2
 
     # round trip through the READER half: add the metadata columns a real
     # broker would attach, then parse back to typed rows

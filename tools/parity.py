@@ -72,14 +72,21 @@ def compare(name, spark, con, sf_dir, spark_fn, oracle):
     if dtypes:
         from pyspark.sql.types import FractionalType, IntegralType
 
+        _INT_TYPES = {
+            "TINYINT", "SMALLINT", "INTEGER", "INT", "BIGINT",
+            "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+        }
+
         def num_class(kind: str, has_null: bool) -> str | None:
-            # pandas numeric class ('int'/'float') as .df()/toPandas() maps it
+            # pandas numeric class ('int'/'float') as .df()/toPandas() maps
+            # it; exact type-name matching (a substring test would classify
+            # INTERVAL as integer-like)
             t = kind.upper()
             if t in ("DOUBLE", "FLOAT", "REAL", "HUGEINT", "UHUGEINT") or t.startswith(
                 "DECIMAL"
             ):
                 return "float"
-            if "INT" in t:
+            if t in _INT_TYPES:
                 return "float" if has_null else "int"
             return None
 
