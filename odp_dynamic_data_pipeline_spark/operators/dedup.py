@@ -489,6 +489,68 @@ def duplicate_spans(
     )
 
 
+def scrub_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = 8,
+) -> DataFrame:
+    """Exact-substring dedup APPLIED (the consumer of
+    :func:`duplicate_spans`): every ``window``-token run shared across
+    documents keeps exactly ONE copy -- the occurrence in the lowest
+    ``id_col`` -- and every other occurrence's tokens are cut from the
+    text (Lee et al. 2022 ExactSubstr semantics at window granularity;
+    overlapping cut windows union).
+
+    Mechanics: hash every window (map-side), keeper per hash = MIN(doc)
+    over its occurrences (one slim groupBy), mark windows in non-keeper
+    docs, expand marks to covered token positions, and rebuild the text
+    from uncovered tokens with pure array lambdas -- no Python, no
+    per-token shuffle (the only shuffles carry (hash, doc) and
+    (doc, position) slim rows).
+
+    Returns (id_col, n_tokens, n_cut, scrubbed_text)."""
+    L = window
+    toks = ensure_min_parallelism(df.select(id_col, text_col)).withColumn(
+        "__toks", F.expr(f"regexp_extract_all({text_col}, r'\\S+', 0)")
+    )
+    win = toks.where(F.expr(f"size(__toks) >= {L}")).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {L - 1}),"
+                f" i -> CAST(conv(substr(md5(array_join(slice(__toks, i, {L}), ' ')), 1, 15), 16, 10) AS BIGINT))"
+            )
+        ).alias("pos0", "h"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
+    keeper = win.groupBy("h").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd"),
+        F.min(id_col).alias("__keep"),
+    ).where(F.col("__nd") >= 2)
+    cut = (
+        win.join(keeper, "h")
+        .where(F.col(id_col) != F.col("__keep"))
+        .select(
+            id_col,
+            F.explode(F.expr(f"sequence(pos, pos + {L - 1})")).alias("cp"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("cp").alias("__cov"))
+    )
+    out = toks.join(cut, id_col, "left")
+    kept = (
+        "filter(transform(__toks, (t, i) -> struct(t AS t, i + 1 AS i)),"
+        " x -> NOT array_contains(coalesce(__cov, array()), x.i))"
+    )
+    return out.select(
+        id_col,
+        F.expr("size(__toks)").cast("long").alias("n_tokens"),
+        F.expr("size(coalesce(__cov, array()))").cast("long").alias("n_cut"),
+        F.expr(f"array_join(transform({kept}, x -> x.t), ' ')").alias("scrubbed_text"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1263,6 +1263,56 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_substring_scrub",
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+win AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 7)) AS i
+        FROM toks WHERE len(t) >= 8)
+),
+keeper AS (
+  SELECT h, MIN(doc_id) AS keep FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, cp FROM (
+    SELECT w.doc_id, UNNEST(generate_series(w.pos, w.pos + 7)) AS cp
+    FROM win w JOIN keeper k USING (h) WHERE w.doc_id <> k.keep
+  )
+),
+tok2 AS (
+  SELECT doc_id, UNNEST(t) AS tok, generate_subscripts(t, 1) AS i FROM toks
+)
+SELECT tk.doc_id,
+       CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(cv.ncut, 0) AS BIGINT) AS n_cut,
+       COALESCE(s.txt, '') AS scrubbed_text
+FROM toks tk
+LEFT JOIN (SELECT doc_id, COUNT(*) AS ncut FROM cov GROUP BY doc_id) cv
+  ON cv.doc_id = tk.doc_id
+LEFT JOIN (
+  SELECT t2.doc_id, string_agg(t2.tok, ' ' ORDER BY t2.i) AS txt
+  FROM tok2 t2 LEFT JOIN cov c ON c.doc_id = t2.doc_id AND c.cp = t2.i
+  WHERE c.cp IS NULL
+  GROUP BY t2.doc_id
+) s ON s.doc_id = tk.doc_id
+""",
+)
+def exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup APPLIED (operators.dedup.scrub_duplicate_spans):
+    each cross-document 8-token run keeps one copy (lowest doc_id) and
+    every other occurrence is cut from the text -- the ExactSubstr
+    transformation itself, not just the span report.  All array lambdas
+    and slim shuffles; the DuckDB oracle replays keeper election, coverage
+    union, and text reconstruction value-for-value."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.scrub_duplicate_spans(docs, window=8)
+
+
+@register(
     "stratified_sample_langs",
     """
 SELECT doc_id, lang, source, n_chars

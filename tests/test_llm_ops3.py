@@ -370,3 +370,36 @@ def test_duplicate_spans_random_vs_reference(spark):
             for r in duplicate_spans(df, window=L).collect()
         }
         assert got == expected, f"trial {trial}: {got ^ expected}"
+
+
+def test_scrub_duplicate_spans_keeper_semantics(spark):
+    """ExactSubstr application: the LOWEST doc sharing a window keeps its
+    text untouched; every other occurrence is cut; unique text survives
+    everywhere; a doc can be keeper for one run and cutter for another."""
+    from odp_dynamic_data_pipeline_spark.operators.dedup import scrub_duplicate_spans
+
+    shared = "a1 a2 a3 a4 a5 a6 a7 a8"          # one exact window
+    other = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail1 tail2"),
+            (2, f"head1 {shared} tail3"),
+            (3, f"{other} mid {shared}"),
+            (4, f"{other} unique4"),
+            (5, "nothing shared here at all in this one doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_duplicate_spans(docs, window=8).collect()}
+    # doc 1 is keeper of `shared`: untouched
+    assert out[1]["n_cut"] == 0 and out[1]["scrubbed_text"].startswith("a1 a2")
+    # doc 2 loses the shared window, keeps its own words
+    assert out[2]["n_cut"] == 8
+    assert out[2]["scrubbed_text"] == "head1 tail3"
+    # doc 3 is keeper of `other` (vs doc 4) but cutter of `shared`
+    assert out[3]["n_cut"] == 8
+    assert out[3]["scrubbed_text"] == f"{other} mid"
+    # doc 4 loses `other`
+    assert out[4]["scrubbed_text"] == "unique4"
+    # doc 5 untouched
+    assert out[5]["n_cut"] == 0 and out[5]["n_tokens"] == 9
