@@ -1263,6 +1263,49 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pyds_synthetic_corpus",
+    """
+WITH ids AS (SELECT UNNEST(generate_series(0, 199)) AS doc_id),
+d AS (
+  SELECT doc_id,
+         5 + ('0x' || substr(md5('len|' || doc_id), 1, 15))::BIGINT % 20 AS n_tok
+  FROM ids
+),
+t AS (
+  SELECT doc_id, n_tok,
+         array_to_string(list_transform(range(0, CAST(n_tok AS INT)),
+           j -> 't' || (('0x' || substr(md5('tok|' || doc_id || '|' || j), 1, 15))::BIGINT % 1000)),
+           ' ') AS text
+  FROM d
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, md5(text) AS text_md5 FROM t
+""",
+)
+def pyds_synthetic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API (sources.pyds): a custom pure-Python
+    source registered on the session, read through the planner like any
+    format, generating its partitions independently (strided id slices --
+    the no-driver-bottleneck shape).  Every value is an md5 derivation of
+    (doc_id, position), so the DuckDB oracle rebuilds the identical corpus
+    in SQL and the hash gate covers the full source -> scan -> project
+    path."""
+    from odp_dynamic_data_pipeline_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("synthetic_corpus")
+        .option("n_docs", 200)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("long").alias("n_tokens"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@register(
     "exact_substring_scrub",
     """
 WITH toks AS (

@@ -1,0 +1,69 @@
+"""Spark 4 Python DataSource API surface (SURVEY.md section 2.8 extension
+family): a custom source implemented in pure Python and registered with
+``spark.dataSource.register`` -- the modern way to plug a bespoke feed
+(an internal service, a proprietary format, a generator) into the
+DataFrame planner without JVM code.
+
+``SyntheticCorpusDataSource`` generates a deterministic document corpus:
+every value is an md5 derivation of (doc_id, position), so any engine can
+replay the generation -- the registered query's DuckDB oracle rebuilds the
+identical corpus from SQL and hash-compares it.
+
+Scale shape: ``partitions()`` splits the id space into strided slices, so
+a 1000-executor cluster generates 1000 independent shards with no driver
+bottleneck and no shuffle; the reader holds no state beyond its options.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def _h(*parts) -> int:
+    """md5-derived 60-bit integer of '|'-joined parts (engine-portable:
+    DuckDB replays it as ('0x' || substr(md5(...), 1, 15))::BIGINT)."""
+    import hashlib
+
+    return int(
+        hashlib.md5("|".join(str(p) for p in parts).encode()).hexdigest()[:15], 16
+    )
+
+
+class SyntheticCorpusReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 100))
+        self.n_parts = int(options.get("partitions", 8))
+        self.vocab = int(options.get("vocab", 1000))
+
+    def partitions(self):
+        return [InputPartition(p) for p in range(self.n_parts)]
+
+    def read(self, partition):
+        p = partition.value
+        for i in range(p, self.n_docs, self.n_parts):
+            n_tok = 5 + _h("len", i) % 20
+            toks = [f"t{_h('tok', i, j) % self.vocab}" for j in range(n_tok)]
+            yield (i, " ".join(toks))
+
+
+class SyntheticCorpusDataSource(DataSource):
+    """``spark.read.format("synthetic_corpus")`` with options
+    ``n_docs`` / ``partitions`` / ``vocab``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_corpus"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string"
+
+    def reader(self, schema):
+        return SyntheticCorpusReader(self.options)
+
+
+def register_python_sources(spark) -> None:
+    """Idempotently register the repo's Python data sources on a session."""
+    try:
+        spark.dataSource.register(SyntheticCorpusDataSource)
+    except Exception:  # already registered on this session
+        pass

@@ -286,3 +286,34 @@ def test_kafka_sink_roundtrip_and_options(spark):
     assert opts["includeHeaders"] == "true"
     with pytest.raises(ValueError, match="kafka sink needs"):
         kafka_sink_options("", "events")
+
+
+def test_python_datasource_synthetic_corpus(spark):
+    """Spark 4 Python DataSource API surface: the custom source must plan
+    its strided partitions (parallel generation, no driver bottleneck),
+    generate deterministically (two reads identical), and honor options."""
+    from odp_dynamic_data_pipeline_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("synthetic_corpus")
+        .option("n_docs", 40)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows1 = sorted((r["doc_id"], r["text"]) for r in df.collect())
+    rows2 = sorted((r["doc_id"], r["text"]) for r in df.collect())
+    assert rows1 == rows2 and len(rows1) == 40
+    assert {r[0] for r in rows1} == set(range(40))
+    # partition layout must not change content: same corpus at 1 partition
+    one = (
+        spark.read.format("synthetic_corpus")
+        .option("n_docs", 40)
+        .option("partitions", 1)
+        .load()
+    )
+    assert sorted((r["doc_id"], r["text"]) for r in one.collect()) == rows1
+    # token lengths follow the md5 derivation (5..24)
+    lens = {len(t.split()) for _, t in rows1}
+    assert lens <= set(range(5, 25))

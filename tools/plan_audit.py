@@ -58,6 +58,13 @@ BROADCAST_NLJ_BY_DESIGN = {
 # fixed-cardinality group set -- the single partition holds K rows, never
 # the data.  Every other global window is a 100 TB failure (all rows to one
 # task) and gets flagged.
+# queries whose INPUT is a registered Python DataSource (the §2.8
+# extension surface demo) -- Python at the ingest boundary by design,
+# never in a transform hot path
+PYTHON_SOURCE_BY_DESIGN = {
+    "pyds_synthetic_corpus",
+}
+
 GLOBAL_WINDOW_BOUNDED = {
     "join_key_skew_report",    # rank over top-20 skew keys (limit 20)
     "token_budget_allocation", # rank over per-source rows (bounded sources)
@@ -91,6 +98,10 @@ def main() -> None:
         flags = []
         if ("BatchEvalPython" in plan or "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan) and name not in PANDAS_BY_DESIGN:
             flags.append("PYTHON-IN-PLAN")
+        if "BatchScan" in plan and "(Python)" in plan and name not in PYTHON_SOURCE_BY_DESIGN:
+            # a Python DataSource scan is Python at the INGEST boundary --
+            # legitimate only where the source itself is the point
+            flags.append("PYTHON-SOURCE")
         if "CartesianProduct" in plan:
             flags.append("CARTESIAN")
         if "BroadcastNestedLoopJoin" in plan and name not in BROADCAST_NLJ_BY_DESIGN:
