@@ -489,6 +489,78 @@ def duplicate_spans(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Deterministic fixed-point PageRank over an undirected pair list --
+    authority scoring for dedup/curation graphs (which duplicate is the
+    canonical copy; which document anchors a near-dup cluster).
+
+    All arithmetic is integer: ranks live in ``scale`` fixed-point units,
+    contributions divide by degree with TRUNCATING division, and the
+    damped update is ``base + (damping_pct * sum) div 100`` -- identical
+    in Spark and any SQL engine, so every iteration replays bit-exactly
+    in an oracle (same determinism contract as the Lloyd and min-label
+    loops).  Fixed ``iters`` (no convergence probe): authority scores
+    need stable ordering, not convergence certificates, and a fixed
+    unrolled loop is what an external replay can express.
+
+    Per iteration: one equi-join (rank onto edge source) and one groupBy
+    (contribution sum per destination) over (node, 8-byte) slim rows;
+    ranks are lazily localCheckpoint-ed each round so the plan does not
+    grow with ``iters``.  Only edge-endpoint nodes participate (isolated
+    nodes have no authority flow; union them back with the base rank if
+    needed).
+
+    Returns (``src_col`` renamed to ``nid``... i.e. (nid, rank) with
+    ``rank`` in fixed-point ``scale`` units."""
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=False
+    )
+    n = deg.count()  # bounded driver scalar: edge-endpoint node count
+    if n == 0:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], f"nid {edges.schema[src_col].dataType.simpleString()}, rank long")
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    nodes = deg.select(F.col("src").alias("nid"))
+    ranks = nodes.select("nid", F.lit(scale // n).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            sym.join(ranks, sym["src"] == ranks["nid"])
+            .join(deg, "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["nid"] == contrib["dst"], "left")
+            .select(
+                "nid",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("nid", F.col("r").alias("rank"))
+
+
 def scrub_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1262,6 +1262,57 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_spans(docs, window=8)
 
 
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled fixed-point PageRank replay over the md5-minhash candidate
+    graph: the MINHASH_MD5_ORACLE prefix produces the pair list, then one
+    CTE per iteration applies base + (85 * sum(r div deg)) div 100 in
+    integer arithmetic -- bit-identical to operators.dedup.pagerank."""
+    prefix = MINHASH_MD5_ORACLE[: MINHASH_MD5_ORACLE.index("SELECT a.doc_id AS id_a")]
+    body = prefix + """, pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT src AS nid, 1000000000 // nn.n AS r FROM deg CROSS JOIN nn)"""
+    for k in range(1, iters + 1):
+        body += f""",
+r{k} AS (
+  SELECT d.src AS nid,
+         (15 * CAST(1000000000 AS BIGINT)) // (100 * nn.n)
+         + (85 * COALESCE(s.s, CAST(0 AS BIGINT))) // 100 AS r
+  FROM deg d CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst, SUM(r.r // dg.deg) AS s
+    FROM sym e JOIN r{k - 1} r ON r.nid = e.src JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = d.src
+)"""
+    body += f"""
+SELECT nid AS doc_id, CAST(r AS BIGINT) AS rank_e9 FROM r{iters}
+"""
+    return body
+
+
+@register("dedup_graph_pagerank", _pagerank_oracle(iters=5))
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority scoring of the near-duplicate graph
+    (operators.dedup.pagerank): 5 fixed-point PageRank iterations over the
+    md5-minhash candidate pairs -- the canonical-copy signal a curation
+    pipeline uses to pick which duplicate anchors a cluster.  Integer
+    truncating arithmetic end to end, so the DuckDB oracle replays every
+    iteration bit-exactly (the third oracle-gated iterative family, after
+    min-label CC and Lloyd k-means)."""
+    edges = dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b")
+    ranks = dd.pagerank(edges, iters=5)
+    return ranks.select(
+        F.col("nid").alias("doc_id"), F.col("rank").alias("rank_e9")
+    )
+
+
 @register(
     "pyds_synthetic_corpus",
     """

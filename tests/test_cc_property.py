@@ -41,3 +41,40 @@ def test_cc_matches_union_find(spark):
         # union-find roots are already min-ids after path compression with
         # min-directed unions
         assert got == want, (trial, n, edges)
+
+
+def test_pagerank_matches_reference(spark):
+    """Fixed-point PageRank == a pure-Python integer reference on random
+    graphs (same truncating arithmetic), including multi-edges (the
+    candidate-pair graph weights shared bands via duplicate edges)."""
+    import random
+
+    from odp_dynamic_data_pipeline_spark.operators.dedup import pagerank
+
+    rng = random.Random(31)
+    for trial in range(4):
+        n_nodes = rng.randint(2, 15)
+        edges = [
+            (rng.randint(0, n_nodes - 1), rng.randint(0, n_nodes - 1))
+            for _ in range(rng.randint(1, 25))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        # python reference (same integer truncation)
+        sym = edges + [(b, a) for a, b in edges]
+        deg = {}
+        for s, _ in sym:
+            deg[s] = deg.get(s, 0) + 1
+        n = len(deg)
+        scale = 1_000_000_000
+        base = (15 * scale) // (100 * n)
+        r = {v: scale // n for v in deg}
+        for _ in range(5):
+            s = {}
+            for u, v in sym:
+                s[v] = s.get(v, 0) + r[u] // deg[u]
+            r = {v: base + (85 * s.get(v, 0)) // 100 for v in deg}
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {row["nid"]: row["rank"] for row in pagerank(df, iters=5).collect()}
+        assert got == r, f"trial {trial} diverged"
