@@ -1226,3 +1226,70 @@ def null_semantics_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("price"), F.lit(0))).alias("sum_price_zeroed"),
         F.count(F.nullif(F.col("st"), F.lit("O"))).cast("long").alias("n_non_open"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 SQL-surface additions: recursive CTE + lateral join
+# ---------------------------------------------------------------------------
+
+RECURSIVE_BOM_SQL = """
+WITH RECURSIVE chain(partkey, depth, path_cents) AS (
+  SELECT p_partkey, 0, CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)
+  FROM part WHERE p_partkey < 10
+  UNION ALL
+  SELECT p.p_partkey, c.depth + 1,
+         c.path_cents + CAST(ROUND(p.p_retailprice * 100, 0) AS BIGINT)
+  FROM chain c
+  JOIN part p
+    ON CAST(FLOOR(p.p_partkey / 10) AS BIGINT) = c.partkey
+   AND p.p_partkey >= 10
+)
+SELECT depth,
+       COUNT(*) AS n_parts,
+       CAST(SUM(path_cents) AS BIGINT) AS total_path_cents,
+       CAST(MAX(path_cents) AS BIGINT) AS max_path_cents
+FROM chain
+GROUP BY depth
+"""
+
+
+@register("recursive_cte_bom", RECURSIVE_BOM_SQL)
+def recursive_cte_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497) walking a
+    synthetic bill-of-materials: parent(partkey) = floor(partkey/10), roots
+    are partkey < 10, accumulating the ancestor-chain retail price in exact
+    cents.  The recursion is a repeated equi-join of the frontier against
+    the static ``part`` table -- each level is one shuffle-join over the
+    frontier only (frontier shrinks to leaf levels), so depth, not table
+    size, bounds the iteration count: log10(N) levels at any scale.  The
+    identical SQL runs on DuckDB (both engines implement the SQL:1999
+    recursive-union semantics), making the oracle a true cross-engine
+    replay of the fixpoint."""
+    register_views(spark, sf_dir, ["part"])
+    return spark.sql(RECURSIVE_BOM_SQL)
+
+
+LATERAL_TOP_ORDERS_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.total_cents
+FROM customer c, LATERAL (
+  SELECT o.o_orderkey,
+         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS total_cents
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY total_cents DESC, o.o_orderkey
+  LIMIT 3
+) t
+"""
+
+
+@register("lateral_top_orders", LATERAL_TOP_ORDERS_SQL)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT: the
+    top-3 orders by value for every customer.  Catalyst decorrelates the
+    lateral into a DomainJoin + per-group rank filter -- one shuffle on the
+    join key, no nested-loop re-execution per customer -- so the plan is
+    the same windowed top-k it would pick by hand, while the query surface
+    is the standard SQL lateral form DuckDB also accepts verbatim.
+    Deterministic tiebreak: (total_cents DESC, o_orderkey)."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(LATERAL_TOP_ORDERS_SQL)
