@@ -781,3 +781,122 @@ def bigram_surprisal(
         F.sum("bits").cast("long").alias("surprisal_bits"),
         F.expr("(1000 * CAST(sum(bits) AS BIGINT)) div count(1)").alias("mean_surprisal_e3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (round 5)
+# ---------------------------------------------------------------------------
+
+
+def ilog2_fp20(x: int) -> int:
+    """Exact fixed-point log2 with 20 fractional bits, pure integer.
+
+    The classic square-and-extract-bit recurrence: normalize x to mantissa
+    m in [2^30, 2^31) (so log2(x) = e + log2(m/2^30)), then 20 rounds of
+    m <- m^2 >> 30, emitting a 1 and halving whenever the square crosses
+    2^31.  Every step is int64-safe for x < 2^33 (x << 30 and m*m < 2^63),
+    and the identical recurrence runs as a recursive CTE in the DuckDB
+    oracle -- no libm log(), so results are bit-identical on any engine.
+    """
+    if x < 1:
+        raise ValueError("ilog2_fp20 requires x >= 1")
+    e = x.bit_length() - 1
+    m = (x << 30) >> e
+    frac = 0
+    for _ in range(20):
+        m2 = (m * m) >> 30
+        if m2 >= 1 << 31:
+            frac = frac * 2 + 1
+            m = m2 >> 1
+        else:
+            frac = frac * 2
+            m = m2
+    return (e << 20) + frac
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_pred: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 512,
+    k: int = 100,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every candidate (non-target) document by the
+    log-likelihood ratio of a hashed-n-gram bag-of-features model fit on
+    the target domain vs the raw pool, and keep the top-k.
+
+    Spark shape, 100 TB-safe:
+
+    * features = unigrams + adjacent bigrams of the lowercased text, hashed
+      to ``buckets`` ids via the engine-portable md5->bigint idiom -- one
+      explode, all JVM expressions;
+    * the two multinomial models are ONE ``groupBy(bucket)`` with map-side
+      combine: at any corpus size the shuffle carries <= ``buckets``
+      rows per partition;
+    * per-bucket add-one-smoothed log ratios are computed on the DRIVER
+      over the <= ``buckets``-row model with :func:`ilog2_fp20` (exact
+      Python ints, the same bounded-driver-constant pattern as the k-means
+      centroids), then broadcast-joined back;
+    * per-doc weight = sum(count_b * llr_b) -- broadcast join + one
+      ``groupBy(doc_id)``; the final top-k is TakeOrderedAndProject, no
+      global sort materialization.
+
+    Weights are in 2^-20 log2 units (a positive constant times the paper's
+    natural-log weights, so selection order is identical).  Deterministic
+    resampling tiebreak: (weight DESC, doc_id ASC).
+    """
+    base = docs.select(
+        F.col(id_col),
+        F.expr(target_pred).alias("__is_t"),
+        F.expr(f"regexp_extract_all(lower({text_col}), r'{TOKEN_PATTERN}', 0)").alias("__t"),
+    )
+    feats = base.select(
+        id_col,
+        "__is_t",
+        F.explode(
+            F.expr(
+                "concat(__t, CASE WHEN size(__t) >= 2 THEN"
+                " transform(sequence(1, size(__t) - 1),"
+                " i -> concat(element_at(__t, i), '_', element_at(__t, i + 1)))"
+                " ELSE array() END)"
+            )
+        ).alias("__f"),
+    ).select(
+        id_col,
+        "__is_t",
+        F.expr(f"CAST(conv(substr(md5(__f), 1, 15), 16, 10) AS BIGINT) % {buckets}").alias("__b"),
+    )
+    # the expensive tokenize+explode+md5 pass runs ONCE: reduce straight to
+    # per-(doc, bucket) histograms (<= `buckets` rows per doc, map-side
+    # combined) and checkpoint that compact table -- both the global model
+    # and the per-doc scoring derive from it without re-scanning the text
+    hist = (
+        feats.groupBy(id_col, "__is_t", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    model = hist.groupBy("__b").agg(
+        F.sum(F.when(F.col("__is_t"), F.col("__c")).otherwise(0)).cast("long").alias("tb"),
+        F.sum(F.when(F.col("__is_t"), 0).otherwise(F.col("__c"))).cast("long").alias("rb"),
+    )
+    rows = model.collect()  # bounded: <= `buckets` rows at ANY corpus size
+    t_total = sum(r["tb"] for r in rows) + buckets
+    r_total = sum(r["rb"] for r in rows) + buckets
+    off = ilog2_fp20(r_total) - ilog2_fp20(t_total)
+    llr = [
+        (r["__b"], ilog2_fp20(r["tb"] + 1) - ilog2_fp20(r["rb"] + 1) + off) for r in rows
+    ]
+    llr_df = docs.sparkSession.createDataFrame(llr, "__b bigint, llr_fp bigint")
+    docb = hist.where(~F.col("__is_t")).select(id_col, "__b", "__c")
+    scored = (
+        docb.join(F.broadcast(llr_df), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("__c") * F.col("llr_fp")).cast("long").alias("weight_fp20"),
+            F.sum("__c").cast("long").alias("n_features"),
+        )
+    )
+    return scored.orderBy(F.col("weight_fp20").desc(), F.col(id_col)).limit(k)

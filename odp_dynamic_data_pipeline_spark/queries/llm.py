@@ -3216,3 +3216,80 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity proxy that flags shuffled/stuffed text unigram stats miss."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.bigram_surprisal(docs)
+
+
+@register(
+    "dsir_importance_resample",
+    r"""
+WITH RECURSIVE
+docs0 AS (
+  SELECT doc_id, (source = 'src18') AS is_t,
+         regexp_extract_all(lower(text), '\S+') AS t
+  FROM documents
+),
+uni AS (SELECT doc_id, is_t, UNNEST(t) AS f FROM docs0),
+bi AS (
+  SELECT doc_id, is_t, t[i] || '_' || t[i + 1] AS f
+  FROM (SELECT doc_id, is_t, t, UNNEST(generate_series(1, len(t) - 1)) AS i
+        FROM docs0 WHERE len(t) >= 2)
+),
+feats AS (
+  SELECT doc_id, is_t, ('0x' || substr(md5(f), 1, 15))::BIGINT % 512 AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+model AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tb,
+         CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS rb
+  FROM feats GROUP BY b
+),
+tot AS (SELECT CAST(SUM(tb) AS BIGINT) AS tt, CAST(SUM(rb) AS BIGINT) AS rt FROM model),
+vals AS (
+  SELECT b, 't' AS w, tb + 1 AS x FROM model
+  UNION ALL SELECT b, 'r' AS w, rb + 1 AS x FROM model
+  UNION ALL SELECT -1, 'T', tt + 512 FROM tot
+  UNION ALL SELECT -1, 'R', rt + 512 FROM tot
+),
+lg(b, w, it, e, m, frac) AS (
+  SELECT b, w, 0, length(format('{:b}', x)) - 1,
+         (x << 30) >> (length(format('{:b}', x)) - 1), CAST(0 AS BIGINT)
+  FROM vals
+  UNION ALL
+  SELECT b, w, it + 1, e,
+         CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
+              THEN ((m * m) >> 30) >> 1 ELSE (m * m) >> 30 END,
+         frac * 2 + CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
+                         THEN 1 ELSE 0 END
+  FROM lg WHERE it < 20
+),
+lfp AS (SELECT b, w, (e << 20) + frac AS v FROM lg WHERE it = 20),
+llr AS (
+  SELECT tv.b,
+         tv.v - rv.v
+         + (SELECT v FROM lfp WHERE w = 'R') - (SELECT v FROM lfp WHERE w = 'T')
+           AS llr_fp
+  FROM (SELECT b, v FROM lfp WHERE w = 't') tv
+  JOIN (SELECT b, v FROM lfp WHERE w = 'r') rv USING (b)
+),
+docb AS (
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM feats WHERE NOT is_t GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(c * llr_fp) AS BIGINT) AS weight_fp20,
+       CAST(SUM(c) AS BIGINT) AS n_features
+FROM docb JOIN llr USING (b)
+GROUP BY doc_id
+ORDER BY weight_fp20 DESC, doc_id
+LIMIT 100
+""",
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators.text.dsir_select; Xie et al. 2023):
+    hashed unigram+bigram importance weights -- target domain = source
+    'src18' -- scored over the raw pool, deterministic top-100.  The
+    importance model is a <=512-row driver constant; the oracle replays the
+    exact integer fixed-point-log2 recurrence as a recursive CTE, so the
+    weights match bit-for-bit with no libm log anywhere."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return tx.dsir_select(docs, "source = 'src18'", buckets=512, k=100)

@@ -194,3 +194,34 @@ def test_token_budget_allocation_quota_exact(spark):
     for r in out:
         exact = 1_000_003 * r["weight_e3"] / W
         assert exact - 1 < r["quota_tokens"] < exact + 1
+
+
+def test_ilog2_fp20_exact_properties():
+    import math
+
+    from odp_dynamic_data_pipeline_spark.operators.text import ilog2_fp20
+
+    # exact at powers of two
+    for e in range(0, 33):
+        assert ilog2_fp20(1 << e) == e << 20
+    # within one ulp (2^-20) of the true log2 everywhere else
+    for x in [3, 7, 100, 999, 12345, 10**6, (1 << 33) - 1]:
+        got = ilog2_fp20(x) / (1 << 20)
+        assert abs(got - math.log2(x)) < 2 ** -19
+    # monotone
+    vals = [ilog2_fp20(x) for x in range(1, 2000)]
+    assert vals == sorted(vals)
+
+
+def test_dsir_selects_target_like_docs(spark):
+    from odp_dynamic_data_pipeline_spark.operators.text import dsir_select
+
+    # target domain speaks "alpha beta"; raw pool has two dialects -- the
+    # docs sharing the target vocabulary must outrank the "zulu" docs
+    rows = [(i, "alpha beta alpha beta", "tgt") for i in range(5)]
+    rows += [(10 + i, "alpha beta gamma", "raw") for i in range(3)]
+    rows += [(20 + i, "zulu yankee xray", "raw") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dsir_select(df, "source = 'tgt'", buckets=64, k=3).collect()
+    assert [r["doc_id"] for r in out] == [10, 11, 12]
+    assert all(r["weight_fp20"] > 0 for r in out)
