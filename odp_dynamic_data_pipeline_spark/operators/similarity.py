@@ -728,3 +728,104 @@ def centroid_assign_exact(
         entries.append(F.struct(d2.alias("d"), F.lit(j).alias("j")))
     best = F.array_sort(F.array(*entries))[0]
     return df.withColumn(topic_col, best["j"]).withColumn(dist_col, best["d"])
+
+
+def ivfpq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    kcent: int = 16,
+    dsub: int = 8,
+    shortlist: int = 64,
+    codebooks: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ composed ANN (the FAISS IndexIVFPQ architecture): coarse
+    quantizer prunes the candidate stream to ``nprobe``/``nlist`` of the
+    corpus via an equi-join on list id, and PQ-ADC scores RESIDUALS
+    (vector minus its list centroid) inside the probed lists only, before
+    an exact cosine re-rank of the per-query shortlist.
+
+    This is the billion-scale shape: unlike :func:`pq_topk` (whose ADC pair
+    stream is all N x Q code rows), the pair stream here is
+    ~(nprobe/nlist) x N x Q and every stage before the final re-rank is a
+    map or an equi-join -- no cross join anywhere.  Residual encoding keeps
+    PQ's quantization error centered per list (the reason IVFPQ beats
+    IVF+flat-PQ at equal code budget).
+
+    Everything is exact integer arithmetic until the final cosine: coarse
+    centroids are the first ``nlist`` candidates by id (driver constants,
+    swap in kmeans_quantizer output at will), codebooks default to the
+    md5-derived engine-portable literals, assignment/argmin ties break to
+    the lowest index -- so an external engine can replay the entire
+    pipeline value-for-value."""
+    books = codebooks or pq_md5_codebooks(m=m, k=kcent, dsub=dsub)
+    dsub = len(books[0][0])
+    cand = quantized(candidates.select(F.col(id_col).alias("cand_id"), vec_col), vec_col)
+    qry = quantized(queries.select(F.col(id_col).alias("qid"), vec_col), vec_col)
+
+    cents = [
+        row["qvec"] for row in cand.orderBy("cand_id").limit(nlist).select("qvec").collect()
+    ]
+    cent_lit = _book_literal(cents)
+
+    # candidates: one list each; residual vs the owning centroid; PQ codes
+    # on the residual.  All constant-folded JVM maps -- at scale this runs
+    # in the scan stage and stores (list_id, m bytes) per vector.
+    cand_l = ivf_assign(cand, cents, nprobe=1).withColumn(
+        "__res", F.expr(f"zip_with(qvec, element_at({cent_lit}, ivf_list + 1), (x, y) -> x - y)")
+    )
+    cand_codes = pq_encode(cand_l, books, vec_col="__res").select(
+        "cand_id", "ivf_list", "pq_codes"
+    )
+
+    # queries: nprobe lists each; one ADC table PER (query, probed list),
+    # built from the residual against THAT list's centroid
+    qry_l = ivf_assign(qry, cents, nprobe=nprobe).select(
+        "qid", "qvec", F.explode("ivf_list").alias("ivf_list")
+    ).withColumn(
+        "__res", F.expr(f"zip_with(qvec, element_at({cent_lit}, ivf_list + 1), (x, y) -> x - y)")
+    )
+    for s in range(m):
+        qry_l = qry_l.withColumn(f"__dt_{s}", F.expr(_subspace_d2("__res", books[s], s, dsub)))
+    qry_tables = qry_l.select("qid", "ivf_list", *[f"__dt_{s}" for s in range(m)])
+
+    # probed-list pair stream: equi-join on list id (THE pruning step)
+    pairs = cand_codes.join(F.broadcast(qry_tables), "ivf_list").where(
+        F.col("cand_id") != F.col("qid")
+    )
+    approx = None
+    for s in range(m):
+        term = F.element_at(F.col(f"__dt_{s}"), F.col("pq_codes")[s] + 1)
+        approx = term if approx is None else approx + term
+    slim = pairs.select("qid", "cand_id", approx.alias("approx_d2"))
+    shortlisted = (
+        slim.withColumn(
+            "__rk",
+            F.row_number().over(Window.partitionBy("qid").orderBy("approx_d2", "cand_id")),
+        )
+        .where(F.col("__rk") <= shortlist)
+        .select("qid", "cand_id")
+    )
+
+    # exact re-rank on raw vectors, shortlist-sized joins only
+    rerank = shortlisted.join(cand.select("cand_id", "qvec", "qnorm"), "cand_id").join(
+        F.broadcast(qry.select("qid", F.col("qvec").alias("q_qvec"), F.col("qnorm").alias("q_qnorm"))),
+        "qid",
+    )
+    dot = F.expr(DOT.format(a="q_qvec", b="qvec"))
+    cosine = dot.cast("double") / F.sqrt(
+        F.col("q_qnorm").cast("double") * F.col("qnorm").cast("double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        rerank.select("qid", "cand_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cand_id", "rank", "cosine")
+    )

