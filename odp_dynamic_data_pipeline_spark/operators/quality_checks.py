@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,3 +64,51 @@ def violations_referential(child: DataFrame, child_key: str, parent: DataFrame, 
 
 def union_reports(reports: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), reports)
+
+
+def binary_auc(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    *,
+    out_col: str = "auc_e6",
+) -> DataFrame:
+    """Exact ROC-AUC per group via the Mann-Whitney rank-sum identity, with
+    standard average-rank tie handling -- the evaluation loop for
+    model-based data filtering (does the cheap classifier rank documents
+    the way the trusted gate labels them?).
+
+    AUC = (sum of positive ranks - P(P+1)/2) / (P*N).  Ties take the
+    average rank of their run; ``2*avgrank = 2*rank_min + n_ties - 1`` is
+    an integer, so the whole computation stays integer-exact: the returned
+    ``out_col`` is floor(1e6 * 2U / (2PN)).  Two windows over one shuffle
+    on the group key (rank and tie-count share the partitioning), then one
+    groupBy -- no per-threshold ROC sweep, no Python.
+
+    Groups where either class is empty (AUC undefined) are dropped.
+    Output: (group_col, n_pos, n_neg, out_col)."""
+    w_rank = Window.partitionBy(group_col).orderBy(score_col)
+    w_tie = Window.partitionBy(group_col, score_col)
+    ranked = df.select(
+        group_col,
+        F.col(label_col).cast("boolean").alias("__lab"),
+        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1).alias("__r2"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.sum(F.when(F.col("__lab"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("__lab"), 0).otherwise(1)).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("__lab"), F.col("__r2")).otherwise(0)).cast("long").alias("__r2sum"),
+    )
+    return (
+        agg.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            group_col,
+            "n_pos",
+            "n_neg",
+            F.expr(
+                "(1000000 * (__r2sum - n_pos * (n_pos + 1)))"
+                f" div (2 * n_pos * n_neg)"
+            ).alias(out_col),
+        )
+    )

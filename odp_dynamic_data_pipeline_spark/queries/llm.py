@@ -3426,3 +3426,86 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-for-value."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ivfpq_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "classifier_auc_report",
+    r"""
+WITH t AS (
+  SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks
+  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0
+),
+sc AS (
+  SELECT source,
+         (1000000 * CAST(len(list_filter(toks, x -> list_contains(['the','and','of','a','to'], x))) AS BIGINT))
+           // CAST(len(toks) AS BIGINT) >= 30000 AS lab,
+         (1000000 * CAST(list_sum(list_transform(toks,
+             x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 2001 - 1000)) AS BIGINT))
+           // CAST(len(toks) AS BIGINT) AS model_e6,
+         (1000000 * CAST(len(list_distinct(toks)) AS BIGINT))
+           // CAST(len(toks) AS BIGINT) AS uniq_e6
+  FROM t
+),
+rm AS (
+  SELECT source, lab,
+         2 * rank() OVER (PARTITION BY source ORDER BY model_e6)
+           + COUNT(*) OVER (PARTITION BY source, model_e6) - 1 AS r2
+  FROM sc
+),
+am AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+         CAST(SUM(CASE WHEN lab THEN r2 ELSE 0 END) AS BIGINT) AS r2s
+  FROM rm GROUP BY source
+),
+ru AS (
+  SELECT source, lab,
+         2 * rank() OVER (PARTITION BY source ORDER BY uniq_e6)
+           + COUNT(*) OVER (PARTITION BY source, uniq_e6) - 1 AS r2
+  FROM sc
+),
+au AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+         CAST(SUM(CASE WHEN lab THEN r2 ELSE 0 END) AS BIGINT) AS r2s
+  FROM ru GROUP BY source
+)
+SELECT am.source, am.n_pos, am.n_neg,
+       (1000000 * (am.r2s - am.n_pos * (am.n_pos + 1))) // (2 * am.n_pos * am.n_neg) AS auc_model_e6,
+       (1000000 * (au.r2s - au.n_pos * (au.n_pos + 1))) // (2 * au.n_pos * au.n_neg) AS auc_unique_e6
+FROM am JOIN au USING (source)
+WHERE am.n_pos > 0 AND am.n_neg > 0
+""",
+)
+def classifier_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based filter evaluation (operators.quality_checks.binary_auc):
+    exact tie-aware ROC-AUC per source, via the Mann-Whitney rank-sum
+    identity in pure integer arithmetic -- no threshold sweep.  Two scores
+    are evaluated against the rule-gate label (stopword ratio >= 3%): the
+    hashed linear model's mean token weight and the unique-token ratio.
+    This is the eval loop that decides whether a cheap classifier can
+    replace a heuristic gate before a 100 TB filtering pass."""
+    from odp_dynamic_data_pipeline_spark.operators.quality_checks import binary_auc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    qf = tx.quality_features(docs).where(F.col("n_tokens") > 0)
+    scored = qf.select(
+        "source",
+        (
+            F.expr("(1000000 * CAST(n_stopwords AS BIGINT)) div CAST(n_tokens AS BIGINT)")
+            >= 30000
+        ).alias("lab"),
+        F.expr(
+            "(1000000 * aggregate(transform(tokens,"
+            " t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)) div CAST(n_tokens AS BIGINT)"
+        ).alias("model_e6"),
+        F.expr(
+            "(1000000 * CAST(n_unique_tokens AS BIGINT)) div CAST(n_tokens AS BIGINT)"
+        ).alias("uniq_e6"),
+    )
+    auc_m = binary_auc(scored, "source", "model_e6", "lab", out_col="auc_model_e6")
+    auc_u = binary_auc(scored, "source", "uniq_e6", "lab", out_col="auc_unique_e6")
+    return auc_m.join(auc_u.select("source", "auc_unique_e6"), "source")
