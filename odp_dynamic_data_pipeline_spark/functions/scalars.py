@@ -27,3 +27,27 @@ def json_field(col: Column | str, path: str) -> Column:
     """F3: extract a field from a JSON string column."""
     c = F.col(col) if isinstance(col, str) else col
     return F.get_json_object(c, f"$.{path}")
+
+
+def ilog2_fp20_sql(x: str) -> str:
+    """Spark SQL expression: exact fixed-point log2 (20 fractional bits) of
+    the BIGINT expression ``x`` (must be >= 1), as one ``aggregate`` fold --
+    the column-level form of operators.text.ilog2_fp20 (same
+    square-and-extract-bit recurrence, same values bit-for-bit).
+
+    The loop lives inside a single codegen'd higher-order function, so
+    applying it to millions of rows costs no Python and no plan blowup;
+    int64-safe for x < 2^33.  A DuckDB twin (queries.llm.duck_ilog2_sql)
+    evaluates the identical recurrence with list_reduce, which is what puts
+    entropy/weighted-sampling queries behind the exact-hash oracle gate
+    with no libm log anywhere.
+    """
+    e = f"CAST(length(bin({x})) - 1 AS BIGINT)"
+    return (
+        f"(shiftleft({e}, 20) + aggregate(sequence(1, 20),"
+        f" struct(shiftright(shiftleft({x}, 30), {e}) AS m, CAST(0 AS BIGINT) AS f),"
+        " (acc, i) -> IF(shiftright(acc.m * acc.m, 30) >= 2147483648,"
+        " struct(shiftright(shiftright(acc.m * acc.m, 30), 1) AS m, acc.f * 2 + 1 AS f),"
+        " struct(shiftright(acc.m * acc.m, 30) AS m, acc.f * 2 AS f)),"
+        " acc -> acc.f))"
+    )

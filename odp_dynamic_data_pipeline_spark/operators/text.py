@@ -900,3 +900,94 @@ def dsir_select(
         )
     )
     return scored.orderBy(F.col("weight_fp20").desc(), F.col(id_col)).limit(k)
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT Shannon character entropy per document, in fixed-point bits --
+    the information-density quality signal (gibberish and repeated-char
+    spam score near 0; natural text sits in a narrow band).
+
+    H = sum_i (c_i/N) * log2(N/c_i) is computed as integer arithmetic:
+    h2_fp = sum_i c_i * (ilog2_fp20(N) - ilog2_fp20(c_i)) in 2^-20
+    bit-counts, using the same square-and-extract-bit log2 recurrence as
+    DSIR (functions.scalars.ilog2_fp20_sql), evaluated per aggregated
+    (doc, char) row -- a fold inside codegen, no libm, no Python, so any
+    engine reproduces it bit-for-bit.
+
+    Two shuffles on doc-keys (char counts, then per-doc sum); per-doc
+    row count after the first groupBy is the alphabet size, not the text
+    length.  mean_entropy_e6 is exact micro-bits/char; int64-safe for
+    docs < ~10^6 chars (1e6 * h2_fp < 2^63)."""
+    from odp_dynamic_data_pipeline_spark.functions.scalars import ilog2_fp20_sql
+
+    chars = df.select(
+        id_col, F.explode(F.split(F.col(text_col), "")).alias("__ch")
+    ).where(F.col("__ch") != "")
+    counts = chars.groupBy(id_col, "__ch").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("alphabet_size"),
+        F.sum(F.expr(f"__c * (0 - {ilog2_fp20_sql('__c')})")).cast("long").alias("__hc"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_chars",
+        "alphabet_size",
+        F.expr(f"CAST(n_chars * {ilog2_fp20_sql('n_chars')} + __hc AS BIGINT)").alias("h2_fp"),
+        F.expr(
+            f"(1000000 * (n_chars * {ilog2_fp20_sql('n_chars')} + __hc))"
+            " div shiftleft(n_chars, 20)"
+        ).alias("mean_entropy_e6"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: str,
+    *,
+    id_col: str = "doc_id",
+    k: int = 20,
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement per stratum
+    (Efraimidis & Spirakis 2006): item i gets key u_i^(1/w_i) with u_i
+    uniform; the k largest keys are a proper weighted sample.
+
+    Engine-portable and EXACT: u_i is the md5-derived 60-bit uniform
+    (seed|id), and instead of the float pow we rank by
+    -log2(u_i)/w_i ASCENDING (a strictly monotone transform of the E-S
+    key), with -log2(u) computed by the exact fixed-point recurrence and
+    the ratio compared via the integer key floor(a * 10^10 / w) --
+    deterministic ties broken by id.  No pow, no log, no floats: any
+    engine reproduces the SAME sample.
+
+    One map to key + one per-stratum top-k window.  At 100 TB the window
+    input is the full table but carries only (stratum, key, id) -- or
+    pre-reduce with the bucket-minima pattern (SCALE.md) if strata are
+    huge.  Output: (stratum, id, weight, es_key, rank)."""
+    from odp_dynamic_data_pipeline_spark.functions.scalars import ilog2_fp20_sql
+
+    # 32-bit uniform (8 hex chars): ilog2_fp20_sql requires x < 2^33, and
+    # u+1 <= 2^32 keeps the (x << 30) normalization int64-exact on every
+    # engine (a 60-bit u overflows the shift -- DuckDB raises, Spark wraps)
+    u = (
+        f"(CAST(conv(substr(md5(concat('{seed}', '|', CAST({id_col} AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT) + 1)"
+    )
+    a = f"(shiftleft(CAST(32 AS BIGINT), 20) - {ilog2_fp20_sql(u)})"
+    keyed = (
+        df.select(stratum_col, id_col, F.col(weight_col).alias("weight"))
+        .where(F.col("weight") >= 1)
+        .withColumn("es_key", F.expr(f"({a} * 10000000000) div weight"))
+    )
+    w = Window.partitionBy(stratum_col).orderBy("es_key", id_col)
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(stratum_col, id_col, "weight", "es_key", "rank")
+    )

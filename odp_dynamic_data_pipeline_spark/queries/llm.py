@@ -3509,3 +3509,92 @@ def classifier_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     auc_m = binary_auc(scored, "source", "model_e6", "lab", out_col="auc_model_e6")
     auc_u = binary_auc(scored, "source", "uniq_e6", "lab", out_col="auc_unique_e6")
     return auc_m.join(auc_u.select("source", "auc_unique_e6"), "source")
+
+
+def duck_ilog2_sql(x: str) -> str:
+    """DuckDB twin of functions.scalars.ilog2_fp20_sql: the identical
+    square-and-extract-bit fixed-point log2 recurrence as a list_reduce
+    fold (init element prepended, 20 dummy elements drive the 20 rounds).
+    Bit-identical to the Spark expression and to ilog2_fp20."""
+    e = f"(length(format('{{:b}}', {x})) - 1)"
+    return (
+        f"((CAST({e} AS BIGINT) << 20) + list_reduce("
+        f"list_concat([struct_pack(m := ({x} << 30) >> {e}, f := CAST(0 AS BIGINT))],"
+        " list_transform(range(20), i -> struct_pack(m := CAST(0 AS BIGINT), f := CAST(0 AS BIGINT)))),"
+        " (acc, e2) -> CASE WHEN ((acc.m * acc.m) >> 30) >= 2147483648"
+        " THEN struct_pack(m := ((acc.m * acc.m) >> 30) >> 1, f := acc.f * 2 + 1)"
+        " ELSE struct_pack(m := (acc.m * acc.m) >> 30, f := acc.f * 2) END).f)"
+    )
+
+
+def _char_entropy_oracle() -> str:
+    lg_c = duck_ilog2_sql("c")
+    lg_n = duck_ilog2_sql("n_chars")
+    return f"""
+WITH chars AS (
+  SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents
+),
+counts AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+),
+per AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_chars,
+         CAST(COUNT(*) AS BIGINT) AS alphabet_size,
+         CAST(SUM(c * (0 - {lg_c})) AS BIGINT) AS hc
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_chars, alphabet_size,
+       CAST(n_chars * {lg_n} + hc AS BIGINT) AS h2_fp,
+       (1000000 * (n_chars * {lg_n} + hc)) // (n_chars << 20) AS mean_entropy_e6
+FROM per
+"""
+
+
+@register("char_entropy_scores", _char_entropy_oracle())
+def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shannon character entropy per document
+    (operators.text.char_entropy): the information-density filter signal,
+    computed entirely in fixed-point integer arithmetic via the
+    square-and-extract-bit log2 fold -- no libm, so the DuckDB oracle
+    reproduces every micro-bit.  Per-doc work after the char groupBy is
+    alphabet-sized, not text-sized."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.char_entropy(docs)
+
+
+def _weighted_sample_oracle(k: int = 20) -> str:
+    u = (
+        "(('0x' || substr(md5('ws' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)"
+    )
+    lg_u = duck_ilog2_sql(u)
+    return rf"""
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS weight
+  FROM documents
+),
+keyed AS (
+  SELECT lang, doc_id, weight,
+         (((CAST(32 AS BIGINT) << 20) - {lg_u}) * 10000000000) // weight AS es_key
+  FROM t WHERE weight >= 1
+)
+SELECT lang, doc_id, weight, es_key, rank FROM (
+  SELECT lang, doc_id, weight, es_key,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rank
+  FROM keyed
+) WHERE rank <= {k}
+"""
+
+
+@register("weighted_sample_langs", _weighted_sample_oracle())
+def weighted_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement per language
+    (operators.text.weighted_sample; Efraimidis & Spirakis 2006), weights =
+    token counts: rank by -log2(u)/w via the exact fixed-point log2 and an
+    integer ratio key -- no pow/log/floats, so both engines draw the SAME
+    sample.  The engine-portable form of weighted corpus subsampling."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    stats = tx.token_stats(docs).select("lang", "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+    return tx.weighted_sample(stats, "lang", "n_tokens", k=20)

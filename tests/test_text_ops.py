@@ -225,3 +225,37 @@ def test_dsir_selects_target_like_docs(spark):
     out = dsir_select(df, "source = 'tgt'", buckets=64, k=3).collect()
     assert [r["doc_id"] for r in out] == [10, 11, 12]
     assert all(r["weight_fp20"] > 0 for r in out)
+
+
+def test_char_entropy_hand_computed(spark):
+    from odp_dynamic_data_pipeline_spark.operators.text import char_entropy
+
+    rows = [(1, "aaaa"), (2, "ab"), (3, "abcd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    # uniform single char: H = 0
+    assert got[1]["h2_fp"] == 0 and got[1]["mean_entropy_e6"] == 0
+    # two equiprobable chars: H = 1 bit exactly
+    assert got[2]["mean_entropy_e6"] == 1_000_000
+    # four equiprobable chars: H = 2 bits exactly
+    assert got[3]["mean_entropy_e6"] == 2_000_000
+    assert got[3]["alphabet_size"] == 4 and got[3]["n_chars"] == 4
+
+
+def test_weighted_sample_properties(spark):
+    from odp_dynamic_data_pipeline_spark.operators.text import weighted_sample
+
+    # one overwhelming weight must always be drawn; output is min(k, n)
+    rows = [("g", i, 1) for i in range(1, 30)] + [("g", 99, 10_000_000)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, w long")
+    out = weighted_sample(df, "lang", "w", k=5).collect()
+    assert len(out) == 5
+    assert 99 in {r["doc_id"] for r in out}
+    # deterministic: same call, same sample
+    out2 = weighted_sample(df, "lang", "w", k=5).collect()
+    assert {(r["doc_id"], r["rank"]) for r in out} == {(r["doc_id"], r["rank"]) for r in out2}
+    # zero/negative weights excluded, small strata return all members
+    rows2 = [("h", 1, 0), ("h", 2, 3), ("h", 3, 7)]
+    df2 = spark.createDataFrame(rows2, "lang string, doc_id long, w long")
+    out3 = weighted_sample(df2, "lang", "w", k=5).collect()
+    assert {r["doc_id"] for r in out3} == {2, 3}
