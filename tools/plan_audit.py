@@ -122,11 +122,22 @@ def main() -> None:
             for ln in plan.splitlines():
                 if "Window [" in ln and " WindowGroupLimit" not in ln:
                     # a partitioned Window prints 3 bracket groups
-                    # (functions, partition, order) => two "], [" seps;
-                    # a global one prints 2 groups => one sep
-                    if ln.count("], [") < 2:
+                    # (functions, partition, order) => two "], [" seps.
+                    # Two groups is AMBIGUOUS: "partitioned, no order"
+                    # (e.g. a tie-count window: count(1) OVER (PARTITION
+                    # BY k, score)) also prints two.  Disambiguate by the
+                    # last group's content: an ordering group carries
+                    # ASC/DESC; a partition group is bare columns.  The
+                    # zero-partition-zero-order form prints its spec as
+                    # windowspecdefinition(specifiedwindowframe...).
+                    if "windowspecdefinition(specifiedwindowframe" in ln:
                         flags.append("GLOBAL-WINDOW")
                         break
+                    if ln.count("], [") < 2:
+                        last = ln.rsplit("], [", 1)[-1]
+                        if " ASC" in last or " DESC" in last:
+                            flags.append("GLOBAL-WINDOW")
+                            break
         n_exch = plan.count("Exchange hashpartitioning")
         n_bhj = plan.count("BroadcastHashJoin")
         n_smj = plan.count("SortMergeJoin")
