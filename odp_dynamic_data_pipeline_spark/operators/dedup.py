@@ -666,3 +666,107 @@ def winnow_fingerprints(
         .withColumn("__hs", F.expr(hashes))
         .select(id_col, F.explode(F.expr(mins)).alias("fp"))
     )
+
+
+def jaccard_join(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    tau_e6: int = 300_000,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join via prefix filtering (AllPairs /
+    PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08) over word
+    ``n``-gram shingle sets: returns every pair with J >= tau, with NO
+    false negatives -- the candidate generation is a pruning of the cross
+    product that provably preserves all qualifying pairs, unlike
+    MinHash-LSH's probabilistic recall.
+
+    The filter: order every set by GLOBAL shingle rarity (document
+    frequency asc, hash asc); two sets with J >= tau must share at least
+    one shingle among each one's first ``|x| - ceil(tau*|x|) + 1``
+    elements, so candidates come from an equi-join on prefix shingles plus
+    the length filter tau*|x| <= |y| <= |x|/tau -- never O(n^2).
+    Survivors are verified with an exact integer intersect.
+
+    Shingles carry as md5-derived bigints (engine-portable, 8-byte shuffle
+    rows).  All thresholds are exact integer comparisons
+    (1e6*inter >= tau_e6*uni), so the result EQUALS the brute-force
+    all-pairs join -- which is exactly what the DuckDB oracle computes.
+
+    Scale: the rarity ordering is why this works at 100 TB -- prefixes are
+    the rarest shingles, so the equi-join's per-key fan-out is bounded by
+    the df of rare shingles.  Low tau widens prefixes (tau=0.3 -> 70%);
+    production near-dup dedup runs tau >= 0.7 where prefixes are short.
+    Output: (id_a, id_b, inter, uni, jac_e6)."""
+    sh = shingles(df.select(id_col, text_col), text_col, n=n)
+    hs = (
+        sh.select(F.col(id_col).alias("__id"), F.explode("shingles").alias("__s"))
+        .select(
+            "__id",
+            F.expr("CAST(conv(substr(md5(__s), 1, 15), 16, 10) AS BIGINT)").alias("h"),
+        )
+        .distinct()
+    )
+    freq = hs.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        hs.join(freq, "h")
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list(F.struct("__df", "h"))).alias("__os"))
+        .select(
+            "__id",
+            F.expr("transform(__os, x -> x.h)").alias("__arr"),
+            F.size("__os").cast("long").alias("__n"),
+        )
+    )
+    # prefix length p = n - ceil(tau*n) + 1 (exact integer ceil)
+    p = f"__n - ((CAST({tau_e6} AS BIGINT) * __n + 999999) div 1000000) + 1"
+    prefixes = ordered.select(
+        "__id", "__n", F.explode(F.expr(f"slice(__arr, 1, {p})")).alias("h")
+    )
+    pa = prefixes.select(
+        F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "h"
+    )
+    pb = prefixes.select(
+        F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "h"
+    )
+    cand = (
+        pa.join(pb, "h")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.lit(1_000_000) * F.col("__na") >= F.lit(tau_e6) * F.col("__nb"))
+            & (F.lit(1_000_000) * F.col("__nb") >= F.lit(tau_e6) * F.col("__na"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    arrays = ordered.select("__id", "__arr", "__n")
+    verify = (
+        cand.join(
+            arrays.select(
+                F.col("__id").alias("id_a"),
+                F.col("__arr").alias("__aa"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrays.select(
+                F.col("__id").alias("id_b"),
+                F.col("__arr").alias("__ab"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.expr("CAST(size(array_intersect(__aa, __ab)) AS BIGINT)"))
+        .withColumn("uni", F.col("__na") + F.col("__nb") - F.col("inter"))
+        .where(F.lit(1_000_000) * F.col("inter") >= F.lit(tau_e6) * F.col("uni"))
+    )
+    return verify.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "uni",
+        F.expr("(1000000 * inter) div uni").alias("jac_e6"),
+    )

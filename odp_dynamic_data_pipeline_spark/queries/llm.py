@@ -3598,3 +3598,37 @@ def weighted_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     stats = tx.token_stats(docs).select("lang", "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
     return tx.weighted_sample(stats, "lang", "n_tokens", k=20)
+
+
+@register(
+    "jaccard_prefix_join",
+    r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+  WHERE len(regexp_extract_all(text, '\S+')) >= 8
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - 7),
+           i -> ('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15))::BIGINT)) AS s
+  FROM toks
+)
+SELECT id_a, id_b, inter, uni, (1000000 * inter) // uni AS jac_e6
+FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS uni
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+WHERE 1000000 * inter >= 300000 * uni
+""",
+)
+def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard similarity self-join (operators.dedup.jaccard_join):
+    prefix filtering over rarity-ordered 8-gram shingle sets -- provably no
+    false negatives, so the ORACLE IS THE BRUTE FORCE: DuckDB computes the
+    all-pairs J >= 0.3 join and the hash gate proves the pruned plan
+    returns the identical pair set.  The exact counterpart to the
+    probabilistic MinHash-LSH family."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.jaccard_join(docs, n=8, tau_e6=300_000)

@@ -182,3 +182,21 @@ def test_binary_auc_perfect_and_inverted(spark):
     df_i = spark.createDataFrame(inverted, "grp string, score long, lab boolean")
     assert binary_auc(df_p, "grp", "score", "lab").collect()[0]["auc_e6"] == 1_000_000
     assert binary_auc(df_i, "grp", "score", "lab").collect()[0]["auc_e6"] == 0
+
+
+def test_jaccard_join_exact_no_false_negatives(spark):
+    from odp_dynamic_data_pipeline_spark.operators.dedup import jaccard_join
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"          # shares most 3-gram shingles with base
+    far = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    out = jaccard_join(df, n=3, tau_e6=500_000).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert (1, 2) in pairs and len(pairs) == 1
+    r = pairs[(1, 2)]
+    # base: 8 shingles, near: 9, shared: 8 -> J = 8/9
+    assert (r["inter"], r["uni"]) == (8, 9)
+    assert r["jac_e6"] == (1_000_000 * 8) // 9
