@@ -1293,3 +1293,116 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic tiebreak: (total_cents DESC, o_orderkey)."""
     register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(LATERAL_TOP_ORDERS_SQL)
+
+
+@register(
+    "interpolate_hourly_values",
+    """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+  FROM events
+),
+spans AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM ev GROUP BY user_id),
+grid AS (SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM spans),
+obs AS (SELECT user_id, h, CAST(SUM(v) AS BIGINT) AS v FROM ev GROUP BY user_id, h),
+j AS (
+  SELECT g.user_id, CAST(epoch(g.h) AS BIGINT) AS he, o.v
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.h
+),
+nb AS (
+  SELECT user_id, he, v,
+         last_value(v IGNORE NULLS) OVER w_prev AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN he END IGNORE NULLS) OVER w_prev AS ph,
+         first_value(v IGNORE NULLS) OVER w_next AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN he END IGNORE NULLS) OVER w_next AS nh
+  FROM j
+  WINDOW w_prev AS (PARTITION BY user_id ORDER BY he
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY user_id ORDER BY he
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+filled AS (
+  SELECT user_id, he,
+         CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
+         CASE WHEN v IS NOT NULL THEN v * 1000
+              WHEN pv IS NOT NULL AND nv IS NOT NULL
+              THEN (1000 * (pv * (nh - he) + nv * (he - ph))) // (nh - ph)
+              END AS value_e3
+  FROM nb
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(observed) AS BIGINT) AS n_observed,
+       CAST(SUM(CASE WHEN value_e3 IS NOT NULL THEN 1 ELSE 0 END) - SUM(observed) AS BIGINT) AS n_interpolated,
+       CAST(SUM(value_e3) AS BIGINT) AS sum_value_e3,
+       CAST(SUM(value_e3 * ((he // 3600) % 997)) AS BIGINT) AS possum_value_e3
+FROM filled GROUP BY user_id
+""",
+)
+def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation over the dense hourly grid: gap
+    hours take the exact integer interpolation between the nearest
+    observed hours on each side ((pv*(nh-h) + nv*(h-ph))*1000 div
+    (nh-ph) -- milli-cents, truncation identical on both engines); edge
+    gaps (no neighbor on one side) stay NULL.  Two frame-bounded windows
+    over ONE shuffle on the user key (last/first with ignorenulls), the
+    standard resample-and-fill shape for sensor/metric pipelines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        _cents("value").alias("v"),
+    )
+    spans = ev.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = spans.select(
+        "user_id", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    obs = ev.groupBy("user_id", "h").agg(F.sum("v").cast("long").alias("v"))
+    j = grid.join(obs, ["user_id", "h"], "left").select(
+        "user_id", F.unix_timestamp("h").alias("he"), "v"
+    )
+    # both neighbor lookups use ACCUMULATING frames (UnboundedPreceding ->
+    # current), which Spark evaluates in O(n) per partition; the natural
+    # first(ignorenulls) over (current -> UnboundedFollowing) is a
+    # shrinking frame Spark recomputes per row -- O(n^2), measured 14.5 s
+    # warm on the 1M-row grid vs 2.3 s for this form.  "Next non-null" =
+    # running last non-null scanned from the END (descending order).
+    w_prev = Window.partitionBy("user_id").orderBy("he").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("he").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nb = j.select(
+        "user_id",
+        "he",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("he")), ignorenulls=True).over(w_prev).alias("ph"),
+        F.last("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("he")), ignorenulls=True).over(w_next).alias("nh"),
+    )
+    filled = nb.select(
+        "user_id",
+        "he",
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("observed"),
+        F.when(F.col("v").isNotNull(), F.col("v") * 1000)
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.expr("(1000 * (pv * (nh - he) + nv * (he - ph))) div (nh - ph)"),
+        )
+        .alias("value_e3"),
+    )
+    # per-user rollup with a position-weighted checksum: a wrong value at
+    # ANY grid position changes possum_value_e3, so the full interpolated
+    # series stays verified while the output is one row per user (the
+    # million-row dense grid would otherwise dominate collect time)
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("observed").cast("long").alias("n_observed"),
+        (F.sum(F.when(F.col("value_e3").isNotNull(), 1).otherwise(0)) - F.sum("observed"))
+        .cast("long")
+        .alias("n_interpolated"),
+        F.sum("value_e3").cast("long").alias("sum_value_e3"),
+        F.sum(F.col("value_e3") * F.expr("(he div 3600) % 997")).cast("long").alias("possum_value_e3"),
+    )
