@@ -1904,3 +1904,65 @@ def bitwise_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("f").alias("flags_or"),
         F.bit_xor("f").alias("flags_xor"),
     )
+
+
+@register(
+    "watermark_dedup_stream",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+""",
+)
+def watermark_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEVENTH stream==batch==oracle family: in-flight bounded-state dedup
+    (dropDuplicatesWithinWatermark, SURVEY section 2.7).  The replay emits
+    every event in batch 0 and re-emits every fifth event in batch 1
+    (cross-micro-batch duplicates, the case plain per-batch dedup misses);
+    the stream must drop exactly the echoes, so the surviving set equals
+    the original events table and the per-type count/id-checksum/cents
+    aggregate matches the batch oracle bit-for-bit.  The watermark is set
+    beyond the data's span so no state is evicted mid-replay (eviction
+    semantics are covered by tests/test_streaming_ttl.py); a checksum
+    mismatch would catch either a leaked duplicate or a dropped
+    original."""
+    import glob
+    import os
+    import shutil
+
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        dedup_within_watermark,
+        run_available_now,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    tmp = _stream_tmpdir("wm_dedup_stream")
+    src = f"{tmp}/in"
+    os.makedirs(src)
+    echoes = ev.where(F.col("event_id") % 5 == 0)
+    for i, part in enumerate((ev, echoes)):
+        part_dir = f"{tmp}/part{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        (part_file,) = glob.glob(f"{part_dir}/part-*.parquet")
+        dst = f"{src}/batch{i}.parquet"
+        shutil.move(part_file, dst)
+        os.utime(dst, (1_700_000_000 + i * 600, 1_700_000_000 + i * 600))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = dedup_within_watermark(stream, keys=["event_id"], ts_col="ts", watermark="3650 days")
+    out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+    with _stream_shuffle(spark):
+        run_available_now(deduped, format="parquet", query_name="", path=out, checkpoint=ckpt)
+    survived = spark.read.schema(ev.schema).parquet(out)
+    return survived.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+        F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).cast("long").alias("sum_cents"),
+    )
