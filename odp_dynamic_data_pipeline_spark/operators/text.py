@@ -991,3 +991,68 @@ def weighted_sample(
         .where(F.col("rank") <= k)
         .select(stratum_col, id_col, "weight", "es_key", "rank")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """BM25 retrieval (Robertson/Sparck Jones probabilistic relevance, the
+    lexical-search baseline) with EXACT integer arithmetic end to end --
+    engine-portable because the idf log2 runs through the fixed-point
+    recurrence (ilog2_fp20) on driver-side corpus constants and the tf
+    saturation is a scaled integer rational (k1=1.2, b=0.75 folded into
+    integer coefficients: tf_norm_e6 = 1e6*44*tf*avgdl //
+    (20*tf*avgdl + 6*avgdl + 18*dl)).
+
+    Corpus stats (N, avgdl, per-term df) are one bounded collect
+    (<= |terms|+1 rows -- the centroid/codebook driver-constant pattern);
+    scoring is a broadcast join of the term->idf literal onto the per-doc
+    tf rows, one groupBy, TakeOrderedAndProject top-k.  Robertson idf can
+    go negative for df > N/2; kept, exactly as the formula says.
+    Output: (id_col, n_hit_terms, score_fp)."""
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import ensure_min_parallelism
+
+    tok = ensure_min_parallelism(df.select(id_col, text_col)).select(
+        id_col, F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")).alias("__t")
+    )
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    terms_arr = "array(" + ",".join(f"'{t}'" for t in terms) + ")"
+    tf = (
+        tok.where(F.expr(f"array_contains({terms_arr}, __t)"))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    # bounded driver constants: N, avgdl, df per query term
+    n_row = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("dl").cast("long").alias("tot")
+    ).first()
+    n_docs, avgdl = int(n_row["n"]), int(n_row["tot"]) // int(n_row["n"])
+    dfs = {r["__t"]: int(r["n"]) for r in tf.groupBy("__t").agg(F.countDistinct(id_col).alias("n")).collect()}
+    idf = [
+        (t, ilog2_fp20(2 * n_docs - 2 * dfs.get(t, 0) + 1) - ilog2_fp20(2 * dfs.get(t, 0) + 1))
+        for t in terms
+        if t in dfs
+    ]
+    idf_df = df.sparkSession.createDataFrame(idf, "__t string, idf_fp long")
+    scored = (
+        tf.join(F.broadcast(idf_df), "__t")
+        .join(dl, id_col)
+        .withColumn(
+            "__contrib",
+            F.expr(
+                f"idf_fp * ((1000000 * (44 * tf * {avgdl}))"
+                f" div (20 * tf * {avgdl} + 6 * {avgdl} + 18 * dl))"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+            F.sum("__contrib").cast("long").alias("score_fp"),
+        )
+    )
+    return scored.orderBy(F.col("score_fp").desc(), F.col(id_col)).limit(k)

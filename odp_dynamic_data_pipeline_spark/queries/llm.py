@@ -3517,9 +3517,10 @@ def duck_ilog2_sql(x: str) -> str:
     fold (init element prepended, 20 dummy elements drive the 20 rounds).
     Bit-identical to the Spark expression and to ilog2_fp20."""
     e = f"(length(format('{{:b}}', {x})) - 1)"
+    xb = f"CAST({x} AS BIGINT)"
     return (
         f"((CAST({e} AS BIGINT) << 20) + list_reduce("
-        f"list_concat([struct_pack(m := ({x} << 30) >> {e}, f := CAST(0 AS BIGINT))],"
+        f"list_concat([struct_pack(m := ({xb} << 30) >> {e}, f := CAST(0 AS BIGINT))],"
         " list_transform(range(20), i -> struct_pack(m := CAST(0 AS BIGINT), f := CAST(0 AS BIGINT)))),"
         " (acc, e2) -> CASE WHEN ((acc.m * acc.m) >> 30) >= 2147483648"
         " THEN struct_pack(m := ((acc.m * acc.m) >> 30) >> 1, f := acc.f * 2 + 1)"
@@ -3632,3 +3633,76 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilistic MinHash-LSH family."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dd.jaccard_join(docs, n=8, tau_e6=300_000)
+
+
+def _bm25_oracle(terms: list[str], k: int = 10) -> str:
+    """BM25 oracle: idf log2 via the recursive-CTE fixed-point recurrence
+    (the dsir-oracle pattern -- DuckDB's list_reduce fold mis-evaluates
+    row-dependent init elements for some source vector layouts, erroring
+    loudly on VALUES-sourced rows, so the per-term idf table uses the
+    recursion instead)."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE t IN ({terms_sql}) GROUP BY doc_id, t
+),
+dfs AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY t),
+vals AS (
+  SELECT dfs.t, 'num' AS w, CAST(2 * stats.n - 2 * dfs.df + 1 AS BIGINT) AS x FROM dfs, stats
+  UNION ALL
+  SELECT dfs.t, 'den', CAST(2 * dfs.df + 1 AS BIGINT) FROM dfs, stats
+),
+lgr(t, w, it, e, m, frac) AS (
+  SELECT t, w, 0, length(format('{{:b}}', x)) - 1,
+         (x << 30) >> (length(format('{{:b}}', x)) - 1), CAST(0 AS BIGINT)
+  FROM vals
+  UNION ALL
+  SELECT t, w, it + 1, e,
+         CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
+              THEN ((m * m) >> 30) >> 1 ELSE (m * m) >> 30 END,
+         frac * 2 + CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
+                         THEN 1 ELSE 0 END
+  FROM lgr WHERE it < 20
+),
+lfp AS (SELECT t, w, (CAST(e AS BIGINT) << 20) + frac AS v FROM lgr WHERE it = 20),
+idf AS (
+  SELECT nv.t, nv.v - dv.v AS idf_fp
+  FROM (SELECT t, v FROM lfp WHERE w = 'num') nv
+  JOIN (SELECT t, v FROM lfp WHERE w = 'den') dv USING (t)
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+         CAST(SUM(idf.idf_fp * ((1000000 * (44 * tf.tf * stats.avgdl))
+              // (20 * tf.tf * stats.avgdl + 6 * stats.avgdl + 18 * dl.dl))) AS BIGINT) AS score_fp
+  FROM tf
+  JOIN idf ON idf.t = tf.t
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_hit_terms, score_fp FROM scored
+ORDER BY score_fp DESC, doc_id LIMIT {{k}}
+""".replace("{k}", str(k))
+
+
+@register("bm25_retrieval", _bm25_oracle(["hash", "join", "fast", "dup"]))
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer BM25 lexical retrieval (operators.text.bm25_scores)
+    for the query terms [hash, join, fast, dup]: Robertson idf through the
+    fixed-point log2 recurrence on bounded driver constants, integer
+    tf-saturation rational, top-10 by (score, doc_id).  The DuckDB oracle
+    replays idf with the list_reduce log2 twin, so ranking AND scores are
+    bit-identical -- the lexical half of a retrieval stack next to the
+    ANN family."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.bm25_scores(docs, ["hash", "join", "fast", "dup"], k=10)

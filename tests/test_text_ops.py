@@ -259,3 +259,17 @@ def test_weighted_sample_properties(spark):
     df2 = spark.createDataFrame(rows2, "lang string, doc_id long, w long")
     out3 = weighted_sample(df2, "lang", "w", k=5).collect()
     assert {r["doc_id"] for r in out3} == {2, 3}
+
+
+def test_bm25_ranks_rare_term_docs_first(spark):
+    from odp_dynamic_data_pipeline_spark.operators.text import bm25_scores
+
+    # "zebra" appears in one doc only; "data" in all -- the zebra doc must
+    # dominate a [zebra, data] query despite equal term counts
+    rows = [(1, "data data data tool"), (2, "data zebra tool box"), (3, "data tool box kit")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_scores(df, ["zebra", "data"], k=3).collect()
+    assert out[0]["doc_id"] == 2 and out[0]["n_hit_terms"] == 2
+    assert {r["doc_id"] for r in out} == {1, 2, 3}
+    scores = [r["score_fp"] for r in out]
+    assert scores == sorted(scores, reverse=True)
