@@ -1406,3 +1406,53 @@ def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_e3").cast("long").alias("sum_value_e3"),
         F.sum(F.col("value_e3") * F.expr("(he div 3600) % 997")).cast("long").alias("possum_value_e3"),
     )
+
+
+@register(
+    "event_pattern_matches",
+    """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnels,
+       CAST(len(regexp_extract_all(seq, 'vp')) AS BIGINT) AS n_direct,
+       CAST(COALESCE(list_max(list_transform(regexp_extract_all(seq, 'c+'), x -> length(x))), 0) AS BIGINT)
+         AS max_click_run,
+       CAST(len(regexp_extract_all(seq, 'ee')) AS BIGINT) AS n_error_bursts
+FROM seqs
+""",
+)
+def event_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (MATCH_RECOGNIZE-lite): each user's
+    event history collapses to an ordered initial string (one groupBy +
+    in-group sort, no window), and funnel/burst patterns become regex
+    counts over it -- non-overlapping leftmost matches, identical
+    semantics in Java regex and RE2 for these linear patterns.  The
+    complex-event-processing shape (view->clicks*->purchase funnels,
+    error bursts, longest click run) without a per-event state machine:
+    at 100 TB this is one shuffle on user_id and per-user strings bounded
+    by activity length."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.expr("substr(event_type, 1, 1)").alias("i")
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(ts, event_id, i))),"
+            " x -> x.i), '')"
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.expr("CAST(size(regexp_extract_all(seq, 'vc*p', 0)) AS BIGINT)").alias("n_funnels"),
+        F.expr("CAST(size(regexp_extract_all(seq, 'vp', 0)) AS BIGINT)").alias("n_direct"),
+        F.expr(
+            "CAST(COALESCE(array_max(transform(regexp_extract_all(seq, 'c+', 0),"
+            " x -> length(x))), 0) AS BIGINT)"
+        ).alias("max_click_run"),
+        F.expr("CAST(size(regexp_extract_all(seq, 'ee', 0)) AS BIGINT)").alias("n_error_bursts"),
+    )
