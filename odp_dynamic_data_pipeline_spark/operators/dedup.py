@@ -770,3 +770,54 @@ def jaccard_join(
         "uni",
         F.expr("(1000000 * inter) div uni").alias("jac_e6"),
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph given as deduplicated (id_a < id_b) edges -- the
+    graph-density diagnostic for near-duplicate clusters (a clique of
+    boilerplate copies has clustering 1.0; a hub-spoke template pattern
+    sits near 0).
+
+    Exact: triangles enumerated once each via the id-ordered two-join
+    (a < b < c): E(a,b) x E(b,c) (wedges) closed by E(a,c).  Each join is
+    an equi-join on node keys -- no cross product; at 100 TB-class graphs
+    the classic refinement is orienting edges low-degree -> high-degree
+    (bounds wedge fan-out by O(sqrt(m))), which composes here by
+    re-keying the edge list before the same two joins.
+
+    clustering_e6 = 1e6 * 2*tri / (deg*(deg-1)), exact integer division.
+    Output: (nid, deg, n_triangles, clustering_e6)."""
+    e = edges.select("id_a", "id_b").distinct()
+    e1 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (
+        tris.select(F.col("a").alias("nid"))
+        .unionAll(tris.select(F.col("b").alias("nid")))
+        .unionAll(tris.select(F.col("c").alias("nid")))
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("id_a").alias("nid"))
+        .unionAll(e.select(F.col("id_b").alias("nid")))
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return (
+        deg.join(per_node, "nid", "left")
+        .select(
+            "nid",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr("(1000000 * 2 * COALESCE(n_triangles, 0)) div (deg * (deg - 1))"),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("clustering_e6"),
+        )
+    )

@@ -3706,3 +3706,56 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN family."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.bm25_scores(docs, ["hash", "join", "fast", "dup"], k=10)
+
+
+def _triangles_oracle() -> str:
+    """Triangle/clustering replay over the same md5-minhash candidate pairs
+    as the PageRank oracle: id-ordered two-join enumeration, exact integer
+    clustering coefficient."""
+    prefix = MINHASH_MD5_ORACLE[: MINHASH_MD5_ORACLE.index("SELECT a.doc_id AS id_a")]
+    return prefix + """, pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+tris AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.id_a = e1.id_b
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+per_node AS (
+  SELECT nid, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS nid FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY nid
+),
+deg AS (
+  SELECT nid, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT id_a AS nid FROM pairs UNION ALL SELECT id_b FROM pairs
+  ) GROUP BY nid
+)
+SELECT d.nid, d.deg,
+       CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.deg >= 2
+                 THEN (1000000 * 2 * COALESCE(p.n_triangles, 0)) // (d.deg * (d.deg - 1))
+                 ELSE 0 END AS BIGINT) AS clustering_e6
+FROM deg d LEFT JOIN per_node p ON p.nid = d.nid
+"""
+
+
+@register("dedup_graph_triangles", _triangles_oracle())
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering over the near-duplicate candidate
+    graph (operators.dedup.triangle_counts): distinguishes boilerplate
+    cliques (clustering ~1) from template hub-spoke patterns (~0) -- the
+    fourth oracle-gated graph metric on the shared md5-minhash pair list
+    (after CC, PageRank, and the cluster oracle)."""
+    # the pair list is referenced five times inside triangle_counts (three
+    # join legs + degree); materialize it once instead of re-running the
+    # full minhash pipeline per reference
+    edges = (
+        dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b").localCheckpoint(eager=False)
+    )
+    return dd.triangle_counts(edges)

@@ -1456,3 +1456,58 @@ def event_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_click_run"),
         F.expr("CAST(size(regexp_extract_all(seq, 'ee', 0)) AS BIGINT)").alias("n_error_bursts"),
     )
+
+
+@register(
+    "scd2_pointintime_join",
+    """
+WITH vers AS (
+  SELECT user_id, ts, CAST(ROUND(value * 100, 0) AS BIGINT) AS val_cents
+  FROM (
+    SELECT user_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'signup'
+  ) WHERE rn = 1
+),
+facts AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+joined AS (
+  SELECT f.user_id, f.event_id, v.val_cents
+  FROM facts f ASOF LEFT JOIN vers v
+    ON f.user_id = v.user_id AND f.ts >= v.ts
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(val_cents) AS BIGINT) AS n_matched,
+       CAST(SUM(val_cents * (event_id % 997)) AS BIGINT) AS version_checksum
+FROM joined GROUP BY user_id
+""",
+)
+def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct lookup against the SCD2 dimension
+    (operators.asof.asof_join): every purchase picks up the signup-version
+    value effective AT ITS TIMESTAMP -- the feature-store / temporal-join
+    semantics that prevent training-serving leakage.  The Spark side is the
+    union+window as-of shape (one shuffle on the key, no per-key range
+    explosion); the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so two
+    independent as-of implementations must agree row-for-row.  Versions
+    are deduped per (user, ts) by max event_id so the tie rule is explicit
+    on both engines."""
+    from odp_dynamic_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    vers = (
+        ev.where(F.col("event_type") == "signup")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "ts", _cents("value").alias("val_cents"))
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    joined = asof_join(facts, vers, on="user_id", ts_col="ts", value_cols=["val_cents"])
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.count("val_cents").cast("long").alias("n_matched"),
+        F.sum(F.col("val_cents") * (F.col("event_id") % 997)).cast("long").alias("version_checksum"),
+    )
