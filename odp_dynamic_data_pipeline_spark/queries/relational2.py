@@ -1511,3 +1511,85 @@ def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("val_cents").cast("long").alias("n_matched"),
         F.sum(F.col("val_cents") * (F.col("event_id") % 997)).cast("long").alias("version_checksum"),
     )
+
+
+@register(
+    "map_functions_zoo",
+    """
+WITH per_type AS (
+  SELECT user_id, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       string_agg(event_type, ',' ORDER BY event_type) AS types_sorted,
+       CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_frequent,
+       CAST(SUM(2 * n) AS BIGINT) AS doubled_sum,
+       CAST(SUM((c // n) * length(event_type)) AS BIGINT) AS avg_cents_checksum
+FROM per_type GROUP BY user_id
+""",
+)
+def map_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function family: per-user event maps built with
+    map_from_entries, then map_keys / map_filter / transform_values /
+    map_zip_with / map_entries folds -- the full MapType expression surface
+    exercised in one query.  The oracle computes the same values
+    relationally (DuckDB's MAP dialect differs; the CONTRACT is the
+    values, the Spark plan is what proves the API).  Entries are sorted
+    before map construction so every derived value is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_cents("value")).cast("long").alias("c"),
+    )
+    maps = per_type.groupBy("user_id").agg(
+        F.expr("map_from_entries(sort_array(collect_list(struct(event_type, n))))").alias("m_n"),
+        F.expr("map_from_entries(sort_array(collect_list(struct(event_type, c))))").alias("m_c"),
+    )
+    return maps.select(
+        "user_id",
+        F.expr("CAST(size(m_n) AS BIGINT)").alias("n_types"),
+        F.expr("array_join(array_sort(map_keys(m_n)), ',')").alias("types_sorted"),
+        F.expr("CAST(size(map_filter(m_n, (k, v) -> v >= 2)) AS BIGINT)").alias("n_frequent"),
+        F.expr(
+            "aggregate(map_values(transform_values(m_n, (k, v) -> v * 2)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("doubled_sum"),
+        F.expr(
+            "aggregate(map_entries(map_zip_with(m_c, m_n, (k, c, n) -> c div n)),"
+            " CAST(0 AS BIGINT), (acc, e) -> acc + e.value * length(e.key))"
+        ).alias("avg_cents_checksum"),
+    )
+
+
+@register(
+    "sql_frontend_groupby_all",
+    """
+SELECT event_type,
+       CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY ALL
+""",
+)
+def sql_frontend_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-frontend GROUP BY ALL (the infer-grouping-keys dialect feature
+    both engines accepted verbatim): non-aggregate select items become the
+    grouping set automatically -- same Catalyst plan as the explicit GROUP
+    BY, one shuffle."""
+    from odp_dynamic_data_pipeline_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events
+        GROUP BY ALL
+        """
+    )
