@@ -1593,3 +1593,122 @@ def sql_frontend_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@register(
+    "impute_missing_by_group",
+    """
+WITH v AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(ROUND(value * 100, 0) AS BIGINT) END AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v WHERE cents IS NOT NULL
+),
+med AS (
+  SELECT event_type, cents AS med_cents FROM ranked WHERE rn = (n + 1) // 2
+),
+fixed AS (
+  SELECT v.event_id, v.event_type,
+         COALESCE(v.cents, m.med_cents) AS cents,
+         CASE WHEN v.cents IS NULL THEN 1 ELSE 0 END AS imputed
+  FROM v JOIN med m ON m.event_type = v.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(imputed) AS BIGINT) AS n_imputed,
+       CAST(MIN(CASE WHEN imputed = 1 THEN cents END) AS BIGINT) AS imputed_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(cents * (event_id % 997)) AS BIGINT) AS checksum
+FROM fixed GROUP BY event_type
+""",
+)
+def impute_missing_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value repair by exact group statistic: nulls (every seventh
+    event, deterministic) take their type's LOWER MEDIAN -- the rank
+    (n+1)//2 order statistic, an integer a value actually attains, so no
+    interpolation convention can diverge between engines.  Median via one
+    windowed rank per group + broadcast join back; the checksum pins every
+    imputed row.  The data-repair stage of a quality pipeline."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(_cents("value"))
+        .alias("cents"),
+    )
+    nn = ev.where(F.col("cents").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wc = Window.partitionBy("event_type")
+    med = (
+        nn.select(
+            "event_type",
+            "cents",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .where(F.expr("rn = (n + 1) div 2"))
+        .select("event_type", F.col("cents").alias("med_cents"))
+    )
+    fixed = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.coalesce("cents", "med_cents").alias("cents"),
+        F.when(F.col("cents").isNull(), 1).otherwise(0).alias("imputed"),
+    )
+    return fixed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("imputed").cast("long").alias("n_imputed"),
+        F.min(F.when(F.col("imputed") == 1, F.col("cents"))).cast("long").alias("imputed_cents"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum(F.col("cents") * (F.col("event_id") % 997)).cast("long").alias("checksum"),
+    )
+
+
+@register(
+    "incremental_join_maintenance",
+    """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-VIEW maintenance for a JOIN: given the
+    previous materialization J0 = O0 x L0 and delta batches dO, dL, the
+    refreshed view is J0 + dO x L0 + O0 x dL + dO x dL (the classic
+    delta-algebra identity; each term is an equi-join touching only a
+    delta on at least one side -- at 100 TB the refresh cost scales with
+    the delta, not the base).  Here O0/dO and L0/dL are deterministic
+    slices, J0 is materialized first (localCheckpoint, standing in for
+    the stored view), the three delta joins are unioned on, and the
+    ORACLE IS THE FULL RECOMPUTE -- the hash gate proves the incremental
+    algebra reproduces it exactly."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", _cents("l_extendedprice").alias("cents")
+    )
+    o0 = o.where(F.col("o_orderkey") % 10 != 0)
+    d_o = o.where(F.col("o_orderkey") % 10 == 0)
+    l0 = l.where(F.col("l_linenumber") != 1)
+    d_l = l.where(F.col("l_linenumber") == 1)
+    # the standing materialization (previous refresh's output)
+    j0 = o0.join(l0, o0.o_orderkey == l0.l_orderkey).select(
+        "o_orderpriority", "cents"
+    ).localCheckpoint(eager=False)
+    refreshed = (
+        j0.unionAll(d_o.join(l0, d_o.o_orderkey == l0.l_orderkey).select("o_orderpriority", "cents"))
+        .unionAll(o0.join(d_l, o0.o_orderkey == d_l.l_orderkey).select("o_orderpriority", "cents"))
+        .unionAll(d_o.join(d_l, d_o.o_orderkey == d_l.l_orderkey).select("o_orderpriority", "cents"))
+    )
+    return refreshed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
