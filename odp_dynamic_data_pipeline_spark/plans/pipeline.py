@@ -145,6 +145,20 @@ def _apply_transform(df: DataFrame, t: dict) -> DataFrame:
         from odp_dynamic_data_pipeline_spark.operators import similarity as _sim
 
         return _sim.quantize_int8(df, t.get("vec_col", "embedding"))
+    if op == "with_char_entropy":
+        id_col = t.get("id_col", "doc_id")
+        ent = _text.char_entropy(
+            df.select(id_col, t.get("text_col", "text")), id_col, t.get("text_col", "text")
+        )
+        return df.join(ent, id_col)
+    if op == "weighted_sample":
+        return _text.weighted_sample(
+            df,
+            t["stratum_col"],
+            t["weight_col"],
+            id_col=t.get("id_col", "doc_id"),
+            k=t.get("k", 20),
+        )
     raise ValueError(f"unknown transform op: {op}")
 
 

@@ -3759,3 +3759,50 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b").localCheckpoint(eager=False)
     )
     return dd.triangle_counts(edges)
+
+
+def _entropy_sampling_oracle() -> str:
+    u = (
+        "(('0x' || substr(md5('ws' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)"
+    )
+    lg_u = duck_ilog2_sql(u)
+    return rf"""
+WITH ent AS ({_char_entropy_oracle()}),
+t AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS weight
+  FROM documents
+),
+gated AS (
+  SELECT t.lang, t.doc_id, t.weight
+  FROM t JOIN ent e ON e.doc_id = t.doc_id
+  WHERE e.mean_entropy_e6 >= 4050000 AND t.weight >= 1
+),
+keyed AS (
+  SELECT lang, doc_id, weight,
+         (((CAST(32 AS BIGINT) << 20) - {lg_u}) * 10000000000) // weight AS es_key
+  FROM gated
+)
+SELECT lang, doc_id, weight, es_key, rank FROM (
+  SELECT lang, doc_id, weight, es_key,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rank
+  FROM keyed
+) WHERE rank <= 10
+"""
+
+
+@register("entropy_sampling_pipeline", _entropy_sampling_oracle())
+def entropy_sampling_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHIPPED declarative pipeline end-to-end: loads
+    pipelines/corpus_curation_pipeline.yaml and runs its entropy_sample
+    stage -- token-count column, exact char-entropy join-gate
+    (>= 4.05 bits/char), Efraimidis-Spirakis weighted sample per language
+    -- proving the round-5 operators are first-class in the YAML dialect,
+    not just the Python API.  The oracle composes the entropy and
+    sampling replays over the gate."""
+    from odp_dynamic_data_pipeline_spark.plans.pipeline import load_pipeline
+
+    pipe = load_pipeline("pipelines/corpus_curation_pipeline.yaml")
+    outputs, _ = pipe.compile(spark, path_vars={"sf": sf_dir})
+    out = outputs["entropy_sample"]
+    return out.select("lang", "doc_id", F.col("weight"), "es_key", "rank")
