@@ -1966,3 +1966,47 @@ def watermark_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("long").alias("id_checksum"),
         F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).cast("long").alias("sum_cents"),
     )
+
+
+@register(
+    "hopping_window_stream",
+    """
+WITH e AS (SELECT epoch_us(ts) AS t_us FROM events),
+w AS (
+  SELECT ((t_us // 1800000000) - k) * 1800000000 AS win_start_us
+  FROM e CROSS JOIN (SELECT UNNEST([0, 1]) AS k)
+  WHERE t_us < ((t_us // 1800000000) - k) * 1800000000 + 3600000000
+    AND ((t_us // 1800000000) - k) * 1800000000 >= 0
+)
+SELECT win_start_us, COUNT(*) AS n_events
+FROM w GROUP BY win_start_us
+""",
+)
+def hopping_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIGHTH stream==batch==oracle family: HOPPING windows on a stream --
+    1-hour windows sliding every 30 minutes, each event counted in two
+    overlapping state rows, complete-mode AvailableNow replay -- against
+    the same shifted floor-bucket oracle as the batch hopping query.
+    Proves the overlapping-window state path (distinct from the tumbling
+    twin hourly_event_counts_stream)."""
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    tmp = _stream_tmpdir("hopping_stream")
+    stream = _replay_stream(spark, ev, tmp)
+    counts = windowed_event_counts(
+        stream, ts_col="ts", window="1 hour", watermark="2 hours", slide="30 minutes"
+    )
+    with _stream_shuffle(spark):
+        run_available_now(
+            counts,
+            query_name="hopping_stream_mem",
+            checkpoint=f"{tmp}/ckpt",
+            output_mode="complete",
+        )
+    return spark.table("hopping_stream_mem").select(
+        F.unix_micros(F.col("window.start")).alias("win_start_us"), "n_events"
+    )

@@ -33,13 +33,16 @@ def windowed_event_counts(
     ts_col: str = "event_time",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
     group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Hourly (or any-width) tumbling-window counts with a watermark bounding
-    state for late data."""
+    """Tumbling (default) or hopping (``slide`` < ``window``) window counts
+    with a watermark bounding state for late data; with a slide every event
+    lands in window/slide overlapping windows, each a separate state row."""
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
     return (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window), *(group_cols or []))
+        .groupBy(win, *(group_cols or []))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
 
