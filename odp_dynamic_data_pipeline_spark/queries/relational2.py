@@ -1712,3 +1712,68 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+@register(
+    "funnel_conversion_rate",
+    """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'
+),
+conv AS (
+  SELECT v.user_id,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM p
+           WHERE p.user_id = v.user_id
+             AND p.ts_us >= v.ts_us AND p.ts_us <= v.ts_us + 3600000000
+         ) THEN 1 ELSE 0 END AS converted
+  FROM v
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       (1000000 * CAST(SUM(converted) AS BIGINT)) // COUNT(*) AS conversion_e6
+FROM conv GROUP BY user_id
+""",
+)
+def funnel_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bound funnel conversion: a view converts if the same user
+    purchases within one hour (inclusive).  The Spark side finds each
+    view's next purchase with ONE accumulating-frame window over
+    descending event time (purchases sort before views at equal
+    timestamps, so the inclusive bound is deterministic) -- O(n) per user,
+    no range join, the SCALE.md frame-direction pattern.  The oracle is a
+    DELIBERATELY different formulation (correlated EXISTS semi-join), so
+    agreement checks the semantics, not a shared shape."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    ).select("user_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").desc(), F.col("event_type").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.withColumn(
+        "next_p_us",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us")), ignorenulls=True
+        ).over(w),
+    ).where(F.col("event_type") == "view")
+    conv = flagged.select(
+        "user_id",
+        F.when(
+            F.col("next_p_us").isNotNull()
+            & (F.col("next_p_us") - F.col("ts_us") <= 3_600_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    return conv.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_views"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr("(1000000 * CAST(SUM(converted) AS BIGINT)) div COUNT(1)").alias("conversion_e6"),
+    )
