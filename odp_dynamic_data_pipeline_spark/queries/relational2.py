@@ -1777,3 +1777,76 @@ def funnel_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").cast("long").alias("n_converted"),
         F.expr("(1000000 * CAST(SUM(converted) AS BIGINT)) div COUNT(1)").alias("conversion_e6"),
     )
+
+
+@register(
+    "spearman_by_segment",
+    """
+WITH j AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS p,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS b,
+         c_mktsegment AS seg
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+r AS (
+  SELECT seg,
+         2 * rank() OVER (PARTITION BY seg ORDER BY p)
+           + COUNT(*) OVER (PARTITION BY seg, p) - 1 AS rp,
+         2 * rank() OVER (PARTITION BY seg ORDER BY b)
+           + COUNT(*) OVER (PARTITION BY seg, b) - 1 AS rb
+  FROM j
+),
+m AS (
+  SELECT seg, COUNT(*) AS n, SUM(rp) AS s1, SUM(rb) AS s2,
+         SUM(rp * rb) AS s12, SUM(rp * rp) AS s11, SUM(rb * rb) AS s22
+  FROM r GROUP BY seg
+)
+SELECT seg, n,
+       (CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+       AS spearman_price_balance
+FROM m
+""",
+)
+def spearman_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per segment: Pearson over TIE-AVERAGED
+    ranks, with the integer trick 2*avgrank = 2*rank_min + ties - 1 so the
+    rank moments are exact order-independent integer sums (DECIMAL(38,0)
+    accumulators, HUGEINT in DuckDB) -- the monotonic-association
+    complement to correlation_stats' linear Pearson, correct under ties
+    where the n(n^2-1) shortcut formula is not."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", _cents("o_totalprice").alias("p"))
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", _cents("c_acctbal").alias("b"), F.col("c_mktsegment").alias("seg")
+    )
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select("seg", "p", "b")
+    rp = (
+        2 * F.rank().over(Window.partitionBy("seg").orderBy("p"))
+        + F.count(F.lit(1)).over(Window.partitionBy("seg", "p"))
+        - 1
+    )
+    rb = (
+        2 * F.rank().over(Window.partitionBy("seg").orderBy("b"))
+        + F.count(F.lit(1)).over(Window.partitionBy("seg", "b"))
+        - 1
+    )
+    r = j.select("seg", rp.cast("long").alias("rp"), rb.cast("long").alias("rb"))
+    d38 = "decimal(38,0)"
+    m = r.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rp").alias("s1"),
+        F.sum("rb").alias("s2"),
+        F.sum((F.col("rp") * F.col("rb")).cast(d38)).alias("s12"),
+        F.sum((F.col("rp") * F.col("rp")).cast(d38)).alias("s11"),
+        F.sum((F.col("rb") * F.col("rb")).cast(d38)).alias("s22"),
+    )
+    n, s1, s2 = (F.col(x).cast("double") for x in ("n", "s1", "s2"))
+    s12, s11, s22 = (F.col(x).cast("double") for x in ("s12", "s11", "s22"))
+    return m.select(
+        "seg",
+        "n",
+        ((n * s12 - s1 * s2) / (F.sqrt(n * s11 - s1 * s1) * F.sqrt(n * s22 - s2 * s2))).alias(
+            "spearman_price_balance"
+        ),
+    )
