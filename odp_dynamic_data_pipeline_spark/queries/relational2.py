@@ -1850,3 +1850,101 @@ def spearman_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spearman_price_balance"
         ),
     )
+
+
+@register(
+    "kmv_distinct_sketch",
+    """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+s AS (
+  SELECT event_type, COUNT(*) AS cnt, MAX(h) AS h_k
+  FROM r WHERE rn <= 64 GROUP BY event_type
+),
+n AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY event_type
+),
+e AS (
+  SELECT s.event_type, n.n_exact, s.h_k,
+         CASE WHEN s.cnt < 64 THEN s.cnt
+              ELSE CAST((63::HUGEINT * 1152921504606846976) // s.h_k AS BIGINT)
+         END AS kmv_estimate
+  FROM s JOIN n USING (event_type)
+)
+SELECT event_type, n_exact, kmv_estimate, h_k AS kth_min_hash,
+       abs(kmv_estimate - n_exact) * 20 <= 3 * n_exact AS within_15pct
+FROM e
+""",
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, hash-exact.
+
+    Unlike HLL (approx_distinct_stats asserts an error BOUND because
+    Spark's and DuckDB's HLLs differ), KMV over an md5-derived 60-bit hash
+    is engine-portable, so the oracle replays the ESTIMATOR itself:
+    estimate = (k-1) * 2^60 / h_k with truncating integer division
+    (DECIMAL(38,0) div in Spark == HUGEINT // in DuckDB, both exact).
+
+    The Spark side additionally proves the sketch's MERGE law -- the
+    property that makes KMV a 100 TB partial aggregate: it builds
+    per-(event_type, hour) partial sketches (k smallest distinct hashes
+    per partition of the data), unions them, and re-takes the k smallest;
+    the oracle computes the single-level sketch directly.  k-min of a
+    union of per-part k-mins equals the global k-min, so the two-level
+    Spark plan and one-level SQL must agree bit-for-bit -- hash parity IS
+    the mergeability proof.  At cluster scale the partials are map-side
+    (k rows per group per partition) and only k*groups rows shuffle.
+
+    Reference basis: Bar-Yossef et al. 2002 / Beyer et al. 2007 (KMV /
+    AKMM estimators), public sketching literature.  within_15pct is
+    computed as DATA on both sides (integer cross-multiplication), not a
+    skipped tolerance: k=64 gives ~12.7% std error.
+    """
+    K = 64
+    M60 = 1 << 60  # md5 15-hex-char hash space
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        F.expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").alias(
+            "h"
+        ),
+    ).distinct()
+    # per-(type, hour) partial sketch: k smallest distinct hashes
+    part = (
+        h.withColumn("rn", F.row_number().over(Window.partitionBy("event_type", "hr").orderBy("h")))
+        .filter(F.col("rn") <= K)
+        .select("event_type", "h")
+        .distinct()  # same user hashes equal across hours; union of sketch SETS
+    )
+    # merge: re-take the k smallest over the unioned partials
+    merged = part.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    ).filter(F.col("rn") <= K)
+    s = merged.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"), F.max("h").alias("h_k"))
+    n = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    est = F.when(F.col("cnt") < K, F.col("cnt")).otherwise(
+        F.expr(f"CAST((CAST({K - 1} AS DECIMAL(38,0)) * {M60}) div h_k AS BIGINT)")
+    )
+    return (
+        s.join(n, "event_type")
+        .withColumn("kmv_estimate", est)
+        .select(
+            "event_type",
+            "n_exact",
+            "kmv_estimate",
+            F.col("h_k").alias("kth_min_hash"),
+            (F.abs(F.col("kmv_estimate") - F.col("n_exact")) * 20 <= 3 * F.col("n_exact")).alias(
+                "within_15pct"
+            ),
+        )
+    )
