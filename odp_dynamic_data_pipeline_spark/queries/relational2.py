@@ -1948,3 +1948,58 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_Z12_DUCK = " + ".join(
+    f"((( {c} >> {b}) & 1) << {2 * b + ci})"
+    for b in range(12)
+    for c, ci in (("x", 0), ("y", 1))
+)
+
+@register(
+    "zorder_layout_report",
+    f"""
+WITH d AS (
+  SELECT o_custkey % 4096 AS x,
+         date_diff('day', DATE '1992-01-01', o_orderdate) % 4096 AS y
+  FROM orders
+),
+z AS (SELECT x, y, ({_Z12_DUCK}) AS zkey FROM d),
+b AS (SELECT x, y, zkey >> 18 AS bucket FROM z)
+SELECT bucket, COUNT(*) AS cnt,
+       MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax,
+       MAX(x) - MIN(x) AS xspan, MAX(y) - MIN(y) AS yspan
+FROM b GROUP BY bucket
+""",
+)
+def zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout planning: interleave (customer, order-day)
+    into one sort key and report the per-file min/max statistics the layout
+    would give -- the data-skipping contract behind Delta/Iceberg OPTIMIZE
+    ZORDER BY, computed with the engine's own `zorder_value` operator
+    (operators/partitioning.py:31) and replayed bit-for-bit by the oracle's
+    arithmetic interleave.  Each `bucket` is a would-be file (top 6 z-bits
+    = 3 quadtree levels); xspan/yspan being quadrant-sized on BOTH
+    dimensions (vs full-range on the trailing column of a lexicographic
+    sort) is the property that lets min/max stats prune range predicates
+    on either column.  At 100 TB this is
+    ``repartitionByRange(z).sortWithinPartitions(z)`` at compaction
+    cadence; the expression itself is pure JVM bit arithmetic inside
+    whole-stage codegen, no shuffle beyond the final 64-group agg."""
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import zorder_value
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 4096).alias("x"),
+        (F.datediff("o_orderdate", F.lit("1992-01-01")) % 4096).alias("y"),
+    )
+    z = o.withColumn("zkey", zorder_value(["x", "y"], bits_per_col=12))
+    b = z.withColumn("bucket", F.shiftright("zkey", 18))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+        (F.max("x") - F.min("x")).alias("xspan"),
+        (F.max("y") - F.min("y")).alias("yspan"),
+    )
