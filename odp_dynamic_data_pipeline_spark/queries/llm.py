@@ -3806,3 +3806,68 @@ def entropy_sampling_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     outputs, _ = pipe.compile(spark, path_vars={"sf": sf_dir})
     out = outputs["entropy_sample"]
     return out.select("lang", "doc_id", F.col("weight"), "es_key", "rank")
+
+
+@register(
+    "chi2_independence_lang_source",
+    """
+WITH o AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
+r AS (SELECT lang, COUNT(*) AS r FROM documents GROUP BY lang),
+c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+n AS (SELECT COUNT(*) AS n FROM documents),
+cells AS (
+  SELECT r.lang, c.source, r.r, c.c, n.n, COALESCE(o.o, 0) AS o
+  FROM r CROSS JOIN c CROSS JOIN n
+  LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
+),
+contrib AS (
+  SELECT lang, r,
+         CAST((CAST(o * n - r * c AS HUGEINT) * CAST(o * n - r * c AS HUGEINT) * 1048576)
+              // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS fp
+  FROM cells
+)
+SELECT lang, MAX(r) AS n_lang, COUNT(*) AS n_sources,
+       CAST(SUM(fp) AS BIGINT) AS chi2_contrib_fp20
+FROM contrib GROUP BY lang
+""",
+)
+def chi2_independence_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test of lang x source (is the
+    language mix uniform across corpus sources?) in EXACT fixed-point
+    arithmetic: each cell's (O - E)^2 / E is computed as the integer
+    ((O*N - r*c)^2 << 20) div (N*r*c) -- multiplying through by N so
+    expected counts never become non-exact rationals, truncating integer
+    division identically in both engines (DECIMAL(38,0) div == HUGEINT //),
+    so the statistic is an order-independent integer SUM, hash-exact.
+
+    Zero cells are real chi-squared terms (E > 0 even when O = 0), so the
+    cell universe is the cross of the lang and source marginal tables --
+    two tiny broadcast aggregates (L x S rows, never data x data), with
+    observed counts left-joined on top.  Scale shape: three partial-agg
+    passes over documents + an L*S-row driver-sized lattice; at 100 TB the
+    only full-data work is the map-side-combined GROUP BYs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    r = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("r"))
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(n))
+        .join(o, ["lang", "source"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    d38 = "CAST(o * n - r * c AS DECIMAL(38,0))"
+    fp = F.expr(
+        f"CAST(({d38} * {d38} * 1048576) div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"
+    )
+    return (
+        cells.withColumn("fp", fp)
+        .groupBy("lang")
+        .agg(
+            F.max("r").alias("n_lang"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum("fp").alias("chi2_contrib_fp20"),
+        )
+    )
