@@ -2010,3 +2010,95 @@ def hopping_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("hopping_stream_mem").select(
         F.unix_micros(F.col("window.start")).alias("win_start_us"), "n_events"
     )
+
+
+@register(
+    "stream_stream_left_outer",
+    """
+WITH v AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'view' AND user_id % 3 = 1),
+p AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND user_id % 3 = 1)
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+FROM v LEFT JOIN p
+  ON v.user_id = p.user_id
+ AND p.ts BETWEEN v.ts - INTERVAL 30 MINUTE AND v.ts + INTERVAL 30 MINUTE
+""",
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join twin (ninth stream==batch family):
+    views without a purchase within +/-30 min must ALSO emit, with NULL on
+    the right -- the semantics Spark only allows when both watermarks and a
+    time-range condition bound the state, because an unmatched row is
+    provably unmatched only once the watermark passes its join window.
+
+    The replay nuance this query exists to pin down: outer-null rows are
+    emitted by the WATERMARK advancing, and the final watermark of a finite
+    replay stops at max(event_time) - delay, so trailing unmatched rows
+    would be silently dropped and stream != batch.  Each input therefore
+    appends one far-future SENTINEL row (user_id -1, filtered from the
+    output; the two sentinels are 10 days apart so they never pair) that
+    pushes the global watermark past every real row's join window before
+    the no-data flush batch.  At 100 TB the sentinel is unnecessary --
+    production streams keep running and the watermark keeps moving; it is
+    the finite-replay equivalence harness, same role as AvailableNow."""
+
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        run_available_now,
+        stream_stream_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 3 == 1)
+    tmp = _stream_tmpdir("ssloj_stream")
+    sent_v = spark.sql(
+        "SELECT CAST(-1 AS BIGINT) AS event_id, CAST(-1 AS BIGINT) AS user_id,"
+        " TIMESTAMP'2030-01-01 00:00:00' AS ts"
+    )
+    sent_p = spark.sql(
+        "SELECT CAST(-1 AS BIGINT) AS event_id, CAST(-1 AS BIGINT) AS user_id,"
+        " TIMESTAMP'2030-01-11 00:00:00' AS ts"
+    )
+    views = _replay_stream(
+        spark,
+        ev.where(F.col("event_type") == "view")
+        .select("event_id", "user_id", "ts")
+        .unionByName(sent_v),
+        f"{tmp}/v",
+    )
+    purchases = _replay_stream(
+        spark,
+        ev.where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .unionByName(sent_p),
+        f"{tmp}/p",
+    )
+    # The sentinel filter MUST stay OUT of the streaming plan: Catalyst
+    # pushes a post-join `user_id >= 0` below the join and below the
+    # watermark node into the view source, so the sentinel never lifts the
+    # view-side watermark and the last real unmatched view (whose own ts IS
+    # that side's max event time) can never flush.  Filter on the read-back
+    # instead; the sink simply also writes the two sentinel rows.
+    joined = stream_stream_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_watermark="1 hour",
+        right_watermark="1 hour",
+        within="30 minutes",
+        how="left_outer",
+    ).select(
+        F.col("event_id").alias("view_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        "user_id",
+    )
+    with _stream_shuffle(spark):
+        run_available_now(
+            joined, format="parquet", query_name="", path=f"{tmp}/out", checkpoint=f"{tmp}/ckpt"
+        )
+    return (
+        spark.read.schema("view_id bigint, purchase_id bigint, user_id bigint")
+        .parquet(f"{tmp}/out")
+        .where(F.col("user_id") >= 0)
+    )
