@@ -3871,3 +3871,48 @@ def chi2_independence_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("fp").alias("chi2_contrib_fp20"),
         )
     )
+
+
+@register(
+    "udtf_lateral_shingles",
+    """
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+           FROM documents WHERE doc_id % 20 = 0),
+s AS (SELECT doc_id, array_to_string(list_slice(tk, i, i + 2), ' ') AS shingle
+      FROM (SELECT doc_id, tk,
+                   unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i
+            FROM t))
+SELECT doc_id, COUNT(*) AS n_shingles,
+       COUNT(DISTINCT shingle) AS n_distinct,
+       MIN(shingle) AS first_shingle
+FROM s GROUP BY doc_id
+""",
+)
+def udtf_lateral_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF exercised the way a user actually reaches it: a LATERAL
+    join in SQL fanning each document row out through the registered table
+    function (functions/udfs.py ShingleUDTF), then a relational aggregate
+    on top -- the full register -> plan -> execute path of the Spark 4 UDTF
+    API, driver-hash-verified against a pure-SQL shingle replay.
+
+    UDTFs are the Python-row extension surface, NOT the hot path (the
+    engine-native shingle operator is operators/dedup.py `shingles`, all
+    JVM expressions); the deterministic doc thinning keeps the demo's
+    Python fan-out bounded while still proving semantics.  At scale a UDTF
+    runs per-partition like any Python worker stage -- acceptable at the
+    ingest/extension boundary, never inside a shuffle-heavy transform."""
+    from odp_dynamic_data_pipeline_spark.functions.udfs import register_engine_udfs
+    from odp_dynamic_data_pipeline_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    register_engine_udfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, COUNT(*) AS n_shingles,
+               COUNT(DISTINCT s.shingle) AS n_distinct,
+               MIN(s.shingle) AS first_shingle
+        FROM documents d, LATERAL shingle_udtf(d.text) s
+        WHERE d.doc_id % 20 = 0
+        GROUP BY d.doc_id
+        """
+    )

@@ -33,6 +33,7 @@ PANDAS_BY_DESIGN = {
     "multimodal_frame_sample",
     "multimodal_real_decode",  # mapInPandas WAV/PPM decode IS the operator
     "multimodal_resize",       # mapInPandas box-mean resize IS the operator
+    "udtf_lateral_shingles",   # Python UDTF LATERAL fan-out IS the §2.8 extension surface under test
 }
 # queries where a cartesian against a broadcast side is the algorithm
 BROADCAST_NLJ_BY_DESIGN = {
