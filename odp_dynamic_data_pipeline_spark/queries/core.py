@@ -2102,3 +2102,32 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{tmp}/out")
         .where(F.col("user_id") >= 0)
     )
+
+
+@register(
+    "orc_roundtrip_stats",
+    """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id * doc_id) AS BIGINT) AS id_checksum
+FROM documents GROUP BY source
+""",
+)
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: documents written to ORC (dictionary + zlib, the
+    Hadoop-ecosystem columnar sibling of parquet), re-read through Spark's
+    native vectorized ORC reader, then aggregated -- the oracle computes
+    the same aggregate from the original parquet, so hash parity proves
+    the format conversion is lossless.  Column pruning and predicate
+    pushdown work the same as parquet (orc.filterPushdown is on by
+    default); at 100 TB the round-trip is the standard interchange path
+    with Hive/Trino warehouses that standardized on ORC."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    tmp = _stream_tmpdir("orc_roundtrip")
+    docs.write.mode("overwrite").orc(f"{tmp}/docs_orc")
+    back = spark.read.orc(f"{tmp}/docs_orc")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.col("doc_id") * F.col("doc_id")).alias("id_checksum"),
+    )
