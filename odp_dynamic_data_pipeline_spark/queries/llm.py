@@ -3916,3 +3916,69 @@ def udtf_lateral_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id
         """
     )
+
+
+@register(
+    "cohens_kappa_filters",
+    """
+WITH r AS (
+  SELECT lang,
+         CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(regexp_extract_all(text, '\\S+')) >= 40 THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+m AS (
+  SELECT lang, COUNT(*) AS n,
+         SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+         SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00,
+         SUM(a) AS a1, SUM(b) AS b1
+  FROM r GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS both_keep,
+       CAST(n00 AS BIGINT) AS both_drop,
+       CAST((CAST(n AS HUGEINT) * (n11 + n00) - (CAST(a1 AS HUGEINT) * b1 + CAST(n - a1 AS HUGEINT) * (n - b1))) * 1000000
+            // (CAST(n AS HUGEINT) * n - (CAST(a1 AS HUGEINT) * b1 + CAST(n - a1 AS HUGEINT) * (n - b1)))
+            AS BIGINT) AS kappa_e6
+FROM m
+""",
+)
+def cohens_kappa_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two document-quality raters (a
+    char-length filter vs a token-count filter), per language -- the
+    standard chance-corrected statistic for validating a cheap filter
+    against a reference filter before switching a corpus pipeline over.
+
+    kappa = (p_o - p_e)/(1 - p_e) evaluated as ONE exact integer fixed-point
+    expression by multiplying through by N^2: numerator N*(n11+n00) -
+    (a1*b1 + a0*b0), denominator N^2 - (a1*b1 + a0*b0), truncating e6
+    division identical in both engines.  All inputs are plain conditional
+    counts (map-side combined), so at 100 TB this is one pass + a
+    5-group agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.select(
+        "lang",
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("a"),
+        F.when(F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")) >= 40, 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    m = r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)).alias("n11"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0)).alias("n00"),
+        F.sum("a").alias("a1"),
+        F.sum("b").alias("b1"),
+    )
+    d = "DECIMAL(38,0)"
+    pe = f"(CAST(a1 AS {d}) * b1 + CAST(n - a1 AS {d}) * (n - b1))"
+    kappa = F.expr(
+        f"CAST(((CAST(n AS {d}) * (n11 + n00) - {pe}) * 1000000)"
+        f" div (CAST(n AS {d}) * n - {pe}) AS BIGINT)"
+    )
+    return m.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("n11").cast("long").alias("both_keep"),
+        F.col("n00").cast("long").alias("both_drop"),
+        kappa.alias("kappa_e6"),
+    )

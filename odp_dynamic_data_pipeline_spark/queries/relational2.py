@@ -2003,3 +2003,126 @@ def zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("x") - F.min("x")).alias("xspan"),
         (F.max("y") - F.min("y")).alias("yspan"),
     )
+
+
+@register(
+    "frequent_pair_mining",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT COUNT(DISTINCT o) AS n FROM li),
+sup AS (SELECT p, COUNT(*) AS s FROM li GROUP BY p HAVING COUNT(*) >= 5),
+f AS (SELECT li.o, li.p FROM li JOIN sup ON li.p = sup.p),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS together
+  FROM f a JOIN f b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+)
+SELECT part_a, part_b, together, sa.s AS support_a, sb.s AS support_b,
+       CAST((CAST(together AS HUGEINT) * n.n * 1000000) // (CAST(sa.s AS HUGEINT) * sb.s)
+            AS BIGINT) AS lift_e6
+FROM pairs
+JOIN sup sa ON part_a = sa.p
+JOIN sup sb ON part_b = sb.p
+CROSS JOIN n
+""",
+)
+def frequent_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent-pair mining (the 2-itemset core of Apriori):
+    parts co-ordered in the same order, with support/co-occurrence/lift.
+
+    Scale shape is what matters: the pair generation is a SELF-JOIN ON THE
+    BASKET KEY, which explodes quadratically per basket -- so the Apriori
+    downward-closure prune (an item in a frequent pair must itself be
+    frequent, support >= minsup) runs FIRST as a cheap groupBy, shrinking
+    the self-join input before any pair exists.  Pairs then shuffle once
+    on the canonical (a < b) key for counting, and lift's corpus constant
+    N rides a broadcast single-row table.  Exact integer lift (e6 fixed
+    point, truncating div) keeps the driver hash deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = li.agg(F.countDistinct("o").alias("n"))
+    sup = li.groupBy("p").agg(F.count(F.lit(1)).alias("s")).filter(F.col("s") >= 5)
+    f = li.join(sup.select("p"), "p")
+    a = f.select(F.col("o"), F.col("p").alias("part_a"))
+    b = f.select(F.col("o"), F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+    )
+    out = (
+        pairs.join(sup.select(F.col("p").alias("part_a"), F.col("s").alias("support_a")), "part_a")
+        .join(sup.select(F.col("p").alias("part_b"), F.col("s").alias("support_b")), "part_b")
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "part_a",
+        "part_b",
+        "together",
+        "support_a",
+        "support_b",
+        F.expr(
+            "CAST((CAST(together AS DECIMAL(38,0)) * n * 1000000)"
+            " div (CAST(support_a AS DECIMAL(38,0)) * support_b) AS BIGINT)"
+        ).alias("lift_e6"),
+    )
+
+
+# log10(1 + 1/d) truncated to e6 fixed point, d = 1..9 (Benford's law);
+# shared literal constants so both engines map digits identically
+_BENFORD_E6 = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+               6: 66946, 7: 57991, 8: 51152, 9: 45757}
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {v}" for d, v in _BENFORD_E6.items()
+) + " END"
+
+@register(
+    "benford_price_digits",
+    f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders
+),
+c AS (SELECT digit, COUNT(*) AS observed FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_total FROM c)
+SELECT digit, observed, n_total,
+       CAST(observed * 1000000 // n_total AS BIGINT) AS observed_share_e6,
+       {_BENFORD_CASE} AS expected_share_e6,
+       CAST(abs(observed * 1000000 // n_total - {_BENFORD_CASE}) AS BIGINT) AS abs_dev_e6
+FROM c CROSS JOIN t
+""",
+)
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law digit audit over order totals -- the classic
+    anomaly/fraud screen for any money column: the first significant digit
+    of naturally-occurring amounts should follow log10(1+1/d), and a
+    uniform or spiked distribution flags synthetic or truncated data.
+    (TPC-H prices are uniform-ish, so the deviations themselves are the
+    finding -- the report says so, it does not assume.)  Expected shares
+    are shared e6 literal constants, observed shares exact truncating
+    integer division, the 9-row total a broadcast scalar: one map-side
+    digit extraction + a 9-group agg at any scale."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS STRING), 1, 1)"
+            " AS BIGINT)"
+        ).alias("digit")
+    )
+    c = o.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    t = c.agg(F.sum("observed").cast("long").alias("n_total"))
+    share = "observed * 1000000 div n_total"
+    return (
+        c.crossJoin(F.broadcast(t))
+        .selectExpr(
+            "digit",
+            "observed",
+            "n_total",
+            f"CAST({share} AS BIGINT) AS observed_share_e6",
+            f"{_BENFORD_CASE} AS expected_share_e6",
+            f"CAST(abs({share} - {_BENFORD_CASE}) AS BIGINT) AS abs_dev_e6",
+        )
+    )

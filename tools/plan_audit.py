@@ -54,6 +54,8 @@ BROADCAST_NLJ_BY_DESIGN = {
     "q14_promo_share", "q17_small_quantity_revenue", "q8_market_share",
     "q20_dominant_suppliers", "q22_dormant_customers", "q6_forecast_revenue",
     "chi2_independence_lang_source",  # lang-marginal x source-marginal lattice (L*S rows), both broadcast aggs
+    "frequent_pair_mining",        # single-row basket-universe total broadcast (lift denominator)
+    "benford_price_digits",        # single-row digit-total broadcast over a 9-row agg
 }
 # queries where a GLOBAL (unpartitioned) window is safe: its input is
 # already bounded to <= top_k rows by TakeOrderedAndProject / limit, or to a
