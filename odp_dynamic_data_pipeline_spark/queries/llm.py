@@ -3982,3 +3982,61 @@ def cohens_kappa_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n00").cast("long").alias("both_drop"),
         kappa.alias("kappa_e6"),
     )
+
+
+@register(
+    "mapinarrow_embedding_norms",
+    """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS t
+  FROM embeddings
+)
+SELECT vec_id, label,
+       CAST(list_sum(list_transform(t, y -> y * y)) AS BIGINT) AS norm_sq_e12,
+       CAST(list_sum(t) AS BIGINT) AS component_sum_e6
+FROM q
+""",
+)
+def mapinarrow_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface: per-vector integer norm features computed on
+    raw pyarrow RecordBatches -- the zero-copy sibling of mapInPandas (no
+    pandas materialization, the Arrow buffers feed numpy directly), which
+    is the right Python hook for numeric kernels over array columns.
+
+    Determinism contract: float32 components are promoted to float64 and
+    FLOORED at e6 (both IEEE ops bit-identical across engines -- floor has
+    no round-half ambiguity, unlike rint vs ROUND), after which everything
+    is int64.  The oracle replays the identical promote-floor-square
+    pipeline in SQL list functions.  Per-batch work is vectorized numpy
+    over Arrow buffers; at 100 TB this is a map-only stage, no shuffle."""
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def norms(batches):
+        for batch in batches:
+            import numpy as np
+
+            tbl = batch.to_pydict()
+            out_id, out_lab, out_norm, out_sum = [], [], [], []
+            for vid, lab, vec in zip(tbl["vec_id"], tbl["label"], tbl["embedding"]):
+                t = np.floor(np.asarray(vec, dtype=np.float64) * 1_000_000).astype(np.int64)
+                out_id.append(vid)
+                out_lab.append(lab)
+                out_norm.append(int((t * t).sum()))
+                out_sum.append(int(t.sum()))
+            yield pa.record_batch(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_lab, pa.int32()),
+                    pa.array(out_norm, pa.int64()),
+                    pa.array(out_sum, pa.int64()),
+                ],
+                names=["vec_id", "label", "norm_sq_e12", "component_sum_e6"],
+            )
+
+    return emb.mapInArrow(
+        norms, "vec_id bigint, label int, norm_sq_e12 bigint, component_sum_e6 bigint"
+    )

@@ -34,6 +34,7 @@ PANDAS_BY_DESIGN = {
     "multimodal_real_decode",  # mapInPandas WAV/PPM decode IS the operator
     "multimodal_resize",       # mapInPandas box-mean resize IS the operator
     "udtf_lateral_shingles",   # Python UDTF LATERAL fan-out IS the §2.8 extension surface under test
+    "mapinarrow_embedding_norms",  # mapInArrow Arrow-native kernel IS the operator
 }
 # queries where a cartesian against a broadcast side is the algorithm
 BROADCAST_NLJ_BY_DESIGN = {
@@ -100,7 +101,7 @@ def main() -> None:
             failures += 1
             continue
         flags = []
-        if ("BatchEvalPython" in plan or "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan) and name not in PANDAS_BY_DESIGN:
+        if ("BatchEvalPython" in plan or "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan or "MapInArrow" in plan) and name not in PANDAS_BY_DESIGN:
             flags.append("PYTHON-IN-PLAN")
         if "BatchScan" in plan and "(Python)" in plan and name not in PYTHON_SOURCE_BY_DESIGN:
             # a Python DataSource scan is Python at the INGEST boundary --
