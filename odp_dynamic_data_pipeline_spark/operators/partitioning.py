@@ -85,3 +85,50 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    rank_col: str = "rank",
+    num_partitions: int = 16,
+) -> DataFrame:
+    """Distributed global row_number over a TOTAL order (order_cols must be
+    a strict tiebroken key) -- the scalable replacement for
+    ``row_number() OVER (ORDER BY ...)``, whose empty PARTITION BY funnels
+    every row through one task.
+
+    Classic two-pass ranking: range-partition on the sort key so partition
+    i holds keys strictly below partition i+1, count rows per partition,
+    prefix-sum those K counts on the driver (K = num_partitions, a bounded
+    constant, the one collect this operator is allowed), then final rank =
+    partition offset + intra-partition row_number.  The repartitioned
+    input is eagerly localCheckpoint-ed first: the count job and the rank
+    job MUST see the identical partitioning (range bounds come from
+    sampling; re-planning between jobs could shift a boundary and corrupt
+    every downstream offset).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    r = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .localCheckpoint(eager=True)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = {
+        row["__pid"]: row["cnt"]
+        for row in r.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offset_map, acc = [], 0
+    for pid in sorted(counts):
+        offset_map += [F.lit(pid), F.lit(acc)]
+        acc += counts[pid]
+    # empty input: no partitions were observed -> no offsets to add (the
+    # zero-arg create_map() analyzes as map<void,void> and cannot be indexed)
+    offsets = F.create_map(*offset_map)[F.col("__pid")] if offset_map else F.lit(0)
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return r.withColumn(
+        rank_col, (offsets + F.row_number().over(w)).cast("long")
+    ).drop("__pid")

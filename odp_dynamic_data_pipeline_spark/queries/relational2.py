@@ -2126,3 +2126,62 @@ def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(abs({share} - {_BENFORD_CASE}) AS BIGINT) AS abs_dev_e6",
         )
     )
+
+
+@register(
+    "gini_revenue_concentration",
+    """
+WITH x AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT v, row_number() OVER (ORDER BY v, o_custkey) AS i, COUNT(*) OVER () AS n
+  FROM x
+),
+m AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(CAST(v AS HUGEINT) * i) AS HUGEINT) AS s_iv,
+         CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s_v
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(s_v AS BIGINT) AS total_cents,
+       CAST(((2 * s_iv - (n + 1) * s_v) * 1000000) // (CAST(n AS HUGEINT) * s_v) AS BIGINT)
+         AS gini_e6
+FROM m
+""",
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers -- the
+    inequality summary behind "what share of spend comes from the head",
+    used to pick between uniform and heavy-hitter-aware partitioning.
+
+    gini = (2*sum(i*v_i) - (n+1)*sum(v)) / (n*sum(v)) over ascending-rank
+    values: exact integer moments (cents, DECIMAL(38,0) / HUGEINT), e6
+    truncating division, deterministic (v, custkey) tiebreak.  The global
+    rank is computed by operators/partitioning.py `global_rank` -- the
+    range-partition + driver-prefix-summed-offset two-pass, so no single
+    task ever sorts the whole customer set; identical output to
+    row_number() OVER (ORDER BY v, o_custkey), which is what the oracle
+    runs."""
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import global_rank
+
+    x = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("v"))
+    )
+    r = global_rank(x, ["v", "o_custkey"], rank_col="i").select("v", "i")
+    d = "DECIMAL(38,0)"
+    m = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(f"CAST(v AS {d}) * i")).alias("s_iv"),
+        F.sum(F.expr(f"CAST(v AS {d})")).alias("s_v"),
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_customers",
+        "CAST(s_v AS BIGINT) AS total_cents",
+        f"CAST(((2 * s_iv - (CAST(n AS {d}) + 1) * s_v) * 1000000)"
+        f" div (CAST(n AS {d}) * s_v) AS BIGINT) AS gini_e6",
+    )
