@@ -2131,3 +2131,65 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.col("doc_id") * F.col("doc_id")).alias("id_checksum"),
     )
+
+
+@contextmanager
+def _rocksdb_state_store(spark: SparkSession):
+    """Swap the streaming state store to the RocksDB provider for one
+    query, restoring the previous provider after.  The provider class is a
+    session conf read at STREAM START and baked into the checkpoint, so a
+    context manager around a fresh-checkpoint AvailableNow run is the
+    correct scoping."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 - unset -> restore to default HDFS provider
+        old = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+@register(
+    "hourly_counts_rocksdb_stream",
+    """
+SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+       COUNT(*) AS n_events
+FROM events GROUP BY hour_ts, event_type
+""",
+)
+def hourly_counts_rocksdb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly windowed-agg twin re-run on the ROCKSDB state store
+    provider -- the production state backend for large stateful topologies
+    (state spills to local SSD instead of living on the JVM heap, so
+    per-partition state is bounded by disk, not executor memory; changelog
+    checkpointing ships deltas).  Same tumbling-window plan, same batch
+    oracle, so the hash gate proves provider swap changes WHERE state
+    lives, never WHAT it computes.  At 100 TB stateful jobs default to
+    this provider; the HDFS-backed heap store is the small-state path."""
+
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    tmp = _stream_tmpdir("hourly_rocksdb_stream")
+    stream = _replay_stream(spark, ev, tmp)
+    counts = windowed_event_counts(
+        stream, ts_col="ts", window="1 hour", watermark="2 hours", group_cols=["event_type"]
+    )
+    with _rocksdb_state_store(spark), _stream_shuffle(spark):
+        run_available_now(
+            counts,
+            query_name="hourly_counts_rocksdb_mem",
+            checkpoint=f"{tmp}/ckpt",
+            output_mode="complete",
+        )
+    return spark.table("hourly_counts_rocksdb_mem").select(
+        F.col("window.start").alias("hour_ts"), "event_type", "n_events"
+    )
