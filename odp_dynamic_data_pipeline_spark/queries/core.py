@@ -2193,3 +2193,54 @@ def hourly_counts_rocksdb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("hourly_counts_rocksdb_mem").select(
         F.col("window.start").alias("hour_ts"), "event_type", "n_events"
     )
+
+
+@register(
+    "checkpoint_resume_stream",
+    """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+""",
+)
+def checkpoint_resume_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint RESUME across two separate stream launches -- the
+    exactly-once property a production pipeline actually relies on: run 1
+    ingests the first half of the source directory and STOPS; more files
+    land; run 2 starts from the SAME checkpoint, must skip every
+    already-committed file (the file-stream source tracks seen files in the
+    checkpoint's offset log, so the re-listed old files are not re-read)
+    and ingest only the new ones.  The ingest is a stateless projection in
+    append mode; the returned aggregate over the sink equals the one-shot
+    batch GROUP BY, proving no row was lost or duplicated across the
+    restart boundary.  This is the recovery contract that makes AvailableNow
+    catch-up jobs idempotent at any scale -- rerunning after a crash costs
+    only the uncommitted tail."""
+
+    from odp_dynamic_data_pipeline_spark.streaming.stream import run_available_now
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", _cents("value").alias("cents")
+    )
+    tmp = _stream_tmpdir("ckpt_resume")
+    src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    half_a = ev.where(F.col("event_id") % 2 == 0)
+    half_b = ev.where(F.col("event_id") % 2 == 1)
+    half_a.write.parquet(src)  # run 1 sees only half A's files
+    schema = "event_id bigint, event_type string, cents bigint"
+
+    def _run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_available_now(
+            stream, format="parquet", query_name="", path=out, checkpoint=ckpt
+        )
+
+    _run()
+    half_b.write.mode("append").parquet(src)  # new files land; old ones still listed
+    _run()
+    return (
+        spark.read.schema(schema)
+        .parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+    )
