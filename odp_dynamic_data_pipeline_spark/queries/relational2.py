@@ -2185,3 +2185,122 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(((2 * s_iv - (CAST(n AS {d}) + 1) * s_v) * 1000000)"
         f" div (CAST(n AS {d}) * s_v) AS BIGINT) AS gini_e6",
     )
+
+
+@register(
+    "sql_frontend_parameterized",
+    """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY o_orderpriority
+""",
+)
+def sql_frontend_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named-marker binding, the injection-safe frontend
+    contract): the date range arrives as ``:start``/``:end`` bind
+    parameters, not string-spliced literals.  Spark binds them as typed
+    literals BEFORE analysis, so constant folding and parquet row-group
+    pruning see real date constants -- same plan as the literal query, which
+    is exactly what the oracle runs."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM orders
+        WHERE o_orderdate >= CAST(:start AS DATE) AND o_orderdate < CAST(:end AS DATE)
+        GROUP BY o_orderpriority
+        """,
+        args={"start": "1996-01-01", "end": "1997-01-01"},
+    )
+
+
+@register(
+    "equidepth_price_histogram",
+    """
+WITH x AS (
+  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+         l_orderkey * 10 + l_linenumber AS k
+  FROM lineitem
+),
+r AS (
+  SELECT v, row_number() OVER (ORDER BY v, k) AS i, COUNT(*) OVER () AS n
+  FROM x
+)
+SELECT CAST((i - 1) * 10 // n AS BIGINT) AS bucket,
+       COUNT(*) AS cnt, MIN(v) AS lo_cents, MAX(v) AS hi_cents
+FROM r GROUP BY bucket
+""",
+)
+def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of line-item prices -- the
+    optimizer-statistics primitive (NDV-robust bucket bounds for range
+    selectivity estimates).  Bucket id is the explicit integer formula
+    (rank-1)*B div n over a strict total order, NOT ntile(), so both
+    engines share one definition; the global rank comes from the
+    distributed two-pass `global_rank` operator, making this the
+    any-scale form of a histogram build (range partition + offset, never
+    a single-task sort)."""
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import global_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        _cents("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+    )
+    n = li.count()  # driver scalar: one number, the histogram's denominator
+    r = global_rank(li, ["v", "k"], rank_col="i")
+    return (
+        r.withColumn("bucket", F.expr(f"CAST((i - 1) * 10 div {n} AS BIGINT)"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("v").alias("lo_cents"),
+            F.max("v").alias("hi_cents"),
+        )
+    )
+
+
+@register(
+    "twap_user_values",
+    """
+WITH e AS (
+  SELECT user_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+  FROM events
+),
+i AS (SELECT user_id, v, t2 - t AS dt FROM e WHERE t2 IS NOT NULL)
+SELECT user_id, COUNT(*) AS n_intervals,
+       CAST(SUM(dt) AS BIGINT) AS total_dt_us,
+       CAST(SUM(CAST(v AS HUGEINT) * dt) // SUM(dt) AS BIGINT) AS twap_cents
+FROM i GROUP BY user_id
+""",
+)
+def twap_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP) -- the right mean for
+    irregularly-sampled series, where each observation holds until the
+    next one: weight = interval to the next event, so a value that stood
+    for an hour counts 3600x one that stood a second.  One lead() window
+    per user partition (shuffle on user_id only), integer micros x cents
+    products in DECIMAL(38,0) accumulators, truncating division: exact at
+    any scale, no float drift."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        _cents("value").alias("v"),
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t2"),
+    )
+    i = e.where(F.col("t2").isNotNull()).select(
+        "user_id", "v", (F.col("t2") - F.col("t")).alias("dt")
+    )
+    return i.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt").cast("long").alias("total_dt_us"),
+        F.expr(
+            "CAST(SUM(CAST(v AS DECIMAL(38,0)) * dt) div SUM(dt) AS BIGINT)"
+        ).alias("twap_cents"),
+    )
