@@ -4040,3 +4040,65 @@ def mapinarrow_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInArrow(
         norms, "vec_id bigint, label int, norm_sq_e12 bigint, component_sum_e6 bigint"
     )
+
+
+@register(
+    "calibration_curve_report",
+    r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0
+),
+sc AS (
+  SELECT doc_id,
+         (1000000 * CAST(len(list_filter(toks, x -> list_contains(['the','and','of','a','to'], x))) AS BIGINT))
+           // CAST(len(toks) AS BIGINT) AS score_e6,
+         (1000000 * CAST(len(list_distinct(toks)) AS BIGINT))
+           // CAST(len(toks) AS BIGINT) >= 500000 AS lab
+  FROM t
+),
+b AS (SELECT score_e6 * 10 // 1000001 AS bin, score_e6, lab FROM sc)
+SELECT bin, COUNT(*) AS n,
+       CAST(SUM(score_e6) // COUNT(*) AS BIGINT) AS mean_score_e6,
+       CAST(1000000 * SUM(CASE WHEN lab THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS pos_rate_e6,
+       CAST(abs(SUM(score_e6) // COUNT(*) - 1000000 * SUM(CASE WHEN lab THEN 1 ELSE 0 END) // COUNT(*)) AS BIGINT) AS gap_e6
+FROM b GROUP BY bin
+""",
+)
+def calibration_curve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) curve for a document-quality scorer: bin
+    predictions into deciles, compare each bin's mean predicted score to
+    its empirical positive rate -- the companion diagnostic to ROC-AUC
+    (classifier_auc_report ranks; THIS checks whether the scores mean what
+    they say, which is what sampling-by-score assumes).  Scorer = stopword
+    ratio, reference label = token-uniqueness threshold, both e6 integer
+    ratios with truncating division; bin = score*10 div 1000001 keeps the
+    perfect-score edge in decile 9.  Map-side expression work + one
+    10-group agg: flat at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(text, '\\S+', 0)")
+    t = docs.select(F.col("doc_id"), toks.alias("toks")).where(F.size("toks") > 0)
+    stop = "array('the','and','of','a','to')"
+    sc = t.select(
+        F.expr(
+            f"(1000000 * CAST(size(filter(toks, x -> array_contains({stop}, x))) AS BIGINT))"
+            " div CAST(size(toks) AS BIGINT)"
+        ).alias("score_e6"),
+        (
+            F.expr("(1000000 * CAST(size(array_distinct(toks)) AS BIGINT))"
+                   " div CAST(size(toks) AS BIGINT)")
+            >= 500000
+        ).alias("lab"),
+    )
+    b = sc.select(F.expr("score_e6 * 10 div 1000001").alias("bin"), "score_e6", "lab")
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(score_e6) div COUNT(*) AS BIGINT)").alias("mean_score_e6"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN lab THEN 1 ELSE 0 END) div COUNT(*) AS BIGINT)"
+        ).alias("pos_rate_e6"),
+        F.expr(
+            "CAST(abs(SUM(score_e6) div COUNT(*) -"
+            " 1000000 * SUM(CASE WHEN lab THEN 1 ELSE 0 END) div COUNT(*)) AS BIGINT)"
+        ).alias("gap_e6"),
+    )
