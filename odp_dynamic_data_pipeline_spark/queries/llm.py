@@ -4102,3 +4102,151 @@ def calibration_curve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 1000000 * SUM(CASE WHEN lab THEN 1 ELSE 0 END) div COUNT(*)) AS BIGINT)"
         ).alias("gap_e6"),
     )
+
+
+@register(
+    "dataset_snapshot_diff",
+    """
+WITH a AS (SELECT doc_id, md5(text) AS fp FROM documents),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END) AS fp
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text || ' v2') AS fp
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       a.fp AS old_fp, b.fp AS new_fp
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.fp <> b.fp
+""",
+)
+def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset release diff: content-hash comparison of two corpus
+    snapshots into added / removed / changed manifests -- the audit
+    artifact between training-data versions (what changed since v1 is the
+    first question any data card answers).  Snapshot B is derived
+    deterministically from A (drops, edits, additions), both sides reduce
+    to (id, md5 fingerprint) BEFORE the full outer join, so the shuffle
+    carries 40-byte rows, never document text; unchanged rows are filtered
+    post-join.  At 100 TB this is the standard manifest-diff shape: one
+    equi-join of two fingerprint tables."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.md5("text").alias("fp"))
+    b = (
+        docs.where(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(F.col("doc_id") % 13 == 0, F.upper("text")).otherwise(F.col("text"))
+            ).alias("fp"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5(F.concat(F.col("text"), F.lit(" v2"))).alias("fp"),
+            )
+        )
+    )
+    j = a.alias("a").join(b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+        F.col("a.fp").alias("old_fp"),
+        F.col("b.fp").alias("new_fp"),
+    ).where(
+        F.col("a.doc_id").isNull()
+        | F.col("b.doc_id").isNull()
+        | (F.col("a.fp") != F.col("b.fp"))
+    )
+
+
+@register(
+    "quantile_normalize_scores",
+    """
+WITH x AS (SELECT doc_id, source, n_chars AS v FROM documents),
+s AS (
+  SELECT doc_id, source, v,
+         row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS ns
+  FROM x
+),
+g AS (SELECT v AS gv, row_number() OVER (ORDER BY v, doc_id) AS p FROM x),
+n AS (SELECT COUNT(*) AS ng FROM x)
+SELECT s.doc_id, s.source, s.v, g.gv AS norm_v
+FROM s CROSS JOIN n
+JOIN g ON g.p = (s.r - 1) * n.ng // s.ns + 1
+""",
+)
+def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources: map each source's score
+    distribution onto the GLOBAL distribution (a doc at its source's p-th
+    quantile gets the global p-th-quantile value), removing per-source
+    scale drift before cross-source comparisons or mixing -- the
+    genomics-borrowed trick that makes heterogeneous quality scores
+    commensurable.  Rank-based and exact: per-source ranks are partitioned
+    windows; the GLOBAL rank table comes from the distributed two-pass
+    `global_rank` operator (never a one-task sort); the lookup is an
+    equi-join on the integer position floor((r-1)*ng/ns)+1.  Shuffles
+    carry (id, rank) pairs only."""
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import global_rank
+
+    x = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("v")
+    )
+    ws = Window.partitionBy("source").orderBy("v", "doc_id")
+    s = x.select(
+        "doc_id",
+        "source",
+        "v",
+        F.row_number().over(ws).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("ns"),
+    )
+    ng = x.count()  # driver scalar: corpus size, the position denominator
+    g = global_rank(x.select("v", "doc_id"), ["v", "doc_id"], rank_col="p").select(
+        F.col("v").alias("gv"), "p"
+    )
+    s = s.withColumn("p", F.expr(f"(r - 1) * {ng} div ns + 1"))
+    return s.join(g, "p").select("doc_id", "source", "v", F.col("gv").alias("norm_v"))
+
+
+@register(
+    "categorical_index_langs",
+    """
+WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+idx AS (
+  SELECT lang, cnt, row_number() OVER (ORDER BY cnt DESC, lang) - 1 AS lang_idx
+  FROM c
+)
+SELECT d.doc_id, d.lang, i.lang_idx, i.cnt AS lang_freq
+FROM documents d JOIN idx i ON d.lang = i.lang
+""",
+)
+def categorical_index_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical string indexing (the StringIndexer ML-prep primitive):
+    assign contiguous integer ids to language values by descending
+    frequency with a deterministic alphabetical tiebreak, then encode
+    every document -- id 0 = most frequent, the layout embedding tables
+    assume.  The vocabulary is a tiny aggregate (one row per distinct
+    value) so its ordering window is K-bounded, and the encode is a
+    broadcast join back onto the corpus: one shuffle for the vocab count,
+    zero for the encode, at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    idx = c.select(
+        "lang",
+        F.col("cnt").alias("lang_freq"),
+        (F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("lang"))) - 1).alias(
+            "lang_idx"
+        ),
+    )
+    return docs.select("doc_id", "lang").join(F.broadcast(idx), "lang").select(
+        "doc_id", "lang", "lang_idx", "lang_freq"
+    )

@@ -80,6 +80,7 @@ GLOBAL_WINDOW_BOUNDED = {
     "training_mixture_manifest",   # same largest-remainder pattern
     "zipf_head_coverage",      # cumulative share over top-k tokens
     "dataset_card_report",     # ordered rows of a fixed-size report
+    "categorical_index_langs", # frequency rank over the distinct-lang vocab (bounded)
 }
 
 
