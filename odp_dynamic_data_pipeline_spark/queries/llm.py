@@ -4250,3 +4250,104 @@ def categorical_index_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang").join(F.broadcast(idx), "lang").select(
         "doc_id", "lang", "lang_idx", "lang_freq"
     )
+
+
+@register(
+    "k_anonymity_report",
+    """
+WITH q AS (
+  SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*) AS grp_size
+  FROM documents GROUP BY lang, source, len_bucket
+)
+SELECT lang, source, len_bucket, grp_size,
+       grp_size < 5 AS violates_k5
+FROM q WHERE grp_size < 20
+""",
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (lang, source, length
+    bucket): every equivalence class smaller than the reporting floor,
+    flagged when it breaks k=5 -- the pre-release privacy check that
+    catches "this combination of harmless attributes identifies one
+    document/user".  Pure conditional aggregation (map-side combined);
+    the small-group filter makes the output the violation manifest, not
+    the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.groupBy(
+        "lang", "source", F.expr("n_chars div 100").alias("len_bucket")
+    ).agg(F.count(F.lit(1)).alias("grp_size"))
+    return q.where(F.col("grp_size") < 20).withColumn(
+        "violates_k5", F.col("grp_size") < 5
+    )
+
+
+def _dp_h32(tag: str) -> str:
+    """Spark SQL: 32-bit uniform in [1, 2^32] from md5 of the group key."""
+    return (
+        f"CAST(conv(substr(md5(concat(lang, '|', source, '|{tag}')), 1, 15), 16, 10) AS BIGINT)"
+        " % 4294967296 + 1"
+    )
+
+
+def _dp_h32_duck(tag: str) -> str:
+    return (
+        f"('0x' || substr(md5(lang || '|' || source || '|{tag}'), 1, 15))::BIGINT"
+        " % 4294967296 + 1"
+    )
+
+
+@register(
+    "dp_noisy_counts",
+    f"""
+WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source),
+h AS (
+  SELECT lang, source, n,
+         {_dp_h32_duck('u1')} AS h1,
+         {_dp_h32_duck('u2')} AS h2
+  FROM c
+),
+l AS (
+  SELECT lang, source, n,
+         {duck_ilog2_sql('h1')} AS l1,
+         {duck_ilog2_sql('h2')} AS l2
+  FROM h
+)
+SELECT lang, source, n AS true_count,
+       CAST(((l2 - l1) * 726817) // 1048576 AS BIGINT) AS noise_fp20,
+       CAST((n * 1048576) + ((l2 - l1) * 726817) // 1048576 AS BIGINT) AS noisy_count_fp20
+FROM l
+""",
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism, eps = 1,
+    sensitivity 1): per-(lang, source) counts plus Laplace(1) noise built
+    as the difference of two exponentials, Exp = -ln(U), with U drawn from
+    the md5 hash of the group key -- SEEDED noise so the release is
+    reproducible and the oracle can replay it exactly (a production
+    release would draw U from a CSPRNG; the mechanism shape is identical).
+    ln is the repo's exact fixed-point log2 recurrence (no libm):
+    ln U = (ilog2_fp20(h) - 32<<20) * ln2, and the ln2 factor 726817/2^20
+    with div-truncation is shared by both engines, so the noisy counts are
+    hash-exact integers.  Group-key work only -- the mechanism costs one
+    expression per RELEASED row, nothing per document."""
+    from odp_dynamic_data_pipeline_spark.functions.scalars import ilog2_fp20_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    h = c.selectExpr(
+        "lang", "source", "n", f"{_dp_h32('u1')} AS h1", f"{_dp_h32('u2')} AS h2"
+    )
+    lg = h.selectExpr(
+        "lang",
+        "source",
+        "n",
+        f"{ilog2_fp20_sql('h1')} AS l1",
+        f"{ilog2_fp20_sql('h2')} AS l2",
+    )
+    return lg.selectExpr(
+        "lang",
+        "source",
+        "n AS true_count",
+        "CAST(((l2 - l1) * 726817) div 1048576 AS BIGINT) AS noise_fp20",
+        "CAST((n * 1048576) + ((l2 - l1) * 726817) div 1048576 AS BIGINT) AS noisy_count_fp20",
+    )

@@ -2304,3 +2304,67 @@ def twap_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(v AS DECIMAL(38,0)) * dt) div SUM(dt) AS BIGINT)"
         ).alias("twap_cents"),
     )
+
+
+@register(
+    "ols_revenue_trend",
+    """
+WITH m AS (
+  SELECT c_mktsegment AS seg,
+         (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS t,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY seg, t
+),
+s AS (
+  SELECT seg, COUNT(*) AS n,
+         CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS sxx
+  FROM m GROUP BY seg
+)
+SELECT seg, CAST(n AS BIGINT) AS n_months,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS slope_cents_per_month,
+       (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS intercept_cents
+FROM s
+""",
+)
+def ols_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS trend of monthly revenue: slope and intercept from
+    exact integer moments (months as small ints, revenue in cents,
+    DECIMAL(38,0)/HUGEINT cross moments), converted to double only in the
+    final identically-shaped closed-form divisions -- the same
+    exact-moments-then-one-division discipline as correlation_stats and
+    spearman_by_segment, extended to the regression pair.  Two shuffles
+    total (month rollup, 5-segment moment agg) regardless of order count."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "seg",
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias("t"),
+        )
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("y"))
+    )
+    d = "DECIMAL(38,0)"
+    s = m.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr(f"CAST(t AS {d}) * y")).alias("sxy"),
+        F.sum(F.expr(f"CAST(t AS {d}) * t")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(x).cast("double") for x in ("n", "sx", "sy", "sxy", "sxx"))
+    return s.select(
+        "seg",
+        F.col("n").cast("long").alias("n_months"),
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("slope_cents_per_month"),
+        ((sy * sxx - sx * sxy) / (n * sxx - sx * sx)).alias("intercept_cents"),
+    )
