@@ -2244,3 +2244,46 @@ def checkpoint_resume_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
     )
+
+
+@register(
+    "pyds_sink_roundtrip",
+    """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents WHERE doc_id % 4 = 0 GROUP BY lang
+""",
+)
+def pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource WRITE path (the outbound twin of
+    pyds_synthetic_corpus): a thinned documents projection flows through
+    the registered pure-Python ``jsonl_pysink`` -- per-partition .tmp
+    spill, driver-side two-phase commit rename, task-retry orphans never
+    visible -- then is re-read as schema-declared JSONL and aggregated;
+    the oracle aggregates the parquet directly, so the hash gate proves
+    the custom sink's write-commit-read cycle is lossless and
+    exactly-once.  Python at the EGRESS boundary by design (sinks are
+    where bespoke protocols live); the per-row cost is bounded by the
+    released subset, never the corpus."""
+    from odp_dynamic_data_pipeline_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "lang", "n_chars")
+    )
+    tmp = _stream_tmpdir("pyds_sink")
+    out = f"{tmp}/jsonl"
+    docs.write.format("jsonl_pysink").option("path", out).mode("append").save()
+    back = (
+        spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+        .option("pathGlobFilter", "*.jsonl")
+        .json(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("doc_id").alias("id_sum"),
+    )

@@ -16,7 +16,13 @@ bottleneck and no shuffle; the reader holds no state beyond its options.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 def _h(*parts) -> int:
@@ -63,7 +69,68 @@ class SyntheticCorpusDataSource(DataSource):
 
 def register_python_sources(spark) -> None:
     """Idempotently register the repo's Python data sources on a session."""
-    try:
-        spark.dataSource.register(SyntheticCorpusDataSource)
-    except Exception:  # already registered on this session
-        pass
+    for src in (SyntheticCorpusDataSource, JsonlSinkDataSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:  # already registered on this session
+            pass
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str):
+        self.tmp_path = tmp_path
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Executor-side half of the Python sink: each partition streams its
+    rows to a ``.tmp`` file and reports the path in its commit message;
+    nothing becomes visible until the driver-side ``commit`` renames every
+    temp file at once -- the standard two-phase commit that makes a custom
+    sink exactly-once under task retries (a failed attempt's orphan .tmp is
+    never renamed, so it is never read)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl.tmp")
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+        return _JsonlCommit(tmp)
+
+    def commit(self, messages):
+        import os
+
+        for m in messages:
+            os.rename(m.tmp_path, m.tmp_path[: -len(".tmp")])
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_pysink").option("path", dir)`` -- a custom
+    pure-Python SINK through the Spark 4 DataSource write API, the
+    outbound twin of SyntheticCorpusDataSource."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_pysink"
+
+    def writer(self, schema, overwrite):
+        return JsonlSinkWriter(self.options)

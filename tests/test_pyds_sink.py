@@ -1,0 +1,26 @@
+"""Python DataSource write path: two-phase commit visibility."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from odp_dynamic_data_pipeline_spark.sources.pyds import register_python_sources
+
+
+def test_jsonl_pysink_commit_leaves_no_tmp(spark, tmp_path):
+    register_python_sources(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr("id AS doc_id", "CAST(id % 7 AS STRING) AS lang")
+    df.repartition(4).write.format("jsonl_pysink").option("path", out).mode("append").save()
+    finals = glob.glob(os.path.join(out, "*.jsonl"))
+    tmps = glob.glob(os.path.join(out, "*.tmp"))
+    assert tmps == [], "commit must rename every temp file"
+    assert len(finals) == 4
+    back = (
+        spark.read.schema("doc_id bigint, lang string")
+        .option("pathGlobFilter", "*.jsonl")
+        .json(out)
+    )
+    assert back.count() == 100
+    assert back.selectExpr("sum(doc_id)").first()[0] == 4950
