@@ -2287,3 +2287,76 @@ def pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+@register(
+    "ab_test_conversion",
+    """
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+         MAX(CASE WHEN event_type = 'purchase' AND CAST(ROUND(value * 100, 0) AS BIGINT) >= 15000 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+  FROM u GROUP BY arm
+),
+w AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+         MAX(CASE WHEN arm = 0 THEN conv END) AS c0,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+         MAX(CASE WHEN arm = 1 THEN conv END) AS c1
+  FROM s
+)
+SELECT n0, c0, n1, c1,
+       (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+       / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+              * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+              * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z_stat
+FROM w
+""",
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-split into two
+    arms (md5 parity -- the same stable bucketing a real assignment service
+    uses, and one the oracle can replay), per-arm conversion = any high-value
+    purchase (>= $150, which splits this corpus near 50/50), pooled two-proportion z statistic.  Counts are exact
+    integers; the z-stat is one identically-shaped double expression
+    (single sqrt, single division chain) evaluated from those integers, so
+    it is bit-identical across engines.  The per-user reduction is one
+    map-side-combined GROUP BY; the arm rollup is 2 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (_cents("value") >= 15000), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 2"
+        ).alias("arm"),
+        "converted",
+    )
+    s = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").cast("long").alias("conv")
+    )
+    w = s.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    n0, c0, n1, c1 = (F.col(x).cast("double") for x in ("n0", "c0", "n1", "c1"))
+    pooled = (c0 + c1) / (n0 + n1)
+    return w.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        (
+            (c1 / n1 - c0 / n0)
+            / F.sqrt(pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
+        ).alias("z_stat"),
+    )

@@ -4351,3 +4351,47 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(((l2 - l1) * 726817) div 1048576 AS BIGINT) AS noise_fp20",
         "CAST((n * 1048576) + ((l2 - l1) * 726817) div 1048576 AS BIGINT) AS noisy_count_fp20",
     )
+
+
+@register(
+    "inverted_index_postings",
+    r"""
+WITH t AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents
+),
+df AS (SELECT term, COUNT(*) AS doc_freq FROM t GROUP BY term),
+rare AS (SELECT term, doc_freq FROM df ORDER BY doc_freq, term LIMIT 10)
+SELECT t.term, MAX(rare.doc_freq) AS doc_freq,
+       array_to_string(list(t.doc_id ORDER BY t.doc_id), ',') AS postings
+FROM t JOIN rare ON t.term = rare.term
+GROUP BY t.term
+""",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the retrieval-side data structure BM25 and
+    sparse search assume): per term, document frequency plus the SORTED
+    posting list of containing documents.  Postings are grouped per term
+    -- one shuffle keyed by term, sort_array inside the agg buffer keeps
+    ordering deterministic without an ordered window -- and the rarest-K
+    vocabulary cut bounds list size before collect (an uncapped posting
+    list for a stopword is the classic index-build OOM; production shards
+    those terms into blocks).  Cut to the low-df tail here so
+    the result is a verifiable artifact, not a corpus dump; postings
+    serialize to a csv string so the driver hash sees a scalar column."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("term")
+    ).distinct()
+    df_tab = t.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # 10 rarest terms, deterministic tiebreak: TakeOrderedAndProject over the
+    # vocab aggregate (K rows to the driver-side heap, no global window)
+    band = df_tab.orderBy("doc_freq", "term").limit(10)
+    return (
+        t.join(F.broadcast(band), "term")
+        .groupBy("term")
+        .agg(
+            F.max("doc_freq").alias("doc_freq"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings"),
+        )
+    )
