@@ -458,3 +458,59 @@ def audio_segments(
         "seg_bytes",
         F.length("seg_bytes").cast("int").alias("seg_len"),
     )
+
+
+AHASH_SCHEMA = "doc_id bigint, width int, height int, ahash bigint"
+
+
+def ahash_image(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    grid_w: int = 4,
+    grid_h: int = 2,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over PPM P6 payloads: grayscale
+    (integer channel mean), box-mean downsample to a (grid_w, grid_h)
+    cell grid, threshold every cell against the grid's own integer mean,
+    pack the bits row-major into one BIGINT signature.  Equal signatures =
+    perceptual duplicates (robust to re-encode/brightness-preserving
+    noise); small hamming distances = near-duplicates.
+
+    All-integer arithmetic (// everywhere, no float resampling), so the
+    signature is platform- and engine-stable -- which is what lets the
+    synthetic-payload query replay the whole decode->hash chain in SQL.
+    Arrow-batched mapInPandas, map-only: at 100 TB the signature is
+    computed once per image at ingest and dedup becomes a GROUP BY / LSH
+    problem on 8-byte keys, never on pixels.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                w, h, _maxval, pos = _ppm_header(raw)
+                if w % grid_w or h % grid_h:
+                    raise ValueError(
+                        f"ahash {w}x{h} -> {grid_w}x{grid_h}: dims must divide evenly"
+                    )
+                pix = (
+                    np.frombuffer(raw[pos : pos + w * h * 3], dtype=np.uint8)
+                    .reshape(h, w, 3)
+                    .astype(np.int64)
+                )
+                gray = pix.sum(axis=2) // 3
+                by, bx = h // grid_h, w // grid_w
+                cells = gray.reshape(grid_h, by, grid_w, bx).sum(axis=(1, 3)) // (by * bx)
+                mean_cell = int(cells.sum()) // (grid_w * grid_h)
+                bits = (cells > mean_cell).astype(np.int64).reshape(-1)
+                sig = int((bits << np.arange(grid_w * grid_h)).sum())
+                rows.append((int(doc_id), w, h, sig))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "ahash"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=AHASH_SCHEMA)

@@ -4395,3 +4395,65 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings"),
         )
     )
+
+
+def _ahash_oracle() -> str:
+    def px(r: str, c: str, ch: int) -> str:
+        return f"((({r}) * 24 + ({c}) * 3 + {ch}) * k) % 256"
+
+    def gray(r: str, c: str) -> str:
+        return "(" + " + ".join(px(r, c, ch) for ch in range(3)) + ") // 3"
+
+    cell = (
+        "("
+        + " + ".join(
+            gray(f"(o // 4) * 2 + {dr}", f"(o % 4) * 2 + {dc}")
+            for dr in (0, 1)
+            for dc in (0, 1)
+        )
+        + ") // 4"
+    )
+    return f"""
+WITH ids AS (
+  SELECT doc_id, doc_id % 251 + 1 AS k FROM documents
+  WHERE doc_id < 200 AND doc_id % 2 = 1
+),
+cells AS (
+  SELECT doc_id, o, CAST({cell} AS BIGINT) AS cell
+  FROM ids CROSS JOIN (SELECT unnest(range(0, 8)) AS o)
+),
+m AS (
+  SELECT doc_id, CAST(SUM(cell) AS BIGINT) // 8 AS mean_cell FROM cells GROUP BY doc_id
+),
+sig AS (
+  SELECT cells.doc_id,
+         CAST(SUM(CASE WHEN cell > mean_cell THEN 1 << o ELSE 0 END) AS BIGINT) AS ahash
+  FROM cells JOIN m ON cells.doc_id = m.doc_id
+  GROUP BY cells.doc_id
+)
+SELECT ahash, COUNT(*) AS n_images,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS members
+FROM sig GROUP BY ahash
+"""
+
+
+@register("multimodal_ahash_dedup", _ahash_oracle())
+def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-DUP detection via perceptual average-hash: real PPM
+    payloads -> grayscale -> cell grid -> packed 8-bit aHash signature
+    (operators.multimodal.ahash_image, Arrow-batched), then duplicate
+    classes = GROUP BY signature -- pixel work happens exactly once per
+    image and dedup is an 8-byte-key aggregation, the only shape that
+    survives a 100 TB media corpus.  The synthetic raster is a closed form
+    of doc_id, so the oracle replays decode -> gray -> box-mean ->
+    threshold -> bit-pack entirely in SQL: the real-bytes Python path and
+    the analytic form must agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        (F.col("doc_id") < 200) & (F.col("doc_id") % 2 == 1)
+    )
+    media = mm.attach_synth_media(docs)
+    sig = mm.ahash_image(media)
+    return sig.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("members"),
+    )

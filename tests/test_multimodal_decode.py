@@ -174,3 +174,25 @@ def test_resize_image_rejects_uneven(spark):
     # chain; match on the message so only the dims-must-divide check passes
     with pytest.raises(Exception, match="dims must divide evenly"):
         resize_image(df, out_w=3, out_h=2).collect()
+
+
+def test_ahash_identical_payloads_collide_distinct_differ(spark):
+    """aHash: same pixels => same signature; different gradients differ
+    (for gradient slopes k=1 vs k=101 the cell pattern flips)."""
+    import numpy as np
+
+    from odp_dynamic_data_pipeline_spark.operators.multimodal import (
+        ahash_image,
+        synth_ppm,
+    )
+
+    def grad(k):
+        p = (np.arange(96, dtype=np.int64) * k) % 256
+        return synth_ppm(p.reshape(4, 8, 3).astype(np.uint8))
+
+    rows = [(1, grad(3)), (2, grad(3)), (3, grad(101))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["ahash"] for r in ahash_image(df).collect()}
+    assert got[1] == got[2]
+    assert 0 <= got[1] < 256
+    assert got[1] != got[3]

@@ -33,6 +33,7 @@ PANDAS_BY_DESIGN = {
     "multimodal_frame_sample",
     "multimodal_real_decode",  # mapInPandas WAV/PPM decode IS the operator
     "multimodal_resize",       # mapInPandas box-mean resize IS the operator
+    "multimodal_ahash_dedup",  # mapInPandas perceptual hash IS the operator
     "udtf_lateral_shingles",   # Python UDTF LATERAL fan-out IS the §2.8 extension surface under test
     "mapinarrow_embedding_norms",  # mapInArrow Arrow-native kernel IS the operator
 }
