@@ -2368,3 +2368,94 @@ def ols_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("slope_cents_per_month"),
         ((sy * sxx - sx * sxy) / (n * sxx - sx * sx)).alias("intercept_cents"),
     )
+
+
+@register(
+    "try_functions_zoo",
+    """
+WITH x AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderkey % 7 AS d
+  FROM orders
+)
+SELECT
+  COUNT(*) AS n,
+  CAST(SUM(CASE WHEN d = 0 THEN NULL ELSE cents // d END) AS BIGINT) AS sum_try_div,
+  CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+  CAST(SUM(CASE WHEN TRY_CAST('x' || CAST(k AS VARCHAR) AS BIGINT) IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_badcast_null,
+  CAST(SUM(TRY_CAST(CAST(k AS VARCHAR) AS BIGINT)) AS BIGINT) AS sum_goodcast
+FROM x
+""",
+)
+def try_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-handling surface: the ``try_`` function family returns
+    NULL where strict ANSI evaluation would hard-fail -- division by zero,
+    malformed casts -- which is the per-row quarantine contract an ingest
+    pipeline wants (poison rows become NULLs to count, not job aborts).
+    Spark evaluates real try_divide/try_cast; the oracle states the
+    equivalent NULL semantics as CASE/TRY_CAST, so the hash gate pins the
+    behavior, not just the API.  Runs under the same session as the ANSI
+    overflow-discipline test: strict by default, explicitly-opted
+    tolerance where the pipeline chooses it."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        _cents("o_totalprice").alias("cents"),
+        (F.col("o_orderkey") % 7).alias("d"),
+    )
+    return o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("cents div nullif(d, 0)")).cast("long").alias("sum_try_div"),
+        F.sum(F.when(F.expr("try_divide(cents, d)").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_div_null"),
+        F.sum(
+            F.when(F.expr("try_cast(concat('x', CAST(k AS STRING)) AS BIGINT)").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_badcast_null"),
+        F.sum(F.expr("try_cast(CAST(k AS STRING) AS BIGINT)")).cast("long").alias("sum_goodcast"),
+    )
+
+
+@register(
+    "explode_outer_semantics",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN []
+              ELSE regexp_extract_all(text, '[a-z]+ [a-z]+') END AS bigrams
+  FROM documents WHERE doc_id < 100
+),
+e AS (
+  SELECT doc_id, unnest(CASE WHEN len(bigrams) = 0 THEN [NULL] ELSE bigrams END) AS bg
+  FROM t
+)
+SELECT doc_id, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN bg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rows,
+       MIN(bg) AS first_bigram
+FROM e GROUP BY doc_id
+""",
+)
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer`` null preservation: a document whose array is
+    empty must SURVIVE the fan-out as one NULL row (plain explode silently
+    drops it -- the classic lost-parent bug when unnesting optional
+    nested data).  Every 10th doc's array is emptied to force the case;
+    the oracle states the same semantics with an explicit [NULL]
+    substitution, so the hash gate pins drop-vs-keep behavior."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    t = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.array().cast("array<string>"))
+        .otherwise(F.expr(r"regexp_extract_all(text, '[a-z]+ [a-z]+', 0)"))
+        .alias("bigrams"),
+    )
+    e = t.select("doc_id", F.explode_outer("bigrams").alias("bg"))
+    return e.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("bg").isNull(), 1).otherwise(0)).cast("long").alias("n_null_rows"),
+        F.min("bg").alias("first_bigram"),
+    )
