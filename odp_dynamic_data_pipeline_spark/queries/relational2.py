@@ -2459,3 +2459,46 @@ def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("bg").isNull(), 1).otherwise(0)).cast("long").alias("n_null_rows"),
         F.min("bg").alias("first_bigram"),
     )
+
+
+@register(
+    "date_functions_zoo",
+    """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+       COUNT(*) AS n,
+       CAST(SUM(dayofyear(o_orderdate)) AS BIGINT) AS doy_sum,
+       CAST(SUM(dayofweek(o_orderdate)) AS BIGINT) AS dow_sum,
+       CAST(SUM(CASE WHEN o_orderdate = last_day(o_orderdate) THEN 1 ELSE 0 END) AS BIGINT)
+         AS month_end_orders,
+       CAST(SUM(date_diff('day', o_orderdate, o_orderdate + INTERVAL 3 MONTH)) AS BIGINT)
+         AS addmonths_span_days
+FROM orders GROUP BY y, q
+""",
+)
+def date_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function surface pinned cross-engine: quarter/day-of-year
+    rollups, month-end detection via last_day, and add_months'
+    end-of-month clamping measured as a day span (Jan 31 + 3 months =
+    Apr 30: the clamp changes the span, so the SUM would diverge if either
+    engine handled it differently).  Engine dialect note encoded here:
+    Spark's dayofweek is 1=Sunday, DuckDB's is 0=Sunday -- the query
+    normalizes Spark by -1, pinning the offset contract instead of
+    tripping on it."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.dayofyear("o_orderdate")).cast("long").alias("doy_sum"),
+        F.sum(F.dayofweek("o_orderdate") - 1).cast("long").alias("dow_sum"),
+        F.sum(
+            F.when(F.col("o_orderdate") == F.last_day("o_orderdate"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("month_end_orders"),
+        F.sum(F.datediff(F.add_months("o_orderdate", 3), F.col("o_orderdate")))
+        .cast("long")
+        .alias("addmonths_span_days"),
+    )
