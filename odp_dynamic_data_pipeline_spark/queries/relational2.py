@@ -2502,3 +2502,140 @@ def date_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("addmonths_span_days"),
     )
+
+
+# Portable Bloom filter: m = 16384 bits in 256 64-bit words, k = 3 probes,
+# double hashing pos_i = (h1 + i*h2) % m with md5-derived h1/h2 -- every
+# piece replayable in any engine with md5 + integer ops.
+_BLOOM_M = 16384
+_BLOOM_WORDS = _BLOOM_M // 63 + 1
+
+
+def _bloom_h(col_sql: str, salt: str, engine: str) -> str:
+    if engine == "spark":
+        return (
+            f"CAST(conv(substr(md5(concat('{salt}', CAST({col_sql} AS STRING))), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        )
+    return f"('0x' || substr(md5('{salt}' || CAST({col_sql} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def _bloom_oracle() -> str:
+    h1 = _bloom_h("o_custkey", "b1|", "duck")
+    h2 = _bloom_h("o_custkey", "b2|", "duck")
+    p1 = _bloom_h("c_custkey", "b1|", "duck")
+    p2 = _bloom_h("c_custkey", "b2|", "duck")
+    m, w = _BLOOM_M, _BLOOM_WORDS
+    probes = " AND ".join(
+        f"(bf.w{i} >> (({p1} + {i} * {p2}) % {m} % 63)) & 1 = 1" for i in range(3)
+    )
+    sets_ = ",\n".join(
+        f"  bit_or(CASE WHEN (({h1} + {i} * {h2}) % {m}) // 63 = w.wi"
+        f" THEN 1 << (({h1} + {i} * {h2}) % {m} % 63) ELSE 0 END) AS b{i}"
+        for i in range(3)
+    )
+    return f"""
+WITH keys AS (SELECT DISTINCT o_custkey FROM orders),
+w AS (SELECT unnest(range(0, {w})) AS wi),
+words AS (
+  SELECT w.wi,
+{sets_}
+  FROM w CROSS JOIN keys GROUP BY w.wi
+),
+flat AS (SELECT wi, b0 | b1 | b2 AS word FROM words),
+probe AS (
+  SELECT c.c_custkey,
+         EXISTS (SELECT 1 FROM keys k WHERE k.o_custkey = c.c_custkey) AS actual,
+         (SELECT MAX(CASE WHEN f.wi = (({p1} + 0 * {p2}) % {m}) // 63
+                          THEN (f.word >> (({p1} + 0 * {p2}) % {m} % 63)) & 1 END) = 1
+          FROM flat f) AND
+         (SELECT MAX(CASE WHEN f.wi = (({p1} + 1 * {p2}) % {m}) // 63
+                          THEN (f.word >> (({p1} + 1 * {p2}) % {m} % 63)) & 1 END) = 1
+          FROM flat f) AND
+         (SELECT MAX(CASE WHEN f.wi = (({p1} + 2 * {p2}) % {m}) // 63
+                          THEN (f.word >> (({p1} + 2 * {p2}) % {m} % 63)) & 1 END) = 1
+          FROM flat f) AS bloom_pos
+  FROM customer c
+)
+SELECT COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+       CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_positive,
+       CAST(SUM(CASE WHEN bloom_pos AND NOT actual THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_positive,
+       CAST(SUM(CASE WHEN NOT bloom_pos AND actual THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_negative
+FROM probe
+"""
+
+
+@register("bloom_filter_membership", _bloom_oracle())
+def bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Bloom filter built ENTIRELY from relational primitives, so the
+    oracle replays bit-for-bit (Spark's native bloom_filter_agg is
+    implementation-hashed; this portable form is the verifiable twin): m
+    = 16384 bits as 256 words via bit_or aggregation, k = 3 double-hashed
+    probes (Kirsch-Mitzenmacher), build side = distinct order custkeys,
+    probe side = every customer.  The report counts bloom positives and
+    FALSE POSITIVES against the exact semi-join truth -- and asserts by
+    construction zero false negatives, the Bloom guarantee.  At 100 TB
+    this shape is the semi-join pre-filter: the 2 KB word table broadcasts
+    to every probe task and drops most non-matching rows before the real
+    join shuffle; Spark's runtime bloom injection (tested in
+    test_plan_shapes) automates exactly this plan.  Sizing note: 16 kbit
+    holds ~1.6k keys at the canonical 10 bits/key; at sf0.1's 15k keys the
+    filter is deliberately saturated, and the report SHOWS that as the FP
+    count -- production picks m from n, this query pins the mechanism."""
+    m, wn = _BLOOM_M, _BLOOM_WORDS
+    keys = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    h1 = _bloom_h("o_custkey", "b1|", "spark")
+    h2 = _bloom_h("o_custkey", "b2|", "spark")
+    pos = keys.selectExpr(
+        *[f"(({h1} + {i} * {h2}) % {m}) AS p{i}" for i in range(3)]
+    )
+    bits = pos.selectExpr(
+        *[f"p{i} div 63 AS w{i}" for i in range(3)],
+        *[f"shiftleft(CAST(1 AS BIGINT), CAST(p{i} % 63 AS INT)) AS b{i}" for i in range(3)],
+    )
+    words = None
+    for i in range(3):
+        wi = bits.groupBy(F.col(f"w{i}").alias("wi")).agg(
+            F.expr(f"bit_or(b{i})").alias("word")
+        )
+        words = wi if words is None else words.unionByName(wi)
+    flat = words.groupBy("wi").agg(F.expr("bit_or(word)").alias("word"))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    p1 = _bloom_h("c_custkey", "b1|", "spark")
+    p2 = _bloom_h("c_custkey", "b2|", "spark")
+    probe = cust.selectExpr(
+        "c_custkey", *[f"(({p1} + {i} * {p2}) % {m}) AS p{i}" for i in range(3)]
+    )
+    for i in range(3):
+        probe = (
+            probe.join(
+                F.broadcast(flat.selectExpr(f"wi AS w{i}", f"word AS word{i}")),
+                F.expr(f"p{i} div 63") == F.col(f"w{i}"),
+                "left",
+            )
+            .withColumn(
+                f"hit{i}",
+                F.expr(f"coalesce((shiftright(word{i}, CAST(p{i} % 63 AS INT)) & 1) = 1, false)"),
+            )
+            .drop(f"w{i}", f"word{i}")
+        )
+    actual = keys.selectExpr("o_custkey AS c_custkey").withColumn("actual", F.lit(True))
+    rep = (
+        probe.join(actual, "c_custkey", "left")
+        .withColumn("actual", F.coalesce(F.col("actual"), F.lit(False)))
+        .withColumn("bloom_pos", F.col("hit0") & F.col("hit1") & F.col("hit2"))
+    )
+    return rep.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("actual"), 1).otherwise(0)).cast("long").alias("n_with_orders"),
+        F.sum(F.when(F.col("bloom_pos"), 1).otherwise(0)).cast("long").alias("n_bloom_positive"),
+        F.sum(F.when(F.col("bloom_pos") & ~F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positive"),
+        F.sum(F.when(~F.col("bloom_pos") & F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_negative"),
+    )
