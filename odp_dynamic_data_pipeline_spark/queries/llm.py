@@ -3937,7 +3937,7 @@ m AS (
 SELECT lang, CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS both_keep,
        CAST(n00 AS BIGINT) AS both_drop,
        CAST((CAST(n AS HUGEINT) * (n11 + n00) - (CAST(a1 AS HUGEINT) * b1 + CAST(n - a1 AS HUGEINT) * (n - b1))) * 1000000
-            // (CAST(n AS HUGEINT) * n - (CAST(a1 AS HUGEINT) * b1 + CAST(n - a1 AS HUGEINT) * (n - b1)))
+            // nullif(CAST(n AS HUGEINT) * n - (CAST(a1 AS HUGEINT) * b1 + CAST(n - a1 AS HUGEINT) * (n - b1)), 0)
             AS BIGINT) AS kappa_e6
 FROM m
 """,
@@ -3971,9 +3971,11 @@ def cohens_kappa_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = "DECIMAL(38,0)"
     pe = f"(CAST(a1 AS {d}) * b1 + CAST(n - a1 AS {d}) * (n - b1))"
+    # kappa is undefined when chance agreement is total (both raters
+    # unanimous: pe == N^2) -- emit NULL for that group, never abort
     kappa = F.expr(
         f"CAST(((CAST(n AS {d}) * (n11 + n00) - {pe}) * 1000000)"
-        f" div (CAST(n AS {d}) * n - {pe}) AS BIGINT)"
+        f" div nullif(CAST(n AS {d}) * n - {pe}, 0) AS BIGINT)"
     )
     return m.select(
         "lang",
@@ -4016,23 +4018,39 @@ def mapinarrow_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
 
     def norms(batches):
-        for batch in batches:
-            import numpy as np
+        import numpy as np
 
-            tbl = batch.to_pydict()
-            out_id, out_lab, out_norm, out_sum = [], [], [], []
-            for vid, lab, vec in zip(tbl["vec_id"], tbl["label"], tbl["embedding"]):
-                t = np.floor(np.asarray(vec, dtype=np.float64) * 1_000_000).astype(np.int64)
-                out_id.append(vid)
-                out_lab.append(lab)
-                out_norm.append(int((t * t).sum()))
-                out_sum.append(int(t.sum()))
+        for batch in batches:
+            # zero-copy: read the ListArray's flat values + offsets buffers
+            # directly into numpy and reduce per-list with reduceat -- one
+            # vectorized pass, no per-row Python, no pandas/pydict boxing
+            col = batch.column("embedding")
+            lists = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if isinstance(lists, pa.LargeListArray | pa.ListArray):
+                flat = lists.flatten()
+                offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            else:  # pragma: no cover - fixed-size list fallback
+                flat = lists.flatten()
+                step = lists.type.list_size
+                offs = np.arange(0, (len(lists) + 1) * step, step, dtype=np.int64)
+            t = np.floor(flat.to_numpy(zero_copy_only=False).astype(np.float64) * 1_000_000).astype(
+                np.int64
+            )
+            starts = offs[:-1]
+            norm = np.add.reduceat(t * t, starts) if len(t) else np.zeros(0, np.int64)
+            csum = np.add.reduceat(t, starts) if len(t) else np.zeros(0, np.int64)
+            # reduceat quirk: an empty list at position i yields t[starts[i]]
+            # (the next list's head); synthetic embeddings are never empty,
+            # but guard anyway so the kernel is reusable
+            empty = offs[1:] == starts
+            norm[empty] = 0
+            csum[empty] = 0
             yield pa.record_batch(
                 [
-                    pa.array(out_id, pa.int64()),
-                    pa.array(out_lab, pa.int32()),
-                    pa.array(out_norm, pa.int64()),
-                    pa.array(out_sum, pa.int64()),
+                    batch.column("vec_id"),
+                    batch.column("label"),
+                    pa.array(norm, pa.int64()),
+                    pa.array(csum, pa.int64()),
                 ],
                 names=["vec_id", "label", "norm_sq_e12", "component_sum_e6"],
             )
@@ -4209,10 +4227,12 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(ws).alias("r"),
         F.count(F.lit(1)).over(Window.partitionBy("source")).alias("ns"),
     )
-    ng = x.count()  # driver scalar: corpus size, the position denominator
     g = global_rank(x.select("v", "doc_id"), ["v", "doc_id"], rank_col="p").select(
         F.col("v").alias("gv"), "p"
     )
+    # corpus size = max global rank: read from the already-checkpointed rank
+    # table instead of a second full scan of the source
+    ng = g.agg(F.max("p")).first()[0]
     s = s.withColumn("p", F.expr(f"(r - 1) * {ng} div ns + 1"))
     return s.join(g, "p").select("doc_id", "source", "v", F.col("gv").alias("norm_v"))
 

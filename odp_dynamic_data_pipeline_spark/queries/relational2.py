@@ -2249,8 +2249,10 @@ def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents("l_extendedprice").alias("v"),
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
     )
-    n = li.count()  # driver scalar: one number, the histogram's denominator
     r = global_rank(li, ["v", "k"], rank_col="i")
+    # row count = max rank, read from the checkpointed rank table (no second
+    # scan of the source)
+    n = r.agg(F.max("i")).first()[0]
     return (
         r.withColumn("bucket", F.expr(f"CAST((i - 1) * 10 div {n} AS BIGINT)"))
         .groupBy("bucket")
@@ -2274,7 +2276,7 @@ WITH e AS (
 i AS (SELECT user_id, v, t2 - t AS dt FROM e WHERE t2 IS NOT NULL)
 SELECT user_id, COUNT(*) AS n_intervals,
        CAST(SUM(dt) AS BIGINT) AS total_dt_us,
-       CAST(SUM(CAST(v AS HUGEINT) * dt) // SUM(dt) AS BIGINT) AS twap_cents
+       CAST(SUM(CAST(v AS HUGEINT) * dt) // nullif(SUM(dt), 0) AS BIGINT) AS twap_cents
 FROM i GROUP BY user_id
 """,
 )
@@ -2285,7 +2287,9 @@ def twap_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     for an hour counts 3600x one that stood a second.  One lead() window
     per user partition (shuffle on user_id only), integer micros x cents
     products in DECIMAL(38,0) accumulators, truncating division: exact at
-    any scale, no float drift."""
+    any scale, no float drift.  A user whose events all share one
+    timestamp has zero total weight -- twap is undefined there and comes
+    back NULL (nullif), not as a job abort."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = ev.select(
@@ -2301,7 +2305,7 @@ def twap_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum("dt").cast("long").alias("total_dt_us"),
         F.expr(
-            "CAST(SUM(CAST(v AS DECIMAL(38,0)) * dt) div SUM(dt) AS BIGINT)"
+            "CAST(SUM(CAST(v AS DECIMAL(38,0)) * dt) div nullif(SUM(dt), 0) AS BIGINT)"
         ).alias("twap_cents"),
     )
 
@@ -2504,7 +2508,7 @@ def date_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Portable Bloom filter: m = 16384 bits in 256 64-bit words, k = 3 probes,
+# Portable Bloom filter: m = 16384 bits in 261 63-bit words, k = 3 probes,
 # double hashing pos_i = (h1 + i*h2) % m with md5-derived h1/h2 -- every
 # piece replayable in any engine with md5 + integer ops.
 _BLOOM_M = 16384
@@ -2526,9 +2530,6 @@ def _bloom_oracle() -> str:
     p1 = _bloom_h("c_custkey", "b1|", "duck")
     p2 = _bloom_h("c_custkey", "b2|", "duck")
     m, w = _BLOOM_M, _BLOOM_WORDS
-    probes = " AND ".join(
-        f"(bf.w{i} >> (({p1} + {i} * {p2}) % {m} % 63)) & 1 = 1" for i in range(3)
-    )
     sets_ = ",\n".join(
         f"  bit_or(CASE WHEN (({h1} + {i} * {h2}) % {m}) // 63 = w.wi"
         f" THEN 1 << (({h1} + {i} * {h2}) % {m} % 63) ELSE 0 END) AS b{i}"
@@ -2573,12 +2574,14 @@ def bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A Bloom filter built ENTIRELY from relational primitives, so the
     oracle replays bit-for-bit (Spark's native bloom_filter_agg is
     implementation-hashed; this portable form is the verifiable twin): m
-    = 16384 bits as 256 words via bit_or aggregation, k = 3 double-hashed
-    probes (Kirsch-Mitzenmacher), build side = distinct order custkeys,
+    = 16384 bits in 261 63-bit words (~2 KB; bit 63 of a BIGINT is the
+    sign bit and both engines refuse or misread 1<<63, so words hold 63
+    usable bits -- size as ceil(m/63), never m/64) via bit_or
+    aggregation, k = 3 double-hashed probes (Kirsch-Mitzenmacher), build side = distinct order custkeys,
     probe side = every customer.  The report counts bloom positives and
     FALSE POSITIVES against the exact semi-join truth -- and asserts by
     construction zero false negatives, the Bloom guarantee.  At 100 TB
-    this shape is the semi-join pre-filter: the 2 KB word table broadcasts
+    this shape is the semi-join pre-filter: the ~2 KB word table broadcasts
     to every probe task and drops most non-matching rows before the real
     join shuffle; Spark's runtime bloom injection (tested in
     test_plan_shapes) automates exactly this plan.  Sizing note: 16 kbit

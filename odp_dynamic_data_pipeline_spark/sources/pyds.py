@@ -116,7 +116,12 @@ class JsonlSinkWriter(DataSourceWriter):
     def abort(self, messages):
         import os
 
+        # a FAILED task contributes None instead of a commit message
+        # (DataSourceWriter.abort contract) -- skip those, and never let
+        # cleanup of one orphan prevent cleanup of the rest
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(m.tmp_path)
             except OSError:
@@ -133,4 +138,9 @@ class JsonlSinkDataSource(DataSource):
         return "jsonl_pysink"
 
     def writer(self, schema, overwrite):
+        if overwrite:
+            # append-only sink: commit() renames new files and cannot see
+            # (or atomically retract) a previous job's output -- refusing
+            # loudly beats silently doubling the directory
+            raise NotImplementedError("jsonl_pysink supports append mode only")
         return JsonlSinkWriter(self.options)
