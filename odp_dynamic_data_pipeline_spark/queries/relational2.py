@@ -2642,3 +2642,70 @@ def bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_false_negative"),
     )
+
+
+@register(
+    "rfm_customer_segments",
+    """
+WITH base AS (
+  SELECT o_custkey AS ck,
+         MAX(date_diff('day', DATE '1992-01-01', o_orderdate)) AS r,
+         COUNT(*) AS f,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS m
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT ck, r, f, m,
+         row_number() OVER (ORDER BY r, ck) AS rr,
+         row_number() OVER (ORDER BY f, ck) AS rf,
+         row_number() OVER (ORDER BY m, ck) AS rm,
+         COUNT(*) OVER () AS n
+  FROM base
+),
+coded AS (
+  SELECT (rr - 1) * 4 // n AS r_code,
+         (rf - 1) * 4 // n AS f_code,
+         (rm - 1) * 4 // n AS m_code,
+         m
+  FROM ranked
+)
+SELECT r_code, f_code, m_code, COUNT(*) AS n_customers,
+       CAST(SUM(m) AS BIGINT) AS segment_cents
+FROM coded GROUP BY r_code, f_code, m_code
+""",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartile codes) --
+    the standard customer-value lattice behind retention and campaign
+    targeting.  Each dimension's quartile is the explicit integer formula
+    (rank-1)*4 div n over a strict (metric, custkey) total order, with all
+    three global ranks computed by the distributed two-pass `global_rank`
+    (never a one-task sort; the oracle uses the equivalent single-window
+    SQL).  Ranks run over the per-customer AGGREGATE, so the ranked input
+    is customers, not orders; the final rollup is at most 64 lattice
+    cells."""
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import global_rank
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max(F.datediff("o_orderdate", F.lit("1992-01-01"))).alias("r"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(_cents("o_totalprice")).cast("long").alias("m"),
+        )
+    )
+    ranked = base
+    for metric, col in (("r", "rr"), ("f", "rf"), ("m", "rm")):
+        ranked = global_rank(ranked, [metric, "ck"], rank_col=col)
+    n = ranked.agg(F.max("rr")).first()[0]
+    coded = ranked.select(
+        F.expr(f"(rr - 1) * 4 div {n}").alias("r_code"),
+        F.expr(f"(rf - 1) * 4 div {n}").alias("f_code"),
+        F.expr(f"(rm - 1) * 4 div {n}").alias("m_code"),
+        "m",
+    )
+    return coded.groupBy("r_code", "f_code", "m_code").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("m").cast("long").alias("segment_cents"),
+    )
