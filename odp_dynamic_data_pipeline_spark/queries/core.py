@@ -2360,3 +2360,56 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
         ).alias("z_stat"),
     )
+
+
+@register(
+    "stream_static_enrich_stream",
+    """
+WITH ev AS (SELECT user_id, event_type,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+dim AS (SELECT c_custkey AS user_id, c_mktsegment AS segment FROM customer)
+SELECT COALESCE(d.segment, 'UNKNOWN') AS segment, ev.event_type,
+       COUNT(*) AS n, CAST(SUM(ev.cents) AS BIGINT) AS sum_cents
+FROM ev LEFT JOIN dim d ON ev.user_id = d.user_id
+GROUP BY segment, ev.event_type
+""",
+)
+def stream_static_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment twin (SURVEY section 2.7; the streaming
+    form of the reference's per-event Redis lookup): events replay as a
+    file stream, every micro-batch broadcast-joins the static customer
+    dimension (streaming/stream.py `stream_enrich`), unmatched users keep
+    flowing with an UNKNOWN segment (left join -- enrichment must never
+    drop events), and the enriched stream lands in parquet for a
+    batch-equal rollup.  Upgrades this survey row from unit-tested to
+    driver-hash-verified.  The static side re-broadcasts per micro-batch,
+    which is exactly the production contract for slowly-changing dims:
+    restart (or use foreachBatch re-read) to pick up a new snapshot."""
+
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        run_available_now,
+        stream_enrich,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", _cents("value").alias("cents"))
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_mktsegment").alias("segment")
+    )
+    tmp = _stream_tmpdir("sse_stream")
+    stream = _replay_stream(spark, ev, tmp)
+    enriched = stream_enrich(stream, dim, key_col="user_id").select(
+        F.coalesce(F.col("segment"), F.lit("UNKNOWN")).alias("segment"),
+        "event_type",
+        "cents",
+    )
+    with _stream_shuffle(spark):
+        run_available_now(
+            enriched, format="parquet", query_name="", path=f"{tmp}/out", checkpoint=f"{tmp}/ckpt"
+        )
+    return (
+        spark.read.schema("segment string, event_type string, cents bigint")
+        .parquet(f"{tmp}/out")
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+    )
