@@ -4232,7 +4232,7 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # corpus size = max global rank: read from the already-checkpointed rank
     # table instead of a second full scan of the source
-    ng = g.agg(F.max("p")).first()[0]
+    ng = g.agg(F.max("p")).first()[0] or 1  # empty-corpus guard, keeps plan analyzable
     s = s.withColumn("p", F.expr(f"(r - 1) * {ng} div ns + 1"))
     return s.join(g, "p").select("doc_id", "source", "v", F.col("gv").alias("norm_v"))
 

@@ -2252,7 +2252,7 @@ def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = global_rank(li, ["v", "k"], rank_col="i")
     # row count = max rank, read from the checkpointed rank table (no second
     # scan of the source)
-    n = r.agg(F.max("i")).first()[0]
+    n = r.agg(F.max("i")).first()[0] or 1  # empty-input guard, keeps plan analyzable
     return (
         r.withColumn("bucket", F.expr(f"CAST((i - 1) * 10 div {n} AS BIGINT)"))
         .groupBy("bucket")
@@ -2698,7 +2698,9 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = base
     for metric, col in (("r", "rr"), ("f", "rf"), ("m", "rm")):
         ranked = global_rank(ranked, [metric, "ck"], rank_col=col)
-    n = ranked.agg(F.max("rr")).first()[0]
+    # empty-input guard: max over zero rows is None; any denominator keeps
+    # the (empty) plan analyzable, matching the oracle's clean empty result
+    n = ranked.agg(F.max("rr")).first()[0] or 1
     coded = ranked.select(
         F.expr(f"(rr - 1) * 4 div {n}").alias("r_code"),
         F.expr(f"(rf - 1) * 4 div {n}").alias("f_code"),
