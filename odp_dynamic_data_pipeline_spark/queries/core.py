@@ -2413,3 +2413,104 @@ def stream_static_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
     )
+
+
+@register(
+    "interval_overlap_incidents",
+    """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 7200000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE event_type = 'view'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM v
+),
+s AS (
+  SELECT user_id, epoch_us(MIN(ts)) AS s0, epoch_us(MAX(ts)) AS s1
+  FROM sess GROUP BY user_id, sid
+),
+i AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) - 1800000000 AS i0, epoch_us(ts) + 1800000000 AS i1
+  FROM events WHERE event_type = 'error'
+),
+pairs AS (
+  SELECT s.user_id, s.s0, i.event_id,
+         least(s.s1, i.i1) - greatest(s.s0, i.i0) AS ov_us
+  FROM s JOIN i ON s.user_id = i.user_id
+  WHERE s.s0 <= i.i1 AND i.i0 <= s.s1
+)
+SELECT user_id, COUNT(*) AS n_pairs,
+       CAST(SUM(ov_us) AS BIGINT) AS total_overlap_us
+FROM pairs GROUP BY user_id
+""",
+)
+def interval_overlap_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big INTERVAL OVERLAP join without a nested loop: view-sessions
+    (2-hour-gap sessionization) against error-incident windows (+/-30 min
+    around each error), overlap seconds per user.
+
+    The naive plan is an inequality join -- a cartesian per user at best.
+    The scale shape used here is TIME BUCKETING: both interval sets
+    explode to the 1-hour buckets they cover, overlap candidates come
+    from an EQUI-join on (user, bucket), the exact predicate then filters
+    and a distinct collapses intervals that met in several buckets.
+    Shuffle volume is O(intervals x buckets-covered), never |left|x|right|
+    per key -- the same coarse-bucket-then-refine trick as the LSH band
+    join and the SCD2 as-of.  The oracle runs the plain inequality join
+    (fine at gate scale) -- both must agree exactly, all-integer micros."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) >= 7200000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = v.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    s = sess.groupBy("user_id", "sid").agg(
+        F.unix_micros(F.min("ts")).alias("s0"), F.unix_micros(F.max("ts")).alias("s1")
+    )
+    i = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        "event_id",
+        (F.unix_micros("ts") - 1800000000).alias("i0"),
+        (F.unix_micros("ts") + 1800000000).alias("i1"),
+    )
+    hour = 3600 * 1000 * 1000
+    sb = s.withColumn("bucket", F.explode(F.expr(f"sequence(s0 div {hour}, s1 div {hour})")))
+    ib = i.withColumn("bucket", F.explode(F.expr(f"sequence(i0 div {hour}, i1 div {hour})")))
+    pairs = (
+        sb.join(ib, ["user_id", "bucket"])
+        .where((F.col("s0") <= F.col("i1")) & (F.col("i0") <= F.col("s1")))
+        .select(
+            "user_id",
+            "s0",
+            "event_id",
+            (F.least("s1", "i1") - F.greatest("s0", "i0")).alias("ov_us"),
+        )
+        .distinct()  # an (interval, incident) pair can meet in several buckets
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("ov_us").cast("long").alias("total_overlap_us")
+    )
