@@ -4477,3 +4477,114 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("members"),
     )
+
+
+def _degree_powerlaw_oracle() -> str:
+    """Log-log degree fit oracle.  log2 uses the RECURSIVE-CTE fixed-point
+    recurrence (the bm25/dsir pattern): DuckDB's list_reduce fold
+    mis-evaluates row-dependent init elements for some vector layouts
+    (loud int64-overflow error on this histogram at sf0.1), so the fold
+    form duck_ilog2_sql cannot be used here."""
+    prefix = MINHASH_MD5_ORACLE[: MINHASH_MD5_ORACLE.index("SELECT a.doc_id AS id_a")]
+    prefix = prefix.replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
+    return (
+        prefix
+        + """, pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+deg AS (
+  SELECT nid, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT id_a AS nid FROM pairs UNION ALL SELECT id_b FROM pairs
+  ) GROUP BY nid
+),
+hist AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY deg),
+vals AS (
+  SELECT deg AS kk, 'x' AS w, deg AS x FROM hist
+  UNION ALL
+  SELECT deg, 'y', n_nodes FROM hist
+),
+lgr(kk, w, it, e, m, frac) AS (
+  SELECT kk, w, 0, length(format('{:b}', x)) - 1,
+         (x << 30) >> (length(format('{:b}', x)) - 1), CAST(0 AS BIGINT)
+  FROM vals
+  UNION ALL
+  SELECT kk, w, it + 1, e,
+         CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
+              THEN ((m * m) >> 30) >> 1 ELSE (m * m) >> 30 END,
+         frac * 2 + CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
+                         THEN 1 ELSE 0 END
+  FROM lgr WHERE it < 20
+),
+lfp AS (SELECT kk, w, (CAST(e AS BIGINT) << 20) + frac AS v FROM lgr WHERE it = 20),
+logs AS (
+  SELECT h.deg, h.n_nodes, lx.v AS ld_fp20, ly.v AS ln_fp20
+  FROM hist h
+  JOIN (SELECT kk, v FROM lfp WHERE w = 'x') lx ON lx.kk = h.deg
+  JOIN (SELECT kk, v FROM lfp WHERE w = 'y') ly ON ly.kk = h.deg
+),
+mom AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(ld_fp20) AS HUGEINT) AS sx, CAST(SUM(ln_fp20) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(ld_fp20 AS HUGEINT) * ln_fp20) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(ld_fp20 AS HUGEINT) * ld_fp20) AS HUGEINT) AS sxx
+  FROM logs
+)
+SELECT logs.deg, logs.n_nodes, logs.ld_fp20, logs.ln_fp20,
+       (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / nullif(CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+         AS powerlaw_slope
+FROM logs CROSS JOIN mom
+"""
+    )
+
+
+@register("degree_powerlaw_fit", _degree_powerlaw_oracle())
+def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution diagnostics for the near-dup candidate graph:
+    the degree histogram plus a log-log OLS slope (the power-law exponent
+    estimate) -- the number that says whether dedup candidates concentrate
+    on a few hub documents (boilerplate/templates) and therefore whether
+    the pair join needs skew handling.  log2 is the repo's exact
+    fixed-point recurrence (no libm), so every histogram row and both log
+    columns are hash-exact integers; only the final closed-form slope is
+    a double, shaped identically in both engines (nullif-guarded for the
+    degenerate one-point histogram).  The moments table is one broadcast
+    row over an already-tiny histogram."""
+    from odp_dynamic_data_pipeline_spark.functions.scalars import ilog2_fp20_sql
+
+    edges = dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b")
+    deg = (
+        edges.selectExpr("id_a AS nid")
+        .unionAll(edges.selectExpr("id_b AS nid"))
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+    logs = hist.selectExpr(
+        "deg",
+        "n_nodes",
+        f"{ilog2_fp20_sql('deg')} AS ld_fp20",
+        f"{ilog2_fp20_sql('n_nodes')} AS ln_fp20",
+    )
+    d = "DECIMAL(38,0)"
+    mom = logs.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ld_fp20").alias("sx"),
+        F.sum("ln_fp20").alias("sy"),
+        F.sum(F.expr(f"CAST(ld_fp20 AS {d}) * ln_fp20")).alias("sxy"),
+        F.sum(F.expr(f"CAST(ld_fp20 AS {d}) * ld_fp20")).alias("sxx"),
+    )
+    out = logs.crossJoin(F.broadcast(mom))
+    k, sx, sy, sxy, sxx = (F.col(x).cast("double") for x in ("k", "sx", "sy", "sxy", "sxx"))
+    return out.select(
+        "deg",
+        "n_nodes",
+        "ld_fp20",
+        "ln_fp20",
+        ((k * sxy - sx * sy) / F.expr("nullif(CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                                      " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0D)")).alias(
+            "powerlaw_slope"
+        ),
+    )

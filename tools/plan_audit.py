@@ -58,6 +58,7 @@ BROADCAST_NLJ_BY_DESIGN = {
     "chi2_independence_lang_source",  # lang-marginal x source-marginal lattice (L*S rows), both broadcast aggs
     "frequent_pair_mining",        # single-row basket-universe total broadcast (lift denominator)
     "benford_price_digits",        # single-row digit-total broadcast over a 9-row agg
+    "degree_powerlaw_fit",         # single-row log-log moment broadcast over the degree histogram
 }
 # queries where a GLOBAL (unpartitioned) window is safe: its input is
 # already bounded to <= top_k rows by TakeOrderedAndProject / limit, or to a
