@@ -2514,3 +2514,48 @@ def interval_overlap_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs"), F.sum("ov_us").cast("long").alias("total_overlap_us")
     )
+
+
+@register(
+    "event_disorder_report",
+    """
+WITH arr AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN hwm > t THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(MAX(hwm - t) AS BIGINT) AS max_lateness_us,
+       CAST(SUM(hwm - t) AS BIGINT) AS total_lateness_us
+FROM arr GROUP BY user_id
+""",
+)
+def event_disorder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit: per key, how far events arrive BEHIND the
+    running event-time high-water mark in arrival order (event_id) -- the
+    measurement that SIZES a watermark delay from data instead of
+    folklore: max_lateness is the delay that loses nothing, the lateness
+    histogram tail is the loss/latency trade.  One per-key ordered window
+    (shuffle on user_id), all-integer micros.  The streaming twins in this
+    registry use '1 hour'; this report is where such a number must come
+    from."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    arr = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.max(F.unix_micros("ts")).over(w).alias("hwm"),
+    )
+    return arr.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("hwm") > F.col("t"), 1).otherwise(0)).cast("long").alias("n_late"),
+        F.max(F.col("hwm") - F.col("t")).cast("long").alias("max_lateness_us"),
+        F.sum(F.col("hwm") - F.col("t")).cast("long").alias("total_lateness_us"),
+    )
