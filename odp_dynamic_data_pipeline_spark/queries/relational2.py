@@ -2711,3 +2711,121 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("m").cast("long").alias("segment_cents"),
     )
+
+
+@register(
+    "kmv_trailing_windows",
+    """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         user_id
+  FROM events
+),
+days AS (SELECT DISTINCT event_type, day FROM d),
+win AS (
+  SELECT w.event_type, w.day, d.user_id
+  FROM days w
+  JOIN d ON d.event_type = w.event_type AND d.day BETWEEN w.day - 6 AND w.day
+),
+h AS (
+  SELECT DISTINCT event_type, day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM win
+),
+r AS (
+  SELECT event_type, day, h,
+         row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+  FROM h
+),
+s AS (
+  SELECT event_type, day, COUNT(*) AS cnt, MAX(h) AS h_k
+  FROM r WHERE rn <= 64 GROUP BY event_type, day
+),
+n AS (
+  SELECT event_type, day, COUNT(DISTINCT user_id) AS n_exact
+  FROM win GROUP BY event_type, day
+),
+e AS (
+  SELECT s.event_type, s.day, n.n_exact,
+         CASE WHEN s.cnt < 64 THEN s.cnt
+              ELSE CAST((63::HUGEINT * 1152921504606846976) // s.h_k AS BIGINT)
+         END AS kmv_estimate
+  FROM s JOIN n ON s.event_type = n.event_type AND s.day = n.day
+)
+SELECT event_type, day, n_exact, kmv_estimate,
+       abs(kmv_estimate - n_exact) * 5 <= n_exact AS within_20pct
+FROM e
+""",
+)
+def kmv_trailing_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per event type via WINDOWED KMV
+    sketch merge -- the pattern that makes sliding-window COUNT(DISTINCT)
+    tractable at scale: one bounded sketch per (key, day) partial, then
+    each trailing window is a MERGE of 7 partials (k-min of unioned
+    k-mins == global k-min), so no window ever re-touches raw events.
+    The Spark side computes exactly that two-level shape -- daily partial
+    sketches fanned to the windows they serve via an explode equi-join --
+    while the oracle computes each window single-level from scratch; hash
+    parity is again the merge-law proof, now across overlapping windows.
+    Exact per-window distincts ride along with a 20% bound-as-data
+    column.  Cost: partials touch each event once; the merge layer is
+    O(windows x k) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        "user_id",
+    ).distinct()
+    # daily partial sketch: k smallest distinct hashes per (type, day)
+    h = d.select(
+        "event_type",
+        "day",
+        F.expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").alias(
+            "h"
+        ),
+    ).distinct()
+    K = 64
+    part = (
+        h.withColumn("rn", F.row_number().over(Window.partitionBy("event_type", "day").orderBy("h")))
+        .filter(F.col("rn") <= K)
+        .select("event_type", "day", "h")
+    )
+    # fan each daily partial to the trailing windows it serves (day..day+6),
+    # keep only windows that actually exist (inner join with the day list)
+    days = d.select("event_type", "day").distinct()
+    fan = (
+        part.withColumn("wday", F.explode(F.expr("sequence(day, day + 6)")))
+        .join(days.select("event_type", F.col("day").alias("wday")), ["event_type", "wday"])
+        .select("event_type", F.col("wday").alias("day"), "h")
+        .distinct()  # same user hash may arrive from several partial days
+    )
+    merged = fan.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type", "day").orderBy("h"))
+    ).filter(F.col("rn") <= K)
+    s = merged.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("h").alias("h_k")
+    )
+    # exact trailing distinct for the bound column
+    win = (
+        d.withColumn("wday", F.explode(F.expr("sequence(day, day + 6)")))
+        .join(days.select("event_type", F.col("day").alias("wday")), ["event_type", "wday"])
+        .groupBy("event_type", F.col("wday").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    est = F.when(F.col("cnt") < K, F.col("cnt")).otherwise(
+        F.expr(f"CAST((CAST({K - 1} AS DECIMAL(38,0)) * {1 << 60}) div h_k AS BIGINT)")
+    )
+    return (
+        s.join(win, ["event_type", "day"])
+        .withColumn("kmv_estimate", est)
+        .select(
+            "event_type",
+            "day",
+            "n_exact",
+            "kmv_estimate",
+            (F.abs(F.col("kmv_estimate") - F.col("n_exact")) * 5 <= F.col("n_exact")).alias(
+                "within_20pct"
+            ),
+        )
+    )
