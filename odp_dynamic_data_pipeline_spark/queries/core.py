@@ -2559,3 +2559,121 @@ def event_disorder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("hwm") - F.col("t")).cast("long").alias("max_lateness_us"),
         F.sum(F.col("hwm") - F.col("t")).cast("long").alias("total_lateness_us"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+c AS (
+  SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+),
+tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS row_n FROM c GROUP BY src)
+SELECT c.src, c.dst, c.n,
+       CAST(c.n * 1000000 // tot.row_n AS BIGINT) AS p_e6
+FROM c JOIN tot ON c.src = tot.src
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (what follows what): lead() pairs within each user's timeline, exact
+    transition counts, row-normalized probabilities in e6 fixed point --
+    the building block behind next-event prediction features and journey
+    analysis.  One shuffle on user_id for the window, a T x T (=25)
+    aggregate after; row totals join back broadcast-small."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", F.col("event_type").alias("src"), F.lead("event_type").over(w).alias("dst"))
+    c = seq.where(F.col("dst").isNotNull()).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.groupBy("src").agg(F.sum("n").cast("long").alias("row_n"))
+    return c.join(F.broadcast(tot), "src").select(
+        "src", "dst", "n", F.expr("CAST(n * 1000000 div row_n AS BIGINT)").alias("p_e6")
+    )
+
+
+@register(
+    "cohort_retention_weeks",
+    """
+WITH f AS (
+  SELECT user_id,
+         MIN(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7) AS cohort_week
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id,
+         date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) // 7 AS week
+  FROM events e
+),
+joined AS (
+  SELECT f.cohort_week, act.week - f.cohort_week AS week_k, act.user_id
+  FROM act JOIN f ON act.user_id = f.user_id
+),
+size_ AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM f GROUP BY cohort_week)
+SELECT j.cohort_week, j.week_k,
+       COUNT(DISTINCT j.user_id) AS n_active,
+       MAX(s.cohort_size) AS cohort_size,
+       CAST(COUNT(DISTINCT j.user_id) * 1000000 // MAX(s.cohort_size) AS BIGINT)
+         AS retention_e6
+FROM joined j JOIN size_ s ON j.cohort_week = s.cohort_week
+GROUP BY j.cohort_week, j.week_k
+""",
+)
+def cohort_retention_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    then for each (cohort, weeks-since-joining) the share still active --
+    the canonical product-analytics report.  First-activity is a min-agg
+    (no window over raw events), activity de-dupes to (user, week) BEFORE
+    the cohort join, so the join input is bounded by users x weeks, not
+    events; retention is exact e6 integer division."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.expr("datediff(to_date(ts), DATE'2024-01-01') div 7")
+    f = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    act = ev.select("user_id", wk.alias("week")).distinct()
+    joined = act.join(f, "user_id").select(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_k"), "user_id"
+    )
+    size_ = f.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        joined.groupBy("cohort_week", "week_k")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(size_), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_k",
+            "n_active",
+            "cohort_size",
+            F.expr("CAST(n_active * 1000000 div cohort_size AS BIGINT)").alias("retention_e6"),
+        )
+    )
+
+
+@register(
+    "activity_heatmap",
+    """
+SELECT dayofweek(CAST(ts AS DATE)) AS dow, hour(ts) AS hod,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY dow, hod
+""",
+)
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap (the capacity-planning /
+    seasonality primitive).  Spark's dayofweek is 1=Sunday vs DuckDB's
+    0=Sunday -- normalized here exactly as date_functions_zoo pins it;
+    hour() truncation of the nanos timestamp matches on both engines.
+    168-cell aggregate, map-side combined."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek(F.to_date("ts")) - 1).alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(_cents("value")).cast("long").alias("sum_cents"),
+    )
