@@ -2829,3 +2829,50 @@ def kmv_trailing_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "region_share_report",
+    """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY region, nation
+),
+tot AS (SELECT region, CAST(SUM(cents) AS BIGINT) AS region_cents FROM rev GROUP BY region)
+SELECT rev.region, rev.nation, rev.cents, tot.region_cents,
+       CAST(rev.cents * 1000000 // tot.region_cents AS BIGINT) AS share_e6
+FROM rev JOIN tot ON rev.region = tot.region
+""",
+)
+def region_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup (each nation's share of its region's
+    revenue) -- the contribution layout every BI drill-down renders.  Star
+    join with both dims broadcast, one fact aggregate, then the parent
+    total joins back as a 5-row broadcast; shares are exact e6 integers.
+    The alternative -- a windowed SUM() OVER (PARTITION BY region) on the
+    fact -- recomputes the parent per row; aggregating once and joining
+    back is the shape that scales."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+    )
+    tot = rev.groupBy("region").agg(F.sum("cents").cast("long").alias("region_cents"))
+    return rev.join(F.broadcast(tot), "region").select(
+        "region",
+        "nation",
+        "cents",
+        "region_cents",
+        F.expr("CAST(cents * 1000000 div region_cents AS BIGINT)").alias("share_e6"),
+    )
