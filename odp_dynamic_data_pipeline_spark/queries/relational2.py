@@ -2876,3 +2876,120 @@ def region_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region_cents",
         F.expr("CAST(cents * 1000000 div region_cents AS BIGINT)").alias("share_e6"),
     )
+
+
+@register(
+    "argmax_functions_zoo",
+    """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         epoch_us(ts) AS t
+  FROM events
+)
+SELECT user_id,
+       arg_max(event_type, cents * 10000000 + event_id) AS top_value_type,
+       arg_max(event_id, cents * 10000000 + event_id) AS top_value_event,
+       arg_min(event_type, t * 10 + event_id % 10) AS first_event_type,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM e GROUP BY user_id
+""",
+)
+def argmax_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-extremum aggregate surface (max_by/min_by == DuckDB's
+    arg_max/arg_min): the which-row-was-it companion to MAX that avoids a
+    self-join or window.  The determinism trap these functions carry: on
+    TIED ordering keys the result is engine- (and partition-order-)
+    dependent, so every ordering key here is made strict by folding the
+    unique event_id into its low digits -- the same discipline a
+    production pipeline needs before trusting max_by across retries.
+    Map-side-combinable single aggregate, one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        _cents("value").alias("cents"),
+        F.unix_micros("ts").alias("t"),
+    )
+    return e.groupBy("user_id").agg(
+        F.expr("max_by(event_type, cents * 10000000 + event_id)").alias("top_value_type"),
+        F.expr("max_by(event_id, cents * 10000000 + event_id)").alias("top_value_event"),
+        F.expr("min_by(event_type, t * 10 + event_id % 10)").alias("first_event_type"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
+
+
+@register(
+    "rolling_correlation_series",
+    """
+WITH daily AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS p
+  FROM events GROUP BY day
+),
+win AS (
+  SELECT day,
+         COUNT(*) OVER w AS n,
+         SUM(v) OVER w AS sv, SUM(p) OVER w AS sp,
+         SUM(CAST(v AS HUGEINT) * p) OVER w AS svp,
+         SUM(CAST(v AS HUGEINT) * v) OVER w AS svv,
+         SUM(CAST(p AS HUGEINT) * p) OVER w AS spp
+  FROM daily
+  WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, CAST(n AS BIGINT) AS n_days,
+       (CAST(n AS DOUBLE) * CAST(svp AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sp AS DOUBLE))
+       / nullif(sqrt(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)), 0.0)
+         AS rolling_corr
+FROM win
+""",
+)
+def rolling_correlation_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between two daily series (view
+    vs purchase spend) -- the co-movement monitor for metric pairs.  The
+    raw events reduce to ONE row per day first, so the sliding windows run
+    over the tiny daily series, never over events; moments accumulate as
+    exact integers inside RANGE-framed windows (day gaps handled by the
+    range frame, not row offsets) and only the final closed form divides
+    as identically-shaped doubles, nullif-guarded for constant windows.
+    At scale: events -> daily is the only data-sized pass."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", _cents("value")).otherwise(0))
+        .cast("long")
+        .alias("v"),
+        F.sum(F.when(F.col("event_type") == "purchase", _cents("value")).otherwise(0))
+        .cast("long")
+        .alias("p"),
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    win = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v").over(w).alias("sv"),
+        F.sum("p").over(w).alias("sp"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * p")).over(w).alias("svp"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).over(w).alias("svv"),
+        F.sum(F.expr("CAST(p AS DECIMAL(38,0)) * p")).over(w).alias("spp"),
+    )
+    n, sv, sp, svp, svv, spp = (
+        F.col(x).cast("double") for x in ("n", "sv", "sp", "svp", "svv", "spp")
+    )
+    return win.select(
+        "day",
+        F.col("n").cast("long").alias("n_days"),
+        (
+            (n * svp - sv * sp)
+            / F.expr(
+                "nullif(sqrt(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))"
+                " * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)), 0.0D)"
+            )
+        ).alias("rolling_corr"),
+    )

@@ -83,6 +83,7 @@ GLOBAL_WINDOW_BOUNDED = {
     "zipf_head_coverage",      # cumulative share over top-k tokens
     "dataset_card_report",     # ordered rows of a fixed-size report
     "categorical_index_langs", # frequency rank over the distinct-lang vocab (bounded)
+    "rolling_correlation_series",  # RANGE frames over the daily rollup (bounded by calendar, not data)
 }
 
 
