@@ -2993,3 +2993,47 @@ def rolling_correlation_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rolling_corr"),
     )
+
+
+@register(
+    "string_functions_zoo3",
+    """
+WITH t AS (
+  SELECT doc_id, substr(text, 1, 20) AS s, lang
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       lpad(lang, 6, '*') AS padded,
+       rpad(lang, 6, '.') AS rpadded,
+       translate(s, 'aeiou', '00000') AS devoweled,
+       reverse(left(s, 8)) AS rev_head,
+       right(s, 5) AS tail5,
+       split_part(s, ' ', 2) AS second_word,
+       instr(s, 'a') AS first_a,
+       replace(s, ' ', '_') AS snaked,
+       repeat(lang, 2) AS doubled
+FROM t
+""",
+)
+def string_functions_zoo3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third scalar-string surface block: padding, translate, directional
+    slices (left/right), split_part, instr, replace, repeat -- the
+    normalization toolkit of any ingest mapping, pinned value-for-value
+    across engines on real document prefixes (each function verified to
+    share semantics with the oracle dialect before inclusion; e.g. both
+    engines 1-index instr and return '' not NULL for a missing
+    split_part index).  Pure projection: codegen'd, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    t = docs.select("doc_id", F.expr("substr(text, 1, 20)").alias("s"), "lang")
+    return t.selectExpr(
+        "doc_id",
+        "lpad(lang, 6, '*') AS padded",
+        "rpad(lang, 6, '.') AS rpadded",
+        "translate(s, 'aeiou', '00000') AS devoweled",
+        "reverse(left(s, 8)) AS rev_head",
+        "right(s, 5) AS tail5",
+        "split_part(s, ' ', 2) AS second_word",
+        "instr(s, 'a') AS first_a",
+        "replace(s, ' ', '_') AS snaked",
+        "repeat(lang, 2) AS doubled",
+    )
