@@ -3037,3 +3037,55 @@ def string_functions_zoo3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "replace(s, ' ', '_') AS snaked",
         "repeat(lang, 2) AS doubled",
     )
+
+
+@register(
+    "bitmap_cooccurrence_matrix",
+    """
+WITH m AS (
+  SELECT DISTINCT event_type, user_id // 63 AS wi,
+         CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT) AS bit
+  FROM events
+),
+words AS (
+  SELECT event_type, wi, bit_or(bit) AS word FROM m GROUP BY event_type, wi
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(SUM(bit_count(a.word & b.word)) AS BIGINT) AS n_users_both
+  FROM words a JOIN words b ON a.wi = b.wi AND a.event_type < b.event_type
+  GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, n_users_both FROM pairs
+""",
+)
+def bitmap_cooccurrence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix via BITMAP INDEXES, no user-level join: each
+    event type's user set packs into 63-bit words (roaring-bitmap-lite:
+    word index = user div 63, same sign-bit avoidance as the Bloom
+    build), overlap = SUM(bit_count(a AND b)) over aligned words -- the
+    segment-intersection primitive OLAP engines use when every
+    combination of N segments would otherwise be N^2 distinct-count
+    joins.  Bitmap size is |user universe|/63 words per segment
+    regardless of event volume, the word join is an equi-join on word
+    index, and popcount is a single JVM intrinsic per word pair.  The
+    oracle replays the identical packing, so the counts are exact, not
+    estimates."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        F.expr("user_id div 63").alias("wi"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").alias("bit"),
+    ).distinct()
+    words = m.groupBy("event_type", "wi").agg(F.expr("bit_or(bit)").alias("word"))
+    a = words.select(
+        F.col("event_type").alias("type_a"), "wi", F.col("word").alias("wa")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), F.col("wi").alias("wi_b"), F.col("word").alias("wb")
+    )
+    return (
+        a.join(b, (F.col("wi") == F.col("wi_b")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.expr("bit_count(wa & wb)")).cast("long").alias("n_users_both"))
+    )
