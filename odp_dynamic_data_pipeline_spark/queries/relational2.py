@@ -3089,3 +3089,52 @@ def bitmap_cooccurrence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.sum(F.expr("bit_count(wa & wb)")).cast("long").alias("n_users_both"))
     )
+
+
+@register(
+    "partial_topk_orders",
+    """
+WITH j AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderkey AS orderkey,
+         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+r AS (
+  SELECT seg, orderkey, cents,
+         row_number() OVER (PARTITION BY seg ORDER BY cents DESC, orderkey) AS rk
+  FROM j
+)
+SELECT seg, orderkey, cents, rk FROM r WHERE rk <= 5
+""",
+)
+def partial_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 orders per segment via TWO-STAGE partial top-k -- the
+    bucket-local pre-reduction that keeps per-group ranking from shuffling
+    the whole fact table (the standalone form of the shortlist cutoff
+    inside similarity_pq_topk, SCALE.md "Exact distributed top-k"):
+    stage 1 ranks within (segment, hash-bucket) and keeps each bucket's
+    top k -- a provably sufficient superset, since a row outside its own
+    bucket's top k is outrun by k rows in ANY merged order -- so stage 2's
+    per-segment window sees at most k x buckets survivors instead of all
+    rows.  The bucket function never affects the RESULT (the oracle is
+    the plain single-window top-k); it only bounds the final window's
+    input.  Deterministic (cents DESC, orderkey) tiebreak end to end."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "seg", F.col("o_orderkey").alias("orderkey"), _cents("o_totalprice").alias("cents")
+    )
+    B = 32
+    bucketed = j.withColumn("b", F.abs(F.xxhash64("orderkey")) % B)
+    w1 = Window.partitionBy("seg", "b").orderBy(F.desc("cents"), F.asc("orderkey"))
+    survivors = (
+        bucketed.withColumn("rk1", F.row_number().over(w1)).filter(F.col("rk1") <= 5).drop("rk1", "b")
+    )
+    w2 = Window.partitionBy("seg").orderBy(F.desc("cents"), F.asc("orderkey"))
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= 5)
+        .select("seg", "orderkey", "cents", "rk")
+    )
