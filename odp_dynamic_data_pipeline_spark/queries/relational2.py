@@ -3138,3 +3138,53 @@ def partial_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("seg", "orderkey", "cents", "rk")
     )
+
+
+@register(
+    "multi_grain_rollup",
+    """
+WITH e AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         month(CAST(ts AS DATE)) AS mon,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+       CASE WHEN GROUPING(day) = 0 THEN 'day'
+            WHEN GROUPING(mon) = 0 THEN 'month'
+            ELSE 'total' END AS grain,
+       day, mon,
+       COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM e
+GROUP BY GROUPING SETS ((event_type, day), (event_type, mon), (event_type))
+""",
+)
+def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every reporting grain in ONE pass: daily, monthly, and total
+    aggregates per event type via GROUPING SETS, with GROUPING() bits
+    labeling each row's grain -- one scan and one shuffle produce what
+    three separate GROUP BYs (three scans) would, which is the point at
+    100 TB.  NULLed-out grouping columns stay in the output (the driver
+    hash treats NULL as a value), and the grain label makes the lattice
+    self-describing for downstream consumers."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        F.month(F.to_date("ts")).alias("mon"),
+        _cents("value").alias("cents"),
+    )
+    e.createOrReplaceTempView("__mg_e")
+    return ev.sparkSession.sql(
+        """
+        SELECT event_type,
+               CASE WHEN GROUPING(day) = 0 THEN 'day'
+                    WHEN GROUPING(mon) = 0 THEN 'month'
+                    ELSE 'total' END AS grain,
+               day, mon,
+               COUNT(*) AS n, SUM(cents) AS sum_cents
+        FROM __mg_e
+        GROUP BY GROUPING SETS ((event_type, day), (event_type, mon), (event_type))
+        """
+    )
