@@ -2632,7 +2632,11 @@ def cohort_retention_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cohort join, so the join input is bounded by users x weeks, not
     events; retention is exact e6 integer division."""
     ev = load_table(spark, sf_dir, "events")
-    wk = F.expr("datediff(to_date(ts), DATE'2024-01-01') div 7")
+    # FLOOR division, not `div`: Spark's `div` truncates toward zero while
+    # the DuckDB oracle's `//` floors, so the two diverge on any event
+    # before the 2024-01-01 epoch; floor(d/7) is exact for |d| < 2^52 and
+    # matches `//` for negative days too
+    wk = F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / F.lit(7))
     f = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
     act = ev.select("user_id", wk.alias("week")).distinct()
     joined = act.join(f, "user_id").select(

@@ -3822,7 +3822,8 @@ cells AS (
 ),
 contrib AS (
   SELECT lang, r,
-         CAST((CAST(o * n - r * c AS HUGEINT) * CAST(o * n - r * c AS HUGEINT) * 1048576)
+         CAST(((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+               * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * 1048576)
               // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS fp
   FROM cells
 )
@@ -3858,7 +3859,9 @@ def chi2_independence_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(o, ["lang", "source"], "left")
         .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
     )
-    d38 = "CAST(o * n - r * c AS DECIMAL(38,0))"
+    # promote BEFORE multiplying: o*n and r*c in raw int64 overflow once the
+    # corpus passes ~3e9 rows, which is squarely inside the 100 TB framing
+    d38 = "(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
     fp = F.expr(
         f"CAST(({d38} * {d38} * 1048576) div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"
     )
@@ -3986,6 +3989,56 @@ def cohens_kappa_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def arrow_embedding_norm_batches(batches):
+    """mapInArrow kernel for ``mapinarrow_embedding_norms``: per-vector
+    integer norm features over raw Arrow buffers.  Module-level (not a
+    closure) so unit tests can feed it crafted batches -- empty lists,
+    trailing-empty lists, and SLICED ListArrays are all exercised in
+    tests/test_udfs.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        # zero-copy: read the ListArray's flat values + offsets buffers
+        # directly into numpy and reduce per-list with reduceat -- one
+        # vectorized pass, no per-row Python, no pandas/pydict boxing
+        col = batch.column("embedding")
+        lists = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if isinstance(lists, pa.LargeListArray | pa.ListArray):
+            flat = lists.flatten()
+            offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:  # pragma: no cover - fixed-size list fallback
+            flat = lists.flatten()
+            step = lists.type.list_size
+            offs = np.arange(0, (len(lists) + 1) * step, step, dtype=np.int64)
+        t = np.floor(flat.to_numpy(zero_copy_only=False).astype(np.float64) * 1_000_000).astype(
+            np.int64
+        )
+        # offsets of a SLICED ListArray still index the parent's values
+        # buffer while flatten() returns only the slice's values, so
+        # rebase to the slice start before using them as flat indices
+        starts = offs[:-1] - offs[0]
+        empty = offs[1:] == offs[:-1]
+        # reduceat quirks: an empty list at position i yields
+        # t[starts[i]] (the next list's head), and a TRAILING empty list
+        # puts len(t) in starts, which raises IndexError -- clamp first,
+        # then zero the empty positions after the reduction
+        safe = np.minimum(starts, max(len(t) - 1, 0))
+        norm = np.add.reduceat(t * t, safe) if len(t) else np.zeros(len(safe), np.int64)
+        csum = np.add.reduceat(t, safe) if len(t) else np.zeros(len(safe), np.int64)
+        norm[empty] = 0
+        csum[empty] = 0
+        yield pa.record_batch(
+            [
+                batch.column("vec_id"),
+                batch.column("label"),
+                pa.array(norm, pa.int64()),
+                pa.array(csum, pa.int64()),
+            ],
+            names=["vec_id", "label", "norm_sq_e12", "component_sum_e6"],
+        )
+
+
 @register(
     "mapinarrow_embedding_norms",
     """
@@ -4013,50 +4066,10 @@ def mapinarrow_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     is int64.  The oracle replays the identical promote-floor-square
     pipeline in SQL list functions.  Per-batch work is vectorized numpy
     over Arrow buffers; at 100 TB this is a map-only stage, no shuffle."""
-    import pyarrow as pa
-
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def norms(batches):
-        import numpy as np
-
-        for batch in batches:
-            # zero-copy: read the ListArray's flat values + offsets buffers
-            # directly into numpy and reduce per-list with reduceat -- one
-            # vectorized pass, no per-row Python, no pandas/pydict boxing
-            col = batch.column("embedding")
-            lists = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            if isinstance(lists, pa.LargeListArray | pa.ListArray):
-                flat = lists.flatten()
-                offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            else:  # pragma: no cover - fixed-size list fallback
-                flat = lists.flatten()
-                step = lists.type.list_size
-                offs = np.arange(0, (len(lists) + 1) * step, step, dtype=np.int64)
-            t = np.floor(flat.to_numpy(zero_copy_only=False).astype(np.float64) * 1_000_000).astype(
-                np.int64
-            )
-            starts = offs[:-1]
-            norm = np.add.reduceat(t * t, starts) if len(t) else np.zeros(0, np.int64)
-            csum = np.add.reduceat(t, starts) if len(t) else np.zeros(0, np.int64)
-            # reduceat quirk: an empty list at position i yields t[starts[i]]
-            # (the next list's head); synthetic embeddings are never empty,
-            # but guard anyway so the kernel is reusable
-            empty = offs[1:] == starts
-            norm[empty] = 0
-            csum[empty] = 0
-            yield pa.record_batch(
-                [
-                    batch.column("vec_id"),
-                    batch.column("label"),
-                    pa.array(norm, pa.int64()),
-                    pa.array(csum, pa.int64()),
-                ],
-                names=["vec_id", "label", "norm_sq_e12", "component_sum_e6"],
-            )
-
     return emb.mapInArrow(
-        norms, "vec_id bigint, label int, norm_sq_e12 bigint, component_sum_e6 bigint"
+        arrow_embedding_norm_batches,
+        "vec_id bigint, label int, norm_sq_e12 bigint, component_sum_e6 bigint",
     )
 
 

@@ -87,7 +87,17 @@ class JsonlSinkWriter(DataSourceWriter):
     nothing becomes visible until the driver-side ``commit`` renames every
     temp file at once -- the standard two-phase commit that makes a custom
     sink exactly-once under task retries (a failed attempt's orphan .tmp is
-    never renamed, so it is never read)."""
+    never renamed, so it is never read).
+
+    DEPLOYMENT ASSUMPTION: ``commit`` runs on the DRIVER and renames files
+    the EXECUTORS wrote, so exactly-once holds only when driver and
+    executors share one filesystem namespace -- local mode, NFS, or a
+    fuse-mounted object store.  On a shared-nothing cluster, point ``path``
+    at shared storage or use a JVM FileCommitProtocol sink instead; a
+    local-disk path would make commit() fail with FileNotFoundError.
+    ``commit`` also sweeps stray ``*.tmp`` orphans (a task that succeeded
+    after a retry leaves its failed attempt's temp file behind with no
+    commit message to name it)."""
 
     def __init__(self, options):
         self.path = options["path"]
@@ -108,10 +118,22 @@ class JsonlSinkWriter(DataSourceWriter):
         return _JsonlCommit(tmp)
 
     def commit(self, messages):
+        import glob
         import os
 
+        committed = set()
         for m in messages:
             os.rename(m.tmp_path, m.tmp_path[: -len(".tmp")])
+            committed.add(m.tmp_path)
+        # best-effort sweep: a task that failed once and then succeeded on
+        # retry leaves the failed attempt's .tmp orphan with no commit
+        # message naming it -- remove leftovers so the directory ends clean
+        for orphan in glob.glob(os.path.join(self.path, "*.jsonl.tmp")):
+            if orphan not in committed:
+                try:
+                    os.remove(orphan)
+                except OSError:
+                    pass
 
     def abort(self, messages):
         import os
