@@ -821,3 +821,74 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             .alias("clustering_e6"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    *,
+    k: int = 2,
+    rounds: int = 5,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """k-core peeling over an undirected pair list: iteratively remove
+    nodes of degree < ``k`` -- the graph-density complement of PageRank
+    (reference graph ops live in the same near-dup candidate pipeline,
+    src/batch_tlb.py provenance via dedup_minhash_md5).  Dense cores are
+    boilerplate/template families worth one curation decision; early-peeled
+    nodes are incidental near-dups.
+
+    Same determinism contract as :func:`pagerank`: a FIXED number of peel
+    rounds, no convergence probe, so any SQL engine replays the loop
+    bit-exactly by unrolling ``rounds`` CTE blocks.  A node removed in
+    round r reports ``removed_round = r``; nodes still alive after all
+    rounds report 0 and ``in_core = true`` (the k-core if the peel
+    converged, a superset otherwise -- callers wanting certainty raise
+    ``rounds``; peeling can only shrink the survivor set).
+
+    Per round: one groupBy (degrees over surviving edges) + two leftsemi
+    joins (drop edges touching doomed nodes) over slim (node, node) rows;
+    survivor sets and the edge list localCheckpoint lazily so the plan
+    stays flat across rounds.  No driver collect anywhere."""
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionByName(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .localCheckpoint(eager=False)
+    )
+    deg0 = (
+        sym.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg0"))
+        .select(F.col("s").alias("nid"), "deg0")
+        .localCheckpoint(eager=False)
+    )
+    spark = edges.sparkSession
+    survivors = deg0.select("nid")
+    removed = spark.createDataFrame([], "nid long, removed_round long")
+    cur = sym
+    for r in range(1, rounds + 1):
+        deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+        # survivors whose edges all vanished are not in deg at all: their
+        # degree is implicitly 0, which is < k -- the left join keeps them
+        degs = survivors.join(deg, survivors["nid"] == deg["s"], "left").select(
+            "nid", F.coalesce("d", F.lit(0)).alias("d")
+        )
+        doomed = degs.where(F.col("d") < k).select("nid").localCheckpoint(eager=False)
+        removed = removed.unionByName(
+            doomed.select("nid", F.lit(r).cast("long").alias("removed_round"))
+        )
+        survivors = degs.where(F.col("d") >= k).select("nid").localCheckpoint(eager=False)
+        # filter edges against DOOMED (small: only this round's peel, which
+        # AQE broadcasts), not against the big survivor set -- the edge
+        # list never shuffles for the joins.  Zero-degree doomed nodes
+        # match no edges, so including them is harmless.
+        cur = (
+            cur.join(doomed, cur["s"] == doomed["nid"], "left_anti")
+            .join(doomed, cur["d"] == doomed["nid"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    return deg0.join(removed, "nid", "left").select(
+        "nid",
+        "deg0",
+        F.coalesce("removed_round", F.lit(0)).cast("long").alias("removed_round"),
+        (F.coalesce("removed_round", F.lit(0)) == 0).alias("in_core"),
+    )

@@ -36,5 +36,6 @@ def register(name: str, oracle: str | None = None):
 from odp_dynamic_data_pipeline_spark.queries import core as _core  # noqa: E402,F401
 from odp_dynamic_data_pipeline_spark.queries import llm as _llm  # noqa: E402,F401
 from odp_dynamic_data_pipeline_spark.queries import relational2 as _relational2  # noqa: E402,F401
+from odp_dynamic_data_pipeline_spark.queries import surfaces as _surfaces  # noqa: E402,F401
 
 __all__ = ["SPARK_QUERIES", "ORACLE_SQL", "register"]

@@ -1,0 +1,257 @@
+"""Round-6 API-surface queries: the Spark-4 frontend/extension surfaces a
+reference user would reach for that were not yet first-class in the
+registry -- cogrouped applyInPandas (two-sided grouped pandas), SQL pipe
+syntax (``|>``), DataFrame.transpose, and k-core decomposition completing
+the dedup-graph family (CC, PageRank, triangles, now coreness).
+
+Every query is oracle-gated; determinism follows the registry policy
+(integer cents/micros, epoch integers across the boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odp_dynamic_data_pipeline_spark.operators import dedup as dd
+from odp_dynamic_data_pipeline_spark.queries import register
+from odp_dynamic_data_pipeline_spark.queries.llm import MINHASH_MD5_ORACLE, dedup_minhash_md5
+from odp_dynamic_data_pipeline_spark.sources.catalog import load_table, register_views
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peel replay over the shared md5-minhash candidate pairs
+    (same prefix reuse as the PageRank/triangle oracles): round r computes
+    degrees over edges{r-1}, dooms nodes with degree < k, and keeps only
+    edges between survivors.  Every chained CTE is MATERIALIZED: each
+    round references its predecessor 2-3 times, so default inlining would
+    re-expand the whole minhash pipeline O(3^rounds) times (measured: the
+    un-hinted oracle never finished at sf0.01)."""
+    prefix = MINHASH_MD5_ORACLE[: MINHASH_MD5_ORACLE.index("SELECT a.doc_id AS id_a")]
+    sql = prefix + """, pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges0 AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+deg0 AS MATERIALIZED (SELECT s AS nid, CAST(COUNT(*) AS BIGINT) AS deg0 FROM edges0 GROUP BY s),
+surv0 AS MATERIALIZED (SELECT nid FROM deg0)"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql += f""",
+degs{r} AS MATERIALIZED (
+  SELECT v.nid, COALESCE(q.cnt, 0) AS dg
+  FROM surv{p} v LEFT JOIN (SELECT s, COUNT(*) AS cnt FROM edges{p} GROUP BY s) q
+    ON q.s = v.nid
+),
+doom{r} AS MATERIALIZED (SELECT nid FROM degs{r} WHERE dg < {k}),
+surv{r} AS MATERIALIZED (SELECT nid FROM degs{r} WHERE dg >= {k}),
+edges{r} AS MATERIALIZED (
+  SELECT e.s, e.d FROM edges{p} e
+  JOIN surv{r} a ON e.s = a.nid JOIN surv{r} b ON e.d = b.nid
+)"""
+    removed = "\nUNION ALL ".join(
+        f"SELECT nid, CAST({r} AS BIGINT) AS rr FROM doom{r}" for r in range(1, rounds + 1)
+    )
+    return sql + f""",
+removed AS ({removed})
+SELECT g.nid, g.deg0,
+       CAST(COALESCE(x.rr, 0) AS BIGINT) AS removed_round,
+       (x.rr IS NULL) AS in_core
+FROM deg0 g LEFT JOIN removed x ON x.nid = g.nid
+"""
+
+
+@register("dedup_graph_kcore", _kcore_oracle(k=2, rounds=5))
+def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators.dedup.kcore_peel) over the near-dup
+    candidate graph: fixed 5-round degree-< 2 peel, reporting each node's
+    initial degree, the round it was peeled (0 = survived), and core
+    membership -- separates dense boilerplate cores from incidental pair
+    appendages.  Fifth oracle-gated metric on the shared md5-minhash pair
+    list; the DuckDB oracle unrolls the identical peel rounds."""
+    edges = dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b").localCheckpoint(eager=False)
+    return dd.kcore_peel(edges, k=2, rounds=5)
+
+
+def align_attribution_windows(pdf_p, pdf_v):
+    """Cogroup kernel for ``cogroup_attribution_windows``: one user's
+    purchases (event_id, user_id, ts_us) aligned against their views
+    (user_id, v_us, cents).  Module-level so unit tests can feed crafted
+    frames (empty sides, tied timestamps) -- tests/test_cogroup.py."""
+    import numpy as np
+    import pandas as pd
+
+    if len(pdf_p) == 0:
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts_us": pd.Series([], dtype="int64"),
+                "n_views_1h": pd.Series([], dtype="int64"),
+                "sum_view_cents_1h": pd.Series([], dtype="int64"),
+                "last_view_gap_us": pd.Series([], dtype="Int64"),
+            }
+        )
+    pdf_v = pdf_v.sort_values("v_us", kind="mergesort")
+    v_us = pdf_v["v_us"].to_numpy(dtype="int64")
+    csum = np.concatenate(([0], np.cumsum(pdf_v["cents"].to_numpy(dtype="int64"))))
+    p_us = pdf_p["ts_us"].to_numpy(dtype="int64")
+    hi = np.searchsorted(v_us, p_us, side="left")  # views strictly before
+    lo = np.searchsorted(v_us, p_us - 3_600_000_000, side="left")
+    # clamp BEFORE indexing: with no views at all, v_us[...] on any index
+    # raises (same fencepost family as the reduceat kernel); the hi == 0
+    # mask then voids the clamped placeholder reads
+    if len(v_us):
+        gap = pd.array(p_us - v_us[np.maximum(hi - 1, 0)], dtype="Int64")
+    else:
+        gap = pd.array([0] * len(p_us), dtype="Int64")
+    gap[hi == 0] = pd.NA
+    return pd.DataFrame(
+        {
+            "event_id": pdf_p["event_id"].to_numpy(dtype="int64"),
+            "user_id": pdf_p["user_id"].to_numpy(dtype="int64"),
+            "ts_us": p_us,
+            "n_views_1h": (hi - lo).astype("int64"),
+            "sum_view_cents_1h": csum[hi] - csum[lo],
+            "last_view_gap_us": gap,
+        }
+    )
+
+
+@register(
+    "cogroup_attribution_windows",
+    """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, epoch_us(ts) AS v_us,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, p.ts_us,
+       CAST(COALESCE(w.n, 0) AS BIGINT) AS n_views_1h,
+       CAST(COALESCE(w.s, 0) AS BIGINT) AS sum_view_cents_1h,
+       lg.gap AS last_view_gap_us
+FROM p
+LEFT JOIN LATERAL (
+  SELECT COUNT(*) AS n, SUM(cents) AS s
+  FROM v WHERE v.user_id = p.user_id
+    AND v.v_us >= p.ts_us - 3600000000 AND v.v_us < p.ts_us
+) w ON TRUE
+LEFT JOIN LATERAL (
+  SELECT p.ts_us - MAX(v_us) AS gap
+  FROM v WHERE v.user_id = p.user_id AND v.v_us < p.ts_us
+) lg ON TRUE
+""",
+)
+def cogroup_attribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase attribution via ``groupBy().cogroup().applyInPandas`` --
+    the two-sided grouped-pandas surface (SURVEY.md section 2.8 family):
+    per user, every purchase is aligned against the SORTED view stream
+    with vectorized binary search (np.searchsorted) + prefix sums, giving
+    trailing-1h view count/value and the gap to the last prior view.
+
+    This is the operator shape for custom per-key stream alignment that
+    SQL joins express only as O(purchases x views) lateral rescans: the
+    pandas kernel is O((P + V) log V) per user.  Scale: ONE co-partitioned
+    shuffle of each side on user_id, Arrow-batched python stage, no
+    driver involvement; skewed users are bounded by the per-group pandas
+    frame (the same boundedness contract as sessionize).  Oracle replays
+    the semantics with correlated lateral aggregates at test scale."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_micros("ts").alias("v_us"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            align_attribution_windows,
+            "event_id bigint, user_id bigint, ts_us bigint, n_views_1h bigint, "
+            "sum_view_cents_1h bigint, last_view_gap_us bigint",
+        )
+    )
+
+
+@register(
+    "sql_frontend_pipe",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
+       CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_qty_e2
+FROM lineitem
+WHERE l_shipdate <= DATE '1997-12-31'
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 0
+""",
+)
+def sql_frontend_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (``|>``, Spark 4): the linear FROM -> WHERE ->
+    EXTEND -> AGGREGATE -> WHERE composition users write instead of nested
+    subqueries -- proving the frontend parses, plans, and optimizes pipe
+    stages identically to the ANSI oracle (Catalyst lowers both to the
+    same aggregate; predicate pushdown and partial aggregation still
+    apply).  Exact cents arithmetic per registry policy."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= DATE '1997-12-31'
+        |> EXTEND CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+                  CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS qty_e2
+        |> AGGREGATE COUNT(*) AS n_items,
+                     SUM(price_cents) AS sum_price_cents,
+                     SUM(qty_e2) AS sum_qty_e2
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_items > 0
+        |> SELECT l_returnflag, l_linestatus, n_items, sum_price_cents, sum_qty_e2
+        """
+    )
+
+
+_LANGS = ["de", "en", "es", "fr", "zh"]  # testdata generator's fixed lang set
+
+
+@register(
+    "transpose_lang_stats",
+    "SELECT 'n_docs' AS key, "
+    + ", ".join(f"CAST(COUNT(*) FILTER (WHERE lang = '{lg}') AS BIGINT) AS {lg}" for lg in _LANGS)
+    + " FROM documents UNION ALL SELECT 'sum_chars', "
+    + ", ".join(f"CAST(SUM(n_chars) FILTER (WHERE lang = '{lg}') AS BIGINT)" for lg in _LANGS)
+    + " FROM documents UNION ALL SELECT 'n_sources', "
+    + ", ".join(
+        f"CAST(COUNT(DISTINCT source) FILTER (WHERE lang = '{lg}') AS BIGINT)" for lg in _LANGS
+    )
+    + " FROM documents",
+)
+def transpose_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4): a per-language stats table pivoted
+    so languages become columns and metrics become rows -- the
+    report-orientation flip analysts otherwise hand-roll with unpivot +
+    pivot.  transpose() collects the INDEX COLUMN VALUES to the driver to
+    name the output columns: bounded by distinct languages (the same
+    bounded-collect contract as the codebook/centroid constants), never by
+    data volume.  The upstream aggregate is one map-side-combined groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+    return stats.transpose()

@@ -1,0 +1,76 @@
+"""Cogroup attribution kernel + the cogroup API path end-to-end."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from odp_dynamic_data_pipeline_spark.queries.surfaces import align_attribution_windows
+
+US = 1_000_000
+HOUR = 3600 * US
+
+
+def _p(rows):
+    return pd.DataFrame(rows, columns=["event_id", "user_id", "ts_us"])
+
+
+def _v(rows):
+    return pd.DataFrame(rows, columns=["user_id", "v_us", "cents"])
+
+
+def test_kernel_window_bounds_and_gap():
+    # views at t-2h, t-30m, t-1s, t (equal), t+1s relative to purchase t=3h
+    t = 3 * HOUR
+    views = _v(
+        [
+            (1, t - 2 * HOUR, 100),
+            (1, t - 30 * 60 * US, 200),
+            (1, t - US, 400),
+            (1, t, 800),  # equal ts: NOT prior (strict <)
+            (1, t + US, 1600),
+        ]
+    )
+    out = align_attribution_windows(_p([(10, 1, t)]), views)
+    r = out.iloc[0]
+    # 1h window [t-1h, t): the -30m and -1s views only
+    assert r["n_views_1h"] == 2
+    assert r["sum_view_cents_1h"] == 600
+    assert r["last_view_gap_us"] == US  # gap to the -1s view
+
+
+def test_kernel_no_views_and_empty_sides():
+    t = HOUR
+    out = align_attribution_windows(_p([(10, 1, t)]), _v([]))
+    r = out.iloc[0]
+    assert r["n_views_1h"] == 0 and r["sum_view_cents_1h"] == 0
+    assert pd.isna(r["last_view_gap_us"])
+    # user with views but no purchases: empty, correctly-typed frame
+    out2 = align_attribution_windows(_p([]), _v([(2, t, 5)]))
+    assert len(out2) == 0
+    assert str(out2["last_view_gap_us"].dtype) == "Int64"
+
+
+def test_kernel_unsorted_views_are_sorted():
+    t = 2 * HOUR
+    views = _v([(1, t - US, 50), (1, t - 2 * US, 20)])  # reverse order in
+    out = align_attribution_windows(_p([(10, 1, t)]), views)
+    assert out.iloc[0]["n_views_1h"] == 2
+    assert out.iloc[0]["last_view_gap_us"] == US
+
+
+def test_cogroup_api_end_to_end(spark):
+    p = spark.createDataFrame(
+        [(10, 1, 2 * HOUR), (11, 2, 2 * HOUR)], "event_id long, user_id long, ts_us long"
+    )
+    v = spark.createDataFrame([(1, 2 * HOUR - US, 30)], "user_id long, v_us long, cents long")
+    out = (
+        p.groupBy("user_id")
+        .cogroup(v.groupBy("user_id"))
+        .applyInPandas(
+            align_attribution_windows,
+            "event_id bigint, user_id bigint, ts_us bigint, n_views_1h bigint, "
+            "sum_view_cents_1h bigint, last_view_gap_us bigint",
+        )
+    )
+    got = {r["event_id"]: (r["n_views_1h"], r["last_view_gap_us"]) for r in out.collect()}
+    assert got == {10: (1, US), 11: (0, None)}
