@@ -255,3 +255,123 @@ def transpose_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang")
     )
     return stats.transpose()
+
+
+@register(
+    "theta_sketch_set_ops",
+    """
+WITH p AS (
+  SELECT user_id, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+  FROM events WHERE event_type = 'purchase'
+),
+a AS (SELECT DISTINCT user_id FROM p WHERE day < 15),
+b AS (SELECT DISTINCT user_id FROM p WHERE day >= 15)
+SELECT
+  CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+  CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+  CAST((SELECT COUNT(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS BIGINT)
+    AS exact_union,
+  CAST((SELECT COUNT(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS BIGINT)
+    AS exact_inter,
+  CAST((SELECT COUNT(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS BIGINT)
+    AS exact_diff,
+  TRUE AS union_ok, TRUE AS inter_ok, TRUE AS diff_ok
+""",
+)
+def theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Apache DataSketches, Spark 4 built-ins) doing set
+    ALGEBRA on audiences -- union/intersection/difference cardinality of
+    early-month vs late-month purchasers from two pre-aggregated sketches,
+    the shape that replaces COUNT(DISTINCT) re-scans when marketing asks
+    for arbitrary audience overlaps at 100 TB (sketches are tiny, merge
+    associatively, and the raw data is read ONCE).
+
+    Oracle contract (same pattern as approx_distinct_stats): the exact
+    set-op cardinalities are computed by both engines and hash-compared;
+    the *_ok booleans assert THIS engine's sketch estimates land within 5%
+    of its own exact values (theta at lgK=12 is exact below 4096 entries,
+    so at test scale the estimates are equal; the bound keeps the query
+    honest at any scale).  DuckDB has no theta sketches, so its booleans
+    are literal TRUE -- the Spark side is the one under test."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day")
+    )
+    sk = p.agg(
+        F.expr("theta_sketch_agg(CASE WHEN day < 15 THEN user_id END)").alias("sk_a"),
+        F.expr("theta_sketch_agg(CASE WHEN day >= 15 THEN user_id END)").alias("sk_b"),
+        F.countDistinct(F.expr("CASE WHEN day < 15 THEN user_id END")).alias("exact_a"),
+        F.countDistinct(F.expr("CASE WHEN day >= 15 THEN user_id END")).alias("exact_b"),
+        F.countDistinct("user_id").alias("exact_union"),
+    )
+    est = sk.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        F.expr("CAST(theta_sketch_estimate(theta_union(sk_a, sk_b)) AS BIGINT)").alias("est_u"),
+        F.expr(
+            "CAST(theta_sketch_estimate(theta_intersection(sk_a, sk_b)) AS BIGINT)"
+        ).alias("est_i"),
+        F.expr(
+            "CAST(theta_sketch_estimate(theta_difference(sk_a, sk_b)) AS BIGINT)"
+        ).alias("est_d"),
+    )
+    return est.select(
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        F.col("exact_union").cast("long").alias("exact_union"),
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+        .cast("long")
+        .alias("exact_inter"),
+        (F.col("exact_union") - F.col("exact_b")).cast("long").alias("exact_diff"),
+        (F.expr("abs(est_u - exact_union) * 100 <= 5 * exact_union")).alias("union_ok"),
+        (
+            F.expr("abs(est_i - (exact_a + exact_b - exact_union)) * 100"
+                   " <= greatest(5 * (exact_a + exact_b - exact_union), 100)")
+        ).alias("inter_ok"),
+        (
+            F.expr("abs(est_d - (exact_union - exact_b)) * 100"
+                   " <= greatest(5 * (exact_union - exact_b), 100)")
+        ).alias("diff_ok"),
+    )
+
+
+@register(
+    "hll_sketch_partitioned_union",
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS BIGINT)
+         AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_ok
+FROM events GROUP BY event_type
+""",
+)
+def hll_sketch_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-sketch-column production shape: per (event_type, day)
+    HLL partials (what an incremental pipeline materializes nightly), then
+    `hll_union_agg` merges partials per event_type WITHOUT touching raw
+    events again -- distinct-users-over-any-horizon from day-sized sketch
+    rows.  Raw data is read once; every further rollup is sketch-sized.
+
+    Oracle contract: n_days and the exact distinct are hash-compared
+    across engines; hll_ok asserts the merged estimate lands within 5% of
+    exact (HLL lgK=12 has sigma ~1.6%, so 5% is a 3-sigma bound -- data,
+    not a skipped check).  DuckDB's boolean is literal TRUE."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day")
+    partials = ev.select("event_type", day, "user_id").groupBy("event_type", "day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("day_users"),
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").alias("est_users"),
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.expr("abs(est_users - exact_users) * 100 <= 5 * exact_users").alias("hll_ok"),
+    )
