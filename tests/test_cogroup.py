@@ -74,3 +74,38 @@ def test_cogroup_api_end_to_end(spark):
     )
     got = {r["event_id"]: (r["n_views_1h"], r["last_view_gap_us"]) for r in out.collect()}
     assert got == {10: (1, US), 11: (0, None)}
+
+
+def test_kernel_multi_user_isolation():
+    """The composite-key fast path must never let one user's views leak
+    into another's window, count, sum, or gap -- including when user B has
+    no views at all and user A's views are adjacent in the sorted array."""
+    t = 5 * HOUR
+    views = _v(
+        [
+            (1, t - 2 * US, 10),
+            (1, t - US, 20),
+            (3, t - US, 999),  # user 3's view must not affect user 2
+        ]
+    )
+    purchases = _p([(10, 1, t), (11, 2, t), (12, 3, t)])
+    out = align_attribution_windows(purchases, views).set_index("event_id")
+    assert out.loc[10, "n_views_1h"] == 2
+    assert out.loc[10, "sum_view_cents_1h"] == 30
+    assert out.loc[10, "last_view_gap_us"] == US
+    # user 2: no views anywhere; nearest array neighbors belong to 1 and 3
+    assert out.loc[11, "n_views_1h"] == 0
+    assert out.loc[11, "sum_view_cents_1h"] == 0
+    assert pd.isna(out.loc[11, "last_view_gap_us"])
+    assert out.loc[12, "n_views_1h"] == 1
+    assert out.loc[12, "sum_view_cents_1h"] == 999
+
+
+def test_kernel_window_start_clamps_at_batch_base():
+    """A purchase within 1h of the batch's earliest timestamp must clamp
+    its window start to the user's own range, not escape into the previous
+    user's composite-key region."""
+    views = _v([(1, 100, 7), (2, 50, 11)])  # user 2's view is the batch min
+    out = align_attribution_windows(_p([(10, 2, 200)]), views).iloc[0]
+    assert out["n_views_1h"] == 1 and out["sum_view_cents_1h"] == 11
+    assert out["last_view_gap_us"] == 150
