@@ -86,9 +86,19 @@ def pair_page_views_exact(
     start_type: str = "page_view_start",
     end_type: str = "page_view_end",
     duration_col: str = "page_view_duration",
+    buckets: int | None = None,
 ) -> DataFrame:
     """The literal register-walk (reference: src/batch_tlb.py:50-62) as an
-    Arrow-batched per-group pandas function."""
+    Arrow-batched per-group pandas function.
+
+    ``buckets``: with high-cardinality group keys, grouped-pandas
+    machinery costs ~4 ms PER GROUP (measured, cogroup_attribution's
+    adjudication in PLANS.md); passing ``buckets=N`` keys the Arrow stage
+    on ``pmod(abs(hash(group)), N)`` and runs the UNCHANGED per-group walk
+    in an in-kernel pandas groupby loop (~50 us per group) -- identical
+    semantics, same output, one batch per bucket instead of one per key.
+    None (default) keeps the one-group-per-key shape, right for
+    bounded-cardinality keys like the TLB clientId universe."""
     out_schema = StructType(
         [
             df.schema[group_col],
@@ -135,4 +145,23 @@ def pair_page_views_exact(
             }
         )
 
-    return df.groupBy(group_col).applyInPandas(walk, schema=out_schema)
+    if buckets is None:
+        return df.groupBy(group_col).applyInPandas(walk, schema=out_schema)
+
+    def walk_bucket(pdf):
+        import pandas as pd
+
+        outs = [walk(g) for _, g in pdf.groupby(group_col, sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series([], dtype=object),
+                    "end_ts": pd.Series([], dtype="datetime64[ns]"),
+                    duration_col: pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    bucketed = df.withColumn("__pv_bucket", F.pmod(F.abs(F.hash(group_col)), F.lit(buckets)))
+    return bucketed.groupBy("__pv_bucket").applyInPandas(walk_bucket, schema=out_schema)

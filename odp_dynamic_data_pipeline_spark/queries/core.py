@@ -538,6 +538,9 @@ def sessionize_exact_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         type_col="event_type",
         start_type="view",
         end_type="purchase",
+        # high-cardinality key: bucket the Arrow stage (see PLANS.md
+        # cogroup adjudication -- ~4 ms/group machinery otherwise)
+        buckets=64,
     )
     return pairs.select(
         F.col("user_key").cast("long").alias("user_id"),
