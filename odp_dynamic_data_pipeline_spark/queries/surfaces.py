@@ -423,3 +423,56 @@ def hll_sketch_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_users").cast("long").alias("exact_users"),
         F.expr("abs(est_users - exact_users) * 100 <= 5 * exact_users").alias("hll_ok"),
     )
+
+
+def arrow_lang_stats(table):
+    """applyInArrow kernel: one language's documents as a pyarrow.Table ->
+    a single stats row, computed entirely with pyarrow.compute (no pandas
+    boxing).  Module-level for direct unit tests (tests/test_udfs.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n_chars = table.column("n_chars")
+    return pa.table(
+        {
+            "lang": table.column("lang").slice(0, 1),
+            "n_docs": pa.array([table.num_rows], pa.int64()),
+            "sum_chars": pa.array([pc.sum(n_chars).as_py() or 0], pa.int64()),
+            "max_chars": pa.array([pc.max(n_chars).as_py() or 0], pa.int64()),
+            "n_sources": pa.array(
+                [pc.count_distinct(table.column("source")).as_py()], pa.int64()
+            ),
+        }
+    )
+
+
+@register(
+    "applyinarrow_lang_stats",
+    """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents GROUP BY lang
+""",
+)
+def applyinarrow_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().applyInArrow`` -- the grouped ARROW surface completing
+    the Python-extension matrix (mapInPandas / mapInArrow / applyInPandas /
+    cogroup-applyInPandas / applyInArrow): per-language corpus stats
+    computed with pyarrow.compute kernels directly on the group's Arrow
+    table, no pandas materialization.
+
+    The aggregate itself is SQL-expressible (that's what makes it
+    oracle-gateable) -- the query exists to prove the API path: group
+    shuffle -> Arrow table per key -> pc.* kernels -> Arrow back.  Real
+    users reach applyInArrow when the per-group logic needs Arrow-native
+    libraries (tokenizers, zero-copy numpy views) at bounded-cardinality
+    keys; high-cardinality keys take the bucketed shape (PLANS.md
+    cogroup adjudication)."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source", "n_chars")
+    return docs.groupBy("lang").applyInArrow(
+        arrow_lang_stats,
+        "lang string, n_docs bigint, sum_chars bigint, max_chars bigint, n_sources bigint",
+    )
