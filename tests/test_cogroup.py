@@ -109,3 +109,44 @@ def test_kernel_window_start_clamps_at_batch_base():
     out = align_attribution_windows(_p([(10, 2, 200)]), views).iloc[0]
     assert out["n_views_1h"] == 1 and out["sum_view_cents_1h"] == 11
     assert out["last_view_gap_us"] == 150
+
+
+def _attribution_reference(purchases, views):
+    """Brute-force spec: per purchase, scan every view of the same user."""
+    out = {}
+    for eid, uid, t in purchases:
+        mine = [(ts, c) for u, ts, c in views if u == uid]
+        win = [(ts, c) for ts, c in mine if t - 3_600_000_000 <= ts < t]
+        prior = [ts for ts, _ in mine if ts < t]
+        out[eid] = (
+            len(win),
+            sum(c for _, c in win),
+            (t - max(prior)) if prior else None,
+        )
+    return out
+
+
+def test_kernel_matches_bruteforce_on_random_streams():
+    import random
+
+    rng = random.Random(29)
+    for trial in range(25):
+        n_users = rng.randint(1, 5)
+        purchases = [
+            (i, rng.randrange(n_users), rng.randrange(0, 10**10))
+            for i in range(rng.randint(1, 12))
+        ]
+        views = [
+            (rng.randrange(n_users), rng.randrange(0, 10**10), rng.randint(-50, 500))
+            for _ in range(rng.randint(0, 20))
+        ]
+        out = align_attribution_windows(_p(purchases), _v(views))
+        got = {
+            int(r["event_id"]): (
+                int(r["n_views_1h"]),
+                int(r["sum_view_cents_1h"]),
+                None if pd.isna(r["last_view_gap_us"]) else int(r["last_view_gap_us"]),
+            )
+            for _, r in out.iterrows()
+        }
+        assert got == _attribution_reference(purchases, views), (trial, purchases, views)

@@ -45,3 +45,41 @@ def test_kcore_bounded_rounds_leave_superset(spark):
     core4 = {n for n, (_, _, c) in got4.items() if c}
     assert core4 == {1, 2, 3}
     assert core4 <= core1 and 5 in core1 - core4  # 5 still alive after 1 round
+
+
+def _peel_reference(edges, k, rounds):
+    """Pure-python fixed-round peel: the operator's spec."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg0 = {n: len(v) for n, v in adj.items()}
+    alive = set(adj)
+    removed_round = {}
+    for r in range(1, rounds + 1):
+        doomed = {n for n in alive if len(adj[n] & alive) < k}
+        for n in doomed:
+            removed_round[n] = r
+        alive -= doomed
+    return {
+        n: (deg0[n], removed_round.get(n, 0), n not in removed_round) for n in adj
+    }
+
+
+def test_kcore_matches_reference_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = rng.randint(5, 14)
+        m = rng.randint(4, 22)
+        edges = set()
+        while len(edges) < m:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        edges = sorted(edges)
+        k = rng.choice([2, 3])
+        rounds = rng.choice([2, 4])
+        got = _run(spark, edges, k=k, rounds=rounds)
+        assert got == _peel_reference(edges, k, rounds), (trial, k, rounds, edges)
