@@ -476,3 +476,54 @@ def applyinarrow_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         arrow_lang_stats,
         "lang string, n_docs bigint, sum_chars bigint, max_chars bigint, n_sources bigint",
     )
+
+
+@register(
+    "xml_roundtrip_stats",
+    """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(SUM(o_orderkey * o_custkey) AS BIGINT) AS key_checksum
+FROM orders WHERE o_orderkey % 10 = 0
+GROUP BY o_orderpriority
+""",
+)
+def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip through Spark 4's NATIVE xml source (rowTag
+    records): an orders slice written as XML, re-read with a DECLARED
+    schema (inference would re-derive types from text), then aggregated --
+    the oracle computes the same aggregate from the original parquet, so
+    hash parity proves the conversion is lossless.  Monetary values cross
+    the text format as pre-computed integer cents, never as decimal text
+    (same exactness policy as the registry).  XML is the interchange
+    format the enterprise-feed edge still speaks; at 100 TB it is an edge
+    codec only -- data lands in parquet immediately (the same role the
+    reference gives pretty-printed JSON, src/data_processor.py:36-40)."""
+    from odp_dynamic_data_pipeline_spark.queries.core import _stream_tmpdir
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.expr("o_orderkey % 10 = 0"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+        )
+    )
+    tmp = _stream_tmpdir("xml_roundtrip")
+    orders.write.mode("overwrite").format("xml").option("rootTag", "orders").option(
+        "rowTag", "order"
+    ).save(f"{tmp}/orders_xml")
+    back = (
+        spark.read.schema("o_orderkey bigint, o_custkey bigint, o_orderpriority string, cents bigint")
+        .format("xml")
+        .option("rowTag", "order")
+        .load(f"{tmp}/orders_xml")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum(F.col("o_orderkey") * F.col("o_custkey")).alias("key_checksum"),
+    )
