@@ -863,7 +863,8 @@ def kcore_peel(
     )
     spark = edges.sparkSession
     survivors = deg0.select("nid")
-    removed = spark.createDataFrame([], "nid long, removed_round long")
+    id_type = edges.schema[src_col].dataType.simpleString()
+    removed = spark.createDataFrame([], f"nid {id_type}, removed_round long")
     cur = sym
     for r in range(1, rounds + 1):
         deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
