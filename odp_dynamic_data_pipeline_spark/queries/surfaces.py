@@ -527,3 +527,54 @@ def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("sum_cents"),
         F.sum(F.col("o_orderkey") * F.col("o_custkey")).alias("key_checksum"),
     )
+
+
+@register(
+    "hll_users_stream",
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_ok
+FROM events GROUP BY event_type
+""",
+)
+def hll_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the stored-sketch shape: `hll_sketch_agg` running
+    as a stateful streaming aggregate (events replayed through the file
+    stream, Trigger.AvailableNow, complete mode) -- the state store holds
+    the serialized sketch buffer per event_type, so distinct-user tracking
+    over an unbounded stream needs O(sketch) state, not O(users), and the
+    emitted sketch column merges downstream with `hll_union` exactly like
+    the batch partials (hll_sketch_partitioned_union).
+
+    Same oracle contract as the batch sketch queries: exact distincts are
+    hash-compared across engines; hll_ok asserts the STREAMING estimate
+    lands within 5% of exact (lgK=12, 3-sigma)."""
+    from odp_dynamic_data_pipeline_spark.queries.core import (
+        _replay_stream,
+        _stream_shuffle,
+        _stream_tmpdir,
+    )
+    from odp_dynamic_data_pipeline_spark.streaming.stream import run_available_now
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    tmp = _stream_tmpdir("hll_users_stream")
+    stream = _replay_stream(spark, ev, tmp)
+    agg = stream.groupBy("event_type").agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    with _stream_shuffle(spark):
+        run_available_now(
+            agg,
+            query_name="hll_users_stream_mem",
+            checkpoint=f"{tmp}/ckpt",
+            output_mode="complete",
+        )
+    est = spark.table("hll_users_stream_mem").select(
+        "event_type",
+        F.expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").alias("est_users"),
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.expr("abs(est_users - exact_users) * 100 <= 5 * exact_users").alias("hll_ok"),
+    )
