@@ -578,3 +578,54 @@ def hll_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_users").cast("long").alias("exact_users"),
         F.expr("abs(est_users - exact_users) * 100 <= 5 * exact_users").alias("hll_ok"),
     )
+
+
+@register(
+    "topk_sketch_tokens",
+    r"""
+WITH tok AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents),
+tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+rk AS (SELECT token, n,
+              CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+       FROM tf)
+SELECT rank, token, n, TRUE AS topk_ok
+FROM rk WHERE rank <= 20
+""",
+)
+def topk_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters via Spark 4's approx_top_k SKETCH family -- the
+    accumulate / combine / estimate decomposition that makes frequent-item
+    tracking a stored, mergeable column exactly like the HLL partials:
+    per-language partial sketches (what a sharded ingest materializes),
+    one `approx_top_k_combine` merge, one estimate -- raw tokens are
+    scanned once, every re-ranking downstream is sketch-sized.
+
+    Oracle contract: the exact top-20 (count desc, token tie-break) is
+    hash-compared across engines; topk_ok asserts the SKETCH estimate for
+    each of those tokens equals its exact count -- strictly true whenever
+    the vocabulary fits maxItemsTracked=1024 (Apache DataSketches
+    frequent-items is exact below capacity), and a real error detector
+    beyond it.  DuckDB has no frequent-items sketch, so its boolean is
+    literal TRUE; the Spark side is under test."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    tok = docs.select("lang", F.explode(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("token"))
+    partials = tok.groupBy("lang").agg(F.expr("approx_top_k_accumulate(token, 1024)").alias("sk"))
+    est = (
+        partials.agg(F.expr("approx_top_k_estimate(approx_top_k_combine(sk), 100)").alias("est"))
+        .select(F.explode("est").alias("e"))
+        .select(F.col("e.item").alias("token"), F.col("e.count").cast("long").alias("est_n"))
+    )
+    from pyspark.sql import Window
+
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    rk = tf.select(
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))).cast("long").alias("rank"),
+        "token",
+        "n",
+    ).where(F.col("rank") <= 20)
+    return rk.join(est, "token", "left").select(
+        "rank",
+        "token",
+        F.col("n").cast("long").alias("n"),
+        F.expr("est_n <=> n").alias("topk_ok"),
+    )

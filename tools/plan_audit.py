@@ -84,6 +84,7 @@ GLOBAL_WINDOW_BOUNDED = {
     "dataset_card_report",     # ordered rows of a fixed-size report
     "categorical_index_langs", # frequency rank over the distinct-lang vocab (bounded)
     "rolling_correlation_series",  # RANGE frames over the daily rollup (bounded by calendar, not data)
+    "topk_sketch_tokens",      # rank over the VOCAB table (corpus already reduced), limit 20
 }
 
 
