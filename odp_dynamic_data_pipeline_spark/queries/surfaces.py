@@ -629,3 +629,60 @@ def topk_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.expr("est_n <=> n").alias("topk_ok"),
     )
+
+
+@register(
+    "aes_column_encryption",
+    """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sum_bal_cents,
+       TRUE AS roundtrip_ok, TRUE AS gcm_distinct_ok
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def aes_column_encryption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption for PII-bearing fields (`aes_encrypt` /
+    `aes_decrypt`, JVM-side): customer names encrypted, the pipeline
+    aggregates on the NON-sensitive columns, and the sensitive column is
+    proven recoverable -- the data-governance shape where a 100 TB lake
+    stores ciphertext and only key-holding jobs can re-identify.
+
+    Two asserted-as-data properties: (1) decrypt(encrypt(name)) == name
+    for every row under AES-GCM (roundtrip_ok aggregates a per-row
+    equality with bool_and); (2) the same plaintext under two DIFFERENT
+    explicit IVs yields distinct ciphertexts (gcm_distinct_ok) -- the
+    property that makes ciphertext columns unusable as join/group keys
+    (deterministic ECB exists for that trade-off, with its leakage).
+    Explicit IVs because two syntactically identical random-IV
+    aes_encrypt calls get common-subexpression-eliminated by Catalyst
+    into ONE ciphertext (measured: the random-IV form returned identical
+    bytes) -- and explicit IVs also keep the query deterministic per the
+    registry policy.  The oracle replays the aggregate and carries
+    literal TRUE: the crypto claims are Spark-side checks that flip the
+    hash on failure.  Key handling: a literal here; production injects
+    via conf."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = "0123456789abcdef"  # 128-bit demo key; prod: spark.conf / KMS
+    iv1, iv2 = "000000000000000000000001", "000000000000000000000002"
+    enc = cust.select(
+        "c_mktsegment",
+        F.expr("CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)").alias("bal_cents"),
+        F.expr(f"aes_encrypt(c_name, '{key}', 'GCM', 'DEFAULT', unhex('{iv1}'))").alias("ct1"),
+        F.expr(f"aes_encrypt(c_name, '{key}', 'GCM', 'DEFAULT', unhex('{iv2}'))").alias("ct2"),
+        F.col("c_name"),
+    )
+    checked = enc.select(
+        "c_mktsegment",
+        "bal_cents",
+        (
+            F.expr(f"CAST(aes_decrypt(ct1, '{key}', 'GCM') AS STRING)") == F.col("c_name")
+        ).alias("rt"),
+        (F.col("ct1") != F.col("ct2")).alias("iv_distinct"),
+    )
+    return checked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("bal_cents").alias("sum_bal_cents"),
+        F.bool_and("rt").alias("roundtrip_ok"),
+        F.bool_and("iv_distinct").alias("gcm_distinct_ok"),
+    )
