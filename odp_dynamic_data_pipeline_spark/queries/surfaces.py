@@ -686,3 +686,45 @@ def aes_column_encryption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and("rt").alias("roundtrip_ok"),
         F.bool_and("iv_distinct").alias("gcm_distinct_ok"),
     )
+
+
+@register(
+    "listagg_segment_rollcall",
+    """
+WITH top3 AS (
+  SELECT c_mktsegment, c_name,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn
+  FROM customer
+)
+SELECT c_mktsegment,
+       string_agg(c_name, ',' ORDER BY c_name) AS first_names,
+       CAST(COUNT(*) AS BIGINT) AS n_listed
+FROM top3 WHERE rn <= 3
+GROUP BY c_mktsegment
+""",
+)
+def listagg_segment_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LISTAGG ... WITHIN GROUP (ORDER BY ...)`` (SQL:2016 ordered string
+    aggregation, new in Spark 4): the 3 lowest-custkey customer names per
+    market segment concatenated in deterministic name order -- the report
+    surface analysts otherwise emulate with collect_list + array_sort +
+    array_join.  DuckDB replays it as string_agg(... ORDER BY).  The
+    aggregation input is pre-limited to 3 rows per segment (window + rn
+    filter), so the concatenated string is bounded -- the required shape
+    at scale, where an unbounded LISTAGG over a group is an OOM, not a
+    report."""
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        WITH top3 AS (
+          SELECT c_mktsegment, c_name,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn
+          FROM customer
+        )
+        SELECT c_mktsegment,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS first_names,
+               CAST(COUNT(*) AS BIGINT) AS n_listed
+        FROM top3 WHERE rn <= 3
+        GROUP BY c_mktsegment
+        """
+    )
