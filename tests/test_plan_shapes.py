@@ -240,3 +240,22 @@ def test_coverage_inventory_complete():
     cov = open(cov_path).read()
     missing = [n for n in SPARK_QUERIES if n not in cov]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_cogroup_attribution_keys_on_buckets(spark):
+    """The r6 bucketing win must stay in the plan: the cogroup's Python
+    stage groups on the 64-way bucket column, NOT raw user_id (per-group
+    Arrow machinery scales with group count -- PLANS.md adjudication)."""
+    plan = plan_of(spark, "cogroup_attribution_windows")
+    m = re.search(r"FlatMapCoGroupsInPandas \[([a-zA-Z_0-9#L]+)\], \[([a-zA-Z_0-9#L]+)\]", plan)
+    assert m, plan[:800]
+    assert m.group(1).startswith("bucket") and m.group(2).startswith("bucket"), m.groups()
+
+
+def test_sessionize_exact_pandas_keys_on_buckets(spark):
+    """Same guard for the bucketed register walk: FlatMapGroupsInPandas
+    must key on the synthetic __pv_bucket, not the raw user key."""
+    plan = plan_of(spark, "sessionize_exact_pandas")
+    m = re.search(r"FlatMapGroupsInPandas \[([a-zA-Z_0-9#L]+)\]", plan)
+    assert m, plan[:800]
+    assert m.group(1).startswith("__pv_bucket"), m.group(1)

@@ -127,3 +127,33 @@ def test_property_random_sequences(spark):
         for r in impl(df).collect():
             actual.setdefault(r["clientId"], []).append(r["page_view_duration"])
         assert {k: sorted(v) for k, v in actual.items()} == expected
+
+
+def test_bucketed_walk_equals_per_key_walk(spark):
+    """buckets=N must be a pure physical re-keying: outputs identical to
+    the one-group-per-key shape on random multi-user event streams
+    (including users sharing a bucket, empty-pair users, tied handling
+    via the deterministic sort)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from odp_dynamic_data_pipeline_spark.operators.sessionize import pair_page_views_exact
+
+    rng = random.Random(41)
+    rows = []
+    for uid in range(17):  # 17 users across 4 buckets
+        t = 0
+        for _ in range(rng.randint(0, 14)):
+            t += rng.randint(1, 50)
+            rows.append(
+                (str(uid), t, rng.choice(["page_view_start", "page_view_end", "other"]))
+            )
+    df = spark.createDataFrame(rows, "k string, t long, event_type string").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "event_type"
+    )
+    kw = dict(group_col="k", ts_col="ts", type_col="event_type")
+    base = pair_page_views_exact(df, **kw)
+    bucketed = pair_page_views_exact(df, buckets=4, **kw)
+    key = lambda r: (r["k"], r["end_ts"], r["page_view_duration"])  # noqa: E731
+    assert sorted(map(key, base.collect())) == sorted(map(key, bucketed.collect()))
