@@ -83,3 +83,16 @@ def test_kcore_matches_reference_on_random_graphs(spark):
         rounds = rng.choice([2, 4])
         got = _run(spark, edges, k=k, rounds=rounds)
         assert got == _peel_reference(edges, k, rounds), (trial, k, rounds, edges)
+
+
+def test_kcore_string_node_ids(spark):
+    """The removed-round accumulator derives its nid type from the edge
+    schema, so non-long ids (string doc keys) work end-to-end."""
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], "id_a string, id_b string"
+    )
+    got = {
+        r["nid"]: (r["removed_round"], r["in_core"])
+        for r in kcore_peel(df, k=2, rounds=3).collect()
+    }
+    assert got == {"a": (0, True), "b": (0, True), "c": (0, True), "d": (1, False)}
