@@ -728,3 +728,46 @@ def listagg_segment_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@register(
+    "bitmap_distinct_rollup",
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS BIGINT)
+         AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct via Spark's positional-bitmap aggregate
+    family (`bitmap_bucket_number` / `bitmap_bit_position` /
+    `bitmap_construct_agg` / `bitmap_or_agg` / `bitmap_count`): per
+    (event_type, day, bucket) partial bitmaps over user ids -- the stored
+    partial a nightly job materializes -- OR-merged per event type, then
+    popcounted.  The exact twin of the HLL rollup
+    (hll_sketch_partitioned_union): same scan-once / merge-forever shape,
+    but the answer is EXACT, so Spark's bitmap-path user counts
+    hash-compare directly against DuckDB's COUNT(DISTINCT) -- no
+    bound-as-data needed.  Cost model: bitmaps are 4 KB per 32k-id bucket
+    per group -- exactness is affordable while ids stay dense/bounded;
+    HLL takes over when the id space is sparse or unbounded."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    partials = d.groupBy("event_type", "day", "bkt").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    merged = partials.groupBy("event_type", "bkt").agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+    users = merged.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users")
+    )
+    # n_days from the partial table directly (NOT max-over-buckets, which
+    # undercounts once the id space spans buckets unevenly across days)
+    days = partials.groupBy("event_type").agg(F.countDistinct("day").cast("long").alias("n_days"))
+    return days.join(users, "event_type").select("event_type", "n_days", "n_users")
