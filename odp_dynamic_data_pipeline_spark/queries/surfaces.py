@@ -771,3 +771,119 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # undercounts once the id space spans buckets unevenly across days)
     days = partials.groupBy("event_type").agg(F.countDistinct("day").cast("long").alias("n_days"))
     return days.join(users, "event_type").select("event_type", "n_days", "n_users")
+
+
+@register(
+    "attribution_windows_stream",
+    """
+WITH e AS (SELECT * FROM events WHERE user_id % 3 = 0),
+p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM e WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, epoch_us(ts) AS v_us,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM e WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, p.ts_us,
+       CAST(COALESCE(w.n, 0) AS BIGINT) AS n_views_1h,
+       CAST(COALESCE(w.s, 0) AS BIGINT) AS sum_view_cents_1h
+FROM p
+LEFT JOIN LATERAL (
+  SELECT COUNT(*) AS n, SUM(cents) AS s
+  FROM v WHERE v.user_id = p.user_id
+    AND v.v_us >= p.ts_us - 3600000000 AND v.v_us < p.ts_us
+) w ON TRUE
+""",
+)
+def attribution_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the cogroup attribution semantics via CHAINED
+    STATEFUL OPERATORS (multiple-stateful support, SPARK-42376): a
+    stream-stream interval join (views within [purchase - 1h, purchase))
+    feeding a downstream WINDOWED streaming aggregate in the same query --
+    per-purchase trailing view count/value, append mode.
+
+    End-of-stream emission: append-mode aggregates only emit when the
+    watermark passes a window, and a finite replay's watermark stalls at
+    max_event - delay, which would swallow the trailing windows.  Both
+    replayed sides therefore carry one far-future SENTINEL row (user -1,
+    +10 days) that drives the final watermark past every real window;
+    sentinels are filtered from the result.  Zero-view purchases cannot
+    exit an INNER streaming join, so the streamed per-purchase stats are
+    left-joined back onto the batch purchase list (coalesce 0) -- the
+    join+agg chain is the streaming computation under test, the fill is a
+    stateless batch decoration.  The last-view-gap column of the batch
+    cogroup query is deliberately absent: a gap over unbounded history is
+    not watermark-boundable.  Same deterministic user thinning as
+    stream_stream_join_pairs keeps pair counts proportional."""
+    from odp_dynamic_data_pipeline_spark.queries.core import (
+        _replay_stream,
+        _stream_shuffle,
+        _stream_tmpdir,
+    )
+    from odp_dynamic_data_pipeline_spark.streaming.stream import run_available_now
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 3 == 0)
+    horizon = ev.agg(F.max("ts").alias("m")).select(
+        F.expr("timestampadd(DAY, 10, m)").alias("flush_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents")
+    )
+    p_sent = horizon.select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.col("flush_ts").alias("ts"),
+    )
+    v_sent = horizon.select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.col("flush_ts").alias("v_ts"),
+        F.lit(0).cast("long").alias("cents"),
+    )
+    tmp = _stream_tmpdir("attr_stream")
+    ps = _replay_stream(spark, purchases.unionByName(p_sent), f"{tmp}/p").withWatermark(
+        "ts", "1 hour"
+    )
+    vs = _replay_stream(spark, views.unionByName(v_sent), f"{tmp}/v").withWatermark(
+        "v_ts", "1 hour"
+    )
+    cond = (
+        (ps["user_id"] == vs["user_id"])
+        & (vs["v_ts"] >= ps["ts"] - F.expr("INTERVAL 1 HOUR"))
+        & (vs["v_ts"] < ps["ts"])
+    )
+    # keep exactly ONE event-time-tagged column through the aggregate: the
+    # window derives from ts, while the per-purchase timestamp rides along
+    # as an untagged bigint (two tagged columns fail analysis)
+    joined = ps.join(vs, cond, "inner").select(
+        ps["event_id"],
+        ps["user_id"],
+        ps["ts"],
+        F.unix_micros(ps["ts"]).alias("ts_us"),
+        vs["cents"],
+    )
+    agg = joined.groupBy(
+        F.window("ts", "1 hour"), "event_id", "user_id", "ts_us"
+    ).agg(
+        F.count(F.lit(1)).alias("n_views_1h"),
+        F.sum("cents").alias("sum_view_cents_1h"),
+    ).select("event_id", "user_id", "ts_us", "n_views_1h", "sum_view_cents_1h")
+    with _stream_shuffle(spark):
+        run_available_now(
+            agg, format="parquet", query_name="", path=f"{tmp}/out", checkpoint=f"{tmp}/ckpt"
+        )
+    streamed = spark.read.schema(
+        "event_id bigint, user_id bigint, ts_us bigint, n_views_1h bigint, sum_view_cents_1h bigint"
+    ).parquet(f"{tmp}/out").where(F.col("user_id") >= 0)
+    base = purchases.select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+    return base.join(
+        streamed.select("event_id", "n_views_1h", "sum_view_cents_1h"), "event_id", "left"
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.coalesce("n_views_1h", F.lit(0)).cast("long").alias("n_views_1h"),
+        F.coalesce("sum_view_cents_1h", F.lit(0)).cast("long").alias("sum_view_cents_1h"),
+    )
