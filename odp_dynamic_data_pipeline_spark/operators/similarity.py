@@ -671,6 +671,7 @@ def random_projection(
     *,
     out_dim: int = 16,
     scale: int = 10000,
+    in_dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction with a deterministic
     Rademacher (+1/-1) matrix: proj[j] = sum_i q[i] * sign(i, j), where q
@@ -685,19 +686,51 @@ def random_projection(
     Python, NO driver state; at 100 TB it runs at scan speed and cuts every
     downstream ANN/cluster shuffle by dim/out_dim.
 
+    When ``in_dim`` is given, the out_dim x in_dim sign matrix is evaluated
+    ONCE at plan-build time (Python hashlib.md5 == Spark md5 bit-for-bit)
+    and folded in as a bounded literal, so each row does in_dim*out_dim
+    integer mult-adds instead of ALSO re-hashing the matrix: the per-row
+    md5(concat(i,'_',j)) of the portable path costs in_dim*out_dim string
+    hashes PER ROW (~1024/row at 64->16), which dominated the operator by
+    >10x and would be the whole scan cost at 100 TB.  A runtime
+    ``assert_true`` guards the in_dim contract (zip_with would otherwise
+    null-pad a mismatched vector silently).  ``in_dim=None`` keeps the
+    dimension-agnostic per-row derivation for unknown-width inputs.
+
     Parity of the reference's feature-engineering surface
     (src/data_processor.py transform stage) extended to embedding columns."""
     q = (
         f"transform({vec_col}, x -> "
         f"CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT))"
     )
-    proj = (
-        f"transform(sequence(0, {out_dim - 1}), j -> "
-        f"aggregate(zip_with(__q, sequence(0, size(__q) - 1), "
-        f"(x, i) -> x * (2 * (CAST(conv(substr(md5(concat(i, '_', j)), 1, 1), 16, 10)"
-        f" AS BIGINT) % 2) - 1)), "
-        f"CAST(0 AS BIGINT), (a, x) -> a + x))"
-    )
+    if in_dim is not None:
+        import hashlib
+
+        signs = "array(" + ",".join(
+            "array(" + ",".join(
+                str(
+                    2
+                    * (int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0], 16) % 2)
+                    - 1
+                )
+                for i in range(in_dim)
+            ) + ")"
+            for j in range(out_dim)
+        ) + ")"
+        proj = (
+            f"IF(assert_true(size(__q) = {in_dim}) IS NULL, "
+            f"transform({signs}, row -> "
+            f"aggregate(zip_with(__q, row, (x, s) -> x * s), "
+            f"CAST(0 AS BIGINT), (a, x) -> a + x)), NULL)"
+        )
+    else:
+        proj = (
+            f"transform(sequence(0, {out_dim - 1}), j -> "
+            f"aggregate(zip_with(__q, sequence(0, size(__q) - 1), "
+            f"(x, i) -> x * (2 * (CAST(conv(substr(md5(concat(i, '_', j)), 1, 1), 16, 10)"
+            f" AS BIGINT) % 2) - 1)), "
+            f"CAST(0 AS BIGINT), (a, x) -> a + x))"
+        )
     return (
         df.withColumn("__q", F.expr(q))
         .withColumn(out_col, F.expr(proj))

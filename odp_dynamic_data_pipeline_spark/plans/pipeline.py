@@ -140,6 +140,7 @@ def _apply_transform(df: DataFrame, t: dict) -> DataFrame:
             t.get("out_col", "proj"),
             out_dim=t.get("out_dim", 16),
             scale=t.get("scale", 10000),
+            in_dim=t.get("in_dim"),
         )
     if op == "quantize_int8":
         from odp_dynamic_data_pipeline_spark.operators import similarity as _sim

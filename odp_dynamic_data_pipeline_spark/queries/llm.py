@@ -3109,6 +3109,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"),
         out_dim=16,
         scale=10000,
+        in_dim=64,
     )
     return e.select(
         "vec_id",

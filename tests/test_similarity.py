@@ -114,6 +114,24 @@ def test_random_projection_exact_and_jl(spark):
     # E[ratio] = 16 exactly for +-1 entries; per-vector std ~ sqrt(2/16)*16
     assert 10.0 < mean_ratio < 24.0, f"JL energy law violated: {mean_ratio:.2f}"
 
+def test_random_projection_literal_path_equals_portable(spark):
+    """The plan-time literal sign matrix (in_dim=64) must be bit-identical
+    to the per-row md5 derivation, and the runtime guard must reject a
+    vector whose length violates the in_dim contract (zip_with would
+    otherwise null-pad silently)."""
+    emb = load_table(spark, SF, "embeddings").where(F.col("vec_id") < 30)
+    slow = sim.random_projection(emb, out_dim=16).select("vec_id", "proj")
+    fast = sim.random_projection(emb, out_dim=16, in_dim=64).select("vec_id", "proj")
+    assert slow.exceptAll(fast).count() == 0
+    assert fast.exceptAll(slow).count() == 0
+
+    import pytest as _pytest
+
+    short = emb.withColumn("embedding", F.expr("slice(embedding, 1, 10)"))
+    with _pytest.raises(Exception, match="not true"):
+        sim.random_projection(short, out_dim=4, in_dim=64).collect()
+
+
 def test_hard_negatives_labels_differ(spark):
     emb = load_table(spark, SF, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
