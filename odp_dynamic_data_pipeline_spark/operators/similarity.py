@@ -310,10 +310,22 @@ def semantic_dedup(
 
 def _hyperplane_sign(vec_col: str, plane: int, dim: int) -> F.Column:
     """Sign of <v, h_plane> where h_plane[j] in {-1,+1} derives from
-    xxhash64(plane, j) -- a deterministic random hyperplane."""
+    xxhash64(plane, j) -- a deterministic random hyperplane.
+
+    The sign vector depends only on (plane, j), so it is evaluated ONCE at
+    plan-build time with the Python replication of Spark's xxhash64
+    (functions/xxh.py, JVM-parity pinned by test) and folded in as a
+    literal: the previous form re-ran xxhash64 per ROW per element --
+    tables*planes*dim = 2048 hashes/row at the defaults, pure overhead at
+    any scale since the matrix is a constant.  Bit-identical output: the
+    multiply-by-sign accumulates through the same CAST-to-DOUBLE lambda."""
+    from odp_dynamic_data_pipeline_spark.functions.xxh import xxhash64_ints
+
+    signs = "array(" + ",".join(
+        "1" if xxhash64_ints(plane, j) % 2 == 0 else "-1" for j in range(dim)
+    ) + ")"
     terms = (
-        f"aggregate(zip_with({vec_col}, sequence(0, {dim - 1}),"
-        f" (x, j) -> CASE WHEN xxhash64({plane}, j) % 2 = 0 THEN x ELSE -x END),"
+        f"aggregate(zip_with({vec_col}, {signs}, (x, s) -> x * s),"
         f" CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
     )
     return (F.expr(terms) > 0).cast("int")

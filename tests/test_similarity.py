@@ -132,6 +132,55 @@ def test_random_projection_literal_path_equals_portable(spark):
         sim.random_projection(short, out_dim=4, in_dim=64).collect()
 
 
+def test_python_xxhash64_matches_spark(spark):
+    """functions/xxh.py must replicate Spark's xxhash64 exactly for INT and
+    BIGINT chains (including negatives) -- the contract that lets hash-derived
+    constants be folded at plan-build time."""
+    from odp_dynamic_data_pipeline_spark.functions.xxh import (
+        xxhash64_ints,
+        xxhash64_longs,
+    )
+
+    rows = spark.sql(
+        "SELECT p, j, xxhash64(CAST(p AS INT), CAST(j AS INT)) AS hi,"
+        " xxhash64(CAST(p AS BIGINT), CAST(j AS BIGINT)) AS hl"
+        " FROM (SELECT explode(array(-5, 0, 3, 31)) AS p),"
+        " (SELECT explode(sequence(-2, 13)) AS j)"
+    ).collect()
+    for r in rows:
+        assert xxhash64_ints(r.p, r.j) == r.hi
+        assert xxhash64_longs(r.p, r.j) == r.hl
+
+
+def test_lsh_hyperplane_literal_matches_runtime_hash(spark):
+    """The plan-time literal sign vectors must reproduce the original
+    per-row xxhash64 hyperplane expression bit-for-bit."""
+    emb = quantized_embeddings(spark)
+    old_bits = []
+    new_bits = []
+    for plane in (0, 7, 31):
+        old = (
+            F.expr(
+                f"aggregate(zip_with(qvec, sequence(0, 63),"
+                f" (x, j) -> CASE WHEN xxhash64({plane}, j) % 2 = 0 THEN x ELSE -x END),"
+                f" CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
+            )
+            > 0
+        ).cast("int")
+        old_bits.append(old.alias(f"o{plane}"))
+        new_bits.append(sim._hyperplane_sign("qvec", plane, 64).alias(f"n{plane}"))
+    rows = emb.select(*old_bits, *new_bits).collect()
+    assert rows
+    for r in rows:
+        for plane in (0, 7, 31):
+            assert r[f"o{plane}"] == r[f"n{plane}"]
+
+
+def quantized_embeddings(spark):
+    emb = load_table(spark, SF, "embeddings").where(F.col("vec_id") < 50)
+    return sim.quantized(emb, "embedding")
+
+
 def test_hard_negatives_labels_differ(spark):
     emb = load_table(spark, SF, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
