@@ -2030,25 +2030,41 @@ def frequent_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket frequent-pair mining (the 2-itemset core of Apriori):
     parts co-ordered in the same order, with support/co-occurrence/lift.
 
-    Scale shape is what matters: the pair generation is a SELF-JOIN ON THE
-    BASKET KEY, which explodes quadratically per basket -- so the Apriori
-    downward-closure prune (an item in a frequent pair must itself be
-    frequent, support >= minsup) runs FIRST as a cheap groupBy, shrinking
-    the self-join input before any pair exists.  Pairs then shuffle once
-    on the canonical (a < b) key for counting, and lift's corpus constant
-    N rides a broadcast single-row table.  Exact integer lift (e6 fixed
-    point, truncating div) keeps the driver hash deterministic."""
+    Scale shape is what matters: pair generation explodes quadratically
+    per basket -- so the Apriori downward-closure prune (an item in a
+    frequent pair must itself be frequent, support >= minsup) runs FIRST
+    as a cheap groupBy, shrinking the input before any pair exists.  The
+    pairs themselves come from ONE groupBy(basket) -> sorted collect_list
+    -> JVM-side combination expansion (transform/slice/flatten), not a
+    basket-key self-join: the self-join shuffled the filtered items twice,
+    sort-merged them, and materialized the full k^2 cross square per
+    basket only to discard half -- the collect_list form shuffles once and
+    emits exactly k(k-1)/2 canonical (a < b) pairs, already ordered by the
+    sort_array.  Pairs then shuffle once on the pair key for counting, and
+    lift's corpus constant N rides a broadcast single-row table.  Exact
+    integer lift (e6 fixed point, truncating div) keeps the driver hash
+    deterministic.  Per-basket skew is bounded by the basket size (a
+    lineitem order holds at most 7 lines), so collect_list is safe here;
+    an unbounded-basket corpus would cap or re-block baskets first."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
     n = li.agg(F.countDistinct("o").alias("n"))
     sup = li.groupBy("p").agg(F.count(F.lit(1)).alias("s")).filter(F.col("s") >= 5)
     f = li.join(sup.select("p"), "p")
-    a = f.select(F.col("o"), F.col("p").alias("part_a"))
-    b = f.select(F.col("o"), F.col("p").alias("part_b"))
+    baskets = f.groupBy("o").agg(F.sort_array(F.collect_list("p")).alias("ps"))
     pairs = (
-        a.join(b, "o")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.where(F.size("ps") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.part_a", "pr.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("together"))
         .filter(F.col("together") >= 2)
