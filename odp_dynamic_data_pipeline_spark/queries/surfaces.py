@@ -887,3 +887,168 @@ def attribution_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_views_1h", F.lit(0)).cast("long").alias("n_views_1h"),
         F.coalesce("sum_view_cents_1h", F.lit(0)).cast("long").alias("sum_view_cents_1h"),
     )
+
+
+@register(
+    "sql_udf_library",
+    """
+SELECT l_returnflag,
+       CASE WHEN CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT) < 100000 THEN 'small'
+            WHEN CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT) < 4000000 THEN 'mid'
+            ELSE 'large' END AS price_band,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_net_cents
+FROM lineitem
+GROUP BY l_returnflag, price_band
+""",
+)
+def sql_udf_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDFs (``CREATE FUNCTION ... RETURN expr``, Spark 4
+    / SQL:2016 PSM-lite): the reference exposes its scalar helpers as a
+    Python function library (src/utils.py); the Spark-native equivalent
+    for SQL-frontend users is a CREATE FUNCTION library -- named, typed,
+    composable (``price_band(net_cents(...))``) -- that Catalyst INLINES
+    into the calling plan, so the functions cost nothing at runtime:
+    the aggregate below compiles to the same whole-stage-codegen plan as
+    the hand-inlined oracle (no UDF call boundary, unlike Python UDFs).
+    Exact cents arithmetic per registry policy."""
+    register_views(spark, sf_dir, ["lineitem"])
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_cents(price DOUBLE, disc DOUBLE, tax DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(ROUND(price * (1 - disc) * (1 + tax) * 100, 0) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(cents BIGINT) RETURNS STRING "
+        "RETURN CASE WHEN cents < 100000 THEN 'small' "
+        "WHEN cents < 4000000 THEN 'mid' ELSE 'large' END"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               price_band(net_cents(l_extendedprice, l_discount, l_tax)) AS price_band,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               SUM(net_cents(l_extendedprice, l_discount, l_tax)) AS sum_net_cents
+        FROM lineitem
+        GROUP BY l_returnflag, price_band(net_cents(l_extendedprice, l_discount, l_tax))
+        """
+    )
+
+
+@register(
+    "sql_udtf_month_spine",
+    """
+WITH bounds AS (
+  SELECT date_trunc('month', MIN(o_orderdate)) AS mn,
+         date_trunc('month', MAX(o_orderdate)) AS mx
+  FROM orders
+),
+spine AS (
+  SELECT CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 MONTH)) AS DATE) AS month_start
+  FROM bounds
+),
+m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT s.month_start,
+       CAST(COALESCE(m.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(m.revenue_cents, 0) AS BIGINT) AS revenue_cents
+FROM spine s LEFT JOIN m USING (month_start)
+""",
+)
+def sql_udtf_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE function (``CREATE FUNCTION ... RETURNS TABLE``, Spark 4)
+    as the calendar-spine generator for gap-free monthly reporting: the
+    spine comes from a named, reusable ``month_spine(start, n)`` UDTF
+    invoked via correlated LATERAL against the aggregated date bounds --
+    the declarative replacement for driver-side date loops.  The spine is
+    O(months) rows from a single-row lateral (never a scan), the monthly
+    rollup is one shuffle, and the zero-fill is a broadcast-size left
+    join: the gap-filling shape that survives any fact-table scale."""
+    register_views(spark, sf_dir, ["orders"])
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION month_spine(start DATE, n INT) "
+        "RETURNS TABLE (month_start DATE) "
+        "RETURN SELECT explode(transform(sequence(0, n - 1), "
+        "i -> add_months(date_trunc('MONTH', start), i))) AS month_start"
+    )
+    return spark.sql(
+        """
+        WITH bounds AS (
+          SELECT CAST(date_trunc('MONTH', MIN(o_orderdate)) AS DATE) AS mn,
+                 CAST((YEAR(MAX(o_orderdate)) - YEAR(MIN(o_orderdate))) * 12
+                      + MONTH(MAX(o_orderdate)) - MONTH(MIN(o_orderdate)) + 1 AS INT) AS n_months
+          FROM orders
+        ),
+        spine AS (
+          SELECT s.month_start FROM bounds, LATERAL month_spine(bounds.mn, bounds.n_months) s
+        ),
+        m AS (
+          SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS month_start,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS revenue_cents
+          FROM orders GROUP BY 1
+        )
+        SELECT spine.month_start,
+               CAST(COALESCE(m.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(m.revenue_cents, 0) AS BIGINT) AS revenue_cents
+        FROM spine LEFT JOIN m USING (month_start)
+        """
+    )
+
+
+@register(
+    "streaming_state_reader",
+    """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store INTROSPECTION (``spark.read.format('statestore')``,
+    Spark 4): run a stateful streaming aggregation over the event file
+    stream, then read the operator's PERSISTED STATE back out of the
+    checkpoint as a DataFrame and verify it equals the batch aggregate --
+    the debugging/ops surface that answers "what does my streaming job
+    actually believe right now?" without touching the running query.  At
+    scale this reads the HDFS/RocksDB store files directly (one task per
+    state partition), never the stream itself; it is how checkpoint
+    corruption, skewed state, and watermark bugs get diagnosed in
+    production.  The state key/value structs are projected positionally
+    (internal field names are engine-private)."""
+    from odp_dynamic_data_pipeline_spark.queries.core import (
+        _replay_stream,
+        _stream_shuffle,
+        _stream_tmpdir,
+    )
+    from odp_dynamic_data_pipeline_spark.streaming.stream import run_available_now
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents")
+    )
+    tmp = _stream_tmpdir("state_reader")
+    stream = _replay_stream(spark, ev, tmp)
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("sum_cents")
+    )
+    with _stream_shuffle(spark):
+        run_available_now(
+            agg,
+            format="memory",
+            query_name="state_reader_sink",
+            checkpoint=f"{tmp}/ckpt",
+            output_mode="update",
+        )
+    state = spark.read.format("statestore").load(f"{tmp}/ckpt")
+    key_fields = state.schema["key"].dataType.names
+    val_fields = state.schema["value"].dataType.names
+    return state.select(
+        F.col(f"key.{key_fields[0]}").cast("long").alias("user_id"),
+        F.col(f"value.{val_fields[0]}").cast("long").alias("n_events"),
+        F.col(f"value.{val_fields[1]}").cast("long").alias("sum_cents"),
+    )
