@@ -419,6 +419,120 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 10,
+    strict: bool = False,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) -- the algorithm whose round count is O(log n) on ANY
+    graph, vs min-label propagation's O(diameter): the right choice when
+    components can be long chains (near-dup CHAINS from drifting template
+    versions), where label propagation pays one shuffle per hop.
+
+    Each iteration rewires the graph toward a star forest centered at
+    component minima:
+
+    * large-star: per node u, attach every LARGER neighbor to
+      m = min(neighborhood(u) + {u}) -- computed over the symmetrized
+      edge list (one groupBy for m, one join to re-expand).
+    * small-star: per node u (edges held as (hi, lo) with hi > lo),
+      attach u and all its smaller neighbors to their collective min --
+      same groupBy + join shape on the directed list, half the rows.
+
+    Both phases emit (hi, lo) pairs, deduplicated; the fixed point is
+    exactly one edge per non-root node, pointing at its component min.
+    Convergence is probed with an EXACT set comparison (equal counts +
+    empty exceptAll) on the slim integer pair list -- unlike min-label CC
+    there is no monotone per-row metric to ride an Observation, and a
+    hash-sum probe would trade a 2^-64 silent-wrong-answer risk for one
+    job.  localCheckpoint(eager=False) between rounds keeps the plan flat.
+
+    Returns (id_col, component), component = min reachable node id --
+    bit-identical to :func:`connected_components` on the same graph.
+    """
+    # (hi, lo) canonical direction; self-loops dropped, multiset deduped
+    cur = (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+        )
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_cur = cur.count()
+    converged = False
+    for _ in range(max_iterations):
+        # -- large-star over the symmetrized neighborhood
+        sym = cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            cur.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # -- small-star over the directed (hi -> smaller neighbors) list
+        smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(smins, "hi")
+            .select(
+                F.explode(F.array(F.col("hi"), F.col("lo"))).alias("node"),
+                F.col("m"),
+            )
+            .where(F.col("node") != F.col("m"))
+            .select(F.col("node").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        n_new = small.count()
+        if n_new == n_cur and small.exceptAll(cur).count() == 0:
+            cur = small
+            converged = True
+            break
+        cur, n_cur = small, n_new
+    if not converged:
+        msg = (
+            f"connected_components_star did not reach its fixed point in "
+            f"{max_iterations} iterations; labels may split components. "
+            f"Raise max_iterations."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    # star forest: every non-root points at its component min; defensive
+    # min() keeps the output correct even on an unconverged superset
+    labels = cur.groupBy("hi").agg(F.min("lo").alias("comp")).select(
+        F.col("hi").alias("nid"), "comp"
+    )
+    roots = cur.select(F.col("lo").alias("nid")).distinct().join(
+        labels.select("nid"), "nid", "left_anti"
+    ).select("nid", F.col("nid").alias("comp"))
+    isolated = (
+        nodes.select(F.col(id_col).alias("nid"))
+        .join(labels.select("nid").unionByName(roots.select("nid")), "nid", "left_anti")
+        .select("nid", F.col("nid").alias("comp"))
+    )
+    return (
+        labels.unionByName(roots)
+        .unionByName(isolated)
+        .select(F.col("nid").alias(id_col), F.col("comp").alias("component"))
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1428,9 +1428,7 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
-@register(
-    "dedup_clusters",
-    """
+DEDUP_CLUSTERS_ORACLE = """
 WITH RECURSIVE toks AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
 ),
@@ -1456,8 +1454,10 @@ cc AS (
 )
 SELECT nid AS doc_id, MIN(comp) AS component
 FROM cc GROUP BY nid
-""",
-)
+"""
+
+
+@register("dedup_clusters", DEDUP_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: exact 3-gram Jaccard >= 0.3 pairs as edges,
     connected components by iterative min-label propagation (operators.
@@ -1476,6 +1476,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same trade usually still favors recompute, but a deployment that
     # feeds MANY consumers from one shingle table should materialize it
     # once (write the hashed-shingle table, as the PQ path stores codes).
+    edges = _jaccard_edges(docs)
+    return dd.connected_components(docs.select("doc_id"), edges, id_col="doc_id")
+
+
+def _jaccard_edges(docs: DataFrame) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.3 near-dup edges -- the shared input of
+    both connected-components queries (dedup_clusters and its
+    large-star/small-star twin)."""
     sh = dd.hashed_shingles_direct(docs, "doc_id", "text").select(
         "doc_id", F.explode("hsh").alias("s")
     )
@@ -1494,13 +1502,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    edges = (
+    return (
         inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza")), "id_a")
         .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb")), "id_b")
         .where(F.expr("(1000000 * inter) div (sza + szb - inter)") >= 300000)
         .select("id_a", "id_b")
     )
-    return dd.connected_components(docs.select("doc_id"), edges, id_col="doc_id")
+
+
+@register("dedup_clusters_star", DEDUP_CLUSTERS_ORACLE)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters by ALTERNATING LARGE-STAR/SMALL-STAR
+    (operators.dedup.connected_components_star; Kiveris et al., SoCC
+    2014) over the same exact-Jaccard edge set as dedup_clusters -- the
+    O(log n)-round alternative to min-label propagation, which pays one
+    shuffle per HOP of component diameter.  Near-dup graphs are usually
+    clique unions (diameter ~2) where min-label wins on constant factors,
+    but template-drift CHAINS (v1~v2~...~vN, consecutive similarity only)
+    give propagation O(N) rounds while star-contraction stays
+    logarithmic; an engine at 100 TB needs both, and the outputs are
+    bit-identical -- same recursive-CTE oracle, and the registry hash
+    gate proves algorithm equivalence cross-engine every round."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = _jaccard_edges(docs)
+    return dd.connected_components_star(docs.select("doc_id"), edges, id_col="doc_id")
 
 
 @register(
