@@ -1052,3 +1052,70 @@ def streaming_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(f"value.{val_fields[0]}").cast("long").alias("n_events"),
         F.col(f"value.{val_fields[1]}").cast("long").alias("sum_cents"),
     )
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    r"""
+WITH keyed AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS blk
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, blk, ROW_NUMBER() OVER (ORDER BY blk, doc_id) AS rn FROM keyed
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(b.rn - a.rn AS BIGINT) AS rank_dist,
+       CAST(levenshtein(a.blk, b.blk) AS BIGINT) AS key_lev
+FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 4
+WHERE levenshtein(a.blk, b.blk) <= 8
+""",
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood Method blocking (Hernandez & Stolfo, SIGMOD
+    1995): sort the corpus by a normalized blocking key, slide a window
+    of w=5, and emit only in-window pairs for the expensive verify step
+    (edit distance here) -- the O(n*w) entity-resolution alternative to
+    LSH when near-dups share PREFIXES rather than shingle sets.
+
+    Scale shape: the global sort rank comes from operators.partitioning.
+    global_rank (range-partition + driver prefix sums -- no single-task
+    global window), and the window itself is an EQUI-join: each row
+    explodes w-1 probe ranks (rn+1..rn+4) that hash-join against the
+    rank column, instead of the rn BETWEEN range join every SQL
+    formulation writes (a range join at 100 TB either falls back to
+    broadcast-nested-loop or needs a specialized range partitioner; the
+    explode costs a flat 4x on a slim (rank, id, key) projection).
+    Levenshtein runs on the bounded 24-char keys, never full documents."""
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import global_rank
+
+    w = 5
+    keyed = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "substr(regexp_replace(lower(text), '[^a-z0-9]', ''), 1, 24)"
+        ).alias("blk"),
+    )
+    ranked = global_rank(keyed, ["blk", "doc_id"], rank_col="rn")
+    probes = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("blk").alias("blk_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(F.expr(f"sequence(rn + 1, rn + {w - 1})")).alias("rn"),
+    )
+    return (
+        probes.join(
+            ranked.select(
+                F.col("doc_id").alias("id_b"), F.col("blk").alias("blk_b"), "rn"
+            ),
+            "rn",
+        )
+        .where(F.levenshtein("blk_a", "blk_b") <= 8)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("rn") - F.col("rn_a")).cast("long").alias("rank_dist"),
+            F.levenshtein("blk_a", "blk_b").cast("long").alias("key_lev"),
+        )
+    )
