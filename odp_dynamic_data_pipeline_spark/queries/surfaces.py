@@ -1119,3 +1119,67 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("blk_a", "blk_b").cast("long").alias("key_lev"),
         )
     )
+
+
+@register(
+    "pyds_stream_ingest",
+    """
+WITH ids AS (SELECT UNNEST(generate_series(0, 199)) AS doc_id),
+d AS (
+  SELECT doc_id,
+         5 + ('0x' || substr(md5('len|' || doc_id), 1, 15))::BIGINT % 20 AS n_tok
+  FROM ids
+),
+t AS (
+  SELECT doc_id, n_tok,
+         array_to_string(list_transform(range(0, CAST(n_tok AS INT)),
+           j -> 't' || (('0x' || substr(md5('tok|' || doc_id || '|' || j), 1, 15))::BIGINT % 1000)),
+           ' ') AS text
+  FROM d
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, md5(text) AS text_md5 FROM t
+""",
+)
+def pyds_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python DataSource (Spark 4 ``DataSourceStreamReader``):
+    the synthetic-corpus source read as an UNBOUNDED stream -- pure-Python
+    offset management (initialOffset / latestOffset / commit on the
+    driver, partition-parallel range reads on executors) driven through
+    an AvailableNow catch-up into a parquet sink, with the checkpoint
+    holding the committed offset for exactly-once restart.  The batch
+    and stream readers share one row generator, so the SAME md5-replay
+    oracle that gates the batch source (pyds_synthetic_corpus) gates the
+    full stream path: source -> micro-batch -> sink -> rescan.
+    Incremental multi-batch progression + commit callbacks are pinned by
+    tests/test_pyds_stream.py."""
+    from odp_dynamic_data_pipeline_spark.queries.core import (
+        _stream_shuffle,
+        _stream_tmpdir,
+    )
+    from odp_dynamic_data_pipeline_spark.sources.pyds import register_python_sources
+    from odp_dynamic_data_pipeline_spark.streaming.stream import run_available_now
+
+    register_python_sources(spark)
+    tmp = _stream_tmpdir("pyds_stream")
+    stream = (
+        spark.readStream.format("synthetic_corpus")
+        .option("n_docs", 200)
+        .option("partitions", 8)
+        .load()
+    )
+    out = stream.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("long").alias("n_tokens"),
+        F.md5("text").alias("text_md5"),
+    )
+    with _stream_shuffle(spark):
+        run_available_now(
+            out,
+            format="parquet",
+            query_name="",
+            path=f"{tmp}/out",
+            checkpoint=f"{tmp}/ckpt",
+        )
+    return spark.read.schema("doc_id bigint, n_tokens bigint, text_md5 string").parquet(
+        f"{tmp}/out"
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -47,14 +48,71 @@ class SyntheticCorpusReader(DataSourceReader):
     def read(self, partition):
         p = partition.value
         for i in range(p, self.n_docs, self.n_parts):
-            n_tok = 5 + _h("len", i) % 20
-            toks = [f"t{_h('tok', i, j) % self.vocab}" for j in range(n_tok)]
-            yield (i, " ".join(toks))
+            yield _doc_row(i, self.vocab)
+
+
+def _doc_row(i: int, vocab: int):
+    """One deterministic corpus row -- shared by the batch and stream
+    readers so both paths generate the identical corpus (and one DuckDB
+    md5 replay covers either)."""
+    n_tok = 5 + _h("len", i) % 20
+    return (i, " ".join(f"t{_h('tok', i, j) % vocab}" for j in range(n_tok)))
+
+
+class _IdRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticCorpusStreamReader(DataSourceStreamReader):
+    """STREAMING Python DataSource reader (Spark 4): offsets are positions
+    in the deterministic doc-id sequence; each micro-batch covers
+    [start, end) split into ``partitions`` contiguous slices read in
+    parallel on executors.  ``advance`` caps how far ``latestOffset``
+    moves per trigger (defaults to everything -- the AvailableNow
+    catch-up shape; a small value yields genuine incremental
+    micro-batches under a processing-time trigger, exercised by
+    tests/test_pyds_stream.py).  The cursor is driver-reader state, the
+    committed offset lives in the CHECKPOINT -- on restart the engine
+    resumes from its committed offset via partitions(start, end), which
+    is pure, so recovery replays exactly the uncommitted range."""
+
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 100))
+        self.n_parts = int(options.get("partitions", 8))
+        self.vocab = int(options.get("vocab", 1000))
+        self.advance = int(options.get("advance", self.n_docs))
+        self._cursor = 0
+        self.committed: list[int] = []
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def latestOffset(self):
+        self._cursor = min(self._cursor + self.advance, self.n_docs)
+        return {"i": self._cursor}
+
+    def partitions(self, start, end):
+        s, e = start["i"], end["i"]
+        if e <= s:
+            return [_IdRange(s, s)]
+        n = min(self.n_parts, e - s)
+        step = (e - s + n - 1) // n
+        return [_IdRange(lo, min(lo + step, e)) for lo in range(s, e, step)]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            yield _doc_row(i, self.vocab)
+
+    def commit(self, end):
+        self.committed.append(end["i"])
 
 
 class SyntheticCorpusDataSource(DataSource):
-    """``spark.read.format("synthetic_corpus")`` with options
-    ``n_docs`` / ``partitions`` / ``vocab``."""
+    """``spark.read.format("synthetic_corpus")`` (batch) or
+    ``spark.readStream.format("synthetic_corpus")`` (streaming) with
+    options ``n_docs`` / ``partitions`` / ``vocab`` (+ ``advance`` for
+    the stream's per-trigger offset cap)."""
 
     @classmethod
     def name(cls) -> str:
@@ -65,6 +123,9 @@ class SyntheticCorpusDataSource(DataSource):
 
     def reader(self, schema):
         return SyntheticCorpusReader(self.options)
+
+    def streamReader(self, schema):
+        return SyntheticCorpusStreamReader(self.options)
 
 
 def register_python_sources(spark) -> None:
