@@ -1183,3 +1183,97 @@ def pyds_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("doc_id bigint, n_tokens bigint, text_md5 string").parquet(
         f"{tmp}/out"
     )
+
+
+@register(
+    "geo_cell_neighbor_join",
+    """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         ('0x' || substr(md5('lat|' || c_custkey), 1, 15))::BIGINT % 180000000 AS lat,
+         ('0x' || substr(md5('lon|' || c_custkey), 1, 15))::BIGINT % 360000000 AS lon
+  FROM customer
+),
+cells AS (
+  SELECT id, lat, lon, lat // 1000000 AS cx, lon // 1000000 AS cy FROM pts
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon) AS BIGINT) AS dist2,
+       CAST(a.cx = b.cx AND a.cy = b.cy AS BOOLEAN) AS same_cell
+FROM cells a
+JOIN cells b
+  ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+ AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+ AND a.id < b.id
+WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+      <= 1000000000000
+""",
+)
+def geo_cell_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join by GRID-CELL BLOCKING: bucket points into
+    cells the size of the search radius, probe each point against its
+    3x3 cell neighborhood via an EQUI-join on the cell key, then apply
+    the exact distance filter -- the standard O(n * density) shape that
+    replaces the quadratic distance cross-join (and the range join every
+    naive SQL spatial query plans into, which Spark executes as
+    broadcast-nested-loop).  Each unordered pair is found exactly once:
+    the probe side explodes 9 candidate cells, the build side stays on
+    its home cell, and id_a < id_b keeps one orientation.
+
+    Coordinates are md5-derived integer microdegrees on [0, 180e6) x
+    [0, 360e6) (non-negative, so DIV == floor-div on both engines;
+    planar integer distance, no trig -- engine-exact).  A production
+    geo join adds the cos(lat) lon scaling and antimeridian wrap to the
+    SAME plan shape; blocking and cost are unchanged."""
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('lat|', c_custkey)), 1, 15), 16, 10) AS BIGINT)"
+            " % 180000000"
+        ).alias("lat"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('lon|', c_custkey)), 1, 15), 16, 10) AS BIGINT)"
+            " % 360000000"
+        ).alias("lon"),
+    )
+    cells = pts.select(
+        "id", "lat", "lon",
+        F.expr("lat DIV 1000000").alias("cx"),
+        F.expr("lon DIV 1000000").alias("cy"),
+    )
+    probes = cells.select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx ->"
+                " transform(sequence(-1, 1), dy -> struct(cx + dx AS cx, cy + dy AS cy))))"
+            )
+        ).alias("c"),
+    ).select("id_a", "lat_a", "lon_a", "c.cx", "c.cy")
+    home = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b")) + (
+        F.col("lon_a") - F.col("lon_b")
+    ) * (F.col("lon_a") - F.col("lon_b"))
+    return (
+        probes.join(home, ["cx", "cy"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(d2 <= F.lit(1_000_000_000_000))
+        .select(
+            "id_a",
+            "id_b",
+            d2.cast("long").alias("dist2"),
+            (
+                (F.expr("lat_a DIV 1000000") == F.col("cx"))
+                & (F.expr("lon_a DIV 1000000") == F.col("cy"))
+            ).alias("same_cell"),
+        )
+    )
