@@ -1277,3 +1277,160 @@ def geo_cell_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("same_cell"),
         )
     )
+
+
+@register(
+    "sequential_pattern_support",
+    """
+WITH occ AS (
+  SELECT user_id, event_type,
+         MIN(ts) AS first_ts, MAX(ts) AS last_ts, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+seq AS (
+  SELECT a.event_type AS ante, b.event_type AS cons, COUNT(*) AS n_users_seq
+  FROM occ a JOIN occ b ON a.user_id = b.user_id
+  WHERE (a.event_type <> b.event_type AND a.first_ts < b.last_ts)
+     OR (a.event_type = b.event_type AND a.n >= 2)
+  GROUP BY a.event_type, b.event_type
+),
+sup AS (SELECT event_type, COUNT(*) AS n_users FROM occ GROUP BY event_type)
+SELECT s.ante, s.cons, CAST(s.n_users_seq AS BIGINT) AS n_users_seq,
+       CAST(sa.n_users AS BIGINT) AS n_users_ante,
+       CAST(sb.n_users AS BIGINT) AS n_users_cons,
+       CAST((1000000 * s.n_users_seq) // sa.n_users AS BIGINT) AS confidence_e6
+FROM seq s JOIN sup sa ON sa.event_type = s.ante
+           JOIN sup sb ON sb.event_type = s.cons
+WHERE s.n_users_seq >= 2
+""",
+)
+def sequential_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-2 sequential pattern mining (the GSP/PrefixSpan support
+    core): for event types (a, b), in how many user timelines does an
+    ``a`` PRECEDE a ``b`` -- gaps allowed, unlike the contiguous-bigram
+    transition matrix.  The existence test collapses to order statistics:
+    "some a before some b" iff first(a) < last(b) (for a = b: the type
+    occurs twice), so each user contributes ONE (user, type) row with
+    min/max timestamps and the pattern join is T^2-bounded per user
+    (T = 5 types here; never the raw event quadratic).  One shuffle to
+    (user, type), then joins on user_id between tiny per-user sets --
+    the shape that holds when a user has a million events.  Confidence
+    in exact integer ppm against the antecedent's user support."""
+    ev = load_table(spark, sf_dir, "events")
+    occ = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = occ.select(
+        "user_id", F.col("event_type").alias("ante"),
+        F.col("first_ts").alias("a_first"), F.col("n").alias("a_n"),
+    )
+    b = occ.select(
+        "user_id", F.col("event_type").alias("cons"),
+        F.col("last_ts").alias("b_last"),
+    )
+    seq = (
+        a.join(b, "user_id")
+        .where(
+            ((F.col("ante") != F.col("cons")) & (F.col("a_first") < F.col("b_last")))
+            | ((F.col("ante") == F.col("cons")) & (F.col("a_n") >= 2))
+        )
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("n_users_seq"))
+        .where(F.col("n_users_seq") >= 2)
+    )
+    sup = occ.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        seq.join(sup.select(F.col("event_type").alias("ante"), F.col("n_users").alias("n_users_ante")), "ante")
+        .join(sup.select(F.col("event_type").alias("cons"), F.col("n_users").alias("n_users_cons")), "cons")
+        .select(
+            "ante",
+            "cons",
+            F.col("n_users_seq").cast("long").alias("n_users_seq"),
+            F.col("n_users_ante").cast("long").alias("n_users_ante"),
+            F.col("n_users_cons").cast("long").alias("n_users_cons"),
+            F.expr("(1000000 * n_users_seq) div n_users_ante").cast("long").alias("confidence_e6"),
+        )
+    )
+
+
+@register(
+    "csv_quarantine_roundtrip",
+    """
+WITH src AS (
+  SELECT COUNT(*) AS n_good,
+         SUM(event_id) AS id_checksum,
+         COUNT(DISTINCT user_id) AS n_users,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_cents,
+         COUNT(DISTINCT event_type) AS n_types
+  FROM events
+)
+SELECT CAST(n_good AS BIGINT) AS n_good,
+       CAST(3 AS BIGINT) AS n_corrupt,
+       CAST(id_checksum AS BIGINT) AS id_checksum,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(sum_cents AS BIGINT) AS sum_cents,
+       CAST(n_types AS BIGINT) AS n_types
+FROM src
+""",
+)
+def csv_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion with PERMISSIVE corrupt-record quarantine: events are
+    serialized to CSV lines (engine-controlled concat -- no quoting
+    ambiguity), three malformed lines are injected (missing column, non-
+    numeric id, trailing garbage column), and the read declares a schema
+    plus ``columnNameOfCorruptRecord`` so bad lines land in the quarantine
+    column instead of killing the scan (PERMISSIVE) or silently vanishing
+    (DROPMALFORMED).  The report proves the quarantine: every good row
+    survives with exact values, every bad line is counted, nothing is
+    dropped.  This is the reference's malformed-input posture (its JSON
+    parser wraps per-record try/except) at CSV scan scale: schema
+    DECLARED (inference over 100 TB means reading everything twice),
+    corrupt rows quarantined for offline triage.
+
+    CAVEAT THIS QUERY PINS: CSV malformed-row detection happens only on
+    the columns the parser actually parses, and column pruning
+    (spark.sql.csv.parser.columnPruning.enabled, default true) prunes to
+    the columns the plan references -- a report reading a SUBSET of
+    columns can silently accept rows whose corruption lives in pruned
+    columns (a short row loses its flag, a bad token in an unread field
+    never converts).  The report therefore references EVERY data column
+    (id checksum, user count), which forces full-row parsing; the
+    registered oracle fails if any injected bad line leaks into the good
+    set."""
+    from odp_dynamic_data_pipeline_spark.queries.core import _stream_tmpdir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        "event_type",
+    )
+    lines = ev.select(
+        F.concat_ws(",", "event_id", "user_id", "cents", "event_type").alias("value")
+    )
+    bad = spark.createDataFrame(
+        [("1,2,3",), ("notanum,5,10,click",), ("9,9,9,view,EXTRA",)], "value string"
+    )
+    tmp = _stream_tmpdir("csv_quarantine")
+    lines.unionByName(bad).write.mode("overwrite").text(f"{tmp}/csv")
+    parsed = (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, cents bigint, event_type string, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(f"{tmp}/csv")
+    )
+    return parsed.agg(
+        F.sum(F.when(F.col("_bad").isNull(), 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0)).cast("long").alias("n_corrupt"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("event_id"))).cast("long").alias("id_checksum"),
+        F.expr("count(DISTINCT CASE WHEN _bad IS NULL THEN user_id END)")
+        .cast("long")
+        .alias("n_users"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("cents"))).cast("long").alias("sum_cents"),
+        F.expr("count(DISTINCT CASE WHEN _bad IS NULL THEN event_type END)")
+        .cast("long")
+        .alias("n_types"),
+    )
