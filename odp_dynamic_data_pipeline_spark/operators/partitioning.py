@@ -132,3 +132,54 @@ def global_rank(
     return r.withColumn(
         rank_col, (offsets + F.row_number().over(w)).cast("long")
     ).drop("__pid")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    *,
+    num_partitions: int = 16,
+) -> DataFrame:
+    """Distributed RUNNING SUM over a total order -- the cumulative-
+    distribution sibling of :func:`global_rank`, replacing
+    ``sum(x) OVER (ORDER BY ...)`` whose empty PARTITION BY funnels every
+    row through one task.
+
+    Same two-pass offset pattern: range-partition on the (strictly
+    tiebroken) sort key, eagerly localCheckpoint so both jobs see the
+    identical partitioning, aggregate each partition's per-column totals,
+    prefix-sum the K x |sum_cols| totals on the driver (the one bounded
+    collect), then each row's running sum = its partition's offset + the
+    intra-partition window sum.  Each ``c`` in ``sum_cols`` gains a
+    ``c + '_cum'`` long column (inclusive: the row's own value counts)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    r = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .localCheckpoint(eager=True)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = {
+        row["__pid"]: row
+        for row in r.groupBy("__pid")
+        .agg(*[F.sum(F.col(c)).alias(c) for c in sum_cols])
+        .collect()
+    }
+    out = r
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in sum_cols:
+        offset_map, acc = [], 0
+        for pid in sorted(totals):
+            offset_map += [F.lit(pid), F.lit(acc)]
+            acc += totals[pid][c] or 0
+        offsets = F.create_map(*offset_map)[F.col("__pid")] if offset_map else F.lit(0)
+        out = out.withColumn(
+            f"{c}_cum", (offsets + F.sum(F.col(c)).over(w)).cast("long")
+        )
+    return out.drop("__pid")

@@ -1434,3 +1434,98 @@ def csv_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_types"),
     )
+
+
+@register(
+    "ks_test_value_drift",
+    """
+WITH vals AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents, event_type
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+g AS (
+  SELECT cents,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS c_a,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS c_b
+  FROM vals GROUP BY cents
+),
+cum AS (
+  SELECT cents,
+         SUM(c_a) OVER (ORDER BY cents) AS ca,
+         SUM(c_b) OVER (ORDER BY cents) AS cb
+  FROM g
+),
+t AS (SELECT SUM(c_a) AS na, SUM(c_b) AS nb, COUNT(*) AS n_support FROM g),
+d AS (
+  SELECT cents, ABS(CAST(ca AS HUGEINT) * t.nb - CAST(cb AS HUGEINT) * t.na) AS diff
+  FROM cum, t
+),
+m AS (SELECT MAX(diff) AS dmax FROM d)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       CAST(t.n_support AS BIGINT) AS n_support,
+       CAST((1000000 * m.dmax) // (CAST(t.na AS HUGEINT) * t.nb) AS BIGINT) AS d_stat_e6,
+       CAST((SELECT MIN(cents) FROM d WHERE d.diff = m.dmax) AS BIGINT) AS at_cents
+FROM t, m
+""",
+)
+def ks_test_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the purchase
+    and view value distributions -- the full-distribution drift test that
+    catches shape changes (bimodality, tail shifts) the centroid-drift
+    report (embedding_split_drift) cannot.  D = max |F_a(x) - F_b(x)|
+    evaluated at every pooled support point, held as the exact rational
+    |ca*nb - cb*na| / (na*nb) in DECIMAL(38,0) (ppm only at the very
+    end), so both engines agree bit-for-bit.
+
+    Scale shape: the empirical CDFs need a GLOBAL running sum over the
+    sorted support -- operators.partitioning.global_prefix_sum
+    (range-partition + driver prefix sums, the global_rank pattern), not
+    a single-task empty-PARTITION-BY window.  Support is first collapsed
+    to distinct values with per-value counts (one shuffle), so the
+    prefix-sum input is |support|, not |events|; totals ride a broadcast
+    single-row cross join."""
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import (
+        global_prefix_sum,
+    )
+
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+            "event_type",
+        )
+    )
+    g = vals.groupBy("cents").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c_b"),
+    )
+    cum = global_prefix_sum(g, ["cents"], ["c_a", "c_b"])
+    t = g.agg(
+        F.sum("c_a").cast("long").alias("na"),
+        F.sum("c_b").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("n_support"),
+    )
+    d = cum.crossJoin(F.broadcast(t)).select(
+        "cents",
+        "na",
+        "nb",
+        "n_support",
+        F.expr(
+            "abs(CAST(c_a_cum AS DECIMAL(38,0)) * nb - CAST(c_b_cum AS DECIMAL(38,0)) * na)"
+        ).alias("diff"),
+    )
+    m = d.agg(F.max("diff").alias("dmax"))
+    return (
+        d.crossJoin(F.broadcast(m))
+        .where(F.col("diff") == F.col("dmax"))
+        .agg(
+            F.first("na").alias("n_a"),
+            F.first("nb").alias("n_b"),
+            F.first("n_support").alias("n_support"),
+            F.expr(
+                "CAST((1000000 * first(dmax)) div (CAST(first(na) AS DECIMAL(38,0)) * first(nb)) AS BIGINT)"
+            ).alias("d_stat_e6"),
+            F.min("cents").cast("long").alias("at_cents"),
+        )
+    )

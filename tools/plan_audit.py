@@ -59,6 +59,7 @@ BROADCAST_NLJ_BY_DESIGN = {
     "frequent_pair_mining",        # single-row basket-universe total broadcast (lift denominator)
     "benford_price_digits",        # single-row digit-total broadcast over a 9-row agg
     "degree_powerlaw_fit",         # single-row log-log moment broadcast over the degree histogram
+    "ks_test_value_drift",         # single-row totals + single-row max-D broadcasts over the support
 }
 # queries where a GLOBAL (unpartitioned) window is safe: its input is
 # already bounded to <= top_k rows by TakeOrderedAndProject / limit, or to a
