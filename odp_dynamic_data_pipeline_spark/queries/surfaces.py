@@ -1054,17 +1054,20 @@ def streaming_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sorted_neighborhood_pairs",
-    r"""
-WITH keyed AS (
+_SNM_RANKED_SQL = r"""keyed AS (
   SELECT doc_id,
          substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS blk
   FROM documents
 ),
 ranked AS (
   SELECT doc_id, blk, ROW_NUMBER() OVER (ORDER BY blk, doc_id) AS rn FROM keyed
-)
+)"""
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    f"""
+WITH {_SNM_RANKED_SQL}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(b.rn - a.rn AS BIGINT) AS rank_dist,
        CAST(levenshtein(a.blk, b.blk) AS BIGINT) AS key_lev
@@ -1088,10 +1091,16 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-nested-loop or needs a specialized range partitioner; the
     explode costs a flat 4x on a slim (rank, id, key) projection).
     Levenshtein runs on the bounded 24-char keys, never full documents."""
+    return _snm_pairs(load_table(spark, sf_dir, "documents"), max_lev=8)
+
+
+def _snm_pairs(docs: DataFrame, *, max_lev: int, w: int = 5) -> DataFrame:
+    """SNM candidate pairs (id_a, id_b, rank_dist, key_lev) with
+    key_lev <= max_lev -- shared by the pair report and the end-to-end
+    ER survivorship query."""
     from odp_dynamic_data_pipeline_spark.operators.partitioning import global_rank
 
-    w = 5
-    keyed = load_table(spark, sf_dir, "documents").select(
+    keyed = docs.select(
         "doc_id",
         F.expr(
             "substr(regexp_replace(lower(text), '[^a-z0-9]', ''), 1, 24)"
@@ -1111,12 +1120,85 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "rn",
         )
-        .where(F.levenshtein("blk_a", "blk_b") <= 8)
+        .where(F.levenshtein("blk_a", "blk_b") <= max_lev)
         .select(
             "id_a",
             "id_b",
             (F.col("rn") - F.col("rn_a")).cast("long").alias("rank_dist"),
             F.levenshtein("blk_a", "blk_b").cast("long").alias("key_lev"),
+        )
+    )
+
+
+@register(
+    "er_survivorship",
+    f"""
+WITH RECURSIVE {_SNM_RANKED_SQL},
+edges AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 4
+  WHERE levenshtein(a.blk, b.blk) <= 4
+),
+sym AS (SELECT id_a AS s, id_b AS d FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+cc AS (
+  SELECT doc_id AS nid, doc_id AS comp FROM documents
+  UNION
+  SELECT s.d, cc.comp FROM cc JOIN sym s ON s.s = cc.nid
+),
+lab AS (SELECT nid AS doc_id, MIN(comp) AS comp FROM cc GROUP BY nid),
+m AS (
+  SELECT l.comp, d.doc_id, d.n_chars, d.lang
+  FROM lab l JOIN documents d USING (doc_id)
+),
+keep AS (
+  SELECT comp, doc_id AS keeper FROM (
+    SELECT comp, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY comp ORDER BY n_chars DESC, doc_id) AS rn
+    FROM m
+  ) WHERE rn = 1
+)
+SELECT m.comp AS component, k.keeper AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(m.n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT m.lang) AS BIGINT) AS n_langs
+FROM m JOIN keep k USING (comp)
+GROUP BY m.comp, k.keeper
+""",
+)
+def er_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution: SNM blocking (shared _snm_pairs,
+    tighter match threshold lev <= 4) -> match edges -> transitive
+    closure via min-label connected components -> SURVIVORSHIP election
+    (the golden record: longest document wins its cluster, doc_id
+    tiebreak) -- the block/match/cluster/elect pipeline every MDM and
+    dedup-curation system runs, composed entirely from operators already
+    proven individually (global_rank spine, exploded-window equi-join,
+    connected_components, partitioned window election).  Every stage is
+    one shuffle on slim keys; the election window partitions by
+    component, never globally.  Singleton documents remain their own
+    golden record, so the output is a full partition of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _snm_pairs(docs, max_lev=4).select("id_a", "id_b")
+    labels = dd.connected_components(
+        docs.select("doc_id"), edges, id_col="doc_id"
+    ).select("doc_id", F.col("component").alias("comp"))
+    m = labels.join(docs.select("doc_id", "n_chars", "lang"), "doc_id")
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("comp").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    keep = (
+        m.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") == 1)
+        .select("comp", F.col("doc_id").alias("keeper"))
+    )
+    return (
+        m.join(keep, "comp")
+        .groupBy(F.col("comp").alias("component"), F.col("keeper").alias("keeper_doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
         )
     )
 
