@@ -1611,3 +1611,66 @@ def ks_test_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cents").cast("long").alias("at_cents"),
         )
     )
+
+
+@register(
+    "cusum_changepoints",
+    """
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_hours FROM h),
+p AS (
+  SELECT hour_epoch, n_events,
+         n_events * t.n_hours - t.total AS dev,
+         SUM(n_events * t.n_hours - t.total) OVER (ORDER BY hour_epoch) AS p_cum
+  FROM h, t
+)
+SELECT hour_epoch, n_events, CAST(dev AS BIGINT) AS dev,
+       CAST(p_cum AS BIGINT) AS p_cum,
+       CAST(p_cum - MIN(p_cum) OVER (ORDER BY hour_epoch) AS BIGINT) AS cusum_pos,
+       CAST(MAX(p_cum) OVER (ORDER BY hour_epoch) - p_cum AS BIGINT) AS cusum_neg
+FROM p
+""",
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint statistics over the hourly event-rate series:
+    the classic page-test recursions S+_t = max(0, S+_{t-1} + dev_t) /
+    S-_t collapse to WINDOW algebra -- S+_t = P_t - min_{i<=t} P_i and
+    S-_t = max_{i<=t} P_i - P_t, where P is the prefix sum of deviations
+    -- so the sequential definition becomes a declarative plan with no
+    recursion.  Deviations are exact integers: scaling by n_hours
+    (dev = n*H - T) avoids the fractional mean entirely, so both engines
+    agree bit-for-bit.
+
+    Scale shape: the windows are GLOBAL but run over the PRE-AGGREGATED
+    calendar-hour series (720 rows/month; bounded by the time horizon,
+    never the event count) -- the raw scan collapses to hourly counts in
+    one shuffle first.  This is the audit's bounded-global-window class,
+    whitelisted with that rationale."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    t = h.agg(
+        F.sum("n_events").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("hour_epoch").rowsBetween(Window.unboundedPreceding, 0)
+    p = (
+        h.crossJoin(F.broadcast(t))
+        .withColumn("dev", F.col("n_events") * F.col("n_hours") - F.col("total"))
+        .withColumn("p_cum", F.sum("dev").over(w))
+    )
+    return p.select(
+        "hour_epoch",
+        "n_events",
+        F.col("dev").cast("long").alias("dev"),
+        F.col("p_cum").cast("long").alias("p_cum"),
+        (F.col("p_cum") - F.min("p_cum").over(w)).cast("long").alias("cusum_pos"),
+        (F.max("p_cum").over(w) - F.col("p_cum")).cast("long").alias("cusum_neg"),
+    )

@@ -60,6 +60,7 @@ BROADCAST_NLJ_BY_DESIGN = {
     "benford_price_digits",        # single-row digit-total broadcast over a 9-row agg
     "degree_powerlaw_fit",         # single-row log-log moment broadcast over the degree histogram
     "ks_test_value_drift",         # single-row totals + single-row max-D broadcasts over the support
+    "cusum_changepoints",          # single-row (total, n_hours) broadcast over the hourly rollup
 }
 # queries where a GLOBAL (unpartitioned) window is safe: its input is
 # already bounded to <= top_k rows by TakeOrderedAndProject / limit, or to a
@@ -86,6 +87,7 @@ GLOBAL_WINDOW_BOUNDED = {
     "categorical_index_langs", # frequency rank over the distinct-lang vocab (bounded)
     "rolling_correlation_series",  # RANGE frames over the daily rollup (bounded by calendar, not data)
     "topk_sketch_tokens",      # rank over the VOCAB table (corpus already reduced), limit 20
+    "cusum_changepoints",      # prefix/min/max frames over the calendar-hour rollup (bounded by horizon, not data)
 }
 
 
