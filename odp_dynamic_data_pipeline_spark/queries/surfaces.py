@@ -1674,3 +1674,46 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_cum") - F.min("p_cum").over(w)).cast("long").alias("cusum_pos"),
         (F.max("p_cum").over(w) - F.col("p_cum")).cast("long").alias("cusum_neg"),
     )
+
+
+@register(
+    "bucketed_join_revenue",
+    """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED co-located join (sources.writers.write_bucketed_table):
+    fact and dimension are written bucketed on the join key with the same
+    bucket count, so the sort-merge join consumes bucket files directly
+    -- ZERO exchange on either join side (the only shuffle left is the
+    final 5-group aggregate).  This is THE big-fact-join answer at
+    100 TB: the shuffle is paid once at WRITE time and amortized over
+    every downstream join on that key; tests/test_bucketing.py and a
+    plan-shape test pin the no-exchange property.  The merge hint forces
+    SMJ over a broadcast so the bucket path is what executes even at
+    test scale (at real scale neither side broadcasts anyway)."""
+    from odp_dynamic_data_pipeline_spark.sources.writers import write_bucketed_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias("price_cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed_table(li, "odp_li_bkt", "l_orderkey", num_buckets=8)
+    write_bucketed_table(o, "odp_ord_bkt", "o_orderkey", num_buckets=8)
+    lb = spark.table("odp_li_bkt").hint("merge")
+    ob = spark.table("odp_ord_bkt")
+    return (
+        lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("price_cents").cast("long").alias("revenue_cents"),
+        )
+    )

@@ -259,3 +259,13 @@ def test_sessionize_exact_pandas_keys_on_buckets(spark):
     m = re.search(r"FlatMapGroupsInPandas \[([a-zA-Z_0-9#L]+)\]", plan)
     assert m, plan[:800]
     assert m.group(1).startswith("__pv_bucket"), m.group(1)
+
+
+def test_bucketed_join_revenue_no_join_exchange(spark):
+    """The bucketed-join query's SMJ must consume bucket files directly:
+    the ONLY hash exchange in the plan is the final 5-group aggregate,
+    never a join side (the property that amortizes the write-time shuffle
+    over every downstream join at scale)."""
+    plan = plan_of(spark, "bucketed_join_revenue")
+    assert "SortMergeJoin" in plan, plan[:800]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:1200]
