@@ -1717,3 +1717,55 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "dynamic_partition_overwrite",
+    """
+WITH final AS (
+  SELECT event_type, event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type <> 'click'
+  UNION ALL
+  SELECT event_type, event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type = 'click' AND event_id % 2 = 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY event_type
+""",
+)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite (partitionOverwriteMode=dynamic as a
+    per-WRITE option, not a session conf): the second write replaces ONLY
+    the partitions it touches ('click', rewritten with even event_ids)
+    and must leave every other partition's files from the first write
+    intact -- the idempotent-backfill primitive of every partitioned
+    lake: re-running one hour/source/type never clobbers its neighbors.
+    STATIC overwrite (the default) would have dropped the other four
+    partitions here; the oracle fails if it does.  Partition count stays
+    bounded (one directory per event_type), and the readback proves the
+    final state against a pure-SQL model of \"full load, then replace one
+    partition\"."""
+    from odp_dynamic_data_pipeline_spark.queries.core import _stream_tmpdir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    tmp = _stream_tmpdir("dyn_overwrite")
+    path = f"{tmp}/by_type"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    ev.where((F.col("event_type") == "click") & (F.col("event_id") % 2 == 0)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy("event_type").parquet(path)
+    back = spark.read.schema("event_id bigint, cents bigint, event_type string").parquet(
+        path
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
