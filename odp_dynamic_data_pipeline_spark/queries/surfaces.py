@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from odp_dynamic_data_pipeline_spark.operators import dedup as dd
+from odp_dynamic_data_pipeline_spark.operators import similarity as sim
 from odp_dynamic_data_pipeline_spark.queries import register
 from odp_dynamic_data_pipeline_spark.queries.llm import MINHASH_MD5_ORACLE, dedup_minhash_md5
 from odp_dynamic_data_pipeline_spark.sources.catalog import load_table, register_views
@@ -1768,4 +1769,88 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
+def _mrl_rank_sql(vec_expr: str, alias: str) -> str:
+    """One ranking leg of the Matryoshka oracle: exact top-5 cosine over
+    ``vec_expr`` (full or prefix-truncated embedding), micro-unit
+    quantized -- the same structure as EMB_TOPK_ORACLE."""
+    return f"""{alias}_e AS (
+  SELECT vec_id, list_transform({vec_expr}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+  FROM embeddings
+),
+{alias}_norms AS (
+  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
+  FROM (SELECT vec_id, UNNEST(q) AS v FROM {alias}_e) GROUP BY vec_id
+),
+{alias}_pairs AS (
+  SELECT qe.vec_id AS qid, ce.vec_id AS cand_id, UNNEST(qe.q) AS qv, UNNEST(ce.q) AS cv
+  FROM {alias}_e qe, {alias}_e ce
+  WHERE qe.vec_id < 10 AND ce.vec_id <> qe.vec_id
+),
+{alias}_dots AS (
+  SELECT qid, cand_id, CAST(SUM(qv * cv) AS BIGINT) AS dot
+  FROM {alias}_pairs GROUP BY qid, cand_id
+),
+{alias}_top AS (
+  SELECT qid, cand_id FROM (
+    SELECT d.qid, d.cand_id,
+           ROW_NUMBER() OVER (PARTITION BY d.qid ORDER BY
+             CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) DESC,
+             d.cand_id) AS rank
+    FROM {alias}_dots d
+    JOIN {alias}_norms nq ON nq.vec_id = d.qid
+    JOIN {alias}_norms nc ON nc.vec_id = d.cand_id
+  ) WHERE rank <= 5
+)"""
+
+
+@register(
+    "matryoshka_overlap_report",
+    f"""
+WITH {_mrl_rank_sql('embedding', 'f')},
+{_mrl_rank_sql('list_slice(embedding, 1, 16)', 't')},
+qs AS (SELECT DISTINCT qid FROM f_top)
+SELECT qs.qid,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap,
+       CAST(5 AS BIGINT) AS k
+FROM qs LEFT JOIN (
+  SELECT f.qid, COUNT(*) AS n
+  FROM f_top f JOIN t_top t ON f.qid = t.qid AND f.cand_id = t.cand_id
+  GROUP BY f.qid
+) o ON o.qid = qs.qid
+""",
+)
+def matryoshka_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality audit (Kusupati et al., NeurIPS
+    2022): how much of each query's exact top-5 neighborhood survives
+    when embeddings are truncated to their 16-dim PREFIX -- the
+    measurement that decides whether a deployment can serve the 4x
+    cheaper prefix index and re-rank with full vectors.  Both rankings
+    are exact brute-force cosine over micro-unit integers (the
+    cosine_topk operator; cosines are identical IEEE doubles from
+    identical integers on both engines, so ranks hash-match), and the
+    overlap join runs on the two k-bounded top lists, never the
+    candidate sets."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = emb.where(F.col("vec_id") < 10)
+    full = sim.cosine_topk(emb, qs, k=5).select("qid", "cand_id")
+    emb16 = emb.select("vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding"))
+    qs16 = emb16.where(F.col("vec_id") < 10)
+    trunc = sim.cosine_topk(emb16, qs16, k=5).select("qid", "cand_id")
+    overlap = (
+        full.join(trunc, ["qid", "cand_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        full.select("qid")
+        .distinct()
+        .join(overlap, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_overlap"),
+            F.lit(5).cast("long").alias("k"),
+        )
     )

@@ -41,6 +41,7 @@ PANDAS_BY_DESIGN = {
 BROADCAST_NLJ_BY_DESIGN = {
     "range_join_value_tiers",      # 3-row tier bounds table
     "embedding_cosine_topk",       # brute-force baseline: scan x broadcast queries
+    "matryoshka_overlap_report",   # two cosine_topk legs: scan x broadcast queries (k-bounded overlap join after)
     "hard_negative_mining",        # brute-force baseline: scan x broadcast queries
     "embedding_neardup_by_label",  # label-blocked exact pass
     "similarity_pq_topk",          # ADC scan x broadcast query tables
