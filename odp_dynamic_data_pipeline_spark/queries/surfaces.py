@@ -1854,3 +1854,111 @@ def matryoshka_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(5).cast("long").alias("k"),
         )
     )
+
+
+@register(
+    "observed_quality_metrics",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN LENGTH(text) >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+       CAST(SUM(CASE WHEN LENGTH(text) >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_written
+FROM documents
+""",
+)
+def observed_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass pipeline instrumentation via the Observation API
+    (``df.observe`` -> CollectMetrics): corpus-level quality metrics --
+    input rows, quality-gate pass count, total characters, id range --
+    are accumulated per-partition DURING the filtered parquet write and
+    merged on the driver, so the 100 TB scan is paid ONCE for both the
+    data product and its audit row.  The naive alternative (separate
+    count/sum jobs before the write) re-reads the corpus per metric.
+    The returned row also includes ``n_written`` counted from a READBACK
+    of the written files: the oracle equates it with the observed
+    ``n_kept``, so the metrics provably describe the same pass that
+    produced the output (a drift would hash-mismatch).  Mirrors the
+    reference's per-run record-count logging (src/data_processor.py
+    processed-entry accounting) as one declarative plan."""
+    from pyspark.sql import Observation
+
+    from odp_dynamic_data_pipeline_spark.queries.core import _stream_tmpdir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    obs = Observation("corpus_quality")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.length("text") >= 100, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.length("text")).alias("sum_len"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    tmp = _stream_tmpdir("observed_write")
+    out = f"{tmp}/kept"
+    observed.where(F.length("text") >= 100).write.mode("overwrite").parquet(out)
+    m = obs.get
+    n_written = spark.read.parquet(out).count()
+    return spark.range(1).select(
+        F.lit(m["n_rows"]).cast("long").alias("n_rows"),
+        F.lit(m["n_kept"]).cast("long").alias("n_kept"),
+        F.lit(m["sum_len"]).cast("long").alias("sum_len"),
+        F.lit(m["min_doc"]).cast("long").alias("min_doc"),
+        F.lit(m["max_doc"]).cast("long").alias("max_doc"),
+        F.lit(n_written).cast("long").alias("n_written"),
+    )
+
+
+@register(
+    "schema_evolution_read",
+    """
+WITH v1 AS (
+  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         CAST(NULL AS BIGINT) AS user_id
+  FROM events WHERE event_id % 2 = 0
+),
+v2 AS (
+  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents, user_id
+  FROM events WHERE event_id % 2 = 1
+),
+u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(COUNT(user_id) AS BIGINT) AS n_with_user
+FROM u GROUP BY event_type
+""",
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on a parquet lake: an old writer's files
+    (event_type, cents) and a new writer's files (+ user_id) land in the
+    SAME directory, and a ``mergeSchema=true`` read unions the footers --
+    old rows surface NULL for the added column, so COUNT(user_id) counts
+    exactly the post-migration rows.  This is the only sane contract at
+    100 TB: columns are ADDED, never retyped, and readers never require a
+    rewrite of petabytes of history.  The footgun this query pins:
+    WITHOUT mergeSchema, Spark infers the schema from an arbitrary
+    subset of footers, so user_id may silently vanish from the scan
+    depending on file listing order -- the oracle (a pure-SQL model of
+    "old rows carry NULL") fails in that mode whenever inference lands
+    on an old footer."""
+    from odp_dynamic_data_pipeline_spark.queries.core import _stream_tmpdir
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents")
+    v1 = ev.where(F.col("event_id") % 2 == 0).select("event_type", cents)
+    v2 = ev.where(F.col("event_id") % 2 == 1).select("event_type", cents, "user_id")
+    tmp = _stream_tmpdir("schema_evo")
+    out = f"{tmp}/evo"
+    v1.write.mode("overwrite").parquet(out)
+    v2.write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.count("user_id").cast("long").alias("n_with_user"),
+    )
