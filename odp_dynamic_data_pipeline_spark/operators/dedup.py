@@ -1007,3 +1007,63 @@ def kcore_peel(
         F.coalesce("removed_round", F.lit(0)).cast("long").alias("removed_round"),
         (F.coalesce("removed_round", F.lit(0)) == 0).alias("in_core"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    rounds: int = 4,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected pair list: every node starts labeled with its own id; each
+    round it adopts the most frequent label among its NEIGHBORS, ties
+    broken by the smallest label.  Communities are denser than connected
+    components (``dedup_clusters`` merges anything reachable; LPA splits
+    a chain of template families joined by one incidental bridge pair) --
+    the curation granularity between "exact same" and "transitively
+    touching".
+
+    Determinism contract (same as :func:`pagerank` / :func:`kcore_peel`):
+    a FIXED round count and a total tie-break order, so any SQL engine
+    replays the loop bit-exactly by unrolling ``rounds`` CTE blocks.
+    Synchronous updates can oscillate on bipartite structures; with fixed
+    rounds that is a defined, replayable outcome, not a hang.
+
+    Scale shape, per round: one equi-join (labels onto edge endpoints),
+    one (node,label) count, then max-count + min-label as two map-side
+    combinable aggregates -- every shuffle carries slim
+    (node, label, count) rows, and the tie-break avoids numeric negation
+    so string node ids work unchanged.  Labels localCheckpoint lazily to
+    keep the unrolled plan flat.  No driver collect anywhere."""
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionByName(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("s").alias("nid"))
+        .distinct()
+        .withColumn("lbl", F.col("nid"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        nbr = (
+            sym.join(labels, sym["d"] == labels["nid"])
+            .groupBy(sym["s"].alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        mx = nbr.groupBy("node").agg(F.max("cnt").alias("mc")).withColumnRenamed("node", "mnode")
+        best = (
+            nbr.join(mx, (nbr["node"] == mx["mnode"]) & (nbr["cnt"] == mx["mc"]))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, labels["nid"] == best["node"], "left")
+            .select("nid", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("community_size"))
+    return labels.join(sizes, "lbl").select("nid", "lbl", "community_size")

@@ -1962,3 +1962,59 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("sum_cents"),
         F.count("user_id").cast("long").alias("n_with_user"),
     )
+
+
+def _labelprop_oracle(rounds: int) -> str:
+    """Unrolled synchronous-LPA replay over the shared md5-minhash
+    candidate pairs (same MATERIALIZED-prefix reuse as the kcore /
+    PageRank / triangle oracles): round r counts neighbor labels over
+    labels{r-1}, takes max count then min label, and left-joins the
+    update back (isolated survivors keep their label)."""
+    prefix = MINHASH_MD5_ORACLE[: MINHASH_MD5_ORACLE.index("SELECT a.doc_id AS id_a")]
+    sql = prefix + """, pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs
+         UNION ALL SELECT id_b, id_a FROM pairs),
+labels0 AS MATERIALIZED (SELECT DISTINCT s AS nid, s AS lbl FROM edges)"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql += f""",
+nbr{r} AS MATERIALIZED (
+  SELECT e.s AS node, l.lbl, COUNT(*) AS cnt
+  FROM edges e JOIN labels{p} l ON e.d = l.nid
+  GROUP BY e.s, l.lbl
+),
+best{r} AS MATERIALIZED (
+  SELECT c.node, MIN(c.lbl) AS lbl
+  FROM nbr{r} c JOIN (SELECT node, MAX(cnt) AS mc FROM nbr{r} GROUP BY node) m
+    ON m.node = c.node AND c.cnt = m.mc
+  GROUP BY c.node
+),
+labels{r} AS MATERIALIZED (
+  SELECT l.nid, COALESCE(b.lbl, l.lbl) AS lbl
+  FROM labels{p} l LEFT JOIN best{r} b ON b.node = l.nid
+)"""
+    return sql + f"""
+SELECT l.nid, l.lbl, s.community_size
+FROM labels{rounds} l
+JOIN (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+      FROM labels{rounds} GROUP BY lbl) s ON s.lbl = l.lbl
+"""
+
+
+@register("dedup_graph_labelprop", _labelprop_oracle(rounds=4))
+def dedup_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (operators.dedup.label_propagation) over the
+    near-dup candidate graph: synchronous LPA, 4 fixed rounds,
+    max-count-then-min-label updates.  The curation granularity BETWEEN
+    exact dedup and connected components -- dedup_clusters merges two
+    template families joined by one incidental bridge pair into one
+    decision; LPA keeps them separate communities.  Sixth oracle-gated
+    metric on the shared md5-minhash pair list (CC, PageRank, triangles,
+    k-core, star-CC, now communities); the DuckDB oracle unrolls the
+    identical rounds."""
+    edges = dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b").localCheckpoint(eager=False)
+    return dd.label_propagation(edges, rounds=4)
