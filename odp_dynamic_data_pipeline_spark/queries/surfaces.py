@@ -2018,3 +2018,103 @@ def dedup_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical rounds."""
     edges = dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b").localCheckpoint(eager=False)
     return dd.label_propagation(edges, rounds=4)
+
+
+_SPLIT_PREFIX = None  # set lazily from DEDUP_CLUSTERS_ORACLE below
+
+
+def _cluster_split_oracle() -> str:
+    """Recursive-CTE CC (same prefix as DEDUP_CLUSTERS_ORACLE) + md5
+    split assignment replayed on both the cluster root and the raw
+    doc_id, then edge-straddle counts for both policies."""
+    from odp_dynamic_data_pipeline_spark.queries.llm import DEDUP_CLUSTERS_ORACLE
+
+    prefix = DEDUP_CLUSTERS_ORACLE[: DEDUP_CLUSTERS_ORACLE.index("SELECT nid AS doc_id")]
+    return prefix.rstrip() + """,
+comp AS (SELECT nid AS doc_id, MIN(comp) AS component FROM cc GROUP BY nid),
+lab AS (
+  SELECT doc_id, component,
+         CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT % 10 < 8
+              THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT % 10 = 8
+              THEN 'valid' ELSE 'test' END AS split,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 8
+              THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 8
+              THEN 'valid' ELSE 'test' END AS naive_split
+  FROM comp
+),
+sizes_row AS (
+  SELECT CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(SUM(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+         CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters
+  FROM lab
+),
+leaks AS (
+  SELECT CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
+           AS leak_edges_cluster,
+         CAST(SUM(CASE WHEN a.naive_split <> b.naive_split THEN 1 ELSE 0 END) AS BIGINT)
+           AS leak_edges_naive
+  FROM edges e JOIN lab a ON a.doc_id = e.id_a JOIN lab b ON b.doc_id = e.id_b
+)
+SELECT * FROM sizes_row, leaks
+"""
+
+
+@register("cluster_aware_split", _cluster_split_oracle())
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/valid/test assignment: documents are split by a
+    deterministic md5 hash of their NEAR-DUP CLUSTER root (80/10/10), so
+    a document and its near-duplicates land in the same split by
+    construction -- the policy that keeps eval sets honest (Lee et al.
+    2022 measured inflated benchmark scores from exactly this leak).
+    The report counts, over the exact-Jaccard edge set, how many
+    near-dup edges straddle splits under (a) the cluster policy
+    (provably 0, computed not asserted) and (b) the naive per-doc-hash
+    policy (nonzero: the leakage a doc-level split silently ships).
+    Assignment is a pure hash of the cluster root -- no shuffle beyond
+    the CC computation itself, and new corpus increments re-derive the
+    same splits (stable under append, unlike randomSplit)."""
+    from odp_dynamic_data_pipeline_spark.queries.llm import _jaccard_edges
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = _jaccard_edges(docs).localCheckpoint(eager=False)
+    comp = dd.connected_components(docs.select("doc_id"), edges, id_col="doc_id")
+
+    def bucket(col: str) -> F.Column:
+        return (
+            F.expr(f"CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            % 10
+        )
+
+    def label(b: F.Column) -> F.Column:
+        return F.when(b < 8, "train").when(b == 8, "valid").otherwise("test")
+
+    lab = comp.select(
+        "doc_id",
+        "component",
+        label(bucket("component")).alias("split"),
+        label(bucket("doc_id")).alias("naive_split"),
+    ).localCheckpoint(eager=False)
+    sizes_row = lab.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("long").alias("n_train"),
+        F.sum(F.when(F.col("split") == "valid", 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).cast("long").alias("n_test"),
+        F.countDistinct("component").cast("long").alias("n_clusters"),
+    )
+    a = lab.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"), F.col("naive_split").alias("na"))
+    b = lab.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"), F.col("naive_split").alias("nb"))
+    leaks = (
+        edges.join(a, "id_a")
+        .join(b, "id_b")
+        .agg(
+            F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
+            .cast("long")
+            .alias("leak_edges_cluster"),
+            F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0))
+            .cast("long")
+            .alias("leak_edges_naive"),
+        )
+    )
+    return sizes_row.crossJoin(leaks)
