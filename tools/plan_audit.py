@@ -62,6 +62,7 @@ BROADCAST_NLJ_BY_DESIGN = {
     "degree_powerlaw_fit",         # single-row log-log moment broadcast over the degree histogram
     "ks_test_value_drift",         # single-row totals + single-row max-D broadcasts over the support
     "cusum_changepoints",          # single-row (total, n_hours) broadcast over the hourly rollup
+    "cluster_aware_split",         # two single-row report halves (split sizes x leak counts) crossed
 }
 # queries where a GLOBAL (unpartitioned) window is safe: its input is
 # already bounded to <= top_k rows by TakeOrderedAndProject / limit, or to a
