@@ -50,3 +50,47 @@ def test_string_node_ids(spark):
         "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
         "d": ("c", 3), "e": ("c", 3), "f": ("c", 3),
     }
+
+
+def _lpa_reference(edges, rounds):
+    """Pure-python synchronous LPA: the operator's spec (neighbor labels
+    only, max count then min label, isolated nodes keep their label)."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n in adj:
+            counts: dict[int, int] = {}
+            for nb in adj[n]:
+                counts[lbl[nb]] = counts.get(lbl[nb], 0) + 1
+            if counts:
+                mc = max(counts.values())
+                nxt[n] = min(l for l, c in counts.items() if c == mc)
+            else:
+                nxt[n] = lbl[n]
+        lbl = nxt
+    sizes: dict[int, int] = {}
+    for l in lbl.values():
+        sizes[l] = sizes.get(l, 0) + 1
+    return {n: (l, sizes[l]) for n, l in lbl.items()}
+
+
+def test_labelprop_matches_reference_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(29)
+    for trial in range(3):
+        n = rng.randint(5, 14)
+        m = rng.randint(4, 22)
+        edges = set()
+        while len(edges) < m:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        edges = sorted(edges)
+        rounds = rng.choice([1, 2, 4])
+        got = _lpa(spark, edges, rounds=rounds)
+        assert got == _lpa_reference(edges, rounds), (trial, rounds, edges)
