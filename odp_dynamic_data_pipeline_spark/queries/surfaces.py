@@ -2118,3 +2118,71 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sizes_row.crossJoin(leaks)
+
+
+@register(
+    "collated_source_rollup",
+    """
+WITH mixed AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN upper(source)
+              WHEN doc_id % 3 = 1
+              THEN upper(substr(source, 1, 1)) || lower(substr(source, 2))
+              ELSE source END AS src_mixed,
+         n_chars
+  FROM documents
+),
+agg AS (
+  SELECT lower(src_mixed) AS source_lc,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM mixed GROUP BY lower(src_mixed)
+),
+dim AS (SELECT DISTINCT upper(source) AS name, CAST(length(source) AS BIGINT) AS code
+        FROM documents)
+SELECT a.source_lc, a.n_docs, a.sum_chars, d.code
+FROM agg a JOIN dim d ON lower(d.name) = a.source_lc
+""",
+)
+def collated_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATIONS as first-class comparison semantics: a
+    mixed-case source column (upper/initcap/raw variants derived per
+    doc_id) is grouped AND dim-joined under ``COLLATE UTF8_LCASE`` --
+    no ``lower()`` rewrites anywhere in the Spark plan.  The point at
+    scale: collation travels with the TYPE, so every downstream
+    group/join/sort honors it without per-expression normalization
+    (and without materializing a derived key column); one declaration
+    replaces N scattered lower() wrappers that each risk being
+    forgotten.  Group representatives under a collation are
+    engine-specific, so the output key is normalized via lower() only
+    at the boundary; the DuckDB oracle models the same semantics with
+    explicit lower() -- the two plans agree exactly BECAUSE UTF8_LCASE
+    equality == lower()-equality on this ASCII corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    mixed = docs.select(
+        F.expr(
+            "CASE WHEN doc_id % 3 = 0 THEN upper(source)"
+            " WHEN doc_id % 3 = 1 THEN initcap(source)"
+            " ELSE source END COLLATE UTF8_LCASE"
+        ).alias("k"),
+        "n_chars",
+    )
+    agg = mixed.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    dim = (
+        docs.select(
+            F.expr("upper(source) COLLATE UTF8_LCASE").alias("name"),
+            F.length("source").cast("long").alias("code"),
+        )
+        .distinct()
+    )
+    return (
+        agg.join(dim, agg["k"] == dim["name"])
+        .select(
+            F.lower(F.col("k").cast("string")).alias("source_lc"),
+            "n_docs",
+            "sum_chars",
+            "code",
+        )
+    )
