@@ -2186,3 +2186,36 @@ def collated_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "code",
         )
     )
+
+
+@register(
+    "sql_frontend_identifier",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY event_type
+""",
+)
+def sql_frontend_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Injection-safe dynamic identifiers (Spark 4 ``IDENTIFIER(:p)``):
+    the table AND the grouping column arrive as named parameters, the
+    statement template never changes -- the SQL-frontend twin of the
+    reference's config-driven templating (bucket yaml source/key
+    templates, src/data_processor.py config plumbing), where pipeline
+    configs choose tables/columns at run time.  String-splicing
+    identifiers into SQL is the injection/typo path; IDENTIFIER keeps
+    the plan cacheable and the name a VALUE, validated by the parser.
+    The oracle is the equivalent static statement."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:gcol) AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(IDENTIFIER(:vcol) * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:gcol)
+        """,
+        args={"tbl": "events", "gcol": "event_type", "vcol": "value"},
+    )
