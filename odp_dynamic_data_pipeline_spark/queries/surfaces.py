@@ -2219,3 +2219,64 @@ def sql_frontend_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "events", "gcol": "event_type", "vcol": "value"},
     )
+
+
+@register(
+    "pyds_stream_sink_roundtrip",
+    """
+WITH ids AS (SELECT UNNEST(generate_series(0, 199)) AS doc_id),
+d AS (
+  SELECT doc_id,
+         5 + ('0x' || substr(md5('len|' || doc_id), 1, 15))::BIGINT % 20 AS n_tok
+  FROM ids
+),
+t AS (
+  SELECT doc_id, n_tok,
+         array_to_string(list_transform(range(0, CAST(n_tok AS INT)),
+           j -> 't' || (('0x' || substr(md5('tok|' || doc_id || '|' || j), 1, 15))::BIGINT % 1000)),
+           ' ') AS text
+  FROM d
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, md5(text) AS text_md5 FROM t
+""",
+)
+def pyds_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python DataSource SINK (Spark 4 ``DataSourceStreamWriter``,
+    sources.pyds.JsonlStreamSinkWriter) -- completes the Python-DataSource
+    matrix: batch read, batch write, stream read, stream write.  A fully
+    pure-Python streaming pipeline: the synthetic-corpus stream reader
+    feeds micro-batches into the jsonl stream sink, whose per-batch
+    two-phase commit (stage .tmp on executors, delete-then-rename under
+    batch-prefixed names on the driver) keeps a replayed batch from
+    doubling output after a crash between sink commit and checkpoint
+    commit.  The read-back of the committed jsonl files is gated by the
+    SAME md5-replay oracle as the batch source, so the hash covers
+    source -> micro-batch -> Python sink commit -> rescan end to end.
+    Restart/replay idempotence is pinned by tests/test_pyds_stream.py."""
+    from odp_dynamic_data_pipeline_spark.queries.core import _stream_tmpdir
+    from odp_dynamic_data_pipeline_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    tmp = _stream_tmpdir("pyds_stream_sink")
+    stream = (
+        spark.readStream.format("synthetic_corpus")
+        .option("n_docs", 200)
+        .option("partitions", 8)
+        .load()
+    )
+    out = stream.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("long").alias("n_tokens"),
+        F.md5("text").alias("text_md5"),
+    )
+    q = (
+        out.writeStream.format("jsonl_pysink")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema("doc_id bigint, n_tokens bigint, text_md5 string").json(
+        f"{tmp}/out"
+    )

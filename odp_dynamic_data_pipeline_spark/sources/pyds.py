@@ -20,6 +20,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -227,3 +228,74 @@ class JsonlSinkDataSource(DataSource):
             # loudly beats silently doubling the directory
             raise NotImplementedError("jsonl_pysink supports append mode only")
         return JsonlSinkWriter(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return JsonlStreamSinkWriter(self.options)
+
+
+class JsonlStreamSinkWriter(DataSourceStreamWriter):
+    """STREAMING half of the Python sink (Spark 4
+    ``DataSourceStreamWriter``): completes the Python-DataSource matrix
+    (batch read, batch write, stream read, now stream write).  Each
+    micro-batch is its own two-phase commit: executors stage partition
+    files as ``.tmp`` (same as the batch writer), and the driver-side
+    ``commit(messages, batchId)`` finalizes them under BATCH-PREFIXED
+    names -- ``batch-{id:08d}-{part:05d}.jsonl`` -- after first deleting
+    any files a previous attempt of the SAME batch left behind.  That
+    delete-then-rename is what makes the sink exactly-once under
+    restart: a crash BETWEEN sink commit and checkpoint commit replays
+    the batch, and the replay overwrites instead of doubling (pinned by
+    tests/test_pyds_stream.py).  Same shared-filesystem deployment
+    assumption as :class:`JsonlSinkWriter`; micro-batches execute
+    serially, so the orphan-``.tmp`` sweep cannot race a concurrent
+    batch."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl.tmp")
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+        return _JsonlCommit(tmp)
+
+    def commit(self, messages, batchId):
+        import glob
+        import os
+
+        # replay idempotence: a re-run of this batch replaces its output
+        for stale in glob.glob(os.path.join(self.path, f"batch-{batchId:08d}-*.jsonl")):
+            os.remove(stale)
+        renamed = set()
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"batch-{batchId:08d}-{i:05d}.jsonl")
+            os.rename(m.tmp_path, final)
+            renamed.add(m.tmp_path)
+        # sweep retry orphans (succeeded-after-retry tasks leave their
+        # failed attempt's .tmp with no commit message naming it)
+        for orphan in glob.glob(os.path.join(self.path, "*.jsonl.tmp")):
+            if orphan not in renamed:
+                try:
+                    os.remove(orphan)
+                except OSError:
+                    pass
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
