@@ -2280,3 +2280,59 @@ def pyds_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("doc_id bigint, n_tokens bigint, text_md5 string").json(
         f"{tmp}/out"
     )
+
+
+@register(
+    "observed_stream_metrics",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n_written
+FROM events
+""",
+)
+def observed_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING pipeline instrumentation: ``df.observe`` on an unbounded
+    file stream -- per-micro-batch CollectMetrics accumulated from the
+    query's progress telemetry (``StreamingQueryProgress.observedMetrics``),
+    the streaming twin of observed_quality_metrics.  The audit rides the
+    ingest pass itself: no second read of the stream, no state store, and
+    at 100 TB/day the per-batch metric rows are the ONLY thing the driver
+    ever sees.  Totals summed across ALL progress entries (correct under
+    multi-batch catch-up, not just single-batch AvailableNow); the
+    readback ``n_written`` is equated with the observed row count by the
+    oracle, so the metrics provably describe the committed output.
+    Mirrors the reference's per-run processed-entry logging
+    (src/data_processor.py) as engine telemetry instead of hand counts."""
+    from odp_dynamic_data_pipeline_spark.queries.core import _replay_stream, _stream_tmpdir
+    from odp_dynamic_data_pipeline_spark.streaming.stream import run_available_now
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents")
+    )
+    tmp = _stream_tmpdir("observed_stream")
+    stream = _replay_stream(spark, ev, tmp)
+    observed = stream.observe(
+        "ingest_audit",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents"),
+    )
+    q = run_available_now(
+        observed,
+        format="parquet",
+        query_name="",
+        path=f"{tmp}/out",
+        checkpoint=f"{tmp}/ckpt",
+    )
+    n_rows = cents = 0
+    for p in q.recentProgress:
+        m = (p.observedMetrics or {}).get("ingest_audit")
+        if m is not None and m["n_rows"] is not None:
+            n_rows += m["n_rows"]
+            cents += m["cents"]
+    n_written = spark.read.schema("event_id bigint, cents bigint").parquet(f"{tmp}/out").count()
+    return spark.range(1).select(
+        F.lit(n_rows).cast("long").alias("n_rows"),
+        F.lit(cents).cast("long").alias("cents"),
+        F.lit(n_written).cast("long").alias("n_written"),
+    )
