@@ -2298,9 +2298,14 @@ def observed_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming twin of observed_quality_metrics.  The audit rides the
     ingest pass itself: no second read of the stream, no state store, and
     at 100 TB/day the per-batch metric rows are the ONLY thing the driver
-    ever sees.  Totals summed across ALL progress entries (correct under
-    multi-batch catch-up, not just single-batch AvailableNow); the
-    readback ``n_written`` is equated with the observed row count by the
+    ever sees.  Totals summed across the RETAINED progress entries --
+    correct under multi-batch catch-up up to the retention bound
+    (``spark.sql.streaming.numRecentProgressUpdates`` keeps the last
+    100 progress objects, far above this query's batch count); a
+    long-lived production query instead CONSUMES each progress event as
+    it arrives (StreamingQueryListener) and ships per-batch rows to
+    telemetry, so no post-hoc summation window applies.  The readback
+    ``n_written`` is equated with the observed row count by the
     oracle, so the metrics provably describe the committed output.
     Mirrors the reference's per-run processed-entry logging
     (src/data_processor.py) as engine telemetry instead of hand counts."""
