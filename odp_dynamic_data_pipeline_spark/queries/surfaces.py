@@ -2332,9 +2332,10 @@ def observed_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows = cents = 0
     for p in q.recentProgress:
         m = (p.observedMetrics or {}).get("ingest_audit")
-        if m is not None and m["n_rows"] is not None:
-            n_rows += m["n_rows"]
-            cents += m["cents"]
+        if m is not None:
+            # a zero-row batch observes count=0 but SUM=NULL -- coalesce both
+            n_rows += m["n_rows"] or 0
+            cents += m["cents"] or 0
     n_written = spark.read.schema("event_id bigint, cents bigint").parquet(f"{tmp}/out").count()
     return spark.range(1).select(
         F.lit(n_rows).cast("long").alias("n_rows"),

@@ -143,6 +143,42 @@ class _JsonlCommit(WriterCommitMessage):
         self.tmp_path = tmp_path
 
 
+
+def _stage_jsonl_partition(path: str, iterator) -> "_JsonlCommit":
+    """Executor-side staging shared by the batch and streaming jsonl
+    sinks: stream the partition's rows into a uniquely-named ``.tmp``
+    file under ``path`` and return its commit message.  Nothing becomes
+    visible until a driver-side commit renames it."""
+    import json
+    import os
+    import uuid
+
+    from pyspark import TaskContext
+
+    pid = TaskContext.get().partitionId()
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl.tmp")
+    with open(tmp, "w") as f:
+        for row in iterator:
+            f.write(json.dumps(row.asDict()) + "\n")
+    return _JsonlCommit(tmp)
+
+
+def _remove_staged(messages) -> None:
+    """Abort-path cleanup shared by both sinks: a FAILED task contributes
+    None instead of a commit message (DataSource writer contract) -- skip
+    those, and never let one orphan's failure block the rest."""
+    import os
+
+    for m in messages:
+        if m is None:
+            continue
+        try:
+            os.remove(m.tmp_path)
+        except OSError:
+            pass
+
+
 class JsonlSinkWriter(DataSourceWriter):
     """Executor-side half of the Python sink: each partition streams its
     rows to a ``.tmp`` file and reports the path in its commit message;
@@ -165,19 +201,7 @@ class JsonlSinkWriter(DataSourceWriter):
         self.path = options["path"]
 
     def write(self, iterator):
-        import json
-        import os
-        import uuid
-
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl.tmp")
-        with open(tmp, "w") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict()) + "\n")
-        return _JsonlCommit(tmp)
+        return _stage_jsonl_partition(self.path, iterator)
 
     def commit(self, messages):
         import glob
@@ -198,18 +222,7 @@ class JsonlSinkWriter(DataSourceWriter):
                     pass
 
     def abort(self, messages):
-        import os
-
-        # a FAILED task contributes None instead of a commit message
-        # (DataSourceWriter.abort contract) -- skip those, and never let
-        # cleanup of one orphan prevent cleanup of the rest
-        for m in messages:
-            if m is None:
-                continue
-            try:
-                os.remove(m.tmp_path)
-            except OSError:
-                pass
+        _remove_staged(messages)
 
 
 class JsonlSinkDataSource(DataSource):
@@ -230,6 +243,12 @@ class JsonlSinkDataSource(DataSource):
         return JsonlSinkWriter(self.options)
 
     def streamWriter(self, schema, overwrite):
+        if overwrite:
+            # complete/update output modes pass overwrite=True expecting a
+            # per-batch TRUNCATE; commit() only replaces files of the SAME
+            # batch id, so honoring those modes would snapshot-duplicate
+            # rows across batches -- refuse loudly, like the batch writer
+            raise NotImplementedError("jsonl_pysink streaming supports append mode only")
         return JsonlStreamSinkWriter(self.options)
 
 
@@ -254,19 +273,7 @@ class JsonlStreamSinkWriter(DataSourceStreamWriter):
         self.path = options["path"]
 
     def write(self, iterator):
-        import json
-        import os
-        import uuid
-
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl.tmp")
-        with open(tmp, "w") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict()) + "\n")
-        return _JsonlCommit(tmp)
+        return _stage_jsonl_partition(self.path, iterator)
 
     def commit(self, messages, batchId):
         import glob
@@ -290,12 +297,4 @@ class JsonlStreamSinkWriter(DataSourceStreamWriter):
                     pass
 
     def abort(self, messages, batchId):
-        import os
-
-        for m in messages:
-            if m is None:
-                continue
-            try:
-                os.remove(m.tmp_path)
-            except OSError:
-                pass
+        _remove_staged(messages)

@@ -103,8 +103,10 @@ def test_pyds_stream_sink_multibatch_exactly_once(spark, tmp_path):
     try:
         deadline = time.time() + 120
         while time.time() < deadline:
-            files = glob.glob(f"{out}/batch-*.jsonl")
-            n = sum(1 for f in files for _ in open(f))
+            n = 0
+            for fn in glob.glob(f"{out}/batch-*.jsonl"):
+                with open(fn) as f:
+                    n += sum(1 for _ in f)
             if n >= 150:
                 break
             time.sleep(0.3)
@@ -156,3 +158,17 @@ def test_pyds_stream_sink_replayed_batch_overwrites(tmp_path):
     assert len(glob.glob(f"{out}/batch-00000007-*.jsonl")) == 1
     assert len(glob.glob(f"{out}/batch-00000008-*.jsonl")) == 1
     assert not glob.glob(f"{out}/*.tmp")
+
+
+def test_pyds_stream_sink_refuses_truncate_modes():
+    """complete/update output modes pass overwrite=True expecting per-batch
+    truncate; the sink's commit only replaces files of the SAME batch id,
+    so honoring them would snapshot-duplicate rows -- it must refuse."""
+    import pytest
+
+    from odp_dynamic_data_pipeline_spark.sources.pyds import JsonlSinkDataSource
+
+    ds = JsonlSinkDataSource(options={"path": "/tmp/never-used"})
+    with pytest.raises(NotImplementedError):
+        ds.streamWriter(None, True)
+    assert ds.streamWriter(None, False) is not None
