@@ -2342,3 +2342,58 @@ def observed_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(cents).cast("long").alias("cents"),
         F.lit(n_written).cast("long").alias("n_written"),
     )
+
+
+@register("incremental_neardup_stream")  # xxhash64 family: rows-only by design
+def incremental_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-duplicate detection (streaming.stream.
+    run_incremental_neardup): MinHash+LSH as stateful ingest -- per
+    micro-batch, bucket collisions against the accreted LSH store +
+    batch-internal pairs, verified by exact Jaccard over stored shingle
+    hashes.  Like its batch twin dedup_minhash_lsh, the xxhash64 banding
+    is not replayable by another engine (rows-only driver check; the md5
+    twin dedup_minhash_md5 carries the hash gate for the banding
+    algebra).  The result here is therefore SELF-verifying data: the
+    one-row report compares the streaming pair set against the batch
+    minhash_lsh_pairs run on the same corpus -- n_stream, n_batch,
+    n_common, and n_jaccard_equal must all be equal (a single
+    AvailableNow batch sees no store history, so stream == batch exactly;
+    asserted as a hard equality in tests/test_incremental_dedup.py at
+    sf0.001).  Cross-batch store semantics (new-vs-historical pairs,
+    retry idempotence, store compaction) are pinned by the crafted-batch
+    tests in the same file."""
+    from odp_dynamic_data_pipeline_spark.queries.core import (
+        _replay_stream,
+        _stream_shuffle,
+        _stream_tmpdir,
+    )
+    from odp_dynamic_data_pipeline_spark.streaming.stream import run_incremental_neardup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = _stream_tmpdir("neardup_stream")
+    stream = _replay_stream(spark, docs, tmp)
+    with _stream_shuffle(spark):
+        run_incremental_neardup(
+            stream,
+            f"{tmp}/store",
+            f"{tmp}/out",
+            checkpoint=f"{tmp}/ckpt",
+            threshold_e6=200_000,
+        )
+    sp = spark.read.parquet(f"{tmp}/out").select("id_a", "id_b", "jaccard_e6")
+    bp = dd.minhash_lsh_pairs(docs, "doc_id", threshold_e6=200_000).select(
+        "id_a", "id_b", F.col("jaccard_e6").alias("jb")
+    )
+    joined = sp.join(bp, ["id_a", "id_b"], "full_outer")
+    return joined.agg(
+        F.count("jaccard_e6").cast("long").alias("n_stream"),
+        F.count("jb").cast("long").alias("n_batch"),
+        F.sum(
+            F.when(F.col("jaccard_e6").isNotNull() & F.col("jb").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_common"),
+        F.sum(F.when(F.col("jaccard_e6") == F.col("jb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_jaccard_equal"),
+    )

@@ -30,11 +30,14 @@ def test_queries_cover_registry_exactly_once():
     o = e.oracle_sql()
     assert set(o) == set(ORACLE_SQL)
     assert set(o) <= set(q)
-    # the deliberate rows-only set stays exactly the three xxhash64 ops
+    # the deliberate rows-only set stays exactly the xxhash64 ops (three
+    # batch ops with md5-twin oracles, plus the streaming LSH twin whose
+    # registry report is a self-verifying stream-vs-batch equality)
     assert set(q) - set(o) == {
         "dedup_minhash_lsh",
         "dedup_simhash",
         "similarity_lsh_topk",
+        "incremental_neardup_stream",
     }
 
 

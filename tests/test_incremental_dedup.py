@@ -176,3 +176,18 @@ def test_compact_incremental_store_preserves_dedup(spark, tmp_path):
     _run()
     survivors = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
     assert 10 in survivors and 9 not in survivors
+
+
+def test_incremental_neardup_stream_equals_batch(spark):
+    """The registry's streaming-vs-batch agreement report must be a hard
+    equality: one AvailableNow batch sees no store history, so the
+    streaming LSH pair set (including jaccards) == minhash_lsh_pairs."""
+    from odp_dynamic_data_pipeline_spark.queries import SPARK_QUERIES
+
+    row = SPARK_QUERIES["incremental_neardup_stream"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["n_stream"] > 0
+    assert (
+        row["n_stream"] == row["n_batch"] == row["n_common"] == row["n_jaccard_equal"]
+    ), dict(row.asDict())
