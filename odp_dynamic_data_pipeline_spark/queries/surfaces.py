@@ -2020,9 +2020,6 @@ def dedup_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.label_propagation(edges, rounds=4)
 
 
-_SPLIT_PREFIX = None  # set lazily from DEDUP_CLUSTERS_ORACLE below
-
-
 def _cluster_split_oracle() -> str:
     """Recursive-CTE CC (same prefix as DEDUP_CLUSTERS_ORACLE) + md5
     split assignment replayed on both the cluster root and the raw

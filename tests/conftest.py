@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import os
 import sys
 
@@ -27,3 +29,22 @@ def spark(tmp_path_factory):
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
+
+
+@contextmanager
+def temp_confs(spark, confs: dict[str, str]):
+    """Set session confs for a test and restore the EXACT prior state on
+    exit -- including unsetting keys that had no session value (a plain
+    save/set-back loop silently leaks values like
+    autoBroadcastJoinThreshold=-1 into the rest of the shared session)."""
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

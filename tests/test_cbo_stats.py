@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests.conftest import SF_CORRECT
+from tests.conftest import SF_CORRECT, temp_confs
 
 CONFS = {
     # 64 KB: small enough that the UNFILTERED dim never broadcasts
@@ -35,23 +35,16 @@ GROUP BY o.o_orderpriority
 
 @pytest.fixture
 def cbo_tables(spark):
-    old = {k: spark.conf.get(k, None) for k in CONFS}
-    for k, v in CONFS.items():
-        spark.conf.set(k, v)
     from odp_dynamic_data_pipeline_spark.sources.catalog import load_table
 
-    load_table(spark, SF_CORRECT, "orders").write.mode("overwrite").saveAsTable("o_cbo")
-    load_table(spark, SF_CORRECT, "lineitem").select("l_orderkey").write.mode(
-        "overwrite"
-    ).saveAsTable("li_cbo")
-    yield
-    spark.sql("DROP TABLE IF EXISTS o_cbo")
-    spark.sql("DROP TABLE IF EXISTS li_cbo")
-    for k, v in old.items():
-        if v is None:
-            spark.conf.unset(k)
-        else:
-            spark.conf.set(k, v)
+    with temp_confs(spark, CONFS):
+        load_table(spark, SF_CORRECT, "orders").write.mode("overwrite").saveAsTable("o_cbo")
+        load_table(spark, SF_CORRECT, "lineitem").select("l_orderkey").write.mode(
+            "overwrite"
+        ).saveAsTable("li_cbo")
+        yield
+        spark.sql("DROP TABLE IF EXISTS o_cbo")
+        spark.sql("DROP TABLE IF EXISTS li_cbo")
 
 
 def _plan(spark):

@@ -164,44 +164,6 @@ def test_shard_manifest_single_shuffle(spark):
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
 
 
-def test_runtime_bloom_filter_injection(spark, tmp_path):
-    """Runtime bloom-filter join pruning (the 100 TB fact-side row killer:
-    a selective dim filter becomes a bloom_filter_agg subquery whose
-    might_contain() prunes fact rows BEFORE the join shuffle).  Off by
-    scan-size threshold at test scale -- the knob a deployment lowers is
-    applicationSideScanSizeThreshold -- so the test pins both the
-    injection and the conf it depends on."""
-    confs = {
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
-    }
-    old = {k: spark.conf.get(k, None) for k in confs}
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
-        spark.range(200_000).selectExpr("id AS k", "id % 100 AS v").write.parquet(
-            str(tmp_path / "fact")
-        )
-        spark.range(5_000).selectExpr("id * 191 AS k", "id % 7 AS grp").write.parquet(
-            str(tmp_path / "dim")
-        )
-        fact = spark.read.parquet(str(tmp_path / "fact"))
-        dim = spark.read.parquet(str(tmp_path / "dim")).where("grp = 3")
-        j = fact.join(dim, "k")
-        opt = j._jdf.queryExecution().optimizedPlan().toString()
-        assert "might_contain" in opt, "bloom probe not injected on fact side"
-        assert "bloom_filter_agg" in opt, "bloom creation agg missing"
-        # and it must not change the answer
-        assert j.count() == len(
-            [i for i in range(5_000) if i % 7 == 3 and i * 191 < 200_000]
-        )
-    finally:
-        for k, v in old.items():
-            if v is not None:
-                spark.conf.set(k, v)
-
-
 def test_ansi_mode_overflow_discipline(spark):
     """SCALE.md's overflow contract, enforced: the unbounded accumulators
     (whole-table cent sums, cross-moments, second moments) must survive

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests.conftest import SF_CORRECT
+from tests.conftest import SF_CORRECT, temp_confs
 
 BLOOM_CONFS = {
     "spark.sql.autoBroadcastJoinThreshold": "-1",
@@ -27,15 +27,8 @@ BLOOM_CONFS = {
 
 @pytest.fixture
 def bloom_confs(spark):
-    old = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
-    for k, v in BLOOM_CONFS.items():
-        spark.conf.set(k, v)
-    yield
-    for k, v in old.items():
-        if v is None:
-            spark.conf.unset(k)
-        else:
-            spark.conf.set(k, v)
+    with temp_confs(spark, BLOOM_CONFS):
+        yield
 
 
 def _selective_join(spark):
