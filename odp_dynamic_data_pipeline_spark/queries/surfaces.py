@@ -2394,3 +2394,45 @@ def incremental_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_jaccard_equal"),
     )
+
+
+@register(
+    "sql_frontend_pivot",
+    """
+SELECT user_id % 10 AS cohort,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT) AS click_cents,
+       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click_n,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT) AS purchase_cents,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase_n,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT) AS view_cents,
+       CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view_n
+FROM events
+GROUP BY user_id % 10
+""",
+)
+def sql_frontend_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT clause (the relational spreadsheet flip as declarative
+    syntax, completing the SQL-frontend family alongside pipe / GROUP BY
+    ALL / parameterized / IDENTIFIER): multi-aggregate pivot
+    (SUM + COUNT per pivoted value) with an EXPLICIT value list -- the
+    only shape that scales, because implicit value discovery costs an
+    extra distinct pass over the corpus and an unbounded output schema;
+    a 100 TB pivot always enumerates its columns.  Spark compiles this
+    to the same single-pass conditional aggregation as the DataFrame
+    ``pivot()`` (pivot_event_counts); the oracle is the portable
+    CASE-aggregation spelling, and the outer SELECT pins the
+    deterministic column names."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT cohort,
+               click_s   AS click_cents,    click_n,
+               purchase_s AS purchase_cents, purchase_n,
+               view_s    AS view_cents,     view_n
+        FROM (SELECT user_id % 10 AS cohort, event_type,
+                     CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+              FROM events)
+        PIVOT (SUM(cents) AS s, COUNT(*) AS n
+               FOR event_type IN ('click', 'purchase', 'view'))
+        """
+    )
