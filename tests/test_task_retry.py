@@ -1,0 +1,82 @@
+"""Exactly-once under REAL task retries.
+
+The jsonl Python sink's two-phase commit is unit-tested with simulated
+retry orphans; this suite injects an ACTUAL Spark task retry — a
+partition that raises on attempt 0 and succeeds on attempt 1 — and
+asserts the committed output is exactly-once with no staging residue.
+Local mode defaults to task maxFailures=1 (first failure kills the job),
+so the scenario needs a `local[4,2]` master; SparkSession.getOrCreate
+would silently reuse the suite's shared session instead, hence the
+subprocess: a fresh interpreter builds the retrying session, runs the
+write, and reports row/file counts on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import glob, json, os, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+out = {out!r}
+spark = (
+    SparkSession.builder.master("local[4,2]")   # 2 = task maxFailures
+    .appName("retry-probe")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+from odp_dynamic_data_pipeline_spark.sources.pyds import register_python_sources
+register_python_sources(spark)
+
+def flaky(batches):
+    # partition 0 dies on its FIRST attempt only -- the classic transient
+    # executor failure; the retry must not double or lose rows
+    from pyspark import TaskContext
+    ctx = TaskContext.get()
+    if ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+        raise RuntimeError("injected transient failure")
+    for b in batches:
+        yield b
+
+df = spark.range(0, 1000, 1, 4).selectExpr("id", "id * 3 AS v")
+flaky_df = df.mapInArrow(flaky, "id long, v long")
+flaky_df.write.format("jsonl_pysink").mode("append").option("path", out).save()
+
+rows = []
+for fn in glob.glob(out + "/*.jsonl"):
+    with open(fn) as f:
+        rows.extend(json.loads(ln) for ln in f)
+print(json.dumps({{
+    "n_rows": len(rows),
+    "n_distinct": len({{r["id"] for r in rows}}),
+    "sum_v": sum(r["v"] for r in rows),
+    "tmp_left": len(glob.glob(out + "/*.tmp")),
+}}))
+spark.stop()
+"""
+
+
+def test_jsonl_sink_exactly_once_under_real_task_retry(tmp_path):
+    out = str(tmp_path / "retry_out")
+    proc = subprocess.run(
+        [sys.executable, "-c", CHILD.format(repo=REPO, out=out)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    verdict = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert verdict == {
+        "n_rows": 1000,
+        "n_distinct": 1000,
+        "sum_v": sum(i * 3 for i in range(1000)),
+        "tmp_left": 0,
+    }, verdict
