@@ -80,3 +80,69 @@ def test_jsonl_sink_exactly_once_under_real_task_retry(tmp_path):
         "sum_v": sum(i * 3 for i in range(1000)),
         "tmp_left": 0,
     }, verdict
+
+
+STREAM_CHILD = r"""
+import glob, json, os, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+base = {base!r}
+spark = (
+    SparkSession.builder.master("local[4,2]")
+    .appName("retry-stream-probe")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+
+src, out, ckpt = base + "/in", base + "/out", base + "/ckpt"
+spark.range(0, 1000, 1, 4).selectExpr("id", "id * 3 AS v").write.parquet(src)
+
+def flaky(batches):
+    from pyspark import TaskContext
+    ctx = TaskContext.get()
+    if ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+        raise RuntimeError("injected transient failure")
+    for b in batches:
+        yield b
+
+stream = spark.readStream.schema("id long, v long").parquet(src)
+q = (
+    stream.mapInArrow(flaky, "id long, v long")
+    .writeStream.format("parquet")
+    .option("path", out)
+    .option("checkpointLocation", ckpt)
+    .trigger(availableNow=True)
+    .start()
+)
+q.awaitTermination()
+rows = spark.read.schema("id long, v long").parquet(out).collect()
+print(json.dumps({{
+    "n_rows": len(rows),
+    "n_distinct": len({{r["id"] for r in rows}}),
+    "sum_v": sum(r["v"] for r in rows),
+}}))
+spark.stop()
+"""
+
+
+def test_streaming_sink_exactly_once_under_real_task_retry(tmp_path):
+    """Same injected transient failure, inside a MICRO-BATCH: the
+    streaming file sink's manifest commit must admit the retried task's
+    output exactly once (a doubled or dropped partition 0 would show in
+    the count/checksum)."""
+    base = str(tmp_path / "stream_retry")
+    proc = subprocess.run(
+        [sys.executable, "-c", STREAM_CHILD.format(repo=REPO, base=base)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    verdict = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert verdict == {
+        "n_rows": 1000,
+        "n_distinct": 1000,
+        "sum_v": sum(i * 3 for i in range(1000)),
+    }, verdict
