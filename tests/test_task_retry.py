@@ -146,3 +146,76 @@ def test_streaming_sink_exactly_once_under_real_task_retry(tmp_path):
         "n_distinct": 1000,
         "sum_v": sum(i * 3 for i in range(1000)),
     }, verdict
+
+
+PYSINK_STREAM_CHILD = r"""
+import glob, json, os, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+base = {base!r}
+spark = (
+    SparkSession.builder.master("local[4,2]")
+    .appName("retry-pysink-probe")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+from odp_dynamic_data_pipeline_spark.sources.pyds import register_python_sources
+register_python_sources(spark)
+
+src, out, ckpt = base + "/in", base + "/out", base + "/ckpt"
+spark.range(0, 1000, 1, 4).selectExpr("id", "id * 3 AS v").write.parquet(src)
+
+def flaky(batches):
+    from pyspark import TaskContext
+    ctx = TaskContext.get()
+    if ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+        raise RuntimeError("injected transient failure")
+    for b in batches:
+        yield b
+
+stream = spark.readStream.schema("id long, v long").parquet(src)
+q = (
+    stream.mapInArrow(flaky, "id long, v long")
+    .writeStream.format("jsonl_pysink")
+    .option("path", out)
+    .option("checkpointLocation", ckpt)
+    .trigger(availableNow=True)
+    .start()
+)
+q.awaitTermination()
+rows = []
+for fn in glob.glob(out + "/batch-*.jsonl"):
+    with open(fn) as f:
+        rows.extend(json.loads(ln) for ln in f)
+print(json.dumps({{
+    "n_rows": len(rows),
+    "n_distinct": len({{r["id"] for r in rows}}),
+    "sum_v": sum(r["v"] for r in rows),
+    "tmp_left": len(glob.glob(out + "/*.tmp")),
+}}))
+spark.stop()
+"""
+
+
+def test_python_stream_sink_exactly_once_under_real_task_retry(tmp_path):
+    """The failure lands in the PYTHON streaming sink's own micro-batch:
+    the failed attempt stages a .tmp that no commit message names; the
+    per-batch delete-then-rename commit plus the orphan sweep must leave
+    exactly-once rows and a clean directory."""
+    base = str(tmp_path / "pysink_retry")
+    proc = subprocess.run(
+        [sys.executable, "-c", PYSINK_STREAM_CHILD.format(repo=REPO, base=base)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    verdict = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert verdict == {
+        "n_rows": 1000,
+        "n_distinct": 1000,
+        "sum_v": sum(i * 3 for i in range(1000)),
+        "tmp_left": 0,
+    }, verdict
