@@ -219,3 +219,106 @@ def test_python_stream_sink_exactly_once_under_real_task_retry(tmp_path):
         "sum_v": sum(i * 3 for i in range(1000)),
         "tmp_left": 0,
     }, verdict
+
+
+CRASH_CHILD = r"""
+import glob, json, os, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+base = {base!r}
+marker = base + "/crashed"
+src, out, ckpt = base + "/in", base + "/out", base + "/ckpt"
+
+import odp_dynamic_data_pipeline_spark.sources.pyds as pyds
+from pyspark.sql.datasource import DataSource
+
+class CrashingStreamWriter(pyds.JsonlStreamSinkWriter):
+    # dies AFTER the sink commit of batch 0, BEFORE the engine can commit
+    # the checkpoint offset -- the exact replay window the 2PC exists for.
+    # (Defined in __main__ so cloudpickle ships the class BY VALUE to the
+    # commit worker; patching the imported class would not survive
+    # pickling.)
+    def commit(self, messages, batchId):
+        super().commit(messages, batchId)
+        if batchId == 0 and not os.path.exists(self.marker):
+            open(self.marker, "w").write("x")
+            raise RuntimeError("injected crash after sink commit")
+
+class CrashingJsonlSink(DataSource):
+    @classmethod
+    def name(cls):
+        return "jsonl_pysink_crash"
+
+    def streamWriter(self, schema, overwrite):
+        w = CrashingStreamWriter(self.options)
+        w.marker = self.options["marker"]
+        return w
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("crash-window-probe")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+spark.dataSource.register(CrashingJsonlSink)
+
+if not os.path.exists(src):
+    spark.range(0, 1000, 1, 4).selectExpr("id", "id * 3 AS v").write.parquet(src)
+
+stream = (
+    spark.readStream.schema("id long, v long")
+    .option("maxFilesPerTrigger", "1")
+    .parquet(src)
+)
+q = (
+    stream.writeStream.format("jsonl_pysink_crash")
+    .option("path", out)
+    .option("marker", marker)
+    .option("checkpointLocation", ckpt)
+    .trigger(availableNow=True)
+    .start()
+)
+try:
+    q.awaitTermination()
+except Exception:
+    sys.exit(17)   # run 1: the injected crash surfaces as query failure
+rows = []
+for fn in glob.glob(out + "/batch-*.jsonl"):
+    with open(fn) as f:
+        rows.extend(json.loads(ln) for ln in f)
+batch_ids = sorted({{fn.rsplit("/", 1)[-1].split("-")[1] for fn in glob.glob(out + "/batch-*.jsonl")}})
+print(json.dumps({{
+    "n_rows": len(rows),
+    "n_distinct": len({{r["id"] for r in rows}}),
+    "sum_v": sum(r["v"] for r in rows),
+    "tmp_left": len(glob.glob(out + "/*.tmp")),
+    "n_batches": len(batch_ids),
+}}))
+spark.stop()
+"""
+
+
+def test_python_stream_sink_survives_crash_between_sink_and_checkpoint_commit(tmp_path):
+    """THE replay window the two-phase commit exists for: the driver dies
+    AFTER the sink committed batch 0 but BEFORE the engine committed the
+    checkpoint offset.  The restarted query replays batch 0 from the
+    checkpoint; the sink's delete-then-rename must REPLACE the first
+    run's batch-0 files instead of doubling them.  Run 1 exits 17 by
+    design; run 2 completes and the totals must be exactly-once."""
+    base = str(tmp_path / "crash_window")
+    os.makedirs(base)
+    args = [sys.executable, "-c", CRASH_CHILD.format(repo=REPO, base=base)]
+    first = subprocess.run(args, capture_output=True, text=True, timeout=300)
+    assert first.returncode == 17, (first.returncode, first.stderr[-2000:])
+    # batch 0 WAS sink-committed before the crash
+    import glob as _glob
+
+    assert _glob.glob(f"{base}/out/batch-00000000-*.jsonl")
+    second = subprocess.run(args, capture_output=True, text=True, timeout=300)
+    assert second.returncode == 0, second.stderr[-3000:]
+    verdict = json.loads(second.stdout.strip().splitlines()[-1])
+    assert verdict["n_rows"] == 1000 and verdict["n_distinct"] == 1000, verdict
+    assert verdict["sum_v"] == sum(i * 3 for i in range(1000)), verdict
+    assert verdict["tmp_left"] == 0 and verdict["n_batches"] >= 2, verdict
