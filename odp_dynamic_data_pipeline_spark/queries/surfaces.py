@@ -206,15 +206,26 @@ def cogroup_attribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     per batch.  At 100 TB the bucket count scales with the cluster, each
     bucket stays executor-memory-bounded (users x their events / 64k
     buckets), and both sides co-shuffle exactly once.  Oracle replays the
-    semantics with correlated lateral aggregates at test scale."""
+    semantics with correlated lateral aggregates at test scale.
+
+    The two sides are loaded as SEPARATE relations on purpose: a
+    self-cogroup over ONE shared scan hits a Catalyst
+    dedup/column-pruning interplay where any downstream plan that
+    narrows the output (count(), an aggregate) silently drops the RIGHT
+    side's pass-through ``user_id`` from the pandas input frame
+    (KeyError in the kernel; collect() was unaffected, which is why the
+    oracle gate alone never caught it).  A second load_table gives the
+    right side fresh exprIds and the pruning stays sound —
+    tests/test_cogroup.py pins count()/aggregate over this query."""
     ev = load_table(spark, sf_dir, "events")
+    ev_v = load_table(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         F.expr("pmod(user_id, 64)").alias("bucket"),
     )
-    views = ev.where(F.col("event_type") == "view").select(
+    views = ev_v.where(F.col("event_type") == "view").select(
         "user_id",
         F.unix_micros("ts").alias("v_us"),
         F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),

@@ -150,3 +150,19 @@ def test_kernel_matches_bruteforce_on_random_streams():
             for _, r in out.iterrows()
         }
         assert got == _attribution_reference(purchases, views), (trial, purchases, views)
+
+
+def test_registered_query_survives_downstream_pruning(spark):
+    """Regression: a self-cogroup over ONE shared events scan loses the
+    right side's pass-through user_id whenever the downstream plan
+    narrows the output (count/aggregate) -- Catalyst's relation-dedup +
+    column-pruning interplay.  The registered query loads each side as
+    its own relation; count(), an aggregate, AND collect() must all
+    work and agree."""
+    from odp_dynamic_data_pipeline_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["cogroup_attribution_windows"](spark, "/root/testdata/sf0.001")
+    n_count = df.count()
+    n_rows = len(df.collect())
+    agg = df.selectExpr("sum(n_views_1h) AS s", "count(*) AS n").collect()[0]
+    assert n_count == n_rows == agg["n"] > 0
