@@ -186,3 +186,34 @@ def test_shipped_corpus_pipeline_compiles_and_curates(spark):
     hand = exact_dedup(hand, ["fingerprint"], "doc_id")
     hand = tx.chunk_documents(hand, chunk_tokens=64, stride=48, id_cols=["doc_id", "lang"])
     assert chunks.count() == hand.count() > 0
+
+
+def test_yaml_cyclic_mapping_dependency_raises(spark):
+    """Two stages each consuming the mapping the other produces must fail
+    LOUDLY at plan time (graphlib.CycleError), never hang or pick an
+    arbitrary order -- the config-error contract of the compiler."""
+    import graphlib
+
+    import pytest
+
+    cyclic = yaml.safe_load(
+        """
+pipeline_name: cyclic_demo
+stages:
+  a:
+    description: consumes b's mapping, produces a's
+    input: {format: parquet, path: "%s/documents.parquet"}
+    mappings:
+      read: [{name: from_b, key: doc_id}]
+      write: [{name: from_a, key: doc_id, value: [lang]}]
+  b:
+    description: consumes a's mapping, produces b's
+    input: {format: parquet, path: "%s/documents.parquet"}
+    mappings:
+      read: [{name: from_a, key: doc_id}]
+      write: [{name: from_b, key: doc_id, value: [lang]}]
+"""
+        % (SF, SF)
+    )
+    with pytest.raises(graphlib.CycleError):
+        Pipeline(cyclic)
