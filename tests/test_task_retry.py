@@ -390,3 +390,106 @@ def test_incremental_dedup_store_survives_checkpoint_commit_loss(spark, tmp_path
     control = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
     crashed = {r["doc_id"] for r in survivors.collect()}
     assert crashed == control
+
+
+TORN_WRITE_CHILD = r"""
+import glob, json, os, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+base = {base!r}
+marker = base + "/torn"
+src, out, ckpt = base + "/in", base + "/out", base + "/ckpt"
+
+import odp_dynamic_data_pipeline_spark.sources.pyds as pyds
+from pyspark.sql.datasource import DataSource
+
+class TornWriteSink(pyds.JsonlStreamSinkWriter):
+    # hard-kills the python worker MID-WRITE on partition 0 of the first
+    # run, after staging a torn .tmp -- the ungraceful death a commit
+    # protocol must tolerate.  Cloudpickled by value to executors.
+    def write(self, iterator):
+        from pyspark import TaskContext
+        import itertools, os as _os
+        if TaskContext.get().partitionId() == 0 and not _os.path.exists(self.marker):
+            rows = list(iterator)
+            half = iter(rows[: len(rows) // 2])
+            try:
+                super().write(half)   # stages a PARTIAL .tmp
+            finally:
+                open(self.marker, "w").write("x")
+                _os._exit(9)          # worker dies; no commit message ever sent
+        return super().write(iterator)
+
+class TornJsonlSink(DataSource):
+    @classmethod
+    def name(cls):
+        return "jsonl_pysink_torn"
+
+    def streamWriter(self, schema, overwrite):
+        w = TornWriteSink(self.options)
+        w.marker = self.options["marker"]
+        return w
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("torn-write-probe")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+spark.dataSource.register(TornJsonlSink)
+
+if not os.path.exists(src):
+    spark.range(0, 1000, 1, 4).selectExpr("id", "id * 3 AS v").write.parquet(src)
+
+stream = spark.readStream.schema("id long, v long").parquet(src)
+q = (
+    stream.writeStream.format("jsonl_pysink_torn")
+    .option("path", out)
+    .option("marker", marker)
+    .option("checkpointLocation", ckpt)
+    .trigger(availableNow=True)
+    .start()
+)
+try:
+    q.awaitTermination()
+except Exception:
+    print(json.dumps({{"phase": "crashed",
+        "tmp_on_disk": len(glob.glob(out + "/*.tmp"))}}))
+    sys.exit(23)
+rows = []
+for fn in glob.glob(out + "/batch-*.jsonl"):
+    with open(fn) as f:
+        rows.extend(json.loads(ln) for ln in f)
+print(json.dumps({{
+    "n_rows": len(rows),
+    "n_distinct": len({{r["id"] for r in rows}}),
+    "sum_v": sum(r["v"] for r in rows),
+    "tmp_left": len(glob.glob(out + "/*.tmp")),
+}}))
+spark.stop()
+"""
+
+
+def test_python_stream_sink_sweeps_torn_write_after_hard_kill(tmp_path):
+    """A python worker hard-killed (os._exit) MID-WRITE leaves a torn
+    .tmp with no commit message.  Run 1 must fail; run 2 (marker set, no
+    crash) replays the batch and its commit must sweep the orphan and
+    deliver exactly-once rows with a clean directory."""
+    base = str(tmp_path / "torn")
+    os.makedirs(base)
+    args = [sys.executable, "-c", TORN_WRITE_CHILD.format(repo=REPO, base=base)]
+    first = subprocess.run(args, capture_output=True, text=True, timeout=300)
+    assert first.returncode == 23, (first.returncode, first.stderr[-2000:])
+    crash_info = json.loads(first.stdout.strip().splitlines()[-1])
+    assert crash_info["tmp_on_disk"] >= 1, crash_info  # the torn file is real
+    second = subprocess.run(args, capture_output=True, text=True, timeout=300)
+    assert second.returncode == 0, second.stderr[-3000:]
+    verdict = json.loads(second.stdout.strip().splitlines()[-1])
+    assert verdict == {
+        "n_rows": 1000,
+        "n_distinct": 1000,
+        "sum_v": sum(i * 3 for i in range(1000)),
+        "tmp_left": 0,
+    }, verdict
