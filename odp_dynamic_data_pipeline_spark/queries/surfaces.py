@@ -2432,14 +2432,22 @@ def sql_frontend_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the same single-pass conditional aggregation as the DataFrame
     ``pivot()`` (pivot_event_counts); the oracle is the portable
     CASE-aggregation spelling, and the outer SELECT pins the
-    deterministic column names."""
+    deterministic column names AND coalesces the counts: PIVOT's
+    COUNT(*) yields NULL (not 0) for a group missing a pivoted
+    value, while COUNT(CASE ...) yields 0 -- without the COALESCE
+    the two spellings diverge on any dataset where some cohort
+    lacks one of the enumerated types (the sums agree either way:
+    both spell an empty SUM as NULL)."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(
         """
         SELECT cohort,
-               click_s   AS click_cents,    click_n,
-               purchase_s AS purchase_cents, purchase_n,
-               view_s    AS view_cents,     view_n
+               click_s AS click_cents,
+               COALESCE(click_n, 0) AS click_n,
+               purchase_s AS purchase_cents,
+               COALESCE(purchase_n, 0) AS purchase_n,
+               view_s AS view_cents,
+               COALESCE(view_n, 0) AS view_n
         FROM (SELECT user_id % 10 AS cohort, event_type,
                      CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
               FROM events)

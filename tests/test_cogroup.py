@@ -161,7 +161,9 @@ def test_registered_query_survives_downstream_pruning(spark):
     work and agree."""
     from odp_dynamic_data_pipeline_spark.queries import SPARK_QUERIES
 
-    df = SPARK_QUERIES["cogroup_attribution_windows"](spark, "/root/testdata/sf0.001")
+    from tests.conftest import SF_SMOKE
+
+    df = SPARK_QUERIES["cogroup_attribution_windows"](spark, SF_SMOKE)
     n_count = df.count()
     n_rows = len(df.collect())
     agg = df.selectExpr("sum(n_views_1h) AS s", "count(*) AS n").collect()[0]
