@@ -2455,3 +2455,280 @@ def sql_frontend_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                FOR event_type IN ('click', 'purchase', 'view'))
         """
     )
+
+
+@register(
+    "mannwhitney_value_shift",
+    """
+WITH vals AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents, event_type
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+g AS (
+  SELECT cents,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS c_a,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS c_b
+  FROM vals GROUP BY cents
+),
+cum AS (
+  SELECT cents, c_a, c_b, c_a + c_b AS c,
+         SUM(c_a + c_b) OVER (ORDER BY cents) AS c_cum
+  FROM g
+),
+s AS (
+  SELECT SUM(c_a) AS na, SUM(c_b) AS nb,
+         SUM(CAST(c_a AS HUGEINT) * (2 * c_cum - c + 1)) AS r2a,
+         SUM(CAST(c_b AS HUGEINT) * (2 * c_cum - c + 1)) AS r2b,
+         SUM(CAST(c AS HUGEINT) * c * c - c) AS tie
+  FROM cum
+),
+u AS (
+  SELECT na, nb,
+         r2a - CAST(na AS HUGEINT) * (na + 1) AS u2a,
+         r2b - CAST(nb AS HUGEINT) * (nb + 1) AS u2b,
+         tie
+  FROM s
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(u2a AS BIGINT) AS u2_a,
+       CAST(u2b AS BIGINT) AS u2_b,
+       CAST(tie AS BIGINT) AS tie_term,
+       CAST((1000000 * abs(u2a - CAST(na AS HUGEINT) * nb)) // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT)
+         AS abs_rb_e6
+FROM u
+""",
+)
+def mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Mann-Whitney U between the purchase and view value
+    distributions -- the rank-based LOCATION test that pairs with
+    ks_test_value_drift's shape test (KS asks "did the distribution
+    change"; MWU asks "did one group stochastically dominate").  Ranks
+    use the tie-averaged convention held as DOUBLED integers (2*avgrank
+    of a tie run [lo, hi] is the integer lo + hi), so U, the tie
+    correction term sum(c^3 - c), and the rank-biserial effect size are
+    exact across engines with no floating point anywhere.
+
+    Scale shape: values collapse to a distinct-cents rollup with
+    per-group counts (one shuffle, map-side combine), the pooled
+    cumulative count rides operators.partitioning.global_prefix_sum
+    (range-partition + driver prefix offsets -- never an unpartitioned
+    window over the support), and everything after is a single
+    aggregation.  U_a + U_b = n_a*n_b holds by construction, so the two
+    reported doubled statistics cross-check each other in the output
+    row itself."""
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import (
+        global_prefix_sum,
+    )
+
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+            "event_type",
+        )
+    )
+    g = vals.groupBy("cents").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c_b"),
+    )
+    cum = global_prefix_sum(
+        g.withColumn("c", F.col("c_a") + F.col("c_b")), ["cents"], ["c"]
+    )
+    # operands promoted to DECIMAL(38,0) BEFORE multiplying (the chi2
+    # precedent): c_a * c_cum products pass int64 once the corpus passes
+    # ~3e9 rows; the BIGINT OUTPUT columns hold U exactly up to ~3e9 rows
+    # per group (U <= n_a*n_b) -- widen the final casts past that.
+    s = cum.agg(
+        F.sum("c_a").cast("long").alias("na"),
+        F.sum("c_b").cast("long").alias("nb"),
+        F.expr(
+            "sum(CAST(c_a AS DECIMAL(38,0)) * (2 * c_cum - c + 1))"
+        ).alias("r2a"),
+        F.expr(
+            "sum(CAST(c_b AS DECIMAL(38,0)) * (2 * c_cum - c + 1))"
+        ).alias("r2b"),
+        F.expr("sum(CAST(c AS DECIMAL(38,0)) * c * c - c)").alias("tie"),
+    )
+    u = s.select(
+        "na",
+        "nb",
+        F.expr("r2a - CAST(na AS DECIMAL(38,0)) * (na + 1)").alias("u2a"),
+        F.expr("r2b - CAST(nb AS DECIMAL(38,0)) * (nb + 1)").alias("u2b"),
+        "tie",
+    )
+    return u.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("u2a").cast("long").alias("u2_a"),
+        F.col("u2b").cast("long").alias("u2_b"),
+        F.col("tie").cast("long").alias("tie_term"),
+        F.expr(
+            "CAST((1000000 * abs(u2a - CAST(na AS DECIMAL(38,0)) * nb))"
+            " div (2 * CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+        ).alias("abs_rb_e6"),
+    )
+
+
+@register(
+    "pareto_frontier_parts",
+    """
+WITH p AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+         CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_cents
+  FROM part
+),
+best AS (SELECT p_size, MIN(price_cents) AS best_cents FROM p GROUP BY p_size),
+f AS (
+  SELECT p_size, best_cents,
+         MIN(best_cents) OVER (ORDER BY p_size DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmin
+  FROM best
+)
+SELECT p.p_partkey, p.p_size, p.price_cents
+FROM p JOIN f ON p.p_size = f.p_size AND p.price_cents = f.best_cents
+WHERE f.runmin IS NULL OR f.runmin > f.best_cents
+""",
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (2-D SKYLINE) of the part catalog: every part not
+    dominated in (maximize p_size, minimize price) -- dominated meaning
+    some other part has size >= AND price <= with at least one strict.
+    The classic multi-objective shortlist operator (Borzsony et al.,
+    ICDE 2001 'The Skyline Operator').
+
+    Scale shape: skyline is DISTRIBUTIVE over any partitioning, and with
+    one discrete objective it collapses further -- a min(price) rollup
+    per size (one shuffle, map-side combine) reduces the candidate set
+    to <= |size domain| rows, the frontier test is a running min over
+    that bounded rollup sorted by size descending (a point survives iff
+    every strictly-larger size costs strictly more), and frontier
+    membership broadcast-joins back to the scan so ALL parts achieving a
+    frontier point are returned (ties included).  No O(n^2) dominance
+    join anywhere; the only window runs over the size-domain rollup,
+    never the data."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.expr("CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)").alias("price_cents"),
+    )
+    best = p.groupBy("p_size").agg(F.min("price_cents").alias("best_cents"))
+    w = (
+        Window.orderBy(F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        best.withColumn("runmin", F.min("best_cents").over(w))
+        .where(F.col("runmin").isNull() | (F.col("runmin") > F.col("best_cents")))
+        .select(
+            F.col("p_size").alias("f_size"), F.col("best_cents").alias("f_cents")
+        )
+    )
+    return p.join(
+        F.broadcast(frontier),
+        (p["p_size"] == F.col("f_size")) & (p["price_cents"] == F.col("f_cents")),
+    ).select("p_partkey", "p_size", "price_cents")
+
+
+@register(
+    "ewma_user_values",
+    """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, cents,
+         list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS frame,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM e
+),
+g AS (
+  SELECT user_id, n_events, event_id AS last_event_id, cents AS last_cents,
+         len(frame) AS flen,
+         list_sum(list_transform(range(len(frame)),
+                                 i -> frame[i + 1] * (CAST(1 AS BIGINT) << i))) AS num
+  FROM f WHERE rn = 1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(last_event_id AS BIGINT) AS last_event_id,
+       CAST(last_cents AS BIGINT) AS last_cents,
+       CAST(flen AS BIGINT) AS frame_len,
+       CAST((1000 * num) // ((CAST(1 AS BIGINT) << flen) - 1) AS BIGINT)
+         AS ewma_millicents
+FROM g
+""",
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay smoothing with EXACT integer arithmetic: each
+    user's event values smoothed by a binary-decay trailing window (the
+    newest of the last 16 events weighs 2^15, each older event half
+    that), reported at the user's final event -- the monitoring-style
+    "current smoothed level" per entity.  A true infinite-horizon EWMA
+    recursion needs unbounded-precision weights; truncating the horizon
+    at 16 halvings (the oldest in-frame event contributes < 0.002%)
+    keeps every weight an exact power of two, so numerator and
+    denominator (2^len - 1) are exact BIGINTs and both engines agree
+    bit-for-bit with zero floating point.
+
+    Scale shape: one per-user ROWS window (collect_list over a 16-row
+    frame -- bounded state per row), the weighted fold is a JVM-side
+    ``transform``+``aggregate`` over that 16-element array (no Python,
+    no shuffle beyond the user partitioning), and the final-row pick is
+    a per-user row_number.  Output is one row per user, never per
+    event.  Division is spelled floor-style via pmod so it matches
+    DuckDB ``//`` for any sign, though cents are nonnegative here."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    wu = Window.partitionBy("user_id")
+    wlast = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    f = e.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.collect_list("cents").over(wf).alias("frame"),
+        F.row_number().over(wlast).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("n_events"),
+    ).where(F.col("rn") == 1)
+    g = f.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("event_id").cast("long").alias("last_event_id"),
+        F.col("cents").cast("long").alias("last_cents"),
+        F.size("frame").cast("long").alias("frame_len"),
+        F.expr(
+            "1000 * aggregate(transform(frame, (x, i) ->"
+            " x * shiftleft(CAST(1 AS BIGINT), i)), CAST(0 AS BIGINT),"
+            " (acc, v) -> acc + v)"
+        ).alias("num_milli"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), size(frame)) - 1").alias("den"),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        "last_event_id",
+        "last_cents",
+        "frame_len",
+        F.expr("CAST((num_milli - pmod(num_milli, den)) div den AS BIGINT)").alias(
+            "ewma_millicents"
+        ),
+    )

@@ -1,0 +1,100 @@
+"""Crafted-input tests for mannwhitney_value_shift, pareto_frontier_parts,
+and ewma_user_values -- hand-computed expectations that pin the exact-integer
+math (tie-averaged doubled ranks, skyline dominance incl. ties/duplicates,
+binary-decay fold + 16-row truncation) independently of the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from odp_dynamic_data_pipeline_spark.queries import SPARK_QUERIES
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes: int) -> datetime.datetime:
+    return T0 + datetime.timedelta(minutes=minutes)
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+
+def test_mannwhitney_hand_computed(spark, tmp_path):
+    # purchase = {1,2,3} cents, view = {2,3,4} cents.  Pooled tie-averaged
+    # ranks: 1->1, 2->2.5, 3->4.5, 4->6.  R_a = 8, R_b = 13 =>
+    # u2_a = 2*R_a - n_a(n_a+1) = 16 - 12 = 4; u2_b = 26 - 12 = 14.
+    # tie_term = (2^3-2) twice = 12.  abs_rb_e6 = 1e6*|4 - 9| // 18 = 277777.
+    rows = [
+        (i, _ts(i), 1, g, v)
+        for i, (g, v) in enumerate(
+            [("purchase", 0.01), ("purchase", 0.02), ("purchase", 0.03),
+             ("view", 0.02), ("view", 0.03), ("view", 0.04),
+             ("click", 99.0)]  # other types must be excluded
+        )
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = SPARK_QUERIES["mannwhitney_value_shift"](spark, str(tmp_path)).collect()
+    assert (r.n_a, r.n_b, r.u2_a, r.u2_b, r.tie_term, r.abs_rb_e6) == (
+        3, 3, 4, 14, 12, 277777,
+    )
+    # structural invariant: U_a + U_b == n_a * n_b (doubled)
+    assert r.u2_a + r.u2_b == 2 * r.n_a * r.n_b
+
+
+def test_pareto_frontier_dominance_ties_and_duplicates(spark, tmp_path):
+    # maximize size, minimize price; dominance requires one STRICT edge.
+    parts = [
+        (1, 5, 3.00),   # frontier: no larger size at price <= 3.00
+        (2, 2, 2.50),   # frontier: global cheapest
+        (3, 10, 4.00),  # dominated by 5/6: larger size, equal price
+        (4, 10, 4.00),  # same point as 3 -- also dominated
+        (5, 20, 4.00),  # frontier
+        (6, 20, 4.00),  # duplicate frontier point -- BOTH returned
+        (7, 30, 10.00), # frontier: largest size
+        (8, 10, 5.00),  # dominated within size 10 (higher price)
+        (9, 1, 3.00),   # dominated by 1: larger size, equal price
+    ]
+    spark.createDataFrame(
+        [(k, f"p{k}", "B", "T", s, p) for k, s, p in parts],
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    ).write.parquet(str(tmp_path / "part.parquet"))
+    out = SPARK_QUERIES["pareto_frontier_parts"](spark, str(tmp_path)).collect()
+    assert sorted(r.p_partkey for r in out) == [1, 2, 5, 6, 7]
+    got = {r.p_partkey: (r.p_size, r.price_cents) for r in out}
+    assert got[5] == (20, 400) and got[6] == (20, 400)
+
+
+def test_ewma_hand_computed(spark, tmp_path):
+    # cents [100, 200, 400] oldest->newest: num = 100*1 + 200*2 + 400*4 =
+    # 2100, den = 7 => ewma_millicents = 1000*2100 // 7 = 300000.
+    _write_events(
+        spark, tmp_path,
+        [(1, _ts(1), 7, "view", 1.00), (2, _ts(2), 7, "view", 2.00), (3, _ts(3), 7, "view", 4.00)],
+    )
+    [r] = SPARK_QUERIES["ewma_user_values"](spark, str(tmp_path)).collect()
+    assert (r.user_id, r.n_events, r.last_event_id, r.last_cents) == (7, 3, 3, 400)
+    assert (r.frame_len, r.ewma_millicents) == (3, 300000)
+
+
+def test_ewma_truncates_to_16_events(spark, tmp_path):
+    # 4 huge early values followed by 16 zeros: the frame holds only the
+    # trailing 16 rows, so the smoothed level is exactly 0.
+    rows = [(i, _ts(i), 7, "view", 9999.0 if i < 4 else 0.0) for i in range(20)]
+    _write_events(spark, tmp_path, rows)
+    [r] = SPARK_QUERIES["ewma_user_values"](spark, str(tmp_path)).collect()
+    assert (r.n_events, r.frame_len, r.ewma_millicents) == (20, 16, 0)
+
+
+def test_ewma_ts_ties_broken_by_event_id(spark, tmp_path):
+    # same timestamp: event_id orders the frame => [100, 200], num = 500,
+    # den = 3 => 166666 (floor).
+    _write_events(
+        spark, tmp_path,
+        [(2, _ts(1), 7, "view", 2.00), (1, _ts(1), 7, "view", 1.00)],
+    )
+    [r] = SPARK_QUERIES["ewma_user_values"](spark, str(tmp_path)).collect()
+    assert (r.last_event_id, r.frame_len, r.ewma_millicents) == (2, 2, 166666)

@@ -90,6 +90,7 @@ GLOBAL_WINDOW_BOUNDED = {
     "rolling_correlation_series",  # RANGE frames over the daily rollup (bounded by calendar, not data)
     "topk_sketch_tokens",      # rank over the VOCAB table (corpus already reduced), limit 20
     "cusum_changepoints",      # prefix/min/max frames over the calendar-hour rollup (bounded by horizon, not data)
+    "pareto_frontier_parts",   # running min over the distinct-size rollup (bounded by the size domain, not data)
 }
 
 
