@@ -2732,3 +2732,211 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma_millicents"
         ),
     )
+
+
+@register(
+    "randomization_test_means",
+    """
+WITH vals AS (
+  SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+obs AS (
+  SELECT SUM(is_a) AS na, SUM(1 - is_a) AS nb,
+         SUM(CASE WHEN is_a = 1 THEN cents ELSE 0 END) AS sa,
+         SUM(CASE WHEN is_a = 0 THEN cents ELSE 0 END) AS sb
+  FROM vals
+),
+rel AS (
+  SELECT p.perm,
+         CASE WHEN ('0x' || substr(md5(p.perm || '|' || v.event_id), 1, 15))::BIGINT
+                   % (o.na + o.nb) < o.na
+              THEN 1 ELSE 0 END AS ra,
+         v.cents
+  FROM vals v
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS perm) p
+  CROSS JOIN obs o
+),
+pstat AS (
+  SELECT perm,
+         SUM(ra) AS pna, SUM(1 - ra) AS pnb,
+         SUM(CASE WHEN ra = 1 THEN cents ELSE 0 END) AS psa,
+         SUM(CASE WHEN ra = 0 THEN cents ELSE 0 END) AS psb
+  FROM rel GROUP BY perm
+),
+cmp AS (
+  SELECT p.perm,
+         CASE
+           WHEN p.pna = 0 OR p.pnb = 0 THEN 1
+           WHEN abs(CAST(p.psa AS HUGEINT) * p.pnb - CAST(p.psb AS HUGEINT) * p.pna)
+                  * (CAST(o.na AS HUGEINT) * o.nb)
+                >= abs(CAST(o.sa AS HUGEINT) * o.nb - CAST(o.sb AS HUGEINT) * o.na)
+                  * (CAST(p.pna AS HUGEINT) * p.pnb)
+           THEN 1 ELSE 0
+         END AS ge
+  FROM pstat p CROSS JOIN obs o
+)
+SELECT CAST(o.na AS BIGINT) AS n_a, CAST(o.nb AS BIGINT) AS n_b,
+       CAST(abs(CAST(o.sa AS HUGEINT) * o.nb - CAST(o.sb AS HUGEINT) * o.na) AS BIGINT)
+         AS t0_num_abs,
+       CAST(CAST(o.na AS HUGEINT) * o.nb AS BIGINT) AS t0_den,
+       CAST(32 AS BIGINT) AS n_perms,
+       CAST((SELECT SUM(ge) FROM cmp) AS BIGINT) AS n_ge,
+       CAST((1000000 * ((SELECT SUM(ge) FROM cmp) + 1)) // 33 AS BIGINT) AS p_e6
+FROM obs o
+""",
+)
+def randomization_test_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo randomization test for a difference in group means
+    (purchase vs view values), the distribution-free significance test
+    that needs NO variance model: 32 deterministic relabelings of the
+    pooled sample, each drawn by an md5 hash of (perm, event_id) with
+    Bernoulli(n_a/n) label odds, rebuild the null distribution of
+    |mean_a - mean_b|; the p-value is the add-one-smoothed fraction of
+    relabelings at least as extreme as the observed labeling.  Mean
+    differences are never divided out: |S_a*n_b - S_b*n_a| / (n_a*n_b)
+    comparisons cross-multiply as exact DECIMAL(38,0)/HUGEINT rationals,
+    so both engines count the identical extreme set.  A degenerate
+    relabeling (one side empty, undefined statistic) counts as extreme --
+    the conservative convention.
+
+    Scale shape: the 32 relabelings ride one ``explode(sequence(...))``
+    over the pooled scan (x32 row inflation, the operator's honest
+    cost), a single groupBy(perm) with map-side partial aggregation
+    collapses them to 32 rows, and the observed totals ride a broadcast
+    single-row cross join -- no per-permutation pass over the data, no
+    driver loop.  Hash-derived labels mean a resumed or re-run job draws
+    the SAME null distribution (auditable p-values, unlike rand())."""
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "event_id",
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+            F.expr(
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            ).alias("is_a"),
+        )
+    )
+    obs = vals.agg(
+        F.sum("is_a").cast("long").alias("na"),
+        F.expr("CAST(sum(1 - is_a) AS BIGINT)").alias("nb"),
+        F.expr("CAST(sum(CASE WHEN is_a = 1 THEN cents ELSE 0 END) AS BIGINT)").alias("sa"),
+        F.expr("CAST(sum(CASE WHEN is_a = 0 THEN cents ELSE 0 END) AS BIGINT)").alias("sb"),
+    )
+    rel = (
+        vals.select(
+            "event_id",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("perm"),
+        )
+        .crossJoin(F.broadcast(obs))
+        .select(
+            "perm",
+            "cents",
+            F.expr(
+                "CASE WHEN CAST(conv(substr(md5(concat(CAST(perm AS STRING), '|',"
+                " CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+                " % (na + nb) < na THEN 1 ELSE 0 END"
+            ).alias("ra"),
+        )
+    )
+    pstat = rel.groupBy("perm").agg(
+        F.sum("ra").cast("long").alias("pna"),
+        F.expr("CAST(sum(1 - ra) AS BIGINT)").alias("pnb"),
+        F.expr("CAST(sum(CASE WHEN ra = 1 THEN cents ELSE 0 END) AS BIGINT)").alias("psa"),
+        F.expr("CAST(sum(CASE WHEN ra = 0 THEN cents ELSE 0 END) AS BIGINT)").alias("psb"),
+    )
+    cmp = pstat.crossJoin(F.broadcast(obs)).select(
+        F.expr(
+            "CASE WHEN pna = 0 OR pnb = 0 THEN 1"
+            " WHEN abs(CAST(psa AS DECIMAL(38,0)) * pnb - CAST(psb AS DECIMAL(38,0)) * pna)"
+            "      * (CAST(na AS DECIMAL(38,0)) * nb)"
+            "   >= abs(CAST(sa AS DECIMAL(38,0)) * nb - CAST(sb AS DECIMAL(38,0)) * na)"
+            "      * (CAST(pna AS DECIMAL(38,0)) * pnb)"
+            " THEN 1 ELSE 0 END"
+        ).alias("ge")
+    )
+    nge = cmp.agg(F.sum("ge").cast("long").alias("n_ge"))
+    return (
+        obs.crossJoin(F.broadcast(nge))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.expr(
+                "CAST(abs(CAST(sa AS DECIMAL(38,0)) * nb - CAST(sb AS DECIMAL(38,0)) * na)"
+                " AS BIGINT)"
+            ).alias("t0_num_abs"),
+            F.expr("CAST(CAST(na AS DECIMAL(38,0)) * nb AS BIGINT)").alias("t0_den"),
+            F.lit(32).cast("long").alias("n_perms"),
+            F.col("n_ge"),
+            F.expr("CAST((1000000 * (n_ge + 1)) div 33 AS BIGINT)").alias("p_e6"),
+        )
+    )
+
+
+@register(
+    "exact_quantiles_events",
+    """
+WITH e AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events
+),
+g AS (SELECT cents, COUNT(*) AS c FROM e GROUP BY cents),
+cum AS (SELECT cents, SUM(c) OVER (ORDER BY cents) AS c_cum FROM g),
+t AS (SELECT SUM(c) AS n FROM g)
+SELECT CAST(t.n AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN c_cum >= (50 * t.n + 99) // 100 THEN cents END) AS BIGINT)
+         AS p50_cents,
+       CAST(MIN(CASE WHEN c_cum >= (90 * t.n + 99) // 100 THEN cents END) AS BIGINT)
+         AS p90_cents,
+       CAST(MIN(CASE WHEN c_cum >= (99 * t.n + 99) // 100 THEN cents END) AS BIGINT)
+         AS p99_cents
+FROM cum CROSS JOIN t
+GROUP BY t.n
+""",
+)
+def exact_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed quantiles (p50/p90/p99 of event value cents) as
+    lower order statistics: the k-th smallest value with k = ceil(q*n),
+    integer-exact on both engines with no interpolation.  Spark's own
+    exact ``percentile()`` buffers every group value in ONE task's memory
+    (fails first at 100 TB) and ``approx_percentile`` trades exactness
+    for a sketch; this is the third point on that trade-off -- exact AND
+    distributed: collapse to a distinct-value rollup with counts (one
+    shuffle, map-side combine), run the cumulative count through
+    operators.partitioning.global_prefix_sum (range-partition + driver
+    prefix offsets), and each quantile is then min(value where
+    c_cum >= k) -- a single aggregation.  Totals ride a broadcast
+    single-row cross join.  Cost scales with |distinct values|, which for
+    fixed-precision measures (cents) is bounded by the value domain, not
+    the row count."""
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import (
+        global_prefix_sum,
+    )
+
+    g = (
+        load_table(spark, sf_dir, "events")
+        .select(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"))
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = global_prefix_sum(g, ["cents"], ["c"])
+    tot = g.agg(F.sum("c").cast("long").alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.expr(f"c_cum >= ({q} * n + 99) div 100"), F.col("cents")
+                    )
+                )
+                .cast("long")
+                .alias(f"p{q}_cents")
+                for q in (50, 90, 99)
+            ]
+        )
+        .select("n", "p50_cents", "p90_cents", "p99_cents")
+    )

@@ -98,3 +98,64 @@ def test_ewma_ts_ties_broken_by_event_id(spark, tmp_path):
     )
     [r] = SPARK_QUERIES["ewma_user_values"](spark, str(tmp_path)).collect()
     assert (r.last_event_id, r.frame_len, r.ewma_millicents) == (2, 2, 166666)
+
+
+def _rand_label(perm: int, event_id: int, n: int, na: int) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"{perm}|{event_id}".encode()).hexdigest()[:15], 16)
+    return 1 if h % n < na else 0
+
+
+def test_randomization_test_matches_pure_python_reference(spark, tmp_path):
+    # independent reference: replay the hashed relabelings and the exact
+    # rational comparisons in plain Python over a small crafted sample.
+    data = [
+        ("purchase", 9.00), ("purchase", 8.50), ("purchase", 9.75),
+        ("purchase", 7.25), ("view", 1.00), ("view", 2.00),
+        ("view", 1.50), ("view", 0.75), ("view", 1.25), ("click", 99.0),
+    ]
+    rows = [(i, _ts(i), 1, g, v) for i, (g, v) in enumerate(data)]
+    _write_events(spark, tmp_path, rows)
+
+    pool = [(i, round(v * 100), 1 if g == "purchase" else 0)
+            for i, (g, v) in enumerate(data) if g in ("purchase", "view")]
+    na = sum(a for _, _, a in pool)
+    nb = len(pool) - na
+    sa = sum(c for _, c, a in pool if a)
+    sb = sum(c for _, c, a in pool if not a)
+    t0_num, t0_den = abs(sa * nb - sb * na), na * nb
+    n_ge = 0
+    for perm in range(32):
+        labs = [(_rand_label(perm, i, na + nb, na), c) for i, c, _ in pool]
+        pna = sum(a for a, _ in labs)
+        pnb = len(labs) - pna
+        psa = sum(c for a, c in labs if a)
+        psb = sum(c for a, c in labs if not a)
+        if pna == 0 or pnb == 0:
+            n_ge += 1
+        elif abs(psa * pnb - psb * pna) * t0_den >= t0_num * (pna * pnb):
+            n_ge += 1
+    [r] = SPARK_QUERIES["randomization_test_means"](spark, str(tmp_path)).collect()
+    assert (r.n_a, r.n_b, r.t0_num_abs, r.t0_den) == (na, nb, t0_num, t0_den)
+    assert (r.n_perms, r.n_ge, r.p_e6) == (32, n_ge, 1000000 * (n_ge + 1) // 33)
+    # the crafted shift is blatant: few relabelings should look as extreme
+    assert r.n_ge <= 8
+
+
+def test_exact_quantiles_hand_computed(spark, tmp_path):
+    # 10 values 1..10 cents: k50 = ceil(5.0) = 5 -> 5th smallest = 5;
+    # k90 = 9 -> 9; k99 = ceil(9.9) = 10 -> 10.
+    rows = [(i, _ts(i), 1, "view", (i + 1) / 100.0) for i in range(10)]
+    _write_events(spark, tmp_path, rows)
+    [r] = SPARK_QUERIES["exact_quantiles_events"](spark, str(tmp_path)).collect()
+    assert (r.n, r.p50_cents, r.p90_cents, r.p99_cents) == (10, 5, 9, 10)
+
+
+def test_exact_quantiles_tie_heavy(spark, tmp_path):
+    # 9 copies of 7 cents and one 9: every quantile (k=5,9,9) lands on 7
+    # except p99 (k = ceil(9.9) = 10) which is the single 9.
+    rows = [(i, _ts(i), 1, "view", 0.07 if i < 9 else 0.09) for i in range(10)]
+    _write_events(spark, tmp_path, rows)
+    [r] = SPARK_QUERIES["exact_quantiles_events"](spark, str(tmp_path)).collect()
+    assert (r.n, r.p50_cents, r.p90_cents, r.p99_cents) == (10, 7, 7, 9)

@@ -63,6 +63,8 @@ BROADCAST_NLJ_BY_DESIGN = {
     "ks_test_value_drift",         # single-row totals + single-row max-D broadcasts over the support
     "cusum_changepoints",          # single-row (total, n_hours) broadcast over the hourly rollup
     "cluster_aware_split",         # two single-row report halves (split sizes x leak counts) crossed
+    "randomization_test_means",    # single-row observed-totals + single-row extreme-count broadcasts
+    "exact_quantiles_events",      # single-row grand-total broadcast over the distinct-value rollup
 }
 # queries where a GLOBAL (unpartitioned) window is safe: its input is
 # already bounded to <= top_k rows by TakeOrderedAndProject / limit, or to a
