@@ -1067,3 +1067,52 @@ def label_propagation(
         )
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("community_size"))
     return labels.join(sizes, "lbl").select("nid", "lbl", "community_size")
+
+
+def adamic_adar_scores(edges: DataFrame) -> DataFrame:
+    """Common-neighbor + Adamic-Adar scores for every distance-2 pair of an
+    undirected graph given as deduplicated (id_a < id_b) edges, flagged by
+    whether the pair is already a direct edge -- the link-prediction core
+    (Adamic & Adar 2003) used by `link_prediction_scores` to surface
+    LSH-banding recall misses.
+
+    aa_e6 = sum over shared neighbors k of 1e6 / log2(deg_k), exact via the
+    square-and-extract fixed-point log2 fold (deg_k >= 2 for any shared
+    neighbor by construction, so the fold's x >= 1 contract holds).
+    Wedges enumerate via one equi-self-join keyed on the shared endpoint
+    (degree-bounded fan-out, the triangle-counting cost class).
+    Output: (id_a, id_b, common_neighbors, aa_e6, is_edge)."""
+    from odp_dynamic_data_pipeline_spark.functions.scalars import ilog2_fp20_sql
+
+    e = edges.select("id_a", "id_b").distinct()
+    sym = e.unionAll(
+        e.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    w1 = sym.select(F.col("s").alias("k"), F.col("d").alias("i"))
+    w2 = sym.select(F.col("s").alias("k"), F.col("d").alias("j"))
+    wed = w1.join(w2, "k").where(F.col("i") < F.col("j"))
+    inv_lg = f"(shiftleft(CAST(1000000 AS BIGINT), 20) div {ilog2_fp20_sql('deg')})"
+    sc = (
+        wed.join(deg.select(F.col("s").alias("k"), "deg"), "k")
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.expr(f"CAST(sum({inv_lg}) AS BIGINT)").alias("aa_e6"),
+        )
+    )
+    e_flag = e.select("id_a", "id_b", F.lit(True).alias("is_edge"))
+    return (
+        sc.join(
+            e_flag,
+            (sc["i"] == e_flag["id_a"]) & (sc["j"] == e_flag["id_b"]),
+            "left",
+        )
+        .select(
+            F.col("i").alias("id_a"),
+            F.col("j").alias("id_b"),
+            "common_neighbors",
+            "aa_e6",
+            F.coalesce("is_edge", F.lit(False)).alias("is_edge"),
+        )
+    )

@@ -2940,3 +2940,132 @@ def exact_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n", "p50_cents", "p90_cents", "p99_cents")
     )
+
+
+@register(
+    "sql_scripting_threshold_search",
+    """
+WITH b AS (
+  SELECT LEAST(CAST(n_chars // 50 AS BIGINT), 9) AS bucket FROM documents
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM b),
+cand AS (
+  SELECT g.t AS thr,
+         CAST(COUNT(*) FILTER (WHERE b.bucket >= g.t) AS BIGINT) AS kept
+  FROM b CROSS JOIN (SELECT UNNEST(generate_series(0, 9)) AS t) g
+  GROUP BY g.t
+),
+pick AS (
+  SELECT COALESCE(MAX(thr) FILTER (WHERE kept * 100 >= t.total * 60), 0) AS thr
+  FROM cand CROSS JOIN t GROUP BY t.total
+)
+SELECT CAST(p.thr AS INT) AS threshold,
+       c.kept AS n_kept,
+       t.total AS n_total
+FROM pick p JOIN cand c ON c.thr = p.thr CROSS JOIN t
+""",
+)
+def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN ... END with DECLARE / WHILE /
+    scalar-subquery SET): an iterative quality-threshold search expressed
+    entirely in SQL -- start at the strictest length-decile gate and relax
+    one step per iteration until >= 60% of the corpus survives.  This is
+    the declarative twin of the driver-side config loop the reference runs
+    in imperative Python: the control flow ships WITH the query text, so
+    an operator can tune the gate from a SQL console with no deployment.
+
+    Each loop iteration is one aggregate job over the corpus (the honest
+    cost of a data-dependent search; at most 10 here).  The DuckDB oracle
+    replays the loop's fixed point closed-form: the largest threshold
+    keeping >= 60%, else 0 -- bit-equal because survivors at a threshold
+    are a pure deterministic bucket count."""
+    register_views(spark, sf_dir, ["documents"])
+    old = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        df = spark.sql(
+            """
+            BEGIN
+              DECLARE thr INT DEFAULT 9;
+              DECLARE kept BIGINT DEFAULT 0;
+              DECLARE total BIGINT DEFAULT 0;
+              SET total = (SELECT COUNT(*) FROM documents);
+              SET kept = (SELECT COUNT(*) FROM documents
+                          WHERE LEAST(CAST(n_chars div 50 AS BIGINT), 9) >= thr);
+              WHILE kept * 100 < total * 60 AND thr > 0 DO
+                SET thr = thr - 1;
+                SET kept = (SELECT COUNT(*) FROM documents
+                            WHERE LEAST(CAST(n_chars div 50 AS BIGINT), 9) >= thr);
+              END WHILE;
+              SELECT thr AS threshold, kept AS n_kept, total AS n_total;
+            END
+            """
+        )
+        # materialize under the scripting conf: the script executes eagerly
+        # at sql() time in Spark 4.1, but pin the rows before restoring
+        rows = df.collect()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", old)
+    return spark.createDataFrame(rows, df.schema)
+
+
+def _link_prediction_oracle() -> str:
+    """Common-neighbor / Adamic-Adar replay over the shared md5-minhash
+    candidate pairs (same prefix reuse as the PageRank/triangle/k-core
+    oracles; pairs MATERIALIZED -- referenced three times)."""
+    from odp_dynamic_data_pipeline_spark.queries.llm import duck_ilog2_sql
+
+    prefix = MINHASH_MD5_ORACLE[: MINHASH_MD5_ORACLE.index("SELECT a.doc_id AS id_a")]
+    inv_lg = f"((CAST(1000000 AS BIGINT) << 20) // {duck_ilog2_sql('deg.deg')})"
+    return prefix + f""", pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sym AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+deg AS MATERIALIZED (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY s),
+wed AS (
+  SELECT w1.d AS i, w2.d AS j, w1.s AS k
+  FROM sym w1 JOIN sym w2 ON w1.s = w2.s AND w1.d < w2.d
+),
+sc AS (
+  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM({inv_lg}) AS BIGINT) AS aa
+  FROM wed JOIN deg ON deg.s = wed.k
+  GROUP BY i, j
+)
+SELECT sc.i AS id_a, sc.j AS id_b, sc.cn AS common_neighbors, sc.aa AS aa_e6,
+       (p.id_a IS NOT NULL) AS is_edge
+FROM sc LEFT JOIN pairs p ON p.id_a = sc.i AND p.id_b = sc.j
+"""
+
+
+@register("link_prediction_scores", _link_prediction_oracle())
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION over the near-duplicate candidate graph: every
+    distance-2 pair scored by common-neighbor count and Adamic-Adar
+    (Adamic & Adar 2003: sum over shared neighbors of 1/log(degree) --
+    rare shared neighbors weigh more), flagged by whether the pair is
+    already a direct edge.  The is_edge=false rows are the "probably the
+    same template family, but LSH banding missed the direct collision"
+    recall-repair candidates worth an exact-verify pass; the
+    is_edge=true rows calibrate the score (an AA threshold picked where
+    the two distributions separate).  Banding-clique graphs (every
+    distance-2 pair already an edge -- the small-fixture regime) still
+    produce the full calibration side.
+
+    Exact integers end to end: 1/log2(deg) rides the square-and-extract
+    fixed-point log2 fold (functions.scalars.ilog2_fp20_sql; deg >= 2 for
+    any shared neighbor by construction, so the fold's x >= 1 contract
+    holds).  Scale shape: wedges enumerate via one equi-self-join of the
+    symmetrized edge list keyed on the shared endpoint (degree-bounded
+    fan-out, the triangle-counting cost class -- orient low->high degree
+    to bound it by O(sqrt(m)) per edge at larger graphs), one groupBy
+    (pair), and existing edges leave via a broadcastable anti-join.  No
+    cartesian anywhere."""
+    edges = dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b")
+    return dd.adamic_adar_scores(edges)

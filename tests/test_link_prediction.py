@@ -1,0 +1,62 @@
+"""Crafted-graph tests for operators.dedup.adamic_adar_scores: pin wedge
+enumeration, the fixed-point 1/log2(deg) weights, edge flagging, and string
+node ids independently of the minhash-derived registry query."""
+
+from __future__ import annotations
+
+import pytest
+
+from odp_dynamic_data_pipeline_spark.operators.dedup import adamic_adar_scores
+
+E6 = 1_000_000
+
+
+def _scores(spark, edges, schema="id_a long, id_b long"):
+    df = spark.createDataFrame(edges, schema)
+    return {
+        (r.id_a, r.id_b): (r.common_neighbors, r.aa_e6, r.is_edge)
+        for r in adamic_adar_scores(df).collect()
+    }
+
+
+def test_path_graph_single_prediction(spark):
+    # 1-2-3: the only distance-2 pair is (1,3) through node 2 (deg 2):
+    # cn = 1, aa = 1e6 / log2(2) = 1e6 exactly, and it is NOT an edge.
+    got = _scores(spark, [(1, 2), (2, 3)])
+    assert got == {(1, 3): (1, E6, False)}
+
+
+def test_square_graph_both_diagonals(spark):
+    # 4-cycle 1-2-3-4-1: diagonals (1,3) and (2,4) each have two shared
+    # deg-2 neighbors -> cn = 2, aa = 2e6; no edge pair shares a neighbor.
+    got = _scores(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    assert got == {(1, 3): (2, 2 * E6, False), (2, 4): (2, 2 * E6, False)}
+
+
+def test_triangle_edges_flagged(spark):
+    # triangle 1-2-3: every pair is distance-2 through the third node AND
+    # a direct edge -> is_edge True everywhere; shared neighbor deg = 2.
+    got = _scores(spark, [(1, 2), (1, 3), (2, 3)])
+    assert got == {
+        (1, 2): (1, E6, True),
+        (1, 3): (1, E6, True),
+        (2, 3): (1, E6, True),
+    }
+
+
+def test_hub_downweights_vs_rare_neighbor(spark):
+    # (1,2) share hub h (deg 4) and nothing else; (3,4) share rare r
+    # (deg 2).  AA must rank the rare-neighbor pair strictly higher even
+    # though both have cn = 1 -- the whole point of Adamic-Adar.
+    edges = [(1, 10), (2, 10), (3, 10), (4, 10), (3, 20), (4, 20)]
+    got = _scores(spark, edges)
+    cn_12, aa_12, _ = got[(1, 2)]
+    cn_34, aa_34, _ = got[(3, 4)]
+    assert cn_12 == 1 and cn_34 == 2
+    # (3,4): hub 10 (deg 4, weight 1e6/2) + rare 20 (deg 2, weight 1e6)
+    assert aa_12 == E6 // 2 and aa_34 == E6 // 2 + E6
+
+
+def test_string_node_ids(spark):
+    got = _scores(spark, [("a", "b"), ("b", "c")], "id_a string, id_b string")
+    assert got == {("a", "c"): (1, E6, False)}
