@@ -159,22 +159,25 @@ def main() -> None:
     # round-stamped copy: the driver's BENCH_r{N}.json keeps only a 2,000
     # char tail of stdout, so per-query round-over-round diffs need the
     # full map persisted per round (VERDICT r5 item 3).  Round = 1 + the
-    # highest recorded driver bench artifact.
-    import glob
-    import re
+    # highest recorded driver bench artifact.  Stamped ONLY for sf0.1 runs
+    # (the driver's benchmark scale) -- a small-sf smoke run must not
+    # clobber the round's comparable artifact.
+    if abs(sf - 0.1) < 1e-9:
+        import glob
+        import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    stamped = os.path.join(here, f"BENCH_LOCAL_r{max(rounds, default=0) + 1:02d}.json")
-    try:
-        with open(stamped, "w") as f:
-            f.write(line + "\n")
-    except OSError as e:
-        print(f"bench: could not write {stamped}: {e!r}", file=sys.stderr)
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        stamped = os.path.join(here, f"BENCH_LOCAL_r{max(rounds, default=0) + 1:02d}.json")
+        try:
+            with open(stamped, "w") as f:
+                f.write(line + "\n")
+        except OSError as e:
+            print(f"bench: could not write {stamped}: {e!r}", file=sys.stderr)
     spark.stop()
 
 

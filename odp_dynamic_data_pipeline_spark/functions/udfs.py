@@ -44,8 +44,34 @@ class ShingleUDTF:
             yield " ".join(toks[i : i + 3]), i
 
 
+class FieldsUDTF:
+    """POLYMORPHIC table function (Spark 4 UDTF ``analyze``): the output
+    schema -- one string column per requested field, f1..fn -- is computed
+    at PLAN time from the constant second argument, the surface for
+    schema-parameterized extensions (splitters, pivoters, featurizers)
+    that a fixed ``returnType`` cannot express.  ``eval`` emits one row of
+    the first n whitespace tokens, NULL-padded."""
+
+    @staticmethod
+    def analyze(text, n):  # noqa: D102 (AnalyzeArgument, AnalyzeArgument) -> AnalyzeResult
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if not isinstance(n.value, int) or n.value < 1:
+            raise Exception("fields_udtf: n must be a positive integer literal")
+        schema = StructType()
+        for i in range(n.value):
+            schema = schema.add(f"f{i + 1}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, n: int):  # noqa: D102
+        toks = text.split() if text else []
+        yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+
 def register_engine_udfs(spark: SparkSession) -> None:
     """Make the extension functions callable from SQL."""
     spark.udf.register("token_count_udf", token_count_udf)
     spark.udf.register("median_abs_dev_udf", median_abs_dev_udf)
     spark.udtf.register("shingle_udtf", ShingleUDTF)
+    spark.udtf.register("fields_udtf", udtf(FieldsUDTF))

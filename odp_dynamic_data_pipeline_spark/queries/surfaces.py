@@ -3069,3 +3069,49 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian anywhere."""
     edges = dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b")
     return dd.adamic_adar_scores(edges)
+
+
+@register(
+    "udtf_polymorphic_fields",
+    """
+WITH t AS (
+  SELECT lang, regexp_extract_all(text, '\\S+') AS tk
+  FROM documents WHERE doc_id % 10 = 0
+),
+f AS (
+  SELECT lang,
+         CASE WHEN len(tk) >= 1 THEN tk[1] END AS f1,
+         CASE WHEN len(tk) >= 2 THEN tk[2] END AS f2,
+         CASE WHEN len(tk) >= 3 THEN tk[3] END AS f3
+  FROM t
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT f1) AS BIGINT) AS n_first,
+       MIN(f2) AS min_second, MAX(f3) AS max_third
+FROM f GROUP BY lang
+""",
+)
+def udtf_polymorphic_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze``): fields_udtf(text, 3)
+    has no fixed returnType -- its schema (f1..f3, string) is computed at
+    PLAN time from the constant argument by the class's static analyze()
+    (functions/udfs.py FieldsUDTF), the extension surface for
+    schema-parameterized table functions a static UDTF cannot express.
+    Exercised end to end through SQL LATERAL + relational aggregate, like
+    the static-shape twin udtf_lateral_shingles; same extension-boundary
+    caveat (Python fan-out bounded by the deterministic doc thinning,
+    never a shuffle-heavy hot path)."""
+    from odp_dynamic_data_pipeline_spark.functions.udfs import register_engine_udfs
+
+    register_views(spark, sf_dir, ["documents"])
+    register_engine_udfs(spark)
+    return spark.sql(
+        """
+        SELECT d.lang, COUNT(*) AS n_docs,
+               COUNT(DISTINCT s.f1) AS n_first,
+               MIN(s.f2) AS min_second, MAX(s.f3) AS max_third
+        FROM documents d, LATERAL fields_udtf(d.text, 3) s
+        WHERE d.doc_id % 10 = 0
+        GROUP BY d.lang
+        """
+    )

@@ -100,3 +100,29 @@ def test_applyinarrow_kernel_direct():
     assert out.to_pylist() == [
         {"lang": "en", "n_docs": 3, "sum_chars": 35, "max_chars": 20, "n_sources": 2}
     ]
+
+
+def test_fields_udtf_analyze_schema_and_padding(spark):
+    """Polymorphic UDTF: schema f1..fn comes from analyze() at plan time;
+    short rows NULL-pad; a non-positive n is rejected at ANALYSIS, not at
+    execution."""
+    import pytest
+
+    from odp_dynamic_data_pipeline_spark.functions.udfs import register_engine_udfs
+
+    register_engine_udfs(spark)
+    df = spark.sql(
+        "SELECT s.* FROM VALUES ('a b c d'), ('x') AS t(txt),"
+        " LATERAL fields_udtf(t.txt, 3) s"
+    )
+    assert df.columns == ["f1", "f2", "f3"]
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {("a", "b", "c"), ("x", None, None)}
+    two = spark.sql(
+        "SELECT s.* FROM VALUES ('p q r') AS t(txt), LATERAL fields_udtf(t.txt, 2) s"
+    )
+    assert two.columns == ["f1", "f2"]
+    with pytest.raises(Exception, match="positive integer"):
+        spark.sql(
+            "SELECT s.* FROM VALUES ('a') AS t(txt), LATERAL fields_udtf(t.txt, 0) s"
+        ).collect()
