@@ -3115,3 +3115,54 @@ def udtf_polymorphic_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.lang
         """
     )
+
+
+@register(
+    "file_provenance_report",
+    """
+SELECT 'documents.parquet' AS file_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_row_idx,
+       CAST(0 AS BIGINT) AS min_row_idx,
+       CAST(COUNT(*) - 1 AS BIGINT) AS max_row_idx
+FROM documents
+""",
+)
+def file_provenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level provenance via the hidden ``_metadata`` struct (Spark's
+    file-source metadata columns): per physical file, row counts, id
+    ranges, and the row_index invariants (count-distinct == rows, min 0,
+    max n-1 -- within one file, Spark's _metadata.row_index is the dense
+    0-based physical position).  At 100 TB this is the "which file did
+    the bad rows come from" debugging query -- provenance rides the SAME
+    scan as the aggregate, no join against any manifest.
+
+    The _metadata struct only exists on the scan relation, so the query
+    reads the parquet directly (documents has no timestamp column, so no
+    nanos normalization is needed).  Oracle note: the testdata fixture is
+    one physical file per table at every scale, so the DuckDB replay pins
+    file_name to the literal basename; a multi-file layout would return
+    one row per file here and fail the gate loudly rather than silently
+    -- the single-file invariant is asserted, not assumed."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        df.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.row_index").alias("row_idx"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("row_idx").cast("long").alias("n_row_idx"),
+            F.min("row_idx").cast("long").alias("min_row_idx"),
+            F.max("row_idx").cast("long").alias("max_row_idx"),
+        )
+    )
