@@ -60,3 +60,40 @@ def test_hub_downweights_vs_rare_neighbor(spark):
 def test_string_node_ids(spark):
     got = _scores(spark, [("a", "b"), ("b", "c")], "id_a string, id_b string")
     assert got == {("a", "c"): (1, E6, False)}
+
+
+def test_random_graph_agrees_with_pure_python(spark):
+    """Seeded random graph: adamic_adar_scores must match an independent
+    pure-Python reference (wedge enumeration + the same fixed-point log2)
+    pair for pair."""
+    import random
+
+    from odp_dynamic_data_pipeline_spark.operators.text import ilog2_fp20
+
+    rng = random.Random(20260815)
+    nodes = list(range(30))
+    edges = set()
+    while len(edges) < 60:
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for k, nb in adj.items():
+        deg = len(nb)
+        if deg < 2:  # a deg-1 node witnesses no wedge (log2(1) = 0)
+            continue
+        w = (1_000_000 << 20) // ilog2_fp20(deg)
+        snb = sorted(nb)
+        for x in range(len(snb)):
+            for y in range(x + 1, len(snb)):
+                i, j = snb[x], snb[y]
+                cn, aa, _ = expect.get((i, j), (0, 0, False))
+                expect[(i, j)] = (cn + 1, aa + w, False)
+    expect = {
+        p: (cn, aa, p in edges) for p, (cn, aa, _) in expect.items()
+    }
+    got = _scores(spark, sorted(edges))
+    assert got == expect

@@ -159,3 +159,104 @@ def test_exact_quantiles_tie_heavy(spark, tmp_path):
     _write_events(spark, tmp_path, rows)
     [r] = SPARK_QUERIES["exact_quantiles_events"](spark, str(tmp_path)).collect()
     assert (r.n, r.p50_cents, r.p90_cents, r.p99_cents) == (10, 7, 7, 9)
+
+
+def test_pareto_random_agrees_with_brute_force(spark, tmp_path):
+    """Seeded random catalog: the rollup-based frontier must equal the
+    O(n^2) brute-force dominance filter."""
+    import random
+
+    rng = random.Random(20260815)
+    parts = [
+        (k, rng.randint(1, 12), rng.randint(200, 600) / 100.0)
+        for k in range(1, 121)
+    ]
+    spark.createDataFrame(
+        [(k, f"p{k}", "B", "T", s, p) for k, s, p in parts],
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    ).write.parquet(str(tmp_path / "part.parquet"))
+    pts = [(k, s, round(p * 100)) for k, s, p in parts]
+    expect = sorted(
+        k
+        for k, s, c in pts
+        if not any(
+            (s2 >= s and c2 <= c and (s2 > s or c2 < c)) for _, s2, c2 in pts
+        )
+    )
+    out = SPARK_QUERIES["pareto_frontier_parts"](spark, str(tmp_path)).collect()
+    assert sorted(r.p_partkey for r in out) == expect
+
+
+def test_ewma_random_agrees_with_pure_fold(spark, tmp_path):
+    """Seeded random per-user event streams: the window/array-fold EWMA
+    must equal a direct pure-Python binary-decay fold over the trailing
+    16 values."""
+    import random
+
+    rng = random.Random(20260815)
+    rows, series = [], {}
+    eid = 0
+    for u in (1, 2, 3):
+        n = rng.randint(1, 40)
+        for t in range(n):
+            v = rng.randint(0, 50000) / 100.0
+            rows.append((eid, _ts(eid), u, "view", v))
+            series.setdefault(u, []).append(round(v * 100))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.user_id: (r.n_events, r.frame_len, r.ewma_millicents)
+        for r in SPARK_QUERIES["ewma_user_values"](spark, str(tmp_path)).collect()
+    }
+    for u, cents in series.items():
+        frame = cents[-16:]
+        num = sum(c << i for i, c in enumerate(frame))
+        den = (1 << len(frame)) - 1
+        assert got[u] == (len(cents), len(frame), 1000 * num // den)
+
+
+def test_mannwhitney_random_agrees_with_pure_ranks(spark, tmp_path):
+    """Seeded random two-sample data with heavy ties: the distributed U
+    must equal a direct tie-averaged rank computation."""
+    import random
+
+    rng = random.Random(20260815)
+    a = [rng.randint(1, 30) for _ in range(80)]   # heavy ties: 30 values
+    b = [rng.randint(5, 35) for _ in range(70)]
+    rows = [(i, _ts(i), 1, "purchase", v / 100.0) for i, v in enumerate(a)]
+    rows += [(1000 + i, _ts(200 + i), 1, "view", v / 100.0) for i, v in enumerate(b)]
+    _write_events(spark, tmp_path, rows)
+    pooled = sorted(a + b)
+    # doubled tie-averaged rank of value v: lo + hi over its run
+    first = {}
+    for idx, v in enumerate(pooled, 1):
+        first.setdefault(v, idx)
+    count = {}
+    for v in pooled:
+        count[v] = count.get(v, 0) + 1
+    r2 = {v: 2 * first[v] + count[v] - 1 for v in count}  # lo + hi
+    u2a = sum(r2[v] for v in a) - len(a) * (len(a) + 1)
+    u2b = sum(r2[v] for v in b) - len(b) * (len(b) + 1)
+    tie = sum(c**3 - c for c in count.values())
+    [r] = SPARK_QUERIES["mannwhitney_value_shift"](spark, str(tmp_path)).collect()
+    assert (r.n_a, r.n_b, r.u2_a, r.u2_b, r.tie_term) == (
+        len(a), len(b), u2a, u2b, tie,
+    )
+
+
+def test_exact_quantiles_random_agrees_with_sort(spark, tmp_path):
+    """Seeded random values: distributed order statistics must equal the
+    k-th smallest of the sorted list for k = ceil(q*n)."""
+    import random
+
+    rng = random.Random(20260815)
+    vals = [rng.randint(0, 9999) for _ in range(137)]
+    rows = [(i, _ts(i), 1, "view", v / 100.0) for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    s = sorted(vals)
+    n = len(s)
+    exp = {q: s[(q * n + 99) // 100 - 1] for q in (50, 90, 99)}
+    [r] = SPARK_QUERIES["exact_quantiles_events"](spark, str(tmp_path)).collect()
+    assert (r.n, r.p50_cents, r.p90_cents, r.p99_cents) == (
+        n, exp[50], exp[90], exp[99],
+    )
