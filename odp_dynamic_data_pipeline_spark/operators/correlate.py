@@ -40,3 +40,81 @@ def correlate_events_logs(
     ev = events.select(*(event_cols or events.columns))
     lg = logs.select("spanId", *[c for c in (log_cols or logs.columns) if c != "spanId"])
     return ev.join(spans, "traceId", "inner").join(lg, "spanId", "inner")
+
+
+def markov_removal_attribution(trans: DataFrame, iters: int = 8) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2016) over a
+    journey transition-count table ``(src, dst, cnt)`` whose states are
+    channel names plus the absorbing 'CONV'/'NULL' and the virtual
+    'START'.  For the base chain and one removal scenario per channel
+    (the channel forced to absorb at 0 -- journeys through it die), run
+    ``iters`` synchronous steps of the k-step absorption recurrence
+    p(s) = sum_t cnt(s,t) * p(t) div out(s) in e9 fixed point -- integer
+    truncating arithmetic every step, so a SQL oracle replays every
+    iteration bit-for-bit.  The k-step truncation is the DEFINED
+    statistic (it converges geometrically and both engines compute the
+    identical value; asymptotics are not the contract).
+
+    Scale shape: the transition table is bounded by the CHANNEL DOMAIN
+    squared (schema, not data), so after the one heavy distributed pass
+    that builds ``trans``, the matrix is collected and iterated on the
+    driver in exact Python integers -- the same bounded-collect license
+    as global_rank's partition offsets and the k-means/PQ codebooks.  An
+    8-iteration lattice of a few dozen rows is driver arithmetic, not a
+    distributed job (the DataFrame-loop form measured 40 s of pure plan
+    overhead for identical values).
+
+    Removal monotonicity holds exactly: forcing p[c]=0 can only lower
+    every later p pointwise (nonnegative coefficients, truncating div is
+    monotone), so removal_effect_e6 is never negative even in fixed
+    point.  Output: one row per channel with the base and removed k-step
+    conversion, the removal effect, and the effect-normalized
+    attribution share."""
+    e9 = 1_000_000_000
+    rows = trans.select("src", "dst", "cnt").collect()  # bounded: |domain|^2
+    cnt: dict[tuple[str, str], int] = {(r.src, r.dst): int(r.cnt) for r in rows}
+    out: dict[str, int] = {}
+    for (s, _), c in cnt.items():
+        out[s] = out.get(s, 0) + c
+    channels = sorted({s for s, _ in cnt if s != "START"})
+    states = channels + ["START", "CONV", "NULL"]
+    by_src: dict[str, list[tuple[str, int]]] = {}
+    for (s, d), c in cnt.items():
+        by_src.setdefault(s, []).append((d, c))
+
+    def absorb(removed: str | None) -> int:
+        p = {s: 0 for s in states}
+        p["CONV"] = e9
+        for _ in range(iters):
+            nxt = {}
+            for s in states:
+                if s == "CONV":
+                    nxt[s] = e9
+                elif s == "NULL" or s == removed:
+                    nxt[s] = 0
+                else:
+                    o = out.get(s, 0)
+                    nxt[s] = (
+                        sum(c * p[d] for d, c in by_src.get(s, ())) // o
+                        if o
+                        else 0
+                    )
+            p = nxt
+        return p["START"]
+
+    base = absorb(None)
+    eff = []
+    for c in channels:
+        removed = absorb(c)
+        effect = (1_000_000 * (base - removed)) // base if base > 0 else 0
+        eff.append((c, base, removed, effect))
+    tot = sum(e for *_, e in eff)
+    out_rows = [
+        (c, b, r, e, (1_000_000 * e) // tot if tot > 0 else 0)
+        for c, b, r, e in eff
+    ]
+    return trans.sparkSession.createDataFrame(
+        out_rows,
+        "channel string, base_conv_e9 long, removed_conv_e9 long,"
+        " removal_effect_e6 long, attribution_share_e6 long",
+    )

@@ -3166,3 +3166,206 @@ def file_provenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("row_idx").cast("long").alias("max_row_idx"),
         )
     )
+
+
+@register(
+    "sql_execute_immediate_report",
+    """
+WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events WHERE user_id % 7 = 0 GROUP BY event_type
+)
+SELECT g.event_type, g.n, g.sum_cents,
+       CAST((1000000 * g.n) // t.total AS BIGINT) AS share_e6
+FROM g CROSS JOIN t
+""",
+)
+def sql_execute_immediate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables + EXECUTE IMMEDIATE (Spark 4): the statement
+    TEXT lives in a session variable, a scalar prequery lands in another
+    via INTO, and the report runs with a USING-bound parameter -- the
+    engine-native form of the reference's config-driven query templating
+    (and the injection-safe one: parameters bind as values, never splice
+    as strings; IDENTIFIER(:p) in sql_frontend_identifier covers the
+    name-position case).  DECLARE OR REPLACE keeps re-invocation
+    idempotent in a long-lived session."""
+    register_views(spark, sf_dir, ["events"])
+    spark.sql("DECLARE OR REPLACE VARIABLE total BIGINT")
+    spark.sql("EXECUTE IMMEDIATE 'SELECT COUNT(*) FROM events' INTO total")
+    spark.sql("DECLARE OR REPLACE VARIABLE rpt STRING")
+    spark.sql(
+        """
+        SET VAR rpt =
+          'SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+                  CAST((1000000 * COUNT(*)) div total AS BIGINT) AS share_e6
+           FROM events WHERE user_id % ? = 0 GROUP BY event_type'
+        """
+    )
+    return spark.sql("EXECUTE IMMEDIATE rpt USING 7")
+
+
+def _markov_oracle(iters: int = 8) -> str:
+    """Unrolled k-step absorption replay: journeys -> transition counts ->
+    (scenario x state) fixed-point iterations in e9 integer arithmetic,
+    bit-identical to operators.correlate.markov_removal_attribution."""
+    sql = """
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+fp AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS fp
+  FROM r GROUP BY user_id
+),
+kept AS (
+  SELECT r.user_id, r.event_type, r.rn, fp.fp,
+         ROW_NUMBER() OVER (PARTITION BY r.user_id ORDER BY r.rn) AS crn,
+         COUNT(*) OVER (PARTITION BY r.user_id) AS n_user
+  FROM r JOIN fp USING (user_id)
+  WHERE r.event_type <> 'purchase' AND (fp.fp IS NULL OR r.rn < fp.fp)
+),
+e_all AS (
+  SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id ORDER BY rn),
+                  'START') AS src,
+         event_type AS dst
+  FROM kept
+  UNION ALL
+  SELECT event_type AS src,
+         CASE WHEN fp IS NOT NULL THEN 'CONV' ELSE 'NULL' END AS dst
+  FROM kept WHERE crn = n_user
+  UNION ALL
+  SELECT 'START', 'CONV'
+  FROM fp f LEFT JOIN (SELECT DISTINCT user_id FROM kept) k USING (user_id)
+  WHERE f.fp IS NOT NULL AND k.user_id IS NULL
+),
+trans AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM e_all GROUP BY src, dst
+),
+outs AS MATERIALIZED (SELECT src, SUM(cnt) AS out_cnt FROM trans GROUP BY src),
+ch AS MATERIALIZED (SELECT DISTINCT src AS state FROM trans WHERE src <> 'START'),
+states AS MATERIALIZED (
+  SELECT state FROM ch UNION SELECT 'START' UNION SELECT 'CONV' UNION SELECT 'NULL'
+),
+scn AS MATERIALIZED (SELECT state AS scn FROM ch UNION SELECT 'base'),
+p0 AS MATERIALIZED (
+  SELECT s.scn, st.state,
+         CAST(CASE WHEN st.state = 'CONV' THEN 1000000000 ELSE 0 END AS BIGINT) AS p
+  FROM scn s CROSS JOIN states st
+)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+p{k} AS MATERIALIZED (
+  SELECT s.scn, st.state,
+         CAST(CASE WHEN st.state = 'CONV' THEN 1000000000
+                   WHEN st.state = 'NULL' THEN 0
+                   WHEN st.state = s.scn THEN 0
+                   ELSE COALESCE(n.v, 0) END AS BIGINT) AS p
+  FROM scn s CROSS JOIN states st
+  LEFT JOIN (
+    SELECT pk.scn, t.src, CAST(SUM(t.cnt * pk.p) // MAX(o.out_cnt) AS BIGINT) AS v
+    FROM trans t
+    JOIN p{k - 1} pk ON pk.state = t.dst
+    JOIN outs o ON o.src = t.src
+    GROUP BY pk.scn, t.src
+  ) n ON n.scn = s.scn AND n.src = st.state
+)"""
+    sql += f""",
+st AS (SELECT scn, p AS conv_e9 FROM p{iters} WHERE state = 'START'),
+b AS (SELECT conv_e9 AS base_conv_e9 FROM st WHERE scn = 'base'),
+eff AS (
+  SELECT st.scn AS channel,
+         CAST(b.base_conv_e9 AS BIGINT) AS base_conv_e9,
+         CAST(st.conv_e9 AS BIGINT) AS removed_conv_e9,
+         CAST(CASE WHEN b.base_conv_e9 > 0
+                   THEN (1000000 * (b.base_conv_e9 - st.conv_e9)) // b.base_conv_e9
+                   ELSE 0 END AS BIGINT) AS removal_effect_e6
+  FROM st CROSS JOIN b WHERE st.scn <> 'base'
+),
+tot AS (SELECT SUM(removal_effect_e6) AS tot_eff FROM eff)
+SELECT channel, base_conv_e9, removed_conv_e9, removal_effect_e6,
+       CAST(CASE WHEN tot.tot_eff > 0
+                 THEN (1000000 * removal_effect_e6) // tot.tot_eff
+                 ELSE 0 END AS BIGINT) AS attribution_share_e6
+FROM eff CROSS JOIN tot
+"""
+    return sql
+
+
+@register("markov_attribution_report", _markov_oracle(iters=8))
+def markov_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain REMOVAL-EFFECT attribution (Anderl et al. 2016) over
+    user journeys: per user, the channel sequence up to the first
+    purchase absorbs in CONV (or NULL if none); first-order transition
+    counts feed operators.correlate.markov_removal_attribution, which
+    runs 8 exact e9 fixed-point absorption steps for the base chain and
+    one removal scenario per channel.  This closes the attribution
+    family: last-touch/time-window (cogroup_attribution_windows) credits
+    the nearest touch, funnel_conversion_rate counts stage survival --
+    removal effect answers "how much conversion DISAPPEARS without this
+    channel", the counterfactual none of the others measure.
+
+    Heavy work is one pass building journeys (two per-user windows + a
+    groupBy over the bounded channel-domain transition lattice); the
+    iterations run over a few dozen (scenario x state) rows.  The DuckDB
+    oracle unrolls all 8 iterations and matches bit-for-bit."""
+    from odp_dynamic_data_pipeline_spark.operators.correlate import (
+        markov_removal_attribution,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id", "event_type", F.row_number().over(wu).alias("rn")
+    )
+    fp = r.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("rn"))).alias("fp")
+    )
+    kept = (
+        r.join(fp, "user_id")
+        .where(
+            (F.col("event_type") != "purchase")
+            & (F.col("fp").isNull() | (F.col("rn") < F.col("fp")))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "rn",
+            "fp",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("rn"))
+            .alias("crn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("user_id"))
+            .alias("n_user"),
+        )
+    )
+    e1 = kept.select(
+        F.coalesce(
+            F.lag("event_type").over(Window.partitionBy("user_id").orderBy("rn")),
+            F.lit("START"),
+        ).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    e2 = kept.where(F.col("crn") == F.col("n_user")).select(
+        F.col("event_type").alias("src"),
+        F.when(F.col("fp").isNotNull(), "CONV").otherwise("NULL").alias("dst"),
+    )
+    e3 = (
+        fp.join(kept.select("user_id").distinct(), "user_id", "left_anti")
+        .where(F.col("fp").isNotNull())
+        .select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+    )
+    trans = (
+        e1.unionByName(e2)
+        .unionByName(e3)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return markov_removal_attribution(trans, iters=8)
