@@ -51,3 +51,24 @@ def ilog2_fp20_sql(x: str) -> str:
         " struct(shiftright(acc.m * acc.m, 30) AS m, acc.f * 2 AS f)),"
         " acc -> acc.f))"
     )
+
+
+def iexp2_fp20_sql(f: str) -> str:
+    """Spark SQL expression: exact fixed-point 2^f for the fp20 BIGINT
+    expression ``f`` (must be >= 0) -- the inverse companion of
+    :func:`ilog2_fp20_sql`, same bit-identical contract (the Python
+    reference is operators.text.iexp2_fp20, the DuckDB twin
+    queries.llm.duck_iexp2_sql).  One ``aggregate`` fold over the 20
+    fraction bits, each set bit multiplying in the matching
+    2^(2^-k) fp20 constant with truncation; integer part applied as a
+    final shift.  int64-safe while (f >> 20) <= 42."""
+    from odp_dynamic_data_pipeline_spark.operators.text import EXP2_FP20_CONSTS
+
+    consts = ", ".join(f"CAST({c} AS BIGINT)" for c in EXP2_FP20_CONSTS)
+    frac = f"(({f}) & 1048575)"
+    return (
+        f"shiftleft(aggregate(sequence(1, 20), CAST(1048576 AS BIGINT),"
+        f" (acc, k) -> IF(((shiftright({frac}, 20 - k)) & 1) = 1,"
+        f" shiftright(acc * elt(k, {consts}), 20), acc),"
+        f" acc -> acc), shiftright({f}, 20))"
+    )

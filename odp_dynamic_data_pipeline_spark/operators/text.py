@@ -1056,3 +1056,30 @@ def bm25_scores(
         )
     )
     return scored.orderBy(F.col("score_fp").desc(), F.col(id_col)).limit(k)
+
+EXP2_FP20_CONSTS: list[int] = [
+    round(2 ** (2**-k) * (1 << 20)) for k in range(1, 21)
+]
+"""2^(2^-k) for k=1..20 in fp20 -- the 20 fractional-bit factors of the
+exp2 fold.  Generated once from IEEE doubles (deterministic values, the
+same literals are embedded in the Spark expression and the DuckDB twin),
+then every downstream step is pure integer."""
+
+
+def iexp2_fp20(f: int) -> int:
+    """Exact fixed-point 2^f for fp20 input f >= 0, pure integer: the
+    inverse companion of :func:`ilog2_fp20`.  Integer part by shift;
+    fractional part as a truncating product over EXP2_FP20_CONSTS (one
+    factor per set fraction bit).  int64-safe while (f >> 20) <= 42
+    (result < 2^63 in fp20).  The identical fold runs as a Spark
+    ``aggregate`` expression (functions.scalars.iexp2_fp20_sql) and a
+    DuckDB list_reduce twin, so 2^x is bit-identical cross-engine with
+    no libm."""
+    if f < 0:
+        raise ValueError("iexp2_fp20 requires f >= 0")
+    frac = f & ((1 << 20) - 1)
+    acc = 1 << 20
+    for k in range(1, 21):
+        if (frac >> (20 - k)) & 1:
+            acc = (acc * EXP2_FP20_CONSTS[k - 1]) >> 20
+    return acc << (f >> 20)

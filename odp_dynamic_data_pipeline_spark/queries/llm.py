@@ -4627,3 +4627,19 @@ def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "powerlaw_slope"
         ),
     )
+
+
+def duck_iexp2_sql(f: str) -> str:
+    """DuckDB twin of functions.scalars.iexp2_fp20_sql: identical fp20
+    exp2 fold as a list_reduce over the same 2^(2^-k) constants."""
+    from odp_dynamic_data_pipeline_spark.operators.text import EXP2_FP20_CONSTS
+
+    consts = "[" + ", ".join(str(c) for c in EXP2_FP20_CONSTS) + "]"
+    frac = f"((CAST({f} AS BIGINT)) & 1048575)"
+    return (
+        f"(list_reduce(list_concat([CAST(1048576 AS BIGINT)],"
+        f" list_transform(range(1, 21), k -> CAST(k AS BIGINT))),"
+        f" (acc, k) -> CASE WHEN (({frac} >> (20 - CAST(k AS INT))) & 1) = 1"
+        f" THEN (acc * ({consts})[CAST(k AS INT)]) >> 20 ELSE acc END)"
+        f" << (CAST({f} AS BIGINT) >> 20))"
+    )

@@ -3369,3 +3369,99 @@ def markov_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     return markov_removal_attribution(trans, iters=8)
+
+
+def _temperature_sweep_oracle() -> str:
+    """The CTEs are MATERIALIZED deliberately: with default inlining,
+    DuckDB 1.x re-expanded the nested exp2/log2 list_reduce folds through
+    the totals join and returned WRONG shares (w_fp20 values correct,
+    w_tot inconsistent with their sum -- observed, not hypothetical;
+    the same hazard family as the k-core oracle's exponential
+    re-inlining, but silent instead of slow).  Materializing pins one
+    evaluation of each fold."""
+    from odp_dynamic_data_pipeline_spark.queries.llm import (
+        duck_iexp2_sql,
+        duck_ilog2_sql,
+    )
+
+    lg = duck_ilog2_sql("n_docs")
+    w = duck_iexp2_sql(f"(alpha_fp20 * {lg}) >> 20")
+    return f"""
+WITH counts AS MATERIALIZED (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+a AS (SELECT UNNEST([314573, 734003, 1048576]) AS alpha_fp20),
+w AS MATERIALIZED (
+  SELECT CAST(a.alpha_fp20 AS BIGINT) AS alpha_fp20, c.lang, c.n_docs,
+         CAST({w} AS BIGINT) AS w_fp20
+  FROM counts c CROSS JOIN a
+),
+t AS MATERIALIZED (
+  SELECT alpha_fp20, SUM(w_fp20) AS w_tot, SUM(n_docs) AS n_tot
+  FROM w GROUP BY alpha_fp20
+)
+SELECT w.alpha_fp20, w.lang, w.n_docs, w.w_fp20,
+       CAST((1000000 * w.w_fp20) // t.w_tot AS BIGINT) AS share_e6,
+       CAST((1000000 * w.n_docs) // t.n_tot AS BIGINT) AS exact_share_e6,
+       CAST(abs((1000000 * w.w_fp20) // t.w_tot
+                - (1000000 * w.n_docs) // t.n_tot) AS BIGINT) AS drift_e6
+FROM w JOIN t USING (alpha_fp20)
+"""
+
+
+@register("temperature_mixture_sweep", _temperature_sweep_oracle())
+def temperature_mixture_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERAL-alpha temperature sampling shares (Conneau & Lample 2019;
+    the mC4/XLM-R rebalancing convention is alpha=0.3): per-language
+    sampling weight n^alpha computed as exp2(alpha * log2 n) with BOTH
+    transcendentals as exact fixed-point integer folds -- the new
+    iexp2_fp20 (functions.scalars.iexp2_fp20_sql) composed with the
+    existing ilog2_fp20 -- so shares at alpha = 0.3 / 0.7 / 1.0 are
+    bit-identical cross-engine with no pow() anywhere.  This generalizes
+    corpus_mixture_weights (hardwired alpha=0.5 via isqrt) to the whole
+    temperature dial.  The alpha=1.0 rows double as a built-in accuracy
+    audit: their share is compared against the exact n/N share in the
+    same row (drift_e6 column -- fp20 truncation error, a few ppm).
+
+    Scale shape: one groupBy over the bounded language domain; the
+    sweep is a 3-row explode over that rollup; per-alpha totals join
+    back broadcast-small."""
+    from odp_dynamic_data_pipeline_spark.functions.scalars import (
+        iexp2_fp20_sql,
+        ilog2_fp20_sql,
+    )
+
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    lg = ilog2_fp20_sql("n_docs")
+    w_expr = iexp2_fp20_sql(f"shiftright(alpha_fp20 * {lg}, 20)")
+    w = (
+        counts.select(
+            F.explode(
+                F.array(F.lit(314573), F.lit(734003), F.lit(1048576))
+            ).alias("alpha_raw"),
+            "lang",
+            "n_docs",
+        )
+        .select(
+            F.col("alpha_raw").cast("long").alias("alpha_fp20"), "lang", "n_docs"
+        )
+        .withColumn("w_fp20", F.expr(f"CAST({w_expr} AS BIGINT)"))
+    )
+    t = w.groupBy("alpha_fp20").agg(
+        F.sum("w_fp20").alias("w_tot"), F.sum("n_docs").alias("n_tot")
+    )
+    return w.join(F.broadcast(t), "alpha_fp20").select(
+        "alpha_fp20",
+        "lang",
+        "n_docs",
+        "w_fp20",
+        F.expr("(1000000 * w_fp20) div w_tot").alias("share_e6"),
+        F.expr("(1000000 * n_docs) div n_tot").alias("exact_share_e6"),
+        F.expr(
+            "abs((1000000 * w_fp20) div w_tot - (1000000 * n_docs) div n_tot)"
+        ).alias("drift_e6"),
+    )

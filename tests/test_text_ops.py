@@ -273,3 +273,62 @@ def test_bm25_ranks_rare_term_docs_first(spark):
     assert {r["doc_id"] for r in out} == {1, 2, 3}
     scores = [r["score_fp"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_iexp2_fp20_exact_properties():
+    """Pure-integer exp2: exact powers of two, monotonicity, and the
+    round-trip bound exp2(log2(n)) within fp20 truncation of n."""
+    import random
+
+    from odp_dynamic_data_pipeline_spark.operators.text import (
+        iexp2_fp20,
+        ilog2_fp20,
+    )
+
+    one = 1 << 20
+    assert iexp2_fp20(0) == one
+    for i in range(0, 40):
+        assert iexp2_fp20(i << 20) == one << i  # exact at integer exponents
+    rng = random.Random(20260815)
+    prev = -1
+    for f in sorted(rng.randrange(0, 30 << 20) for _ in range(300)):
+        v = iexp2_fp20(f)
+        assert v >= prev  # per-bit truncating product is monotone
+        prev = v
+    for n in [1, 2, 3, 7, 100, 12345, 10**6]:
+        v = iexp2_fp20(ilog2_fp20(n))
+        # truncation only loses: result in ((1-2^-15)*n, n] -- the log2
+        # and each of the 20 product steps truncate up to ~2^-20 apiece,
+        # so the worst case is ~21*2^-20 < 2^-15 relative
+        assert v <= n * one
+        assert v * (1 << 15) > (n * one) * ((1 << 15) - 1)
+
+
+def test_iexp2_fp20_three_way_agreement(spark):
+    """Python reference == Spark aggregate fold == DuckDB list_reduce twin
+    on a seeded spread of fp20 exponents (the contract the
+    temperature_mixture_sweep oracle relies on)."""
+    import random
+
+    import duckdb
+
+    from odp_dynamic_data_pipeline_spark.functions.scalars import iexp2_fp20_sql
+    from odp_dynamic_data_pipeline_spark.operators.text import iexp2_fp20
+    from odp_dynamic_data_pipeline_spark.queries.llm import duck_iexp2_sql
+
+    rng = random.Random(20260815)
+    vals = [0, 1, (1 << 19), (1 << 20) - 1, (1 << 20), 40 << 20] + [
+        rng.randrange(0, 42 << 20) for _ in range(120)
+    ]
+    ref = {f: iexp2_fp20(f) for f in vals}
+    sdf = spark.createDataFrame([(v,) for v in vals], "f long").selectExpr(
+        "f", iexp2_fp20_sql("f") + " AS v"
+    )
+    assert {r.f: r.v for r in sdf.collect()} == ref
+    con = duckdb.connect()
+    got = dict(
+        con.execute(
+            f"SELECT f, {duck_iexp2_sql('f')} FROM (SELECT UNNEST(?) AS f)", [vals]
+        ).fetchall()
+    )
+    assert got == ref
