@@ -83,3 +83,93 @@ def test_both_layouts_agree_on_results(spark, layouts):
     assert sorted(r["event_id"] for r in a.collect()) == sorted(
         r["event_id"] for r in b.collect()
     )
+
+def test_zorder_prunes_both_dimensions_on_real_footers(spark, tmp_path_factory):
+    """2-D upgrade of the sorted-vs-unsorted measurement, on real footers:
+    the SAME events written (a) linear-sorted by user_id, (b) linear-sorted
+    by hour, (c) Z-ordered on RANGE-NORMALIZED 5-bit bins of both, and (d)
+    Z-ordered on the RAW values.  Measured here (sf0.1, 64 KB groups):
+
+      layout      2-D box   user-only   hour-only
+      by_user       3/31       3/31       31/31   <- other dim never prunes
+      by_hour       5/31      31/31        5/31
+      z-normalized  3/31      10/31        9/31   <- ONE layout serves all
+      z-raw         4/31       4/31       31/31   <- degenerate footgun
+
+    Two pinned claims: (1) the normalized z-order layout prunes BOTH
+    single-dimension predicates and matches the best linear sort on the
+    2-D box -- the measured version of zorder_layout_report's model; and
+    (2) interleaving RAW values with unbalanced bit widths (11-bit
+    user_id vs 5-bit hour) DEGENERATES to the wide dimension's linear
+    sort -- hour never prunes -- which is exactly why production
+    OPTIMIZE ZORDER range-bins every dimension to equal-width ranks
+    before interleaving.  Bin first, interleave second."""
+    from pyspark.sql import functions as F
+
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import zorder_value
+    from odp_dynamic_data_pipeline_spark.sources.catalog import load_table
+
+    tmp = str(tmp_path_factory.mktemp("zorder2d"))
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", F.hour("ts").alias("hour"), "event_id"
+    )
+    opts = {"parquet.block.size": str(64 * 1024)}
+    ev.orderBy("user_id").coalesce(1).write.mode("overwrite").options(
+        **opts
+    ).parquet(f"{tmp}/by_user")
+    ev.orderBy("hour").coalesce(1).write.mode("overwrite").options(
+        **opts
+    ).parquet(f"{tmp}/by_hour")
+    # normalized: both dims binned to ~32 equal-width ranks (5 bits)
+    b = ev.withColumn("ub", F.expr("CAST(user_id div 47 AS BIGINT)")).withColumn(
+        "hb", F.expr("CAST(hour * 32 div 24 AS BIGINT)")
+    )
+    zn = zorder_value(["ub", "hb"], bits_per_col=5)
+    b.withColumn("__z", zn).orderBy("__z", "user_id", "hour").drop(
+        "__z", "ub", "hb"
+    ).coalesce(1).write.mode("overwrite").options(**opts).parquet(f"{tmp}/znorm")
+    # raw: unbalanced bit widths, the footgun
+    zr = zorder_value(["user_id", "hour"], bits_per_col=16)
+    ev.withColumn("__z", zr).orderBy("__z").drop("__z").coalesce(1).write.mode(
+        "overwrite"
+    ).options(**opts).parquet(f"{tmp}/zraw")
+
+    u_lo, u_hi, h_lo, h_hi = 100, 200, 3, 5
+
+    def overlap(path, use_u, use_h):
+        hit = tot = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ui = md.schema.names.index("user_id")
+            hj = md.schema.names.index("hour")
+            for i in range(md.num_row_groups):
+                su = md.row_group(i).column(ui).statistics
+                sh = md.row_group(i).column(hj).statistics
+                tot += 1
+                ok_u = (not use_u) or (su.min <= u_hi and su.max >= u_lo)
+                ok_h = (not use_h) or (sh.min <= h_hi and sh.max >= h_lo)
+                if ok_u and ok_h:
+                    hit += 1
+        return hit, tot
+
+    m = {
+        lay: {
+            "box": overlap(f"{tmp}/{lay}", True, True),
+            "u": overlap(f"{tmp}/{lay}", True, False),
+            "h": overlap(f"{tmp}/{lay}", False, True),
+        }
+        for lay in ("by_user", "by_hour", "znorm", "zraw")
+    }
+    tot = m["znorm"]["box"][1]
+    assert tot > 10, m
+    # each linear sort reads EVERYTHING for the other dimension's predicate
+    assert m["by_user"]["h"][0] == m["by_user"]["h"][1], m
+    assert m["by_hour"]["u"][0] == m["by_hour"]["u"][1], m
+    # normalized z-order prunes BOTH single-dim predicates substantially
+    assert m["znorm"]["u"][0] <= tot // 2, m
+    assert m["znorm"]["h"][0] <= tot // 2, m
+    # and stays competitive with the best linear sort on the 2-D box
+    best_linear = min(m["by_user"]["box"][0], m["by_hour"]["box"][0])
+    assert m["znorm"]["box"][0] <= best_linear + 2, m
+    # the raw-interleave footgun: hour never prunes (degenerates to by_user)
+    assert m["zraw"]["h"][0] == m["zraw"]["h"][1], m
