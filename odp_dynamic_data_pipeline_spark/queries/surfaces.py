@@ -3465,3 +3465,107 @@ def temperature_mixture_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs((1000000 * w_fp20) div w_tot - (1000000 * n_docs) div n_tot)"
         ).alias("drift_e6"),
     )
+
+
+@register(
+    "fim_transform_manifest",
+    """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+  FROM documents WHERE doc_id % 4 = 0
+),
+c AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         ('0x' || substr(md5('fim1|' || doc_id), 1, 15))::BIGINT % (len(tk) + 1) AS h1,
+         ('0x' || substr(md5('fim2|' || doc_id), 1, 15))::BIGINT % (len(tk) + 1) AS h2
+  FROM t
+),
+cut AS (
+  SELECT doc_id, tk, n, LEAST(h1, h2) AS lo, GREATEST(h1, h2) AS hi FROM c
+),
+parts AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         CAST(lo AS BIGINT) AS cut_lo, CAST(hi AS BIGINT) AS cut_hi,
+         COALESCE(array_to_string(tk[1 : lo], ' '), '') AS pre,
+         COALESCE(array_to_string(tk[lo + 1 : hi], ' '), '') AS mid,
+         -- DuckDB: array_to_string of an out-of-range empty slice (hi = n)
+         -- yields NULL, not '' -- Spark's array_join yields ''
+         COALESCE(array_to_string(tk[hi + 1 : n], ' '), '') AS suf
+  FROM cut
+)
+SELECT doc_id, n_tokens, cut_lo, cut_hi,
+       CAST(len(regexp_extract_all(pre, '\\S+'))
+            + len(regexp_extract_all(mid, '\\S+'))
+            + len(regexp_extract_all(suf, '\\S+')) AS BIGINT) AS n_reassembled,
+       md5('<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid) AS psm_md5
+FROM parts
+""",
+)
+def fim_transform_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) training transform (Bavarian et al. 2022):
+    each selected document is split at two md5-derived token cuts into
+    (prefix, middle, suffix) and re-serialized in PSM order with sentinel
+    markers -- the manifest a span-infilling pretraining run consumes.
+    Hash-derived cuts make the transform REPLAYABLE (a resumed or
+    re-sharded job cuts every document identically -- rand() would not),
+    and the DuckDB oracle rebuilds the exact PSM string per document, so
+    the md5 column hash-verifies the whole reassembly cross-engine.  The
+    n_reassembled column carries the losslessness invariant in-row
+    (token count preserved across the three spans).
+
+    All JVM expressions: regexp token split, slice/array_join, md5 -- a
+    map-only plan with no shuffle and no Python; at 100 TB this runs at
+    scan speed, which is the point of doing FIM in the engine instead of
+    the training loader."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 0)
+        .select("doc_id", F.expr("regexp_extract_all(text, r'\\S+', 0)").alias("tk"))
+    )
+    c = docs.select(
+        "doc_id",
+        "tk",
+        F.expr("size(tk)").alias("n"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('fim1|', CAST(doc_id AS STRING))), 1, 15),"
+            " 16, 10) AS BIGINT) % (size(tk) + 1)"
+        ).alias("h1"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('fim2|', CAST(doc_id AS STRING))), 1, 15),"
+            " 16, 10) AS BIGINT) % (size(tk) + 1)"
+        ).alias("h2"),
+    )
+    cut = c.select(
+        "doc_id",
+        "tk",
+        "n",
+        F.least("h1", "h2").alias("lo"),
+        F.greatest("h1", "h2").alias("hi"),
+    )
+    parts = cut.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("lo").cast("long").alias("cut_lo"),
+        F.col("hi").cast("long").alias("cut_hi"),
+        F.expr("array_join(slice(tk, 1, CAST(lo AS INT)), ' ')").alias("pre"),
+        F.expr(
+            "array_join(slice(tk, CAST(lo + 1 AS INT), CAST(hi - lo AS INT)), ' ')"
+        ).alias("mid"),
+        F.expr(
+            "array_join(slice(tk, CAST(hi + 1 AS INT), CAST(n - hi AS INT)), ' ')"
+        ).alias("suf"),
+    )
+    return parts.select(
+        "doc_id",
+        "n_tokens",
+        "cut_lo",
+        "cut_hi",
+        F.expr(
+            "CAST(size(regexp_extract_all(pre, r'\\S+', 0))"
+            " + size(regexp_extract_all(mid, r'\\S+', 0))"
+            " + size(regexp_extract_all(suf, r'\\S+', 0)) AS BIGINT)"
+        ).alias("n_reassembled"),
+        F.expr(
+            "md5(concat('<PRE>', pre, '<SUF>', suf, '<MID>', mid))"
+        ).alias("psm_md5"),
+    )

@@ -260,3 +260,41 @@ def test_exact_quantiles_random_agrees_with_sort(spark, tmp_path):
     assert (r.n, r.p50_cents, r.p90_cents, r.p99_cents) == (
         n, exp[50], exp[90], exp[99],
     )
+
+
+def test_fim_transform_matches_pure_python(spark, tmp_path):
+    """Crafted docs: replicate the md5-derived cuts and the PSM string in
+    plain Python, assert the manifest row-for-row, plus the in-row
+    losslessness invariant."""
+    import hashlib
+
+    texts = {
+        0: "alpha beta gamma delta epsilon",
+        4: "one two",
+        8: "solo",
+        12: "a b c d e f g h i j",
+        3: "never selected (doc_id % 4 != 0)",
+    }
+    spark.createDataFrame(
+        [(k, v, "en", "s", len(v)) for k, v in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def h(tag, doc, mod):
+        return int(hashlib.md5(f"{tag}|{doc}".encode()).hexdigest()[:15], 16) % mod
+
+    out = {
+        r.doc_id: r
+        for r in SPARK_QUERIES["fim_transform_manifest"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {0, 4, 8, 12}
+    for doc in (0, 4, 8, 12):
+        tk = texts[doc].split()
+        n = len(tk)
+        c1, c2 = h("fim1", doc, n + 1), h("fim2", doc, n + 1)
+        lo, hi = min(c1, c2), max(c1, c2)
+        psm = "<PRE>" + " ".join(tk[:lo]) + "<SUF>" + " ".join(tk[hi:]) + "<MID>" + " ".join(tk[lo:hi])
+        r = out[doc]
+        assert (r.n_tokens, r.cut_lo, r.cut_hi) == (n, lo, hi)
+        assert r.n_reassembled == n  # lossless across the three spans
+        assert r.psm_md5 == hashlib.md5(psm.encode()).hexdigest()
