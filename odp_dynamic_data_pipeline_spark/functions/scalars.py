@@ -66,9 +66,13 @@ def iexp2_fp20_sql(f: str) -> str:
 
     consts = ", ".join(f"CAST({c} AS BIGINT)" for c in EXP2_FP20_CONSTS)
     frac = f"(({f}) & 1048575)"
+    # element_at over an array literal, NOT elt(k, ...): elt with a lambda
+    # index resolves only under ANSI implicit casts -- in a non-ANSI
+    # session it silently mis-evaluated the whole fold (observed; pinned
+    # by the both-modes test in tests/test_text_ops.py)
     return (
         f"shiftleft(aggregate(sequence(1, 20), CAST(1048576 AS BIGINT),"
         f" (acc, k) -> IF(((shiftright({frac}, 20 - k)) & 1) = 1,"
-        f" shiftright(acc * elt(k, {consts}), 20), acc),"
+        f" shiftright(acc * element_at(array({consts}), k), 20), acc),"
         f" acc -> acc), shiftright({f}, 20))"
     )

@@ -183,14 +183,16 @@ def test_ansi_mode_overflow_discipline(spark):
         baseline[name] = sorted(
             tuple(r) for r in SPARK_QUERIES[name](spark, SF).collect()
         )
-    old = spark.conf.get("spark.sql.ansi.enabled", "false")
-    try:
-        spark.conf.set("spark.sql.ansi.enabled", "true")
+    # temp_confs, not a manual save/restore: the old form's get(key,
+    # "false") fallback re-wrote the SESSION DEFAULT (true in Spark 4) as
+    # an explicit ansi=false, silently flipping semantics for every later
+    # test in the shared session (caught by the iexp2 both-modes test)
+    from tests.conftest import temp_confs
+
+    with temp_confs(spark, {"spark.sql.ansi.enabled": "true"}):
         for name in targets:
             got = sorted(tuple(r) for r in SPARK_QUERIES[name](spark, SF).collect())
             assert got == baseline[name], f"{name} diverged under ANSI mode"
-    finally:
-        spark.conf.set("spark.sql.ansi.enabled", old)
 
 
 def test_coverage_inventory_complete():

@@ -316,15 +316,22 @@ def test_iexp2_fp20_three_way_agreement(spark):
     from odp_dynamic_data_pipeline_spark.operators.text import iexp2_fp20
     from odp_dynamic_data_pipeline_spark.queries.llm import duck_iexp2_sql
 
+    from tests.conftest import temp_confs
+
     rng = random.Random(20260815)
     vals = [0, 1, (1 << 19), (1 << 20) - 1, (1 << 20), 40 << 20] + [
         rng.randrange(0, 42 << 20) for _ in range(120)
     ]
     ref = {f: iexp2_fp20(f) for f in vals}
-    sdf = spark.createDataFrame([(v,) for v in vals], "f long").selectExpr(
-        "f", iexp2_fp20_sql("f") + " AS v"
-    )
-    assert {r.f: r.v for r in sdf.collect()} == ref
+    # BOTH ANSI modes: the original elt(k, ...) spelling silently
+    # mis-evaluated under ansi=false (a user session setting) -- the
+    # element_at form must be mode-independent
+    for ansi in ("true", "false"):
+        with temp_confs(spark, {"spark.sql.ansi.enabled": ansi}):
+            sdf = spark.createDataFrame([(v,) for v in vals], "f long").selectExpr(
+                "f", iexp2_fp20_sql("f") + " AS v"
+            )
+            assert {r.f: r.v for r in sdf.collect()} == ref, f"ansi={ansi}"
     con = duckdb.connect()
     got = dict(
         con.execute(
