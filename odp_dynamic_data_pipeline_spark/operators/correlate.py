@@ -76,7 +76,14 @@ def markov_removal_attribution(trans: DataFrame, iters: int = 8) -> DataFrame:
     out: dict[str, int] = {}
     for (s, _), c in cnt.items():
         out[s] = out.get(s, 0) + c
-    channels = sorted({s for s, _ in cnt if s != "START"})
+    # states come from BOTH columns: a caller-built trans may contain a
+    # dst channel that never occurs as src (no outgoing edges -- it
+    # absorbs to 0 like NULL); deriving from src alone made p[d] a
+    # KeyError on such malformed-but-acceptable input
+    channels = sorted(
+        {s for s, _ in cnt if s != "START"}
+        | {d for _, d in cnt if d not in ("START", "CONV", "NULL")}
+    )
     states = channels + ["START", "CONV", "NULL"]
     by_src: dict[str, list[tuple[str, int]]] = {}
     for (s, d), c in cnt.items():

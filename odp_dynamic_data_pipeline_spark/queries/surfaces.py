@@ -2493,7 +2493,7 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        CAST(u2a AS BIGINT) AS u2_a,
        CAST(u2b AS BIGINT) AS u2_b,
        CAST(tie AS BIGINT) AS tie_term,
-       CAST((1000000 * abs(u2a - CAST(na AS HUGEINT) * nb)) // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT)
+       CAST((1000000 * abs(u2a - CAST(na AS HUGEINT) * nb)) // (CAST(na AS HUGEINT) * nb) AS BIGINT)
          AS abs_rb_e6
 FROM u
 """,
@@ -2539,6 +2539,11 @@ def mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precedent): c_a * c_cum products pass int64 once the corpus passes
     # ~3e9 rows; the BIGINT OUTPUT columns hold U exactly up to ~3e9 rows
     # per group (U <= n_a*n_b) -- widen the final casts past that.
+    # The tie_term output overflows BIGINT far EARLIER than U does:
+    # sum(c^3 - c) passes int64 once any single cents value repeats
+    # ~2.1M times (2.1e6^3 ~ 9.2e18), and in non-ANSI Spark the output
+    # cast wraps silently while DuckDB errors loudly -- keep tie as
+    # DECIMAL output (drop the .cast("long")) past that duplicate count.
     s = cum.agg(
         F.sum("c_a").cast("long").alias("na"),
         F.sum("c_b").cast("long").alias("nb"),
@@ -2565,7 +2570,7 @@ def mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tie").cast("long").alias("tie_term"),
         F.expr(
             "CAST((1000000 * abs(u2a - CAST(na AS DECIMAL(38,0)) * nb))"
-            " div (2 * CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+            " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
         ).alias("abs_rb_e6"),
     )
 
@@ -2794,7 +2799,12 @@ def randomization_test_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled sample, each drawn by an md5 hash of (perm, event_id) with
     Bernoulli(n_a/n) label odds, rebuild the null distribution of
     |mean_a - mean_b|; the p-value is the add-one-smoothed fraction of
-    relabelings at least as extreme as the observed labeling.  Mean
+    relabelings at least as extreme as the observed labeling.  NOTE:
+    because each event's label is i.i.d. Bernoulli, a relabeling does
+    NOT preserve the observed group sizes -- this is a bootstrap-style
+    relabeling null (an unconditional approximation), not an exact
+    permutation test conditioned on (n_a, n_b); degenerate empty-group
+    draws are counted extreme, the conservative convention.  Mean
     differences are never divided out: |S_a*n_b - S_b*n_a| / (n_a*n_b)
     comparisons cross-multiply as exact DECIMAL(38,0)/HUGEINT rationals,
     so both engines count the identical extreme set.  A degenerate

@@ -142,3 +142,26 @@ def test_random_corpus_agrees_with_pure_python(spark, tmp_path):
         b, r, e, sh = got[c]
         assert b == base and e == eff[c]
         assert sh == ((1_000_000 * e) // tot if tot > 0 else 0)
+
+
+def test_caller_built_trans_with_dst_only_state(spark):
+    # A caller-supplied (src, dst, cnt) table may contain a channel that
+    # appears ONLY as dst (no outgoing edges).  The operator must not
+    # KeyError: the sink channel absorbs at 0 (like NULL), so mass
+    # routed through it dies.  START->a->CONV (1) and START->a->x (1)
+    # where x has no outgoing row: p(a) = (1e9 + 0)//2 = 5e8.
+    from odp_dynamic_data_pipeline_spark.operators.correlate import (
+        markov_removal_attribution,
+    )
+
+    trans = spark.createDataFrame(
+        [("START", "a", 2), ("a", "CONV", 1), ("a", "x", 1)],
+        "src string, dst string, cnt long",
+    )
+    got = {
+        r.channel: (r.base_conv_e9, r.removed_conv_e9)
+        for r in markov_removal_attribution(trans).collect()
+    }
+    assert set(got) == {"a", "x"}
+    assert got["a"] == (E9 // 2, 0)       # removing a kills everything
+    assert got["x"] == (E9 // 2, E9 // 2) # x carried no conversion mass

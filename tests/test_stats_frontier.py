@@ -27,7 +27,9 @@ def test_mannwhitney_hand_computed(spark, tmp_path):
     # purchase = {1,2,3} cents, view = {2,3,4} cents.  Pooled tie-averaged
     # ranks: 1->1, 2->2.5, 3->4.5, 4->6.  R_a = 8, R_b = 13 =>
     # u2_a = 2*R_a - n_a(n_a+1) = 16 - 12 = 4; u2_b = 26 - 12 = 14.
-    # tie_term = (2^3-2) twice = 12.  abs_rb_e6 = 1e6*|4 - 9| // 18 = 277777.
+    # tie_term = (2^3-2) twice = 12.  Rank-biserial r = (2*U_a - na*nb)
+    # / (na*nb), and u2_a is ALREADY 2*U_a, so
+    # abs_rb_e6 = 1e6*|u2_a - na*nb| // (na*nb) = 1e6*|4 - 9| // 9 = 555555.
     rows = [
         (i, _ts(i), 1, g, v)
         for i, (g, v) in enumerate(
@@ -39,7 +41,7 @@ def test_mannwhitney_hand_computed(spark, tmp_path):
     _write_events(spark, tmp_path, rows)
     [r] = SPARK_QUERIES["mannwhitney_value_shift"](spark, str(tmp_path)).collect()
     assert (r.n_a, r.n_b, r.u2_a, r.u2_b, r.tie_term, r.abs_rb_e6) == (
-        3, 3, 4, 14, 12, 277777,
+        3, 3, 4, 14, 12, 555555,
     )
     # structural invariant: U_a + U_b == n_a * n_b (doubled)
     assert r.u2_a + r.u2_b == 2 * r.n_a * r.n_b
