@@ -20,9 +20,11 @@ Spec schema (see pipelines/observability_correlation_pipeline.yaml):
       <stage>:
         description: <free text>
         input:
-          format: json | parquet            # S1/S2
+          format: json | parquet | stream   # S1/S2/S3
           path: <path, may contain {hour}>
           schema: <named schema | omitted for parquet>
+          stream_format: json | parquet | csv   # file format under a
+                                                # ``stream`` input (default json)
         mappings:                            # optional
           read:                              # enrich via a produced mapping
             - name: <mapping name>
@@ -45,6 +47,21 @@ YAML surface the reference drives enrichment with now composes curation
 stages (scrub -> fingerprint -> dedup -> chunk) with no Python authored by
 the pipeline owner -- each op compiles to the corresponding
 ``operators/*`` call inside the stage's single lazy plan.
+
+Streaming stages (``input.format: stream``): the reference describes its
+stage_1 as CONSUMING a stream -- "Process user experience data" fed by a
+sensor-triggered hourly drop (reference: pipelines/...yaml:4,
+src/pipeline_dag.py:26,65-88).  Here that compiles to the streaming file
+source (``sources.readers.read_file_stream``): the stage's enrichment
+joins and expression transforms are applied to the STREAMING DataFrame
+(stream-static joins against mapping tables), an AvailableNow run drains
+everything currently available into a checkpointed parquet staging table
+(``{work_dir}/{stage}_{hour}``), and downstream batch stages plus mapping
+extraction read the staged table.  The checkpoint makes hourly re-runs
+INCREMENTAL: re-compiling the same (work_dir, hour) after new files land
+in the source directory processes only the new files and appends them to
+the staging table -- the bronze-ingest pattern, replacing the reference's
+poll-until-file-exists sensor with exactly-once file-source bookkeeping.
 """
 
 from __future__ import annotations
@@ -214,9 +231,59 @@ class Pipeline:
         path = self._fmt(inp["path"], hour, path_vars)
         if fmt == "parquet":
             return readers.read_parquet(spark, path, hour=hour)
+        if fmt == "stream":
+            schema = inp.get("schema")
+            if schema is None:
+                raise ValueError(
+                    f"stage {st.name}: a stream input needs an explicit schema"
+                    " (streaming sources cannot infer one)"
+                )
+            struct = SCHEMA_REGISTRY[schema] if isinstance(schema, str) else schema
+            # the streaming file source wants a DIRECTORY basePath; a
+            # file-style template (last segment has an extension dot or a
+            # glob char) splits into (parent dir, filename glob)
+            head, _, tail = path.rstrip("/").rpartition("/")
+            if not path.endswith("/") and head and any(c in tail for c in ".*?["):
+                return readers.read_file_stream(
+                    spark, head, struct,
+                    fmt=inp.get("stream_format", "json"), glob=tail,
+                    multiline=inp.get("multiline", True),
+                )
+            return readers.read_file_stream(
+                spark, path, struct, fmt=inp.get("stream_format", "json"),
+                multiline=inp.get("multiline", True),
+            )
         schema = inp.get("schema")
         struct = SCHEMA_REGISTRY[schema] if isinstance(schema, str) else schema
         return readers.read_json(spark, path, struct, hour=hour)
+
+    def _run_stream_stage(
+        self, spark: SparkSession, st: Stage, df: DataFrame, hour: str | None,
+        work_dir: str | None,
+    ) -> DataFrame:
+        """Drain a streaming stage's currently-available input into its
+        checkpointed parquet staging table and return the staged table as
+        a BATCH DataFrame (the bronze-ingest handoff: downstream stages
+        and mapping extraction are batch over the staged table).
+
+        A stable ``work_dir`` makes re-runs incremental (the file-source
+        checkpoint skips already-ingested files); without one a throwaway
+        directory is used and the run degrades to a one-shot drain."""
+        import tempfile
+
+        from odp_dynamic_data_pipeline_spark.streaming.stream import run_available_now
+
+        if work_dir is None:
+            work_dir = tempfile.mkdtemp(prefix=f"{self.name}_stream_")
+        base = f"{work_dir}/{st.name}" + (f"_{hour}" if hour is not None else "")
+        run_available_now(
+            df,
+            format="parquet",
+            query_name=f"{self.name}_{st.name}",
+            path=f"{base}/data",
+            checkpoint=f"{base}/ckpt",
+        )
+        return spark.read.schema(df.schema).parquet(f"{base}/data")
 
     def compile(
         self,
@@ -224,17 +291,23 @@ class Pipeline:
         hour: str | None = None,
         path_vars: dict[str, str] | None = None,
         mappings_dir: str | None = None,
+        work_dir: str | None = None,
     ) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
         """Compile every stage to a lazy DataFrame.  Returns
         (stage outputs, mapping tables); nothing executes until a sink or
-        action runs.
+        action runs -- EXCEPT streaming stages, whose AvailableNow drain
+        runs during compile (their staged output is what downstream
+        stages see; see ``_run_stream_stage``).
 
         ``mappings_dir``: materialize each mapping to parquet and read it
         back -- the cross-process stage handoff (what the reference used
         Redis for, src/data_processor.py:90-98).  Lets each stage run as a
         separate job (Airflow-task style) while staying a plain parquet
         table that any engine can read; in-process (None) keeps the whole
-        pipeline one fused lazy plan."""
+        pipeline one fused lazy plan.
+
+        ``work_dir``: staging + checkpoint root for streaming stages; pass
+        a stable path to make hourly re-runs incremental."""
         path_vars = path_vars or {}
         outputs: dict[str, DataFrame] = {}
         mappings: dict[str, DataFrame] = {}
@@ -248,8 +321,12 @@ class Pipeline:
                 df = enrich(df, m, key_col=r["key_field"], mapping_key="key")
             for t in _as_list(st.spec.get("transforms")):
                 df = _apply_transform(df, t)
+            if df.isStreaming:
+                df = self._run_stream_stage(spark, st, df, hour, work_dir)
             for w in st.writes:
-                m = extract_mapping(df, w["key"], _as_list(w["value"]))
+                m = extract_mapping(
+                    df, w["key"], _as_list(w["value"]), order_col=w.get("order_by")
+                )
                 if mappings_dir:
                     dest = f"{mappings_dir}/{w['name']}"
                     m.write.mode("overwrite").parquet(dest)
@@ -263,9 +340,10 @@ class Pipeline:
         spark: SparkSession,
         hour: str | None = None,
         path_vars: dict[str, str] | None = None,
+        work_dir: str | None = None,
     ) -> dict[str, DataFrame]:
         """Compile and execute sinks (S5)."""
-        outputs, _ = self.compile(spark, hour, path_vars)
+        outputs, _ = self.compile(spark, hour, path_vars, work_dir=work_dir)
         for name, df in outputs.items():
             out = self.stages[name].spec.get("output")
             if not out:

@@ -1808,6 +1808,83 @@ def pipeline_dynamic_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_stream_stage_enrich",
+    """
+SELECT o.o_custkey AS custkey,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+)
+def pipeline_stream_stage_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The YAML compiler's STREAMING stage end-to-end (plans.pipeline,
+    ``input.format: stream`` -- the reference runs its stage_1 as a stream
+    consumer behind a file sensor, reference yaml:4 /
+    src/pipeline_dag.py:26,65-88): orders arrive as JSON files in TWO
+    separate drops, a stream stage drains each drop AvailableNow into its
+    checkpointed staging table (the second compile ingests ONLY the new
+    files -- the file-source checkpoint skips the first drop), the
+    orderkey->custkey mapping is extracted from the staged table, and a
+    batch stage enriches lineitem through it.  Every lineitem finds its
+    order, so the inner-join oracle over the original tables reproduces
+    the result exactly IFF neither drop was lost or double-ingested --
+    the incremental-ingest contract is what the hash pins."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from odp_dynamic_data_pipeline_spark.plans.pipeline import Pipeline
+
+    tmp = _stream_tmpdir("pipeline_stream_stage")
+    src = f"{tmp}/src"
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    orders.where(F.col("o_orderkey") % 2 == 0).write.mode("overwrite").json(src)
+    spec = {
+        "pipeline_name": "stream_stage_demo",
+        "stages": {
+            "stage_s": {
+                "input": {
+                    "format": "stream",
+                    "stream_format": "json",
+                    # Spark's json writer emits JSONL part files, not
+                    # multiline arrays
+                    "multiline": False,
+                    "path": f"{src}/part*.json",
+                    "schema": StructType([
+                        StructField("o_orderkey", LongType()),
+                        StructField("o_custkey", LongType()),
+                    ]),
+                },
+                "mappings": {
+                    "write": [{"name": "order_to_cust", "key": "o_orderkey",
+                               "value": "o_custkey"}]
+                },
+            },
+            "stage_b": {
+                "input": {"format": "parquet", "path": "{sf_dir}/lineitem.parquet"},
+                "mappings": {"read": [{"name": "order_to_cust",
+                                       "key_field": "l_orderkey"}]},
+            },
+        },
+    }
+    pipe = Pipeline(spec)
+    work = f"{tmp}/work"
+    # drop 1: even orderkeys only -- drains into the staging table
+    pipe.compile(spark, path_vars={"sf_dir": sf_dir}, work_dir=work)
+    # drop 2: the odd orderkeys land as NEW part files; the same work_dir
+    # makes this compile incremental (only the new files are read)
+    orders.where(F.col("o_orderkey") % 2 == 1).write.mode("append").json(src)
+    outputs, _ = pipe.compile(spark, path_vars={"sf_dir": sf_dir}, work_dir=work)
+    return (
+        outputs["stage_b"]
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
+@register(
     "hour_partition_counts",
     """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

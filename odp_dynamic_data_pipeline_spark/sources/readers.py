@@ -154,16 +154,25 @@ def read_file_stream(
     fmt: str = "json",
     multiline: bool = True,
     max_files_per_trigger: int | None = None,
+    glob: str | None = None,
 ):
     """S3 file-arrival as a stream: replaces the reference's HttpSensor
     polling loop (reference: src/pipeline_dag.py:65-88) -- the streaming
-    file source discovers new files, no polling code."""
+    file source discovers new files, no polling code.
+
+    ``path`` must be a DIRECTORY (the source's basePath); ``glob`` filters
+    file names within it (pathGlobFilter) -- a caller holding a file-style
+    template like ``dir/user_exp_2024111612.json`` splits it into
+    (dir, filename-glob) because the streaming source rejects a bare file
+    as basePath."""
     ensure_runtime_confs(spark)
     reader = spark.readStream.schema(schema)
     if fmt == "json":
         reader = reader.option("multiLine", multiline)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
     return reader.format(fmt).load(path)
 
 
