@@ -11,8 +11,12 @@ store provider init, checkpoint dir I/O paths, streaming codegen) and warm
 (second execution in the same session, fresh checkpoint dir where the
 query manages one internally).
 
-Usage: python tools/stream_bench.py [sf_dir] [out_json]
+Usage: python tools/stream_bench.py [sf_dir] [out_json] [query ...]
   env: SPARK_GRAFT_CPUS (default 32)
+  With explicit query names, only those run (any registered query, not
+  just ``*stream*`` -- the same fresh-JVM adjudication applies to batch
+  queries whose shared-session numbers look inflated) and their rows are
+  MERGED into an existing out_json instead of replacing it.
 
 Writes ``out_json`` (default STREAM_BENCH_LOCAL.json at the repo root):
 {"queries": {name: {"cold": s, "warm": s}}, "cpus": N, "sf": ..., "isolation": "fresh JVM per query"}
@@ -53,8 +57,15 @@ def main() -> None:
     sys.path.insert(0, REPO)
     from odp_dynamic_data_pipeline_spark.queries import SPARK_QUERIES
 
-    names = [n for n in SPARK_QUERIES if "stream" in n]
+    explicit = sys.argv[3:]
+    names = explicit or [n for n in SPARK_QUERIES if "stream" in n]
     results: dict[str, dict] = {}
+    if explicit and os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                results = json.load(f).get("queries", {})
+        except (OSError, json.JSONDecodeError):
+            results = {}
     for name in names:
         code = _CHILD.format(repo=REPO, name=name, sf_dir=sf_dir, cpus=cpus)
         proc = subprocess.run(
