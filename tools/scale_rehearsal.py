@@ -1,0 +1,177 @@
+"""Scale-up rehearsal beyond sf0.1 (VERDICT r6 item 5).
+
+Fixed testdata tops out at sf0.1 (5,000 documents / 2,000 embeddings), so
+the 100 TB claim rests on plan-shape arguments.  This harness is the
+strongest available measurement proxy: generate synthetic corpora at
+1x / 3x / 10x the sf0.1 row counts through the repo's own
+``SyntheticCorpusDataSource`` (sources/pyds.py -- driver-bottleneck-free
+sharded generation), run the most expensive documents/embeddings queries
+at each scale, and fit the per-query scaling exponent
+(least-squares slope of log t vs log m).  An exponent near 1.0 means the
+operator scales linearly with corpus size; materially above ~1.3 flags a
+super-linear term (candidate-pair blowup, unpartitioned window, driver
+collect) that 100 TB would amplify.
+
+Corpus shape: the raw synthetic docs (vocab 20, 5-24 tokens) are near-dup
+FREE (random short docs share almost no 3-gram shingles), which would let
+the dedup-graph family run on an empty edge set.  A twin layer fixes the
+density: every 5th doc gets a near-duplicate copy (one token appended,
+Jaccard >= ~0.85) with doc_id offset by n_docs -- so the candidate graph
+carries ~n/5 genuine near-dup edges at every scale, the same relative
+density at 1x and 10x.  Embeddings are deterministic 64-dim uniforms in
+[-0.38, 0.38] (xxhash64-derived, matching the real table's range) with
+labels 0-9.
+
+Usage: python tools/scale_rehearsal.py [out_json] [query ...]
+  env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALES (default "1,3,10")
+Writes SCALE_REHEARSAL.json: {query: {"t": {m: sec}, "exponent": e}, ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+# the most expensive registered queries that read ONLY documents /
+# embeddings (r6 bench ranking) -- the dedup graph family, LSH, IVF-PQ,
+# semantic dedup, exact-Jaccard join, and the streaming near-dup twin
+DEFAULT_QUERIES = [
+    "semantic_dedup_clusters",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "similarity_ivfpq_topk",
+    "lsh_precision_report",
+    "dedup_graph_kcore",
+    "dedup_graph_labelprop",
+    "dedup_graph_pagerank",
+    "jaccard_prefix_join",
+    "link_prediction_scores",
+    "minhash_lsh_pairs",
+    "incremental_neardup_stream",
+]
+
+BASE_DOCS = 4_000   # + 800 twins ~= sf0.1's 5,000 docs at m=1
+BASE_EMB = 2_000
+
+
+def gen_dataset(spark, out_dir: str, m: int) -> None:
+    """Synthetic sf0.1-shaped dataset at ``m`` times the row counts."""
+    from odp_dynamic_data_pipeline_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    n_docs = BASE_DOCS * m
+    raw = (
+        spark.read.format("synthetic_corpus")
+        .option("n_docs", n_docs)
+        .option("partitions", 32)
+        .option("vocab", 20)
+        .load()
+    )
+    twins = raw.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + n_docs).alias("doc_id"),
+        F.concat("text", F.lit(" t0")).alias("text"),
+    )
+    docs = raw.unionByName(twins).select(
+        "doc_id",
+        "text",
+        F.element_at(
+            F.array(F.lit("en"), F.lit("en"), F.lit("en"), F.lit("zh"), F.lit("de")),
+            (F.pmod(F.xxhash64("doc_id", F.lit("lang")), F.lit(5)) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(F.lit("src"), F.pmod(F.xxhash64("doc_id", F.lit("src")), F.lit(20))).alias(
+            "source"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+    docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    emb = spark.range(BASE_EMB * m).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), j -> "
+            "CAST((pmod(xxhash64(id, j), 1000) - 500) / 1300.0 AS FLOAT))"
+        ).alias("embedding"),
+        F.pmod(F.xxhash64("id", F.lit("label")), F.lit(10)).cast("int").alias("label"),
+    )
+    emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def fit_exponent(ts: dict[int, float]) -> float:
+    """Least-squares slope of log t over log m."""
+    pts = [(math.log(m), math.log(t)) for m, t in ts.items() if t > 0]
+    if len(pts) < 2:
+        return float("nan")
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    return round((n * sxy - sx * sy) / (n * sxx - sx * sx), 3)
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SCALE_REHEARSAL.json")
+    names = sys.argv[2:] or DEFAULT_QUERIES
+    scales = [int(s) for s in os.environ.get("SPARK_GRAFT_SCALES", "1,3,10").split(",")]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from odp_dynamic_data_pipeline_spark.queries import SPARK_QUERIES
+    from odp_dynamic_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale_rehearsal", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="scale_rehearsal_")
+    dirs: dict[int, str] = {}
+    for m in scales:
+        d = f"{root}/m{m}"
+        print(f"generating m={m} ({BASE_DOCS * m} docs + twins, {BASE_EMB * m} emb)",
+              file=sys.stderr)
+        gen_dataset(spark, d, m)
+        dirs[m] = d
+
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = SPARK_QUERIES[name]
+        # untimed warm pass at the smallest scale sheds per-query codegen
+        try:
+            fn(spark, dirs[scales[0]]).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"error": repr(e)[:300]}
+            print(f"{name}: ERROR {e!r}", file=sys.stderr)
+            continue
+        ts: dict[int, float] = {}
+        for m in scales:
+            t0 = time.time()
+            fn(spark, dirs[m]).write.format("noop").mode("overwrite").save()
+            ts[m] = round(time.time() - t0, 3)
+        results[name] = {"t": ts, "exponent": fit_exponent(ts)}
+        print(f"{name}: {ts} exponent={results[name]['exponent']}", file=sys.stderr)
+
+    doc = {
+        "queries": results,
+        "scales_x_sf01": scales,
+        "base_rows": {"documents": BASE_DOCS, "doc_twins": BASE_DOCS // 5,
+                      "embeddings": BASE_EMB},
+        "cpus": int(cpus),
+        "protocol": "one shared session; untimed warm pass at smallest scale,"
+        " then one timed run per scale ascending; exponent = LSQ slope of"
+        " log t vs log m",
+    }
+    with open(out_path, "w") as f:
+        f.write(json.dumps(doc) + "\n")
+    print(json.dumps(doc))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
