@@ -48,9 +48,18 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "
         df.withColumn("__toks", F.expr(f"regexp_extract_all({text_col}, r'\\S+', 0)"))
         .withColumn(
             out_col,
+            # the short-doc guard must be a CASE, not greatest(..., 0):
+            # Spark's sequence(1, 0) is the DESCENDING [1, 0], whose 0
+            # lands in slice() as an illegal start -- a doc with fewer
+            # than n tokens crashed the whole query (surfaced by the
+            # synthetic scale rehearsal's 5-token docs).  Empty-set
+            # semantics matches the DuckDB oracles' generate_series(1,
+            # len-n+1), which is empty when len < n.
             F.expr(
-                f"array_distinct(transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)),"
+                f"CASE WHEN size(__toks) >= {n} THEN"
+                f" array_distinct(transform(sequence(1, size(__toks) - {n - 1}),"
                 f" i -> array_join(slice(__toks, i, {n}), ' ')))"
+                f" ELSE CAST(array() AS ARRAY<STRING>) END"
             ),
         )
         .drop("__toks")

@@ -200,3 +200,19 @@ def test_jaccard_join_exact_no_false_negatives(spark):
     # base: 8 shingles, near: 9, shared: 8 -> J = 8/9
     assert (r["inter"], r["uni"]) == (8, 9)
     assert r["jac_e6"] == (1_000_000 * 8) // 9
+
+
+def test_shingles_short_doc_yields_empty_set(spark):
+    # a doc with fewer than n tokens must contribute an EMPTY shingle set
+    # (matching the oracles' generate_series(1, len-n+1) semantics), not
+    # crash: the old greatest(...,0) guard produced Spark's DESCENDING
+    # sequence(1,0)=[1,0] whose 0 is an illegal slice() start
+    from odp_dynamic_data_pipeline_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.shingles for r in shingles(df, "text", n=8).collect()}
+    assert rows[1] == []
+    assert len(rows[2]) == 2  # 9 tokens -> two 8-gram shingles

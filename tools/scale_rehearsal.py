@@ -56,7 +56,7 @@ DEFAULT_QUERIES = [
     "dedup_graph_pagerank",
     "jaccard_prefix_join",
     "link_prediction_scores",
-    "minhash_lsh_pairs",
+    "dedup_minhash_lsh",
     "incremental_neardup_stream",
 ]
 
@@ -139,8 +139,28 @@ def main() -> None:
         gen_dataset(spark, d, m)
         dirs[m] = d
 
+    def write_doc(results: dict) -> dict:
+        doc = {
+            "queries": results,
+            "scales_x_sf01": scales,
+            "base_rows": {"documents": BASE_DOCS, "doc_twins": BASE_DOCS // 5,
+                          "embeddings": BASE_EMB},
+            "cpus": int(cpus),
+            "protocol": "one shared session; untimed warm pass at smallest scale,"
+            " then one timed run per scale ascending; exponent = LSQ slope of"
+            " log t vs log m",
+        }
+        # written after EVERY query so a late failure loses nothing
+        with open(out_path, "w") as f:
+            f.write(json.dumps(doc) + "\n")
+        return doc
+
     results: dict[str, dict] = {}
     for name in names:
+        if name not in SPARK_QUERIES:
+            results[name] = {"error": "not a registered query"}
+            print(f"{name}: not a registered query", file=sys.stderr)
+            continue
         fn = SPARK_QUERIES[name]
         # untimed warm pass at the smallest scale sheds per-query codegen
         try:
@@ -152,24 +172,22 @@ def main() -> None:
         ts: dict[int, float] = {}
         for m in scales:
             t0 = time.time()
-            fn(spark, dirs[m]).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, dirs[m]).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001 - keep the smaller scales
+                results[name] = {"t": ts, "error_at_scale": m,
+                                 "error": repr(e)[:300]}
+                print(f"{name}: ERROR at m={m} {e!r}", file=sys.stderr)
+                break
             ts[m] = round(time.time() - t0, 3)
+        if "error" in results.get(name, {}):
+            write_doc(results)
+            continue
         results[name] = {"t": ts, "exponent": fit_exponent(ts)}
         print(f"{name}: {ts} exponent={results[name]['exponent']}", file=sys.stderr)
+        write_doc(results)
 
-    doc = {
-        "queries": results,
-        "scales_x_sf01": scales,
-        "base_rows": {"documents": BASE_DOCS, "doc_twins": BASE_DOCS // 5,
-                      "embeddings": BASE_EMB},
-        "cpus": int(cpus),
-        "protocol": "one shared session; untimed warm pass at smallest scale,"
-        " then one timed run per scale ascending; exponent = LSQ slope of"
-        " log t vs log m",
-    }
-    with open(out_path, "w") as f:
-        f.write(json.dumps(doc) + "\n")
-    print(json.dumps(doc))
+    print(json.dumps(write_doc(results)))
     shutil.rmtree(root, ignore_errors=True)
 
 
