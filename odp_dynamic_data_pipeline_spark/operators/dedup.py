@@ -1078,7 +1078,7 @@ def label_propagation(
     return labels.join(sizes, "lbl").select("nid", "lbl", "community_size")
 
 
-def adamic_adar_scores(edges: DataFrame) -> DataFrame:
+def adamic_adar_scores(edges: DataFrame, *, max_degree: int | None = None) -> DataFrame:
     """Common-neighbor + Adamic-Adar scores for every distance-2 pair of an
     undirected graph given as deduplicated (id_a < id_b) edges, flagged by
     whether the pair is already a direct edge -- the link-prediction core
@@ -1090,7 +1090,19 @@ def adamic_adar_scores(edges: DataFrame) -> DataFrame:
     neighbor by construction, so the fold's x >= 1 contract holds).
     Wedges enumerate via one equi-self-join keyed on the shared endpoint
     (degree-bounded fan-out, the triangle-counting cost class).
-    Output: (id_a, id_b, common_neighbors, aa_e6, is_edge)."""
+    Output: (id_a, id_b, common_neighbors, aa_e6, is_edge).
+
+    The wedge count -- and therefore BOTH the join cost and the OUTPUT
+    size -- is sum over nodes of deg^2: inherently super-linear on graphs
+    whose hub degrees grow with corpus size (the scale rehearsal measured
+    exponent ~1.4 on a synthetic near-dup graph).  That is output-bound,
+    not a plan defect; the scale lever is ``max_degree``, which drops
+    wedges THROUGH hub nodes above the cap before the self-join (the
+    max_bucket_size discipline: in a dedup graph a mega-degree node is
+    boilerplate, and its 1/log2(deg) AA contribution is the smallest
+    anyway).  Pairs then score over surviving shared neighbors only --
+    the standard production approximation; None keeps the exact
+    semantics the oracle replays."""
     from odp_dynamic_data_pipeline_spark.functions.scalars import ilog2_fp20_sql
 
     e = edges.select("id_a", "id_b").distinct()
@@ -1098,6 +1110,10 @@ def adamic_adar_scores(edges: DataFrame) -> DataFrame:
         e.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    if max_degree is not None:
+        sym = sym.join(
+            deg.where(F.col("deg") <= max_degree).select(F.col("s")), "s"
+        )
     w1 = sym.select(F.col("s").alias("k"), F.col("d").alias("i"))
     w2 = sym.select(F.col("s").alias("k"), F.col("d").alias("j"))
     wed = w1.join(w2, "k").where(F.col("i") < F.col("j"))

@@ -97,3 +97,29 @@ def test_random_graph_agrees_with_pure_python(spark):
     }
     got = _scores(spark, sorted(edges))
     assert got == expect
+
+
+def test_max_degree_cap_drops_hub_wedges_keeps_true_degree_weights(spark):
+    # star 0-{1,2,3,4} plus path 1-2-5: node 0 is the deg-4 hub.
+    # Uncapped: all 6 hub wedges appear.  With max_degree=3 the hub's
+    # wedges vanish, but wedges through surviving nodes keep weights from
+    # the TRUE degree table (node 2 has deg 3 > cap? no: deg(2) = {0,1,5}
+    # = 3 <= cap, kept).
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 5)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    uncapped = {
+        (r.id_a, r.id_b) for r in adamic_adar_scores(df).collect()
+    }
+    assert (3, 4) in uncapped  # a hub-only wedge
+    capped = {
+        (r.id_a, r.id_b): (r.common_neighbors, r.aa_e6)
+        for r in adamic_adar_scores(df, max_degree=3).collect()
+    }
+    assert (3, 4) not in capped          # hub wedges gone
+    # wedge 0-2 through BOTH 1 (deg 2) and ... only 1 survives; weight
+    # must use deg(1)=2 -> 1e6 exactly
+    assert capped[(0, 2)] == (1, E6)
+    # wedge (1,5) through node 2: deg(2)=3, weight = 1e6/log2(3)
+    from odp_dynamic_data_pipeline_spark.operators.text import ilog2_fp20
+
+    assert capped[(1, 5)] == (1, (E6 << 20) // ilog2_fp20(3))
