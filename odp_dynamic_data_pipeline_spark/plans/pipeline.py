@@ -311,6 +311,28 @@ class Pipeline:
         path_vars = path_vars or {}
         outputs: dict[str, DataFrame] = {}
         mappings: dict[str, DataFrame] = {}
+        materialized: dict[str, DataFrame] = {}
+
+        def _static_table(mname: str, m: DataFrame) -> DataFrame:
+            """A mapping consumed by a STREAM stage must be a concrete
+            table, not a computed plan: the static side of a stream-static
+            join is re-evaluated per micro-batch, and the last-wins
+            extraction's monotonically_increasing_id is rejected inside a
+            streaming plan.  Materialize once to parquet and read back
+            (exactly what mappings_dir does for cross-job handoff)."""
+            if mname not in materialized:
+                import tempfile
+
+                base = (
+                    mappings_dir
+                    or (f"{work_dir}/mappings" if work_dir else None)
+                    or tempfile.mkdtemp(prefix="pipe_maps_")
+                )
+                dest = f"{base}/{mname}"
+                m.write.mode("overwrite").parquet(dest)
+                materialized[mname] = spark.read.parquet(dest)
+            return materialized[mname]
+
         for name in self.order:
             st = self.stages[name]
             df = self._read_input(spark, st, hour, path_vars)
@@ -318,6 +340,8 @@ class Pipeline:
                 m = mappings.get(r["name"])
                 if m is None and mappings_dir:
                     m = spark.read.parquet(f"{mappings_dir}/{r['name']}")
+                if df.isStreaming:
+                    m = _static_table(r["name"], m)
                 df = enrich(df, m, key_col=r["key_field"], mapping_key="key")
             for t in _as_list(st.spec.get("transforms")):
                 df = _apply_transform(df, t)

@@ -196,3 +196,45 @@ def test_stream_stage_incremental_rerun(spark, tmp_path):
     assert len({r.eventId for r in rows}) == len(USER_EXP)
     keys2 = {r.key for r in maps2["trace_to_client"].collect()}
     assert "traceC1" in keys2 and keys1 <= keys2
+
+
+def test_stream_stage_with_mapping_read(spark, tmp_path):
+    """A STREAM stage can also CONSUME a mapping produced by a batch
+    stage: the enrichment join is applied to the streaming DataFrame
+    (stream-static join) before the AvailableNow drain, and the staged
+    table carries the enriched column."""
+    import json as _json
+
+    from odp_dynamic_data_pipeline_spark.plans.pipeline import Pipeline
+
+    data = tmp_path / "data"
+    data.mkdir()
+    with open(data / "user_exp_x.json", "w") as f:
+        _json.dump(USER_EXP, f)
+    # batch stage maps traceId -> clientId from the SAME file; the stream
+    # stage re-reads the events as a stream and enriches eventId rows
+    # through the mapping keyed on traceId
+    spec = {
+        "pipeline_name": "se",
+        "stages": {
+            "s_stream": {
+                "input": {"format": "stream", "stream_format": "json",
+                          "path": f"{data}/user_exp_*.json", "schema": "user_exp"},
+                "mappings": {"read": [{"name": "t2c", "key_field": "traceId"}]},
+            },
+            "s_batch": {
+                "input": {"format": "json", "path": f"{data}/user_exp_x.json",
+                          "schema": "user_exp"},
+                "mappings": {"write": [{"name": "t2c", "key": "traceId",
+                                        "value": "clientId"}]},
+            },
+        },
+    }
+    outputs, _ = Pipeline(spec).compile(spark, work_dir=str(tmp_path / "w"))
+    rows = {r.eventId: r for r in outputs["s_stream"].collect()}
+    assert len(rows) == len(USER_EXP)
+    # the stream-static enrichment ran: every row joined its mapping value
+    # (collision-overwrite onto clientId) and none came back null
+    assert rows["e1"].clientId == "clientA"
+    assert rows["e8"].clientId == "clientC"
+    assert all(r.clientId is not None for r in rows.values())
