@@ -69,9 +69,56 @@ class FieldsUDTF:
         yield tuple(toks[i] if i < len(toks) else None for i in range(n))
 
 
+@udtf(returnType="lang: string, n_docs: bigint, n_incr: bigint, max_run: bigint")
+class LangRunsUDTF:
+    """PARTITION-scoped table function (Spark 4 TABLE(...) PARTITION BY /
+    ORDER BY table arguments): invoked as
+
+        lang_runs_udtf(TABLE(t) PARTITION BY lang ORDER BY doc_id)
+
+    the engine feeds each instance ONE WHOLE PARTITION in the declared
+    order -- eval() sees every row of a lang sequentially, terminate()
+    emits the per-partition summary.  This is the surface for sequential
+    per-group algorithms (CDC folds, legacy per-key state machines) that
+    neither a scalar UDF (no order), a grouped-pandas kernel (whole group
+    in ONE batch -- memory-bound), nor a window function (no arbitrary
+    Python state) can express: state is O(1) per instance regardless of
+    partition size, rows stream through.
+
+    The statistic: n_incr counts doc_id-ordered ascents of n_chars and
+    max_run the longest ascent run -- order-dependent on purpose, so the
+    oracle (lag window per lang) breaks if partition/order table-arg
+    semantics ever regress."""
+
+    def __init__(self):  # noqa: D107
+        self._lang = None
+        self._prev = None
+        self._n = 0
+        self._incr = 0
+        self._run = 1
+        self._max_run = 1
+
+    def eval(self, row):  # noqa: D102 - Row of the partitioned table arg
+        self._lang = row["lang"]
+        self._n += 1
+        if self._prev is not None:
+            if row["n_chars"] > self._prev:
+                self._incr += 1
+                self._run += 1
+            else:
+                self._run = 1
+            self._max_run = max(self._max_run, self._run)
+        self._prev = row["n_chars"]
+
+    def terminate(self):  # noqa: D102 - one summary row per partition
+        if self._n:
+            yield self._lang, self._n, self._incr, self._max_run
+
+
 def register_engine_udfs(spark: SparkSession) -> None:
     """Make the extension functions callable from SQL."""
     spark.udf.register("token_count_udf", token_count_udf)
     spark.udf.register("median_abs_dev_udf", median_abs_dev_udf)
     spark.udtf.register("shingle_udtf", ShingleUDTF)
     spark.udtf.register("fields_udtf", udtf(FieldsUDTF))
+    spark.udtf.register("lang_runs_udtf", LangRunsUDTF)

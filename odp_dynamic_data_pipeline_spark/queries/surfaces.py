@@ -3579,3 +3579,50 @@ def fim_transform_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "md5(concat('<PRE>', pre, '<SUF>', suf, '<MID>', mid))"
         ).alias("psm_md5"),
     )
+
+
+@register(
+    "udtf_table_partition_args",
+    """
+WITH l AS (
+  SELECT lang, doc_id, n_chars,
+         CASE WHEN n_chars > lag(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
+              THEN 1 ELSE 0 END AS is_asc
+  FROM documents
+),
+g AS (
+  SELECT lang, is_asc,
+         SUM(CASE WHEN is_asc = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY lang ORDER BY doc_id) AS grp
+  FROM l
+),
+r AS (SELECT lang, grp, COUNT(*) AS run_len FROM g GROUP BY lang, grp)
+SELECT l.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_asc) AS BIGINT) AS n_incr,
+       CAST((SELECT MAX(run_len) FROM r WHERE r.lang = l.lang) AS BIGINT) AS max_run
+FROM l GROUP BY l.lang
+""",
+)
+def udtf_table_partition_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-scoped Python UDTF via Spark 4 TABLE() arguments:
+    ``lang_runs_udtf(TABLE(documents) PARTITION BY lang ORDER BY doc_id)``
+    hands each UDTF instance one whole lang partition in doc_id order --
+    eval() streams the rows with O(1) Python state, terminate() emits the
+    per-partition summary (ascent count + longest ascent run of n_chars,
+    deliberately order-dependent so the oracle's lag/gaps-and-islands
+    replay breaks if partition/order table-arg semantics regress).  The
+    missing piece between udtf_lateral_shingles (per-row fan-out) and the
+    grouped-pandas kernels (whole group as ONE Arrow batch): sequential
+    per-group algorithms over partitions too big to batch.  Scale shape:
+    one hash shuffle on the partition key, state O(1) per instance."""
+    from odp_dynamic_data_pipeline_spark.functions.udfs import register_engine_udfs
+
+    register_views(spark, sf_dir, ["documents"])
+    register_engine_udfs(spark)
+    return spark.sql(
+        """
+        SELECT lang, n_docs, n_incr, max_run
+        FROM lang_runs_udtf(TABLE(documents) PARTITION BY lang ORDER BY doc_id)
+        """
+    )

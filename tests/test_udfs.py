@@ -126,3 +126,32 @@ def test_fields_udtf_analyze_schema_and_padding(spark):
         spark.sql(
             "SELECT s.* FROM VALUES ('a') AS t(txt), LATERAL fields_udtf(t.txt, 0) s"
         ).collect()
+
+
+def test_lang_runs_udtf_partition_order_semantics(spark):
+    """Crafted partitions pin the TABLE(...) PARTITION BY / ORDER BY UDTF:
+    ascents count strictly-increasing steps in doc_id order, equal values
+    RESET the run, a single-row partition reports max_run 1."""
+    from odp_dynamic_data_pipeline_spark.functions.udfs import register_engine_udfs
+
+    register_engine_udfs(spark)
+    rows = [
+        # lang a: 10,20,20,30,40 -> ascents at 20,30,40 = 3; runs: [10,20]
+        # len2, reset at =20, [20,30,40] len3 -> max_run 3
+        (0, "a", 10), (1, "a", 20), (2, "a", 20), (3, "a", 30), (4, "a", 40),
+        # lang b: single doc -> 0 ascents, max_run 1
+        (5, "b", 7),
+        # lang c: strictly decreasing -> 0 ascents, max_run 1
+        (6, "c", 9), (7, "c", 8), (8, "c", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long"
+    ).createOrReplaceTempView("udtf_part_docs")
+    got = {
+        r.lang: (r.n_docs, r.n_incr, r.max_run)
+        for r in spark.sql(
+            "SELECT * FROM lang_runs_udtf(TABLE(udtf_part_docs)"
+            " PARTITION BY lang ORDER BY doc_id)"
+        ).collect()
+    }
+    assert got == {"a": (5, 3, 3), "b": (1, 0, 1), "c": (3, 0, 1)}
