@@ -22,12 +22,17 @@ def main() -> None:
     ap.add_argument("--var", action="append", default=[], help="path var, k=v")
     ap.add_argument("--tlb", action="store_true", help="also run TLB metrics over the stage outputs")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--work-dir", default=None,
+        help="staging + checkpoint root for streaming stages; a stable path"
+        " makes hourly re-runs incremental",
+    )
     args = ap.parse_args()
 
     path_vars = dict(v.split("=", 1) for v in args.var)
     spark = get_spark("pipeline-run", master=args.master)
     pipe = load_pipeline(args.pipeline_yaml)
-    outputs = pipe.run(spark, hour=args.hour, path_vars=path_vars)
+    outputs = pipe.run(spark, hour=args.hour, path_vars=path_vars, work_dir=args.work_dir)
     for name, df in outputs.items():
         print(f"stage {name}: {df.count()} rows")
 
