@@ -1141,3 +1141,113 @@ def adamic_adar_scores(edges: DataFrame, *, max_degree: int | None = None) -> Da
             F.coalesce("is_edge", F.lit(False)).alias("is_edge"),
         )
     )
+
+
+def _deletion_variants_expr(col: str, max_dist: int) -> str:
+    """SQL expression: the FastSS deletion neighborhood of ``col`` up to
+    ``max_dist`` character deletions (distinct, includes the original).
+
+    sequence(1, 0) in Spark is the DESCENDING [1, 0] (not empty), so every
+    level is guarded by an explicit length CASE -- an empty or 1-char
+    string must yield only the shorter neighborhoods, not garbage slices.
+    """
+    d0 = f"array({col})"
+    d1 = (
+        f"CASE WHEN length({col}) >= 1 THEN "
+        f"transform(sequence(1, length({col})), i -> "
+        f"concat(substring({col}, 1, i - 1), substring({col}, i + 1, length({col}) - i)))"
+        f" ELSE array() END"
+    )
+    if max_dist == 1:
+        return f"array_distinct(concat({d0}, {d1}))"
+    d2 = (
+        f"CASE WHEN length({col}) >= 2 THEN "
+        f"flatten(transform(sequence(1, length({col}) - 1), i -> "
+        f"transform(sequence(i + 1, length({col})), j -> "
+        f"concat(substring({col}, 1, i - 1), substring({col}, i + 1, j - i - 1), "
+        f"substring({col}, j + 1, length({col}) - j)))))"
+        f" ELSE array() END"
+    )
+    return f"array_distinct(concat({d0}, {d1}, {d2}))"
+
+
+def edit_distance_join(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    str_col: str = "name",
+    max_dist: int = 1,
+) -> DataFrame:
+    """EXACT edit-distance similarity self-join via deletion-neighborhood
+    blocking (FastSS: Bocek et al., TR 2007; the SymSpell index): returns
+    every pair of rows whose strings are within Levenshtein distance
+    ``max_dist`` (1 or 2) -- the character-level fuzzy-match counterpart to
+    the set-similarity ``jaccard_join``.  Reference parity: the reference's
+    enrichment joins are exact-key only (src/data_processor.py:120-141);
+    this is the approximate-key extension an entity-resolution /
+    training-data curation pipeline needs.
+
+    Blocking: two strings with lev <= d always share at least one variant
+    in their <=d-deletion neighborhoods, so candidates come from an
+    equi-self-join on deletion variants -- never O(n^2) -- and survivors
+    are verified with the exact ``levenshtein`` (no false negatives; the
+    DuckDB oracle IS the brute-force all-pairs join).
+
+    Scale shape for 100 TB:
+      * the join runs over DISTINCT strings (exact duplicates collapse
+        before the neighborhood explodes), then expands back through the
+        (string -> id) map, so a billion rows with a million distinct keys
+        index a million strings, not a billion;
+      * variant buckets are tiny by construction for real key data (a
+        bucket holds strings that agree after <=d deletions); pathological
+        near-identical clusters surface in the OUTPUT size itself, which
+        is the caller's semantic problem, not a planning artifact;
+      * the neighborhood is O(len^d) variants per distinct string -- d<=2
+        by contract, short key/name strings by use case.
+
+    Output: (id_a, id_b, name_a, name_b, dist) with id_a < id_b, one row
+    per qualifying pair, dist exact (0 for distinct ids sharing an equal
+    string)."""
+    if max_dist not in (1, 2):
+        raise ValueError(f"max_dist must be 1 or 2, got {max_dist}")
+    names = df.select(F.col(id_col).alias("__id"), F.col(str_col).alias("__s")).where(
+        F.col("__s").isNotNull()
+    )
+    uniq = names.select("__s").distinct()
+    idx = uniq.select(
+        "__s", F.explode(F.expr(_deletion_variants_expr("__s", max_dist))).alias("__v")
+    )
+    ia = idx.select(F.col("__s").alias("__sa"), "__v")
+    ib = idx.select(F.col("__s").alias("__sb"), "__v")
+    cand = (
+        ia.join(ib, "__v")
+        .where(F.col("__sa") < F.col("__sb"))
+        .select("__sa", "__sb")
+        .distinct()
+        .withColumn("__dist", F.levenshtein("__sa", "__sb"))
+        .where(F.col("__dist") <= max_dist)
+    )
+    # expand matched DISTINCT string pairs back to id pairs
+    a_ids = names.select(F.col("__s").alias("__sa"), F.col("__id").alias("__ida"))
+    b_ids = names.select(F.col("__s").alias("__sb"), F.col("__id").alias("__idb"))
+    fuzzy = cand.join(a_ids, "__sa").join(b_ids, "__sb")
+    # distinct ids sharing an EQUAL string are dist-0 pairs (the string
+    # self-join above excludes sa == sb by construction)
+    same = (
+        names.select(F.col("__s").alias("__sa"), F.col("__id").alias("__ida"))
+        .join(names.select(F.col("__s").alias("__sb"), F.col("__id").alias("__idb")),
+              F.col("__sa") == F.col("__sb"))
+        .where(F.col("__ida") < F.col("__idb"))
+        .withColumn("__dist", F.lit(0))
+    )
+    both = fuzzy.select("__ida", "__idb", "__sa", "__sb", "__dist").unionByName(
+        same.select("__ida", "__idb", "__sa", "__sb", "__dist")
+    )
+    swap = F.col("__ida") < F.col("__idb")
+    return both.select(
+        F.when(swap, F.col("__ida")).otherwise(F.col("__idb")).alias("id_a"),
+        F.when(swap, F.col("__idb")).otherwise(F.col("__ida")).alias("id_b"),
+        F.when(swap, F.col("__sa")).otherwise(F.col("__sb")).alias("name_a"),
+        F.when(swap, F.col("__sb")).otherwise(F.col("__sa")).alias("name_b"),
+        F.col("__dist").cast("int").alias("dist"),
+    )

@@ -1216,6 +1216,33 @@ def er_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_join_suppliers",
+    """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       a.s_name AS name_a, b.s_name AS name_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+""",
+)
+def fuzzy_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance self-join on supplier names via FastSS
+    deletion-neighborhood blocking (operators.dedup.edit_distance_join):
+    candidates from an equi-join on <=1-deletion variants of DISTINCT
+    strings, verified with exact levenshtein, expanded back through the
+    (string -> id) map -- the character-level fuzzy-match sibling of the
+    set-similarity jaccard_prefix_join, and the approximate-key extension
+    of the reference's exact enrichment joins
+    (src/data_processor.py:120-141).  The DuckDB oracle IS the brute-force
+    all-pairs join, so the hash gate proves the blocked plan loses no
+    pair."""
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return dd.edit_distance_join(
+        sup, id_col="s_suppkey", str_col="s_name", max_dist=1
+    )
+
+
+@register(
     "pyds_stream_ingest",
     """
 WITH ids AS (SELECT UNNEST(generate_series(0, 199)) AS doc_id),
