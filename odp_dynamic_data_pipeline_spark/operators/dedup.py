@@ -1251,3 +1251,110 @@ def edit_distance_join(
         F.when(swap, F.col("__sb")).otherwise(F.col("__sa")).alias("name_b"),
         F.col("__dist").cast("int").alias("dist"),
     )
+
+
+def containment_join(
+    needles: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    tau_e6: int = 800_000,
+) -> DataFrame:
+    """EXACT Jaccard-CONTAINMENT join: every (needle, corpus) pair with
+    C(A, B) = |A ∩ B| / |A| >= tau over word ``n``-gram shingle sets,
+    id_a != id_b -- the ASYMMETRIC sibling of ``jaccard_join`` (Jaccard
+    misses a short document quoted inside a long one because the union is
+    dominated by |B|; containment is the quote/boilerplate/subset-dup
+    detector a training-data curation pipeline runs).
+
+    Blocking (prefix filter, containment form): if |A ∩ B| >= ceil(tau*|A|)
+    then B must hit at least one of A's first |A| - ceil(tau*|A|) + 1
+    shingles under ANY fixed ordering -- ordering by global corpus rarity
+    (document frequency asc, hash asc) makes those prefix shingles the
+    rare ones, so the candidate equi-join against the full corpus inverted
+    index has bounded per-key fan-out; needle shingles absent from the
+    corpus sort first (df 0) and match nothing at all.  The corpus side
+    carries no prefix (containment puts no lower bound on |B| beyond
+    |B| >= ceil(tau*|A|), applied as a length filter).  Survivors are
+    verified with an exact integer intersect, so the result EQUALS the
+    brute-force all-pairs join -- which is what the DuckDB oracle computes.
+
+    Output: (id_a, id_b, inter, na, nb, cont_e6); cont_e6 exact integer
+    floor of 1e6 * containment."""
+    hash_expr = "CAST(conv(substr(md5(__s), 1, 15), 16, 10) AS BIGINT)"
+    a_h = (
+        shingles(needles.select(id_col, text_col), text_col, n=n)
+        .select(F.col(id_col).alias("__id"), F.explode("shingles").alias("__s"))
+        .select("__id", F.expr(hash_expr).alias("h"))
+        .distinct()
+    )
+    b_h = (
+        shingles(corpus.select(id_col, text_col), text_col, n=n)
+        .select(F.col(id_col).alias("__id"), F.explode("shingles").alias("__s"))
+        .select("__id", F.expr(hash_expr).alias("h"))
+        .distinct()
+    )
+    freq = b_h.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+    a_ordered = (
+        a_h.join(freq, "h", "left")
+        .withColumn("__df", F.coalesce("__df", F.lit(0)))
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list(F.struct("__df", "h"))).alias("__os"))
+        .select(
+            "__id",
+            F.expr("transform(__os, x -> x.h)").alias("__arr"),
+            F.size("__os").cast("long").alias("__n"),
+        )
+    )
+    b_arrays = b_h.groupBy("__id").agg(
+        F.collect_list("h").alias("__arr"), F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    # prefix length p = n - ceil(tau*n) + 1 (exact integer ceil)
+    p = f"__n - ((CAST({tau_e6} AS BIGINT) * __n + 999999) div 1000000) + 1"
+    pa = a_ordered.select(
+        F.col("__id").alias("id_a"),
+        F.col("__n").alias("__na"),
+        F.explode(F.expr(f"slice(__arr, 1, {p})")).alias("h"),
+    )
+    ib = b_h.join(
+        b_arrays.select(F.col("__id"), F.col("__n").alias("__nb")), "__id"
+    ).select(F.col("__id").alias("id_b"), "__nb", "h")
+    cand = (
+        pa.join(ib, "h")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.lit(1_000_000) * F.col("__nb") >= F.lit(tau_e6) * F.col("__na"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verify = (
+        cand.join(
+            a_ordered.select(
+                F.col("__id").alias("id_a"),
+                F.col("__arr").alias("__aa"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            b_arrays.select(
+                F.col("__id").alias("id_b"),
+                F.col("__arr").alias("__ab"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.expr("CAST(size(array_intersect(__aa, __ab)) AS BIGINT)"))
+        .where(F.lit(1_000_000) * F.col("inter") >= F.lit(tau_e6) * F.col("__na"))
+    )
+    return verify.select(
+        "id_a",
+        "id_b",
+        "inter",
+        F.col("__na").alias("na"),
+        F.col("__nb").alias("nb"),
+        F.expr("(1000000 * inter) div __na").alias("cont_e6"),
+    )

@@ -3661,6 +3661,45 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_join(docs, n=8, tau_e6=300_000)
 
 
+@register(
+    "containment_quotes",
+    r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+  WHERE len(regexp_extract_all(text, '\S+')) >= 8
+),
+sh AS (
+  SELECT doc_id, len(t) AS nt,
+         list_distinct(list_transform(generate_series(1, len(t) - 7),
+           i -> ('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15))::BIGINT)) AS s
+  FROM toks
+)
+SELECT id_a, id_b, inter, na, nb, (1000000 * inter) // na AS cont_e6
+FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+         CAST(len(a.s) AS BIGINT) AS na,
+         CAST(len(b.s) AS BIGINT) AS nb
+  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+  WHERE a.nt <= 32
+)
+WHERE 1000000 * inter >= 800000 * na
+""",
+)
+def containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard-CONTAINMENT join (operators.dedup.containment_join):
+    short documents (<= 32 tokens, the quote/snippet side) whose 8-gram
+    shingle sets are >= 80% contained in ANOTHER document -- the
+    asymmetric subset-duplicate detector Jaccard misses (a quote inside a
+    long page has tiny J but containment ~1).  Candidates from a
+    rarity-ordered prefix join against the full corpus inverted index,
+    exact-intersect verified; the DuckDB oracle IS the brute force, so
+    the hash gate proves the pruned plan loses no pair."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    needles = docs.where(F.expr(r"size(regexp_extract_all(text, r'\S+', 0)) <= 32"))
+    return dd.containment_join(needles, docs, n=8, tau_e6=800_000)
+
+
 def _bm25_oracle(terms: list[str], k: int = 10) -> str:
     """BM25 oracle: idf log2 via the recursive-CTE fixed-point recurrence
     (the dsir-oracle pattern -- DuckDB's list_reduce fold mis-evaluates
