@@ -1358,3 +1358,54 @@ def containment_join(
         F.col("__nb").alias("nb"),
         F.expr("(1000000 * inter) div __na").alias("cont_e6"),
     )
+
+
+def hamming_join(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    code_col: str = "code",
+    bits: int = 60,
+    max_dist: int = 3,
+) -> DataFrame:
+    """EXACT Hamming-distance self-join over fixed-width bit fingerprints
+    (SimHash, perceptual image hashes): every pair with
+    popcount(code_a XOR code_b) <= max_dist -- the retrieval half of the
+    SimHash dedup pipeline (Manku, Jain & Sarma, WWW'07: Google's
+    web-crawl near-dup detector), complementing ``simhash``, which only
+    COMPUTES fingerprints.
+
+    Blocking (multi-index pigeonhole): split the ``bits``-wide code into
+    ``max_dist + 1`` disjoint bands; a pair within distance d flips bits
+    in at most d bands, so at least one band matches EXACTLY -- candidates
+    come from an equi-self-join on (band_index, band_value), verified with
+    an exact popcount.  No false negatives, so the DuckDB oracle is the
+    brute-force all-pairs join.
+
+    Scale: expected per-band bucket size for near-uniform codes is
+    n / 2^(bits/(d+1)); biased fingerprint bits (boilerplate-heavy
+    corpora) skew buckets, and AQE's skew-join split handles the join-side
+    blowup -- the output itself is the quadratic term the caller asked
+    for.  Output: (id_a, id_b, dist)."""
+    if not (0 < max_dist < bits):
+        raise ValueError(f"need 0 < max_dist < bits, got {max_dist}/{bits}")
+    n_bands = max_dist + 1
+    width = -(-bits // n_bands)
+    codes = df.select(F.col(id_col).alias("__id"), F.col(code_col).alias("__c"))
+    band_vals = ", ".join(
+        f"(shiftright(__c, {b * width}) & {(1 << min(width, bits - b * width)) - 1})"
+        for b in range(n_bands)
+    )
+    idx = codes.select(
+        "__id", "__c", F.posexplode(F.expr(f"array({band_vals})")).alias("bi", "bv")
+    )
+    ia = idx.select(F.col("__id").alias("id_a"), F.col("__c").alias("__ca"), "bi", "bv")
+    ib = idx.select(F.col("__id").alias("id_b"), F.col("__c").alias("__cb"), "bi", "bv")
+    return (
+        ia.join(ib, ["bi", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("bit_count(__ca ^ __cb)").alias("dist"))
+        .distinct()
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )

@@ -609,7 +609,12 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no explode, no shuffle, one compiled lambda instead of 60 unrolled
     aggregation legs); the oracle reconstructs them via an explicit bit
     cross join -- equal results, very different physical plans."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _simhash60_md5(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash60_md5(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash60) via the one-lambda md5 SimHash fold (shared by
+    dedup_simhash_md5 and simhash_hamming_pairs)."""
     sums = (
         "aggregate(transform(__toks, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)),"
         " array_repeat(CAST(0 AS BIGINT), 60),"
@@ -625,6 +630,47 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("__toks", F.expr(r"regexp_extract_all(text, r'\S+', 0)"))
         .where(F.expr("size(__toks) > 0"))
         .select("doc_id", F.expr(asm).alias("simhash60"))
+    )
+
+
+_SIMHASH60_SIG_SQL = """
+toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
+bits AS (
+  SELECT doc_id, b.b, SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash60
+  FROM bits GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "simhash_hamming_pairs",
+    f"""
+WITH {_SIMHASH60_SIG_SQL}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash60, b.simhash60)) AS INTEGER) AS dist
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
+""",
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup RETRIEVAL (operators.dedup.hamming_join): every
+    document pair within Hamming distance 3 of their 60-bit md5-SimHash
+    fingerprints, via multi-index pigeonhole blocking (Manku et al.
+    WWW'07: 4 disjoint 15-bit bands, a <=3-distance pair matches >= 1 band
+    exactly) -- the join stage the fingerprint-only dedup_simhash_md5
+    stops short of.  Exact popcount verify; the DuckDB oracle is the
+    brute-force all-pairs join, so the hash gate proves the banded plan
+    loses no pair."""
+    sig = _simhash60_md5(load_table(spark, sf_dir, "documents"))
+    return dd.hamming_join(
+        sig, id_col="doc_id", code_col="simhash60", bits=60, max_dist=3
     )
 
 
