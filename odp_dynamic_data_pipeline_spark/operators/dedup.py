@@ -1261,6 +1261,7 @@ def containment_join(
     text_col: str = "text",
     n: int = 8,
     tau_e6: int = 800_000,
+    eager: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard-CONTAINMENT join: every (needle, corpus) pair with
     C(A, B) = |A ∩ B| / |A| >= tau over word ``n``-gram shingle sets,
@@ -1284,17 +1285,24 @@ def containment_join(
     Output: (id_a, id_b, inter, na, nb, cont_e6); cont_e6 exact integer
     floor of 1e6 * containment."""
     hash_expr = "CAST(conv(substr(md5(__s), 1, 15), 16, 10) AS BIGINT)"
+    # the corpus shingle table feeds THREE consumers (df-frequency ranking,
+    # per-doc arrays, the inverted index) and the needle table two; persist
+    # both so tokenize+shingle+hash runs once per side, not per consumer
+    # (the minhash_lsh_pairs lifecycle pattern -- at cluster scale this is
+    # the table you would write to parquet once per corpus)
     a_h = (
         shingles(needles.select(id_col, text_col), text_col, n=n)
         .select(F.col(id_col).alias("__id"), F.explode("shingles").alias("__s"))
         .select("__id", F.expr(hash_expr).alias("h"))
         .distinct()
+        .persist()
     )
     b_h = (
         shingles(corpus.select(id_col, text_col), text_col, n=n)
         .select(F.col(id_col).alias("__id"), F.explode("shingles").alias("__s"))
         .select("__id", F.expr(hash_expr).alias("h"))
         .distinct()
+        .persist()
     )
     freq = b_h.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
     a_ordered = (
@@ -1350,7 +1358,7 @@ def containment_join(
         .withColumn("inter", F.expr("CAST(size(array_intersect(__aa, __ab)) AS BIGINT)"))
         .where(F.lit(1_000_000) * F.col("inter") >= F.lit(tau_e6) * F.col("__na"))
     )
-    return verify.select(
+    result = verify.select(
         "id_a",
         "id_b",
         "inter",
@@ -1358,6 +1366,11 @@ def containment_join(
         F.col("__nb").alias("nb"),
         F.expr("(1000000 * inter) div __na").alias("cont_e6"),
     )
+    if eager:
+        result = result.localCheckpoint(eager=True)
+        a_h.unpersist()
+        b_h.unpersist()
+    return result
 
 
 def hamming_join(
@@ -1367,6 +1380,7 @@ def hamming_join(
     code_col: str = "code",
     bits: int = 60,
     max_dist: int = 3,
+    eager: bool = True,
 ) -> DataFrame:
     """EXACT Hamming-distance self-join over fixed-width bit fingerprints
     (SimHash, perceptual image hashes): every pair with
@@ -1391,7 +1405,10 @@ def hamming_join(
         raise ValueError(f"need 0 < max_dist < bits, got {max_dist}/{bits}")
     n_bands = max_dist + 1
     width = -(-bits // n_bands)
-    codes = df.select(F.col(id_col).alias("__id"), F.col(code_col).alias("__c"))
+    # both join sides read the (id, code) table; persist so an expensive
+    # upstream fingerprint computation (SimHash folds, image hashes) runs
+    # once, not once per side (the minhash_lsh_pairs lifecycle pattern)
+    codes = df.select(F.col(id_col).alias("__id"), F.col(code_col).alias("__c")).persist()
     band_vals = ", ".join(
         f"(shiftright(__c, {b * width}) & {(1 << min(width, bits - b * width)) - 1})"
         for b in range(n_bands)
@@ -1401,7 +1418,7 @@ def hamming_join(
     )
     ia = idx.select(F.col("__id").alias("id_a"), F.col("__c").alias("__ca"), "bi", "bv")
     ib = idx.select(F.col("__id").alias("id_b"), F.col("__c").alias("__cb"), "bi", "bv")
-    return (
+    result = (
         ia.join(ib, ["bi", "bv"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.expr("bit_count(__ca ^ __cb)").alias("dist"))
@@ -1409,3 +1426,7 @@ def hamming_join(
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
     )
+    if eager:
+        result = result.localCheckpoint(eager=True)
+        codes.unpersist()
+    return result

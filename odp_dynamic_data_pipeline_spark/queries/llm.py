@@ -614,7 +614,15 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash60_md5(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash60) via the one-lambda md5 SimHash fold (shared by
-    dedup_simhash_md5 and simhash_hamming_pairs)."""
+    dedup_simhash_md5 and simhash_hamming_pairs).  The fold is the hot
+    path (tokens x 60 lambda steps per document), so the single-row-group
+    corpus file is fanned out first -- on one partition the whole corpus
+    folds on one core."""
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    docs = ensure_min_parallelism(docs)
     sums = (
         "aggregate(transform(__toks, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)),"
         " array_repeat(CAST(0 AS BIGINT), 60),"
