@@ -156,6 +156,15 @@ def main() -> None:
         return doc
 
     results: dict[str, dict] = {}
+    # explicit query names MERGE into an existing artifact (the
+    # stream_bench contract) -- a targeted re-measure must not drop the
+    # other queries' recorded exponents
+    if sys.argv[2:] and os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                results = json.load(f).get("queries", {})
+        except Exception:  # noqa: BLE001 - corrupt artifact: start fresh
+            results = {}
     for name in names:
         if name not in SPARK_QUERIES:
             results[name] = {"error": "not a registered query"}
