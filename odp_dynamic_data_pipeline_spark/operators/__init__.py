@@ -9,9 +9,13 @@ from odp_dynamic_data_pipeline_spark.operators.correlate import (
 )
 from odp_dynamic_data_pipeline_spark.operators.dedup import (
     connected_components,
+    containment_join,
     contamination_check,
+    edit_distance_join,
     exact_dedup,
+    hamming_join,
     hashed_shingles_direct,
+    jaccard_join,
     minhash_lsh_pairs,
     shingles,
     simhash,
@@ -49,16 +53,20 @@ __all__ = [
     "chunk_documents",
     "conditional_counts",
     "connected_components",
+    "containment_join",
     "contamination_check",
     "correlate_events_logs",
     "cosine_topk",
+    "edit_distance_join",
     "enrich",
     "exact_dedup",
     "explode_spans",
     "extract_mapping",
     "fingerprint",
+    "hamming_join",
     "hashed_shingles_direct",
     "ivf_topk",
+    "jaccard_join",
     "kmeans_quantizer",
     "language_id",
     "lsh_topk",
