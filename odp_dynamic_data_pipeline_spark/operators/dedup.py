@@ -1430,3 +1430,66 @@ def hamming_join(
         result = result.localCheckpoint(eager=True)
         codes.unpersist()
     return result
+
+
+def bfs_hops(
+    seeds: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS over an undirected graph: minimum hop count from
+    ANY seed, truncated at ``max_hops`` -- the TRANSITIVE-contamination
+    primitive (a document near-duplicating a benchmark-tainted document is
+    itself tainted, and so on), and the distance-to-seed labeling crawl /
+    provenance pipelines need.  Connected components answers "same group?";
+    this answers "how far from the blast radius?".
+
+    Level-synchronous frontier expansion: each round joins ONLY the newly
+    reached frontier against the symmetrized edge list (one shuffle on the
+    node id, exactly the connected_components round shape), anti-joins the
+    already-labeled set so every node is labeled with its FIRST (= minimum)
+    hop count, and localCheckpoints the new frontier so the plan does not
+    grow with rounds.  Rounds are bounded by ``max_hops`` by contract --
+    the driver-side empty-frontier check is a bounded number of blocking
+    probes, not a convergence loop.  Isolated seeds still label themselves
+    at hop 0.
+
+    Output: (id_col, hops int), one row per node within ``max_hops`` of a
+    seed; unreachable nodes are absent."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .persist()
+    )
+    levels = (
+        seeds.select(F.col(id_col).alias("nid"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = levels.select("nid")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["nid"] == sym["src"])
+            .select(F.col("dst").alias("nid"))
+            .distinct()
+        )
+        new = (
+            nxt.join(levels.select("nid"), "nid", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            break
+        levels = levels.unionByName(new)
+        frontier = new.select("nid")
+    sym.unpersist()
+    return levels.select(F.col("nid").alias(id_col), F.col("hops").cast("int").alias("hops"))

@@ -1511,6 +1511,37 @@ FROM cc GROUP BY nid
 """
 
 
+CONTAMINATION_SPREAD_ORACLE = DEDUP_CLUSTERS_ORACLE[
+    : DEDUP_CLUSTERS_ORACLE.index("cc AS (")
+] + """seeds AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+walk AS (
+  SELECT doc_id AS nid, 0 AS hops FROM seeds
+  UNION
+  SELECT s.dst, walk.hops + 1 FROM walk JOIN sym s ON s.src = walk.nid
+  WHERE walk.hops < 4
+)
+SELECT nid AS doc_id, CAST(MIN(hops) AS INTEGER) AS hops
+FROM walk GROUP BY nid
+"""
+
+
+@register("contamination_spread_hops", CONTAMINATION_SPREAD_ORACLE)
+def contamination_spread_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE contamination over the near-dup graph (operators.dedup.
+    bfs_hops): seed every document from the tainted source ('src0', the
+    benchmark-derived slice), expand <= 4 hops along the exact 3-gram
+    Jaccard >= 0.3 edges (same edge set as dedup_clusters), label each
+    reached document with its MINIMUM hop count.  contamination_check
+    flags direct n-gram overlap; this closes the loophole where a
+    paraphrased near-dup of a contaminated document slips through --
+    the decontamination radius every eval-hygiene pipeline needs.  The
+    DuckDB oracle replays the walk with a bounded recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    edges = _jaccard_edges(docs.select("doc_id", "text"))
+    seeds = docs.where(F.col("source") == "src0").select("doc_id")
+    return dd.bfs_hops(seeds, edges, id_col="doc_id", max_hops=4)
+
+
 @register("dedup_clusters", DEDUP_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: exact 3-gram Jaccard >= 0.3 pairs as edges,
