@@ -36,6 +36,7 @@ PANDAS_BY_DESIGN = {
     "multimodal_ahash_dedup",  # mapInPandas perceptual hash IS the operator
     "udtf_lateral_shingles",   # Python UDTF LATERAL fan-out IS the §2.8 extension surface under test
     "udtf_polymorphic_fields", # polymorphic (analyze-schema) UDTF IS the extension surface under test
+    "udtf_table_partition_args",  # partition-scoped TABLE(... PARTITION BY) UDTF IS the extension surface under test
     "mapinarrow_embedding_norms",  # mapInArrow Arrow-native kernel IS the operator
 }
 # queries where a cartesian against a broadcast side is the algorithm
