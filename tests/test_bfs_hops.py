@@ -43,3 +43,36 @@ def test_zero_hops_returns_seeds_only(spark):
 def test_unreachable_component_absent(spark):
     got = _run(spark, [0], 10)
     assert set(got) == {0, 1, 2, 3, 4, 5}
+
+
+def test_random_graphs_match_reference_bfs(spark):
+    import random
+    from collections import deque
+
+    rng = random.Random(3)
+    for trial in range(3):
+        n = rng.randint(5, 14)
+        m = rng.randint(0, n * 2)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)] or [(0, 0)]
+        seeds = sorted(rng.sample(range(n), rng.randint(1, 3)))
+        max_hops = rng.randint(0, 4)
+        adj = {i: set() for i in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want, dq = {s: 0 for s in seeds}, deque(seeds)
+        while dq:
+            u = dq.popleft()
+            if want[u] >= max_hops:
+                continue
+            for v in adj[u]:
+                if v not in want:
+                    want[v] = want[u] + 1
+                    dq.append(v)
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        s = spark.createDataFrame([(x,) for x in seeds], "id long")
+        got = {
+            r.id: r.hops
+            for r in bfs_hops(s, e, id_col="id", max_hops=max_hops).collect()
+        }
+        assert got == want, (trial, n, edges, seeds, max_hops)
