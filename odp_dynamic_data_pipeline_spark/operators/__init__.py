@@ -8,6 +8,7 @@ from odp_dynamic_data_pipeline_spark.operators.correlate import (
     explode_spans,
 )
 from odp_dynamic_data_pipeline_spark.operators.dedup import (
+    bfs_hops,
     connected_components,
     containment_join,
     contamination_check,
@@ -49,6 +50,7 @@ from odp_dynamic_data_pipeline_spark.operators.text import (
 
 __all__ = [
     "asof_join",
+    "bfs_hops",
     "boilerplate_scrub",
     "chunk_documents",
     "conditional_counts",
