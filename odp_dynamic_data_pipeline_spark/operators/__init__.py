@@ -29,6 +29,7 @@ from odp_dynamic_data_pipeline_spark.operators.sessionize import (
 )
 from odp_dynamic_data_pipeline_spark.operators.similarity import (
     cosine_topk,
+    kcenter_coreset,
     ivf_topk,
     kmeans_quantizer,
     lsh_topk,
@@ -69,6 +70,7 @@ __all__ = [
     "hashed_shingles_direct",
     "ivf_topk",
     "jaccard_join",
+    "kcenter_coreset",
     "kmeans_quantizer",
     "language_id",
     "lsh_topk",

@@ -874,3 +874,81 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("qid", "cand_id", "rank", "cosine")
     )
+
+
+def _d2_const(vec_col: str, ints) -> F.Column:
+    """Exact squared L2 distance between a quantized vector column and a
+    constant quantized vector, folded JVM-side as BIGINT."""
+    arr = ",".join(str(int(x)) for x in ints)
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, array({arr}), (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal, 2-approximation to the k-center optimum): pick the vector
+    with the lowest id as the seed, then k-1 times pick the vector FARTHEST
+    from everything selected so far -- the DIVERSITY-pruning primitive of a
+    training-data pipeline (SemDeDup removes redundancy, DSIR reweights by
+    target fit; k-center picks the maximally-covering exemplar subset, the
+    standard coreset for active learning / data pruning).
+
+    Each round is ONE distributed pass: the running min-distance column is
+    updated with `least(mind2, d2-to-new-center)` where the new center is a
+    folded JVM constant (the ivf_assign pattern), and the argmax row comes
+    back through a TakeOrdered(1) -- k bounded single-row collects total,
+    never a data-sized collect.  localCheckpoint per round truncates the
+    lineage so round t does not recompute rounds 1..t-1 (and each pass
+    scans the shrinking remainder once).  All arithmetic is exact BIGINT
+    over e6-quantized coordinates (64 dims x (0.76e6)^2 ~ 3.7e13, far
+    inside int64), ties broken by lowest id -- fully deterministic, so the
+    DuckDB oracle replays the trace value-for-value.
+
+    Returns the selection TRACE: (sel_order int, id_col, d2 bigint) with
+    d2 = exact squared quantized distance from the pick to the previously
+    selected set (0 for the seed) -- d2 of pick t is the coverage radius
+    of the first t-1 centers, so the trace doubles as the elbow curve for
+    choosing k.  If the table has fewer than k rows the trace is the full
+    farthest-point ordering of the table."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cand = quantized(df.select(F.col(id_col).alias("__id"), vec_col), vec_col).persist()
+    seed_rows = cand.orderBy("__id").limit(1).select("__id", "qvec").collect()
+    if not seed_rows:
+        cand.unpersist()
+        return df.sparkSession.createDataFrame(
+            [], f"sel_order int, {id_col} long, d2 long"
+        )
+    seed = seed_rows[0]
+    chosen: list[tuple[int, int, int]] = [(1, seed["__id"], 0)]
+    state = (
+        cand.select("__id", "qvec")
+        .where(F.col("__id") != seed["__id"])
+        .withColumn("mind2", _d2_const("qvec", seed["qvec"]))
+        .localCheckpoint(eager=True)
+    )
+    cand.unpersist()
+    for t in range(2, k + 1):
+        rows = state.orderBy(F.col("mind2").desc(), F.col("__id")).limit(1).collect()
+        if not rows:
+            break
+        pick = rows[0]
+        chosen.append((t, pick["__id"], pick["mind2"]))
+        if t == k:
+            break
+        state = (
+            state.where(F.col("__id") != pick["__id"])
+            .withColumn("mind2", F.least(F.col("mind2"), _d2_const("qvec", pick["qvec"])))
+            .localCheckpoint(eager=True)
+        )
+    return df.sparkSession.createDataFrame(
+        chosen, f"sel_order int, {id_col} long, d2 long"
+    )

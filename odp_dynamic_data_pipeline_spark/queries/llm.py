@@ -806,6 +806,57 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(emb, k=8, iters=3, threshold=0.2)
 
 
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled farthest-point-traversal replay: per round, a positional
+    UNNEST zip computes the exact squared quantized distance to the new
+    center and LEAST folds it into the running min (the unrolled-Lloyd
+    pattern of _kmeans_oracle)."""
+    ctes = [
+        """e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+  FROM embeddings
+)""",
+        "c1 AS (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 1)",
+        """pv1 AS (SELECT v.vec_id, UNNEST(v.q) AS av, UNNEST(c.q) AS bv
+  FROM e v CROSS JOIN c1 c WHERE v.vec_id <> c.vec_id)""",
+        "rem1 AS (SELECT vec_id, CAST(SUM((av - bv) * (av - bv)) AS BIGINT) AS mind2 FROM pv1 GROUP BY vec_id)",
+    ]
+    for t in range(2, k + 1):
+        ctes.append(
+            f"pick{t} AS (SELECT r.vec_id, e.q, r.mind2 FROM rem{t - 1} r"
+            f" JOIN e USING (vec_id) ORDER BY r.mind2 DESC, r.vec_id LIMIT 1)"
+        )
+        if t < k:
+            ctes.append(
+                f"""pv{t} AS (SELECT r.vec_id, r.mind2, UNNEST(e.q) AS av, UNNEST(p.q) AS bv
+  FROM rem{t - 1} r JOIN e USING (vec_id) CROSS JOIN pick{t} p WHERE r.vec_id <> p.vec_id)"""
+            )
+            ctes.append(
+                f"rem{t} AS (SELECT vec_id, LEAST(MAX(mind2),"
+                f" CAST(SUM((av - bv) * (av - bv)) AS BIGINT)) AS mind2"
+                f" FROM pv{t} GROUP BY vec_id)"
+            )
+    tail = "SELECT CAST(1 AS INTEGER) AS sel_order, vec_id, CAST(0 AS BIGINT) AS d2 FROM c1"
+    for t in range(2, k + 1):
+        tail += f"\nUNION ALL SELECT CAST({t} AS INTEGER), vec_id, mind2 FROM pick{t}"
+    return "WITH " + ",\n".join(ctes) + "\n" + tail
+
+
+@register("kcenter_coreset_trace", _kcenter_oracle(8))
+def kcenter_coreset_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (operators.similarity.
+    kcenter_coreset, Gonzalez farthest-point 2-approximation): the
+    DIVERSITY-pruning pick next to SemDeDup's redundancy removal and
+    DSIR's target reweighting -- 8 maximally-covering exemplar vectors,
+    each round one distributed least/argmax pass with the new center
+    folded to a JVM constant and a single-row TakeOrdered collect.  The
+    returned trace (selection order + distance-to-selected-set) is the
+    elbow curve for choosing k; the DuckDB oracle replays all 8 unrolled
+    rounds value-for-value."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.kcenter_coreset(emb, k=8)
+
+
 @register("kmeans_ivf_lists", _kmeans_oracle(k=8, iters=3))
 def kmeans_ivf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained coarse quantizer: 3 Lloyd iterations over quantized
