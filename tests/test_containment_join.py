@@ -62,3 +62,30 @@ def test_containment_values_exact(spark):
     # reverse direction: C = 4/8 = 0.5 exactly, kept at tau = 0.5
     r = by_pair[(1, 0)]
     assert (r.inter, r.na, r.nb, r.cont_e6) == (4, 8, 4, 500_000)
+
+
+def test_random_corpora_match_brute_force(spark):
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial, (n_gram, tau) in enumerate([(2, 0.5), (3, 0.8)]):
+        rows = []
+        for i in range(14):
+            length = rng.randint(0, 10)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(length))))
+        # guarantee a few real containments: doc gets a verbatim slice child
+        for base_id in (0, 1):
+            toks = rows[base_id][1].split()
+            if len(toks) >= n_gram + 2:
+                lo = rng.randrange(len(toks) - n_gram - 1)
+                rows.append((100 + base_id, " ".join(toks[lo : lo + n_gram + 2])))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b, r.inter, r.na, r.nb)
+            for r in containment_join(
+                df, df, n=n_gram, tau_e6=int(tau * 1_000_000)
+            ).collect()
+        }
+        want = _brute(rows, {i for i, _ in rows}, n=n_gram, tau=tau)
+        assert got == want, (trial, rows)
