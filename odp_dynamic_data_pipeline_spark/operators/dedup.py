@@ -1367,9 +1367,13 @@ def containment_join(
         F.expr("(1000000 * inter) div __na").alias("cont_e6"),
     )
     if eager:
-        result = result.localCheckpoint(eager=True)
-        a_h.unpersist()
-        b_h.unpersist()
+        # unpersist even when the materializing job fails -- a crashed
+        # query must not leak the shingle caches into the shared session
+        try:
+            result = result.localCheckpoint(eager=True)
+        finally:
+            a_h.unpersist()
+            b_h.unpersist()
     return result
 
 
@@ -1427,8 +1431,10 @@ def hamming_join(
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
     )
     if eager:
-        result = result.localCheckpoint(eager=True)
-        codes.unpersist()
+        try:
+            result = result.localCheckpoint(eager=True)
+        finally:
+            codes.unpersist()
     return result
 
 

@@ -921,21 +921,24 @@ def kcenter_coreset(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     cand = quantized(df.select(F.col(id_col).alias("__id"), vec_col), vec_col).persist()
-    seed_rows = cand.orderBy("__id").limit(1).select("__id", "qvec").collect()
-    if not seed_rows:
-        cand.unpersist()
-        return df.sparkSession.createDataFrame(
-            [], f"sel_order int, {id_col} long, d2 long"
+    # unpersist even when a job fails -- a crashed query must not leak the
+    # quantized cache into the shared session
+    try:
+        seed_rows = cand.orderBy("__id").limit(1).select("__id", "qvec").collect()
+        if not seed_rows:
+            return df.sparkSession.createDataFrame(
+                [], f"sel_order int, {id_col} long, d2 long"
+            )
+        seed = seed_rows[0]
+        state = (
+            cand.select("__id", "qvec")
+            .where(F.col("__id") != seed["__id"])
+            .withColumn("mind2", _d2_const("qvec", seed["qvec"]))
+            .localCheckpoint(eager=True)
         )
-    seed = seed_rows[0]
+    finally:
+        cand.unpersist()
     chosen: list[tuple[int, int, int]] = [(1, seed["__id"], 0)]
-    state = (
-        cand.select("__id", "qvec")
-        .where(F.col("__id") != seed["__id"])
-        .withColumn("mind2", _d2_const("qvec", seed["qvec"]))
-        .localCheckpoint(eager=True)
-    )
-    cand.unpersist()
     for t in range(2, k + 1):
         rows = state.orderBy(F.col("mind2").desc(), F.col("__id")).limit(1).collect()
         if not rows:
