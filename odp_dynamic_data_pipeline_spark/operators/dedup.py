@@ -1407,19 +1407,11 @@ def hamming_join(
     for.  Output: (id_a, id_b, dist)."""
     if not (0 < max_dist < bits):
         raise ValueError(f"need 0 < max_dist < bits, got {max_dist}/{bits}")
-    n_bands = max_dist + 1
-    width = -(-bits // n_bands)
     # both join sides read the (id, code) table; persist so an expensive
     # upstream fingerprint computation (SimHash folds, image hashes) runs
     # once, not once per side (the minhash_lsh_pairs lifecycle pattern)
     codes = df.select(F.col(id_col).alias("__id"), F.col(code_col).alias("__c")).persist()
-    band_vals = ", ".join(
-        f"(shiftright(__c, {b * width}) & {(1 << min(width, bits - b * width)) - 1})"
-        for b in range(n_bands)
-    )
-    idx = codes.select(
-        "__id", "__c", F.posexplode(F.expr(f"array({band_vals})")).alias("bi", "bv")
-    )
+    idx = hamming_bands(codes, id_col="__id", code_col="__c", bits=bits, max_dist=max_dist)
     ia = idx.select(F.col("__id").alias("id_a"), F.col("__c").alias("__ca"), "bi", "bv")
     ib = idx.select(F.col("__id").alias("id_b"), F.col("__c").alias("__cb"), "bi", "bv")
     result = (
@@ -1499,3 +1491,27 @@ def bfs_hops(
         frontier = new.select("nid")
     sym.unpersist()
     return levels.select(F.col("nid").alias(id_col), F.col("hops").cast("int").alias("hops"))
+
+
+def hamming_bands(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    code_col: str = "code",
+    bits: int = 60,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Pigeonhole band index for Hamming retrieval: (id, code, bi, bv) with
+    one row per disjoint band -- the shared index builder of hamming_join
+    and the streaming run_incremental_hamming.  The mask after the
+    arithmetic shiftright keeps band values correct for negative (64-bit)
+    codes."""
+    n_bands = max_dist + 1
+    width = -(-bits // n_bands)
+    band_vals = ", ".join(
+        f"(shiftright({code_col}, {b * width}) & {(1 << min(width, bits - b * width)) - 1})"
+        for b in range(n_bands)
+    )
+    return df.select(
+        id_col, code_col, F.posexplode(F.expr(f"array({band_vals})")).alias("bi", "bv")
+    )

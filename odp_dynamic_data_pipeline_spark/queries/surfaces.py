@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 from odp_dynamic_data_pipeline_spark.operators import dedup as dd
 from odp_dynamic_data_pipeline_spark.operators import similarity as sim
 from odp_dynamic_data_pipeline_spark.queries import register
-from odp_dynamic_data_pipeline_spark.queries.llm import MINHASH_MD5_ORACLE, dedup_minhash_md5
+from odp_dynamic_data_pipeline_spark.queries.llm import (
+    MINHASH_MD5_ORACLE,
+    _SIMHASH60_SIG_SQL,
+    _simhash60_md5,
+    dedup_minhash_md5,
+)
 from odp_dynamic_data_pipeline_spark.sources.catalog import load_table, register_views
 
 
@@ -2432,6 +2437,49 @@ def incremental_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_jaccard_equal"),
     )
+
+
+@register(
+    "incremental_hamming_stream",
+    f"""
+WITH {_SIMHASH60_SIG_SQL}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash60, b.simhash60)) AS INTEGER) AS dist
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 3
+""",
+)
+def incremental_hamming_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Hamming near-dup retrieval (streaming.stream.
+    run_incremental_hamming): md5-SimHash60 fingerprints arrive as a
+    stream; per micro-batch, pigeonhole band collisions against the
+    accreted band index + the batch itself, popcount-verified, emitted
+    normalized -- the accumulated pair set EQUALS the batch hamming_join.
+    Because the md5-SimHash algebra is engine-replayable, this streaming
+    twin carries a FULL DuckDB hash oracle (the brute-force all-pairs
+    join), a stronger gate than the xxhash minhash twin's rows-only
+    check.  Cross-batch store semantics and retry idempotence are pinned
+    by crafted-batch tests (tests/test_incremental_hamming.py)."""
+    from odp_dynamic_data_pipeline_spark.queries.core import (
+        _replay_stream,
+        _stream_shuffle,
+        _stream_tmpdir,
+    )
+    from odp_dynamic_data_pipeline_spark.streaming.stream import run_incremental_hamming
+
+    sig = _simhash60_md5(load_table(spark, sf_dir, "documents"))
+    tmp = _stream_tmpdir("hamming_stream")
+    stream = _replay_stream(spark, sig, tmp)
+    with _stream_shuffle(spark):
+        run_incremental_hamming(
+            stream,
+            f"{tmp}/store",
+            f"{tmp}/out",
+            checkpoint=f"{tmp}/ckpt",
+            bits=60,
+            max_dist=3,
+        )
+    return spark.read.parquet(f"{tmp}/out").select("id_a", "id_b", "dist")
 
 
 @register(

@@ -930,3 +930,101 @@ def compact_incremental_store(spark, store_path: str) -> int:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store_path}/{p}"), True)
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store_path}/__baseline_tmp"), True)
     return len(to_fold)
+
+
+def run_incremental_hamming(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    *,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    code_col: str = "simhash60",
+    bits: int = 60,
+    max_dist: int = 3,
+):
+    """Streaming Hamming near-dup RETRIEVAL over a stream of bit
+    fingerprints (SimHash, perceptual image hashes): the pigeonhole-banded
+    analogue of run_incremental_neardup.  Per micro-batch, each new code's
+    ``max_dist + 1`` disjoint bands are checked against BOTH the accreted
+    band index and the batch itself; collisions are verified with an exact
+    popcount and emitted normalized (id_a < id_b), so the accumulated
+    output across batches is EXACTLY the unordered pair set of the batch
+    ``hamming_join`` -- and because md5-SimHash codes are engine-
+    replayable, the streaming result carries a FULL DuckDB hash oracle
+    (unlike the xxhash minhash twin's rows-only check).
+
+    Store layout (batch-keyed for idempotent retries, the
+    run_incremental_dedup discipline): {store_path}/bands/batch_id=N holds
+    (id, code, bi, bv); a retry excludes its own failed partition, and the
+    per-batch output overwrite makes replays emit identical pairs.  Scale
+    shape: the per-batch cost is band-collision-driven, not store-size-
+    driven -- the equi-join on (bi, bv) touches only colliding buckets of
+    a store a real deployment compacts (compact_incremental_store)."""
+    from pyspark.sql import functions as SF
+
+    from odp_dynamic_data_pipeline_spark.operators.dedup import hamming_bands
+
+    def _path_exists(spark, path: str) -> bool:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(path), conf)
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bands = hamming_bands(
+            batch_df.select(id_col, code_col),
+            id_col=id_col,
+            code_col=code_col,
+            bits=bits,
+            max_dist=max_dist,
+        ).persist()
+        new_side = bands.select(
+            "bi", "bv", SF.col(id_col).alias("id_b"), SF.col(code_col).alias("__cb")
+        )
+        cands = []
+        if _path_exists(spark, f"{store_path}/bands"):
+            old_b = (
+                spark.read.parquet(f"{store_path}/bands")
+                .where(SF.col("batch_id") != SF.lit(batch_id))
+                .select(
+                    "bi", "bv", SF.col(id_col).alias("id_a"), SF.col(code_col).alias("__ca")
+                )
+            )
+            cands.append(
+                new_side.join(old_b, ["bi", "bv"]).select("id_a", "__ca", "id_b", "__cb")
+            )
+        batch_left = bands.select(
+            "bi", "bv", SF.col(id_col).alias("id_a"), SF.col(code_col).alias("__ca")
+        )
+        cands.append(
+            batch_left.join(new_side, ["bi", "bv"])
+            .where(SF.col("id_a") < SF.col("id_b"))
+            .select("id_a", "__ca", "id_b", "__cb")
+        )
+        cand = cands[0]
+        for c in cands[1:]:
+            cand = cand.unionByName(c)
+        pairs = (
+            cand.withColumn("dist", SF.expr("bit_count(__ca ^ __cb)"))
+            .where(SF.col("dist") <= max_dist)
+            .select(
+                SF.least("id_a", "id_b").alias("id_a"),
+                SF.greatest("id_a", "id_b").alias("id_b"),
+                SF.col("dist").cast("int").alias("dist"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        bands.write.mode("overwrite").parquet(f"{store_path}/bands/batch_id={batch_id}")
+        bands.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
