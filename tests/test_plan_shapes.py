@@ -233,3 +233,55 @@ def test_bucketed_join_revenue_no_join_exchange(spark):
     plan = plan_of(spark, "bucketed_join_revenue")
     assert "SortMergeJoin" in plan, plan[:800]
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:1200]
+
+
+def test_fuzzy_join_no_cross_product(spark):
+    """Deletion-neighborhood blocking must stay an equi-join: the lev <= d
+    semantics invite a cartesian + levenshtein filter, which is exactly
+    what the blocking exists to avoid."""
+    from odp_dynamic_data_pipeline_spark.operators.dedup import edit_distance_join
+    from odp_dynamic_data_pipeline_spark.sources.catalog import load_table
+
+    sup = load_table(spark, SF, "supplier").select("s_suppkey", "s_name")
+    plan = edit_distance_join(
+        sup, id_col="s_suppkey", str_col="s_name", max_dist=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # exact verify stays in the plan
+
+
+def test_containment_join_lazy_shape(spark):
+    """Prefix-filtered containment: candidates from an equi-join, exact
+    intersect verify, never a cross product (eager=False exposes the lazy
+    plan; the default eager path checkpoints the small result)."""
+    from odp_dynamic_data_pipeline_spark.operators.dedup import containment_join
+    from odp_dynamic_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = containment_join(
+        docs, docs, n=8, tau_e6=800_000, eager=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_intersect" in plan
+
+
+def test_hamming_join_lazy_shape(spark):
+    """Pigeonhole banding: the band equi-join and the popcount verify must
+    both be in the plan; no cross product."""
+    from odp_dynamic_data_pipeline_spark.operators.dedup import hamming_join
+    from odp_dynamic_data_pipeline_spark.sources.catalog import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.xxhash64("text").alias("code")
+    )
+    plan = hamming_join(
+        docs, id_col="doc_id", code_col="code", bits=64, max_dist=3, eager=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bit_count" in plan
+
