@@ -1207,11 +1207,16 @@ def edit_distance_join(
 
     Output: (id_a, id_b, name_a, name_b, dist) with id_a < id_b, one row
     per qualifying pair, dist exact (0 for distinct ids sharing an equal
-    string)."""
+    string).  Duplicate (id, string) input rows collapse before pairing,
+    and an id carrying SEVERAL near-identical strings never pairs with
+    itself -- output rows are unique (id_a, id_b, name_a, name_b) tuples,
+    matching the ``a.id < b.id`` brute-force oracle."""
     if max_dist not in (1, 2):
         raise ValueError(f"max_dist must be 1 or 2, got {max_dist}")
-    names = df.select(F.col(id_col).alias("__id"), F.col(str_col).alias("__s")).where(
-        F.col("__s").isNotNull()
+    names = (
+        df.select(F.col(id_col).alias("__id"), F.col(str_col).alias("__s"))
+        .where(F.col("__s").isNotNull())
+        .distinct()
     )
     uniq = names.select("__s").distinct()
     idx = uniq.select(
@@ -1230,7 +1235,12 @@ def edit_distance_join(
     # expand matched DISTINCT string pairs back to id pairs
     a_ids = names.select(F.col("__s").alias("__sa"), F.col("__id").alias("__ida"))
     b_ids = names.select(F.col("__s").alias("__sb"), F.col("__id").alias("__idb"))
-    fuzzy = cand.join(a_ids, "__sa").join(b_ids, "__sb")
+    fuzzy = (
+        cand.join(a_ids, "__sa")
+        .join(b_ids, "__sb")
+        # one id holding both strings of a matched pair is not a pair
+        .where(F.col("__ida") != F.col("__idb"))
+    )
     # distinct ids sharing an EQUAL string are dist-0 pairs (the string
     # self-join above excludes sa == sb by construction)
     same = (
@@ -1283,7 +1293,15 @@ def containment_join(
     brute-force all-pairs join -- which is what the DuckDB oracle computes.
 
     Output: (id_a, id_b, inter, na, nb, cont_e6); cont_e6 exact integer
-    floor of 1e6 * containment."""
+    floor of 1e6 * containment.
+
+    Cache lifecycle: with ``eager=True`` (default) the shared shingle
+    tables are persisted, the result is materialized, and both caches are
+    released before returning.  With ``eager=False`` the fully LAZY plan
+    is returned with NO caches taken (for plan inspection / caller-managed
+    materialization) -- the shingle tables recompute once per consumer."""
+    if not (0 < tau_e6 <= 1_000_000):
+        raise ValueError(f"tau_e6 must be in (0, 1000000], got {tau_e6}")
     hash_expr = "CAST(conv(substr(md5(__s), 1, 15), 16, 10) AS BIGINT)"
     # the corpus shingle table feeds THREE consumers (df-frequency ranking,
     # per-doc arrays, the inverted index) and the needle table two; persist
@@ -1295,15 +1313,16 @@ def containment_join(
         .select(F.col(id_col).alias("__id"), F.explode("shingles").alias("__s"))
         .select("__id", F.expr(hash_expr).alias("h"))
         .distinct()
-        .persist()
     )
     b_h = (
         shingles(corpus.select(id_col, text_col), text_col, n=n)
         .select(F.col(id_col).alias("__id"), F.explode("shingles").alias("__s"))
         .select("__id", F.expr(hash_expr).alias("h"))
         .distinct()
-        .persist()
     )
+    if eager:
+        a_h = a_h.persist()
+        b_h = b_h.persist()
     freq = b_h.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
     a_ordered = (
         a_h.join(freq, "h", "left")
@@ -1409,8 +1428,12 @@ def hamming_join(
         raise ValueError(f"need 0 < max_dist < bits, got {max_dist}/{bits}")
     # both join sides read the (id, code) table; persist so an expensive
     # upstream fingerprint computation (SimHash folds, image hashes) runs
-    # once, not once per side (the minhash_lsh_pairs lifecycle pattern)
-    codes = df.select(F.col(id_col).alias("__id"), F.col(code_col).alias("__c")).persist()
+    # once, not once per side (the minhash_lsh_pairs lifecycle pattern).
+    # eager=False returns the lazy plan with NO cache taken (the codes
+    # table recomputes per side) so plan inspection never leaks a cache.
+    codes = df.select(F.col(id_col).alias("__id"), F.col(code_col).alias("__c"))
+    if eager:
+        codes = codes.persist()
     idx = hamming_bands(codes, id_col="__id", code_col="__c", bits=bits, max_dist=max_dist)
     ia = idx.select(F.col("__id").alias("id_a"), F.col("__c").alias("__ca"), "bi", "bv")
     ib = idx.select(F.col("__id").alias("id_b"), F.col("__c").alias("__cb"), "bi", "bv")
@@ -1505,13 +1528,25 @@ def hamming_bands(
     one row per disjoint band -- the shared index builder of hamming_join
     and the streaming run_incremental_hamming.  The mask after the
     arithmetic shiftright keeps band values correct for negative (64-bit)
-    codes."""
+    codes.
+
+    Bands are sized ``bits = sum of widths`` with widths differing by at
+    most one (the first ``bits % n_bands`` bands get the extra bit), so
+    every band is non-empty for any 0 < max_dist < bits -- a fixed
+    ceil-width layout would produce empty bands (and a negative shift
+    count at expression-build time) whenever
+    ceil(bits/n_bands) * max_dist >= bits, e.g. bits=5 / max_dist=3.
+    For the common bits % n_bands == 0 shapes (60/3, 64/3) the layout is
+    identical to equal-width banding."""
     n_bands = max_dist + 1
-    width = -(-bits // n_bands)
-    band_vals = ", ".join(
-        f"(shiftright({code_col}, {b * width}) & {(1 << min(width, bits - b * width)) - 1})"
-        for b in range(n_bands)
-    )
+    if not (0 < max_dist < bits):
+        raise ValueError(f"need 0 < max_dist < bits, got {max_dist}/{bits}")
+    base, rem = divmod(bits, n_bands)
+    exprs, off = [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < rem else 0)
+        exprs.append(f"(shiftright({code_col}, {off}) & {(1 << w) - 1})")
+        off += w
     return df.select(
-        id_col, code_col, F.posexplode(F.expr(f"array({band_vals})")).alias("bi", "bv")
+        id_col, code_col, F.posexplode(F.expr(f"array({', '.join(exprs)})")).alias("bi", "bv")
     )

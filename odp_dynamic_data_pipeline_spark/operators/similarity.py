@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from odp_dynamic_data_pipeline_spark.operators.partitioning import ensure_min_parallelism
 
@@ -920,15 +921,23 @@ def kcenter_coreset(
     farthest-point ordering of the table."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # the algorithm is id-type-agnostic (the id only seeds, tiebreaks and
+    # labels) -- carry the caller's id DataType through to the result
+    # instead of assuming bigint
+    out_schema = T.StructType(
+        [
+            T.StructField("sel_order", T.IntegerType(), False),
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("d2", T.LongType(), True),
+        ]
+    )
     cand = quantized(df.select(F.col(id_col).alias("__id"), vec_col), vec_col).persist()
     # unpersist even when a job fails -- a crashed query must not leak the
     # quantized cache into the shared session
     try:
         seed_rows = cand.orderBy("__id").limit(1).select("__id", "qvec").collect()
         if not seed_rows:
-            return df.sparkSession.createDataFrame(
-                [], f"sel_order int, {id_col} long, d2 long"
-            )
+            return df.sparkSession.createDataFrame([], out_schema)
         seed = seed_rows[0]
         state = (
             cand.select("__id", "qvec")
@@ -938,7 +947,7 @@ def kcenter_coreset(
         )
     finally:
         cand.unpersist()
-    chosen: list[tuple[int, int, int]] = [(1, seed["__id"], 0)]
+    chosen: list[tuple] = [(1, seed["__id"], 0)]
     for t in range(2, k + 1):
         rows = state.orderBy(F.col("mind2").desc(), F.col("__id")).limit(1).collect()
         if not rows:
@@ -952,6 +961,4 @@ def kcenter_coreset(
             .withColumn("mind2", F.least(F.col("mind2"), _d2_const("qvec", pick["qvec"])))
             .localCheckpoint(eager=True)
         )
-    return df.sparkSession.createDataFrame(
-        chosen, f"sel_order int, {id_col} long, d2 long"
-    )
+    return df.sparkSession.createDataFrame(chosen, out_schema)

@@ -960,7 +960,15 @@ def run_incremental_hamming(
     per-batch output overwrite makes replays emit identical pairs.  Scale
     shape: the per-batch cost is band-collision-driven, not store-size-
     driven -- the equi-join on (bi, bv) touches only colliding buckets of
-    a store a real deployment compacts (compact_incremental_store)."""
+    a store a real deployment compacts (compact_incremental_store).
+
+    Re-delivery safety: an id delivered again in a LATER batch (at-least-
+    once sources) never self-pairs (the store-side branch filters
+    id_a != id_b) and never re-emits pairs already reported -- each batch
+    anti-joins its candidate pairs against the accumulated output
+    (excluding its own partition, so a retried batch still re-emits its
+    identical rows).  Ids are assumed to identify a STABLE code; an id
+    re-delivered with a different code keeps its first-reported pairs."""
     from pyspark.sql import functions as SF
 
     from odp_dynamic_data_pipeline_spark.operators.dedup import hamming_bands
@@ -993,7 +1001,11 @@ def run_incremental_hamming(
                 )
             )
             cands.append(
-                new_side.join(old_b, ["bi", "bv"]).select("id_a", "__ca", "id_b", "__cb")
+                new_side.join(old_b, ["bi", "bv"])
+                # an id re-delivered in a later batch is in BOTH sides of
+                # this join -- never pair it with itself
+                .where(SF.col("id_a") != SF.col("id_b"))
+                .select("id_a", "__ca", "id_b", "__cb")
             )
         batch_left = bands.select(
             "bi", "bv", SF.col(id_col).alias("id_a"), SF.col(code_col).alias("__ca")
@@ -1016,6 +1028,17 @@ def run_incremental_hamming(
             )
             .dropDuplicates(["id_a", "id_b"])
         )
+        if _path_exists(spark, out_path):
+            # re-delivered ids regenerate pairs already reported by earlier
+            # batches; suppress them so the accumulated output stays the
+            # unordered pair SET (own partition excluded -- a retried batch
+            # must still re-emit its identical rows)
+            prior = (
+                spark.read.parquet(out_path)
+                .where(SF.col("batch_id") != SF.lit(batch_id))
+                .select("id_a", "id_b")
+            )
+            pairs = pairs.join(prior, ["id_a", "id_b"], "left_anti")
         pairs.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
         bands.write.mode("overwrite").parquet(f"{store_path}/bands/batch_id={batch_id}")
         bands.unpersist()

@@ -89,3 +89,20 @@ def test_random_corpora_match_brute_force(spark):
         }
         want = _brute(rows, {i for i, _ in rows}, n=n_gram, tau=tau)
         assert got == want, (trial, rows)
+
+
+def test_tau_e6_validated_and_lazy_mode_takes_no_cache(spark):
+    # ADVICE r7: tau_e6 > 1e6 made the prefix length non-positive (opaque
+    # slice() runtime error) -> now a clear ValueError; and eager=False
+    # must not leak persisted shingle caches into the shared session
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
+    for bad in (0, -5, 1_000_001):
+        with pytest.raises(ValueError, match="tau_e6"):
+            containment_join(docs, docs, n=2, tau_e6=bad)
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    lazy = containment_join(docs, docs, n=2, tau_e6=500_000, eager=False)
+    lazy.count()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after == before

@@ -89,3 +89,30 @@ def test_rejects_unsupported_distance(spark):
     df = spark.createDataFrame([(0, "a")], "id long, name string")
     with pytest.raises(ValueError):
         edit_distance_join(df, id_col="id", str_col="name", max_dist=3)
+
+
+def test_duplicate_rows_and_multi_name_ids_no_self_pairs(spark):
+    # ADVICE r7: an id appearing with TWO names within max_dist must not
+    # self-pair, and duplicate (id, name) input rows must not duplicate
+    # output rows -- output is the unique a.id < b.id pair set
+    rows = [
+        (1, "acme"),
+        (1, "acmo"),  # same id, lev("acme","acmo") = 1 -> NOT a pair
+        (2, "acme"),
+        (2, "acme"),  # exact duplicate row
+        (3, "acmz"),
+    ]
+    out = _got(spark, rows, 1)
+    assert all(a != b for a, b, *_ in out)
+    collected = [
+        (r.id_a, r.id_b, r.name_a, r.name_b, r.dist)
+        for r in edit_distance_join(
+            spark.createDataFrame(rows, "id long, name string"),
+            id_col="id", str_col="name", max_dist=1,
+        ).collect()
+    ]
+    assert len(collected) == len(set(collected))  # no duplicate rows
+    # the distinct-id pair set matches brute force over DISTINCT rows
+    assert out == _brute(sorted(set(rows)), 1) - {
+        t for t in _brute(sorted(set(rows)), 1) if t[0] == t[1]
+    }

