@@ -20,11 +20,17 @@ Spec schema (see pipelines/observability_correlation_pipeline.yaml):
       <stage>:
         description: <free text>
         input:
-          format: json | parquet | stream   # S1/S2/S3
+          format: json | parquet | stream | kafka   # S1/S2/S3/S4
           path: <path, may contain {hour}>
           schema: <named schema | omitted for parquet>
           stream_format: json | parquet | csv   # file format under a
                                                 # ``stream`` input (default json)
+          # kafka-format stages (S4), one of:
+          bootstrap_servers: <brokers>       # live broker
+          topic: <topic>
+          options: {starting_offsets: ..., max_offsets_per_trigger: ...}
+          wire_path: <dir of archived wire rows>   # broker-less REPLAY
+          wire_format: parquet | json        # archive file format
         mappings:                            # optional
           read:                              # enrich via a produced mapping
             - name: <mapping name>
@@ -223,34 +229,65 @@ class Pipeline:
     def _fmt(path: str, hour: str | None, path_vars: dict[str, str]) -> str:
         return path.format(**{**path_vars, "hour": hour if hour is not None else "{hour}"})
 
+    @staticmethod
+    def _split_stream_path(path: str) -> tuple[str, str | None]:
+        """The streaming file source wants a DIRECTORY basePath; a
+        file-style template (last segment has an extension dot or a glob
+        char) splits into (parent dir, filename glob)."""
+        head, _, tail = path.rstrip("/").rpartition("/")
+        if not path.endswith("/") and head and any(c in tail for c in ".*?["):
+            return head, tail
+        return path, None
+
+    @staticmethod
+    def _resolve_schema(st: Stage, inp: dict, what: str):
+        schema = inp.get("schema")
+        if schema is None:
+            raise ValueError(
+                f"stage {st.name}: a {what} input needs an explicit schema"
+                " (streaming sources cannot infer one)"
+            )
+        return SCHEMA_REGISTRY[schema] if isinstance(schema, str) else schema
+
     def _read_input(
         self, spark: SparkSession, st: Stage, hour: str | None, path_vars: dict[str, str]
     ) -> DataFrame:
         inp = st.spec["input"]
         fmt = inp.get("format", "json")
+        if fmt == "kafka":
+            # S4 as a pipeline stage (reference intent: src/setup.py:4-17,
+            # src/config.py:2-3).  Two modes, identical downstream plans:
+            # a live broker (bootstrap_servers + topic), or a broker-less
+            # wire REPLAY over an archived topic dump (wire_path) -- the
+            # mode the sandbox can execute end-to-end.
+            struct = self._resolve_schema(st, inp, "kafka")
+            wire_path = inp.get("wire_path")
+            if wire_path:
+                base, glob = self._split_stream_path(
+                    self._fmt(wire_path, hour, path_vars)
+                )
+                return readers.read_kafka_wire_stream(
+                    spark, base, struct,
+                    wire_format=inp.get("wire_format", "parquet"), glob=glob,
+                )
+            if not inp.get("bootstrap_servers") or not inp.get("topic"):
+                raise ValueError(
+                    f"stage {st.name}: a kafka input needs bootstrap_servers"
+                    " + topic (live) or wire_path (replay)"
+                )
+            return readers.read_kafka_stream(
+                spark, inp["bootstrap_servers"], inp["topic"],
+                schema=struct, **(inp.get("options") or {}),
+            )
         path = self._fmt(inp["path"], hour, path_vars)
         if fmt == "parquet":
             return readers.read_parquet(spark, path, hour=hour)
         if fmt == "stream":
-            schema = inp.get("schema")
-            if schema is None:
-                raise ValueError(
-                    f"stage {st.name}: a stream input needs an explicit schema"
-                    " (streaming sources cannot infer one)"
-                )
-            struct = SCHEMA_REGISTRY[schema] if isinstance(schema, str) else schema
-            # the streaming file source wants a DIRECTORY basePath; a
-            # file-style template (last segment has an extension dot or a
-            # glob char) splits into (parent dir, filename glob)
-            head, _, tail = path.rstrip("/").rpartition("/")
-            if not path.endswith("/") and head and any(c in tail for c in ".*?["):
-                return readers.read_file_stream(
-                    spark, head, struct,
-                    fmt=inp.get("stream_format", "json"), glob=tail,
-                    multiline=inp.get("multiline", True),
-                )
+            struct = self._resolve_schema(st, inp, "stream")
+            base, glob = self._split_stream_path(path)
             return readers.read_file_stream(
-                spark, path, struct, fmt=inp.get("stream_format", "json"),
+                spark, base, struct,
+                fmt=inp.get("stream_format", "json"), glob=glob,
                 multiline=inp.get("multiline", True),
             )
         schema = inp.get("schema")

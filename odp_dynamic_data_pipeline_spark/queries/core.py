@@ -1885,6 +1885,96 @@ def pipeline_stream_stage_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_kafka_wire_stream_enrich",
+    """
+SELECT o.o_custkey AS custkey,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+)
+def pipeline_kafka_wire_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The YAML compiler's KAFKA stage end-to-end (plans.pipeline,
+    ``input.format: kafka`` -- the reference's declared ingestion intent,
+    src/setup.py:4-17 / src/config.py:2-3), proven broker-lessly through
+    the wire-REPLAY mode: orders are encoded to the exact Kafka wire schema
+    (format_kafka_value + archive metadata) in TWO separate topic dumps, a
+    kafka stage decodes each through parse_kafka_value and drains it
+    AvailableNow into its checkpointed staging table (the second compile
+    ingests ONLY the new archive files), the orderkey->custkey mapping is
+    extracted from the staged table, and a batch stage enriches lineitem
+    through it.  Every lineitem finds its order, so the inner-join oracle
+    reproduces the result exactly IFF no offset was lost or double-ingested
+    -- the same incremental-ingest contract as pipeline_stream_stage_enrich,
+    now over the Kafka wire path (decode included)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from odp_dynamic_data_pipeline_spark.plans.pipeline import Pipeline
+    from odp_dynamic_data_pipeline_spark.sources.writers import format_kafka_value
+
+    tmp = _stream_tmpdir("pipeline_kafka_wire")
+    wire_dir = f"{tmp}/wire"
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+
+    def _dump(df: DataFrame, mode: str) -> None:
+        (
+            format_kafka_value(df, key_cols="o_orderkey")
+            .withColumn("topic", F.lit("orders"))
+            .withColumn("partition", F.lit(0).cast("int"))
+            .withColumn("offset", F.monotonically_increasing_id())
+            .withColumn("timestamp", F.to_timestamp(F.lit("2024-11-16 12:00:00")))
+            .withColumn("timestampType", F.lit(0).cast("int"))
+            .write.mode(mode)
+            .parquet(wire_dir)
+        )
+
+    payload = StructType(
+        [StructField("o_orderkey", LongType()), StructField("o_custkey", LongType())]
+    )
+    spec = {
+        "pipeline_name": "kafka_wire_demo",
+        "stages": {
+            "stage_k": {
+                "input": {
+                    "format": "kafka",
+                    "wire_path": f"{wire_dir}/part*.parquet",
+                    "wire_format": "parquet",
+                    "schema": payload,
+                },
+                "mappings": {
+                    "write": [{"name": "order_to_cust", "key": "o_orderkey",
+                               "value": "o_custkey"}]
+                },
+            },
+            "stage_b": {
+                "input": {"format": "parquet", "path": "{sf_dir}/lineitem.parquet"},
+                "mappings": {"read": [{"name": "order_to_cust",
+                                       "key_field": "l_orderkey"}]},
+            },
+        },
+    }
+    pipe = Pipeline(spec)
+    work = f"{tmp}/work"
+    # dump 1: even orderkeys -- drains into the staging table
+    _dump(orders.where(F.col("o_orderkey") % 2 == 0), "overwrite")
+    pipe.compile(spark, path_vars={"sf_dir": sf_dir}, work_dir=work)
+    # dump 2: odd orderkeys land as NEW archive files; same work_dir =>
+    # the checkpointed source reads only the new files
+    _dump(orders.where(F.col("o_orderkey") % 2 == 1), "append")
+    outputs, _ = pipe.compile(spark, path_vars={"sf_dir": sf_dir}, work_dir=work)
+    return (
+        outputs["stage_b"]
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_cents("l_extendedprice")).alias("sum_price_cents"),
+        )
+    )
+
+
+@register(
     "hour_partition_counts",
     """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

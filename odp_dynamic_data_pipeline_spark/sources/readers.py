@@ -16,6 +16,7 @@ scanning one hour and scanning the dataset.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as _T
 from pyspark.sql.types import StructType
 
 from odp_dynamic_data_pipeline_spark.session import ensure_runtime_confs
@@ -220,6 +221,53 @@ def parse_kafka_value(df: DataFrame, schema: StructType) -> DataFrame:
         "offset",
         SF.col("timestamp").alias("kafka_ts"),
     ).select("v.*", "topic", "partition", "offset", "kafka_ts")
+
+
+# the exact column set Spark's Kafka source delivers (and a Kafka-connect
+# style archive dump preserves) -- the schema of a broker-less wire REPLAY
+# (built with explicit constructors: fromDDL needs a live session and this
+# constant must be importable before one exists)
+KAFKA_WIRE_SCHEMA = StructType(
+    [
+        _T.StructField("key", _T.BinaryType()),
+        _T.StructField("value", _T.BinaryType()),
+        _T.StructField("topic", _T.StringType()),
+        _T.StructField("partition", _T.IntegerType()),
+        _T.StructField("offset", _T.LongType()),
+        _T.StructField("timestamp", _T.TimestampType()),
+        _T.StructField("timestampType", _T.IntegerType()),
+    ]
+)
+
+
+def read_kafka_wire_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    *,
+    wire_format: str = "parquet",
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Broker-less Kafka REPLAY source: stream ARCHIVED Kafka-wire rows
+    (the Kafka-connect / tiered-storage dump layout -- files of
+    ``KAFKA_WIRE_SCHEMA`` rows) through the file source and decode them
+    with the same :func:`parse_kafka_value` a live broker stream uses.
+    Downstream of the decode, the plan is IDENTICAL to a broker-fed one,
+    so enrichment joins, watermarks and staging-table drains exercised
+    against a replay transfer verbatim to a real topic -- which is how the
+    Kafka path is proven end-to-end in a sandbox with no broker, and how a
+    production backfill replays expired offsets from the archive."""
+    wire = read_file_stream(
+        spark,
+        path,
+        KAFKA_WIRE_SCHEMA,
+        fmt=wire_format,
+        multiline=False,
+        glob=glob,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    return parse_kafka_value(wire, schema)
 
 
 def read_kafka_stream(

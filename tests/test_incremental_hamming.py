@@ -122,3 +122,54 @@ def test_redelivered_id_no_self_pair_no_reemission(spark, tmp_path):
         for r in hamming_join(df, id_col="doc_id", code_col="simhash60", max_dist=3).collect()
     }
     assert set(acc) == want == {(1, 2, 1), (1, 3, 2), (2, 3, 3)}
+
+
+def test_store_compaction_mid_stream_output_unchanged(spark, tmp_path):
+    # VERDICT r7 item 7: compact the band store BETWEEN AvailableNow runs
+    # (fold batch_id=N partitions into the batch_id=-1 baseline) and prove
+    # the accumulated output still equals the batch hamming_join -- the
+    # baseline partition never collides with a live batch id, so the
+    # own-batch exclusion filter keeps it visible.
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        compact_incremental_store,
+    )
+
+    base = (1 << 45) - 1
+    b1 = [{"doc_id": 1, "simhash60": base}, {"doc_id": 2, "simhash60": base ^ 0b1}]
+    b2 = [{"doc_id": 3, "simhash60": base ^ 0b10}]
+    b3 = [{"doc_id": 4, "simhash60": base ^ 0b100}, {"doc_id": 5, "simhash60": 0}]
+    store, out, ck = (
+        str(tmp_path / "hm_store"),
+        str(tmp_path / "hm_out"),
+        str(tmp_path / "hm_ck"),
+    )
+    src = _write_batches(tmp_path, [b1, b2])
+    stream = read_file_stream(spark, src, SCHEMA, multiline=False, max_files_per_trigger=1)
+    run_incremental_hamming(stream, store, out, checkpoint=ck, max_dist=3)
+    assert sorted(os.listdir(f"{store}/bands")) == ["batch_id=0", "batch_id=1"]
+
+    folded = compact_incremental_store(spark, f"{store}/bands")
+    assert folded == 2
+    assert os.listdir(f"{store}/bands") == ["batch_id=-1"]
+
+    # drop 3 lands; the SAME checkpoint continues the stream against the
+    # compacted store
+    p = os.path.join(src, "b2.json")
+    with open(p, "w") as f:
+        for r in b3:
+            f.write(json.dumps(r) + "\n")
+    stream2 = read_file_stream(spark, src, SCHEMA, multiline=False, max_files_per_trigger=1)
+    run_incremental_hamming(stream2, store, out, checkpoint=ck, max_dist=3)
+
+    got = {(r.id_a, r.id_b, r.dist) for r in spark.read.parquet(out).collect()}
+    df = spark.createDataFrame(
+        [(r["doc_id"], r["simhash60"]) for r in b1 + b2 + b3],
+        "doc_id long, simhash60 long",
+    )
+    want = {
+        (r.id_a, r.id_b, r.dist)
+        for r in hamming_join(df, id_col="doc_id", code_col="simhash60", max_dist=3).collect()
+    }
+    assert got == want
+    # pairs among {1,2,3} predate compaction; {4} pairs cross the baseline
+    assert {(1, 4, 1), (2, 4, 2), (3, 4, 2)} <= got

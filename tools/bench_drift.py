@@ -1,4 +1,5 @@
-"""Per-query bench drift gate (VERDICT r6 item 4).
+"""Per-query bench drift gate (VERDICT r6 item 4; sibling adjudication
+added per VERDICT r7 item 3).
 
 Compares a bench run's per-query COLD timings against the best prior
 recorded cold time for the same query across every round artifact
@@ -8,17 +9,35 @@ FLAGGED when it is more than ``--ratio`` (default 2.0) times its best
 prior AND the absolute regression exceeds ``--floor`` seconds (default
 1.0 -- sub-second jitter on a shared host is noise, not drift).
 
-Streaming queries (name contains "stream") are reported but never flagged:
-their warm floor is micro-batch engine machinery, adjudicated in PLANS.md
-round 6 (isolated fresh-JVM measurements in STREAM_BENCH_LOCAL.json put
-even trivial streaming plans at 1.5-4.5 s warm), so a shared-session
-uptick there is JVM pressure, not a plan change.  A flagged batch query
-whose WARM re-run (queries_warm) is back inside the ratio is downgraded
-to "jit-noise": the cold number was per-query codegen/JIT, measured at
-1-5 s on this container (SCALE.md "Cold-run tax").
+Downgrade ladder (a would-be flag must clear all three to stay a flag):
+
+1. ``stream-floor``: streaming queries (name contains "stream") are
+   reported but never flagged: their warm floor is micro-batch engine
+   machinery, adjudicated in PLANS.md round 6 (isolated fresh-JVM
+   measurements in STREAM_BENCH_LOCAL.json put even trivial streaming
+   plans at 1.5-4.5 s warm).
+2. ``jit-noise``: a batch query whose WARM re-run (queries_warm) in the
+   SAME map is back inside the ratio -- the cold number was per-query
+   codegen/JIT, measured at 1-5 s on this container (SCALE.md).
+3. ``sibling-ok`` (new r8): a query whose cold in a SAME-ROUND sibling
+   map is inside the ratio -- same code, same day, different shared-JVM
+   pressure, so the flagged number is session noise, not a plan change.
+   Siblings resolve automatically for round-named maps
+   (BENCH_LOCAL_r07b.json adjudicates against BENCH_LOCAL_r07*.json) or
+   explicitly via ``--siblings=<glob[,glob...]>`` for the unnumbered
+   working map (BENCH_LOCAL.json), whose same-code siblings the caller
+   knows (this round's earlier clean run).  r7's process gap -- a closing
+   noisy map flagged ``stats_moments`` that the earlier-map gate run never
+   saw -- cannot recur: whichever map the gate runs against, the sibling
+   evidence is consulted in the same invocation.
+
+Any flag that survives all three is a real drift candidate; the gate
+prints the fresh-JVM adjudication command (tools/stream_bench.py) so no
+flag can leave the round unexplained.
 
 Usage:
-    python tools/bench_drift.py [current.json]   # default BENCH_LOCAL.json
+    python tools/bench_drift.py [current.json] [--ratio=2.0] [--floor=1.0]
+                                [--siblings=GLOB[,GLOB...]]
 Exit 1 iff any hard flag survives the downgrades.
 """
 
@@ -27,6 +46,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 
@@ -54,6 +74,36 @@ def best_prior(repo: str, exclude: str) -> dict[str, tuple[float, str]]:
     return best
 
 
+def sibling_colds(
+    repo: str, cur_path: str, explicit: str | None
+) -> dict[str, tuple[float, str]]:
+    """name -> (best cold, file) over SAME-ROUND sibling maps.
+
+    Auto-resolution only trusts maps from the same round number (same
+    code); the unnumbered working map has no safe automatic sibling set,
+    so it gets one only via --siblings."""
+    paths: list[str] = []
+    if explicit:
+        for pat in explicit.split(","):
+            paths.extend(glob.glob(os.path.join(repo, pat)) or glob.glob(pat))
+    else:
+        m = re.search(r"_r(\d+)", os.path.basename(cur_path))
+        if m:
+            paths = glob.glob(os.path.join(repo, f"BENCH_LOCAL_r{m.group(1)}*.json"))
+    best: dict[str, tuple[float, str]] = {}
+    for path in paths:
+        if os.path.abspath(path) == os.path.abspath(cur_path):
+            continue
+        doc = _load(path)
+        if not doc:
+            continue
+        for name, t in (doc.get("queries") or {}).items():
+            if isinstance(t, (int, float)) and t >= 0:
+                if name not in best or t < best[name][0]:
+                    best[name] = (float(t), os.path.basename(path))
+    return best
+
+
 def main(argv: list[str]) -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     args = [a for a in argv if not a.startswith("--")]
@@ -70,6 +120,7 @@ def main(argv: list[str]) -> int:
     if not prior:
         print("bench_drift: no prior BENCH_LOCAL_r*.json maps -- nothing to compare")
         return 0
+    siblings = sibling_colds(repo, cur_path, opts.get("--siblings"))
 
     warm = cur.get("queries_warm") or {}
     flags: list[str] = []
@@ -83,10 +134,13 @@ def main(argv: list[str]) -> int:
         if t <= b * ratio or (t - b) <= floor:
             continue
         line = f"{name}: cold {t:.2f}s vs best prior {b:.2f}s ({src}) = {t / max(b, 1e-9):.1f}x"
+        sib = siblings.get(name)
         if "stream" in name:
             notes.append(f"[stream-floor] {line}")
         elif name in warm and 0 <= warm[name] <= b * ratio:
             notes.append(f"[jit-noise, warm {warm[name]:.2f}s] {line}")
+        elif sib is not None and (sib[0] <= b * ratio or (sib[0] - b) <= floor):
+            notes.append(f"[sibling-ok, {sib[0]:.2f}s in {sib[1]}] {line}")
         else:
             flags.append(f"[DRIFT] {line}")
 
@@ -96,8 +150,15 @@ def main(argv: list[str]) -> int:
         print(f)
     print(
         f"bench_drift: {n_compared} compared, {len(flags)} flagged,"
-        f" {len(notes)} downgraded (ratio {ratio}x, floor {floor}s)"
+        f" {len(notes)} downgraded (ratio {ratio}x, floor {floor}s,"
+        f" {len(siblings)} sibling-map queries)"
     )
+    if flags:
+        qnames = " ".join(f.split(":")[0].split("] ")[1] for f in flags)
+        print(
+            "bench_drift: adjudicate survivors with an isolated fresh-JVM"
+            f" measurement: python tools/stream_bench.py {qnames}"
+        )
     return 1 if flags else 0
 
 
