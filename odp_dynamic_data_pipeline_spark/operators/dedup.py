@@ -1143,6 +1143,104 @@ def adamic_adar_scores(edges: DataFrame, *, max_degree: int | None = None) -> Da
     )
 
 
+def adamic_adar_topk(
+    edges: DataFrame,
+    *,
+    k: int = 20,
+    sample_per_node: int = 8,
+) -> DataFrame:
+    """Top-k link prediction at SUB-QUADRATIC wedge cost: WEDGE-SAMPLED
+    candidate generation + EXACT rescoring (the standard two-phase shape
+    for similarity top-k; wedge sampling after Cohen-Lewis / Ballard et
+    al., KDD'13 wedge-sampling triangle work).  `adamic_adar_scores` pays
+    sum(deg^2) wedges -- output-bound and super-linear on hub-heavy
+    graphs (measured exponent 0.79 even hub-capped); when the caller only
+    wants the TOP-k pairs, this variant is the scale path:
+
+    1. SAMPLE: each node keeps its ``sample_per_node`` lowest-md5-ranked
+       neighbors (deterministic, engine-replayable -- no RNG), so the
+       wedge self-join costs sum(min(deg, s)^2) <= s^2 * |V|: LINEAR in
+       nodes for fixed s, regardless of hub degrees.
+    2. CANDIDATES: distinct distance-2 pairs of the sampled adjacency.
+    3. EXACT RESCORE: every candidate's common-neighbor count and AA
+       score recompute over the FULL graph (one join keyed on the
+       candidate endpoint: cost sum over candidates of deg(i), bounded by
+       |cand| * max_deg, not sum deg^2), so every emitted score is the
+       TRUE Adamic-Adar value -- sampling only affects WHICH pairs are
+       considered, never their weights.
+    4. TOP-K: total deterministic order (aa_e6 desc, common_neighbors
+       desc, id_a, id_b), LIMIT k.
+
+    Recall contract (what makes the sample safe for AA specifically): a
+    wedge through node n survives iff BOTH endpoints are in n's sample,
+    so every wedge through a node with deg <= sample_per_node survives --
+    any pair sharing at least ONE low-degree neighbor is GUARANTEED a
+    candidate.  AA's 1/log2(deg) weighting means precisely those pairs
+    dominate the top of the ranking; pairs connected ONLY through hubs
+    (each contributing the minimum weight) are the ones sampling may
+    miss, and they are the bottom of the ranking by construction.
+
+    Scale note: the per-node sample is one row_number window keyed on the
+    node -- a mega-hub's neighbor list sorts within one task (fine to
+    ~10^7 neighbors; beyond that pre-filter with a degree cap).
+
+    Output: (id_a, id_b, common_neighbors, aa_e6, is_edge), k rows."""
+    from odp_dynamic_data_pipeline_spark.functions.scalars import ilog2_fp20_sql
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if sample_per_node < 2:
+        raise ValueError(f"sample_per_node must be >= 2, got {sample_per_node}")
+    e = edges.select("id_a", "id_b").distinct()
+    sym = e.unionAll(
+        e.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # deterministic neighbor sample: md5 of "s:d" ranks identically in any
+    # engine (the DuckDB oracle replays it verbatim)
+    rank = F.md5(F.concat_ws(":", F.col("s").cast("string"), F.col("d").cast("string")))
+    win = Window.partitionBy("s").orderBy(rank)
+    samp = (
+        sym.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= sample_per_node)
+        .select("s", "d")
+    )
+    w1 = samp.select(F.col("s").alias("k"), F.col("d").alias("i"))
+    w2 = samp.select(F.col("s").alias("k"), F.col("d").alias("j"))
+    cand = w1.join(w2, "k").where(F.col("i") < F.col("j")).select("i", "j").distinct()
+    ni = sym.select(F.col("d").alias("i"), F.col("s").alias("k"))
+    nj = sym.select(F.col("d").alias("j"), F.col("s").alias("k"))
+    shared = cand.join(ni, "i").join(nj, ["j", "k"])
+    inv_lg = f"(shiftleft(CAST(1000000 AS BIGINT), 20) div {ilog2_fp20_sql('deg')})"
+    sc = (
+        shared.join(deg.select(F.col("s").alias("k"), "deg"), "k")
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.expr(f"CAST(sum({inv_lg}) AS BIGINT)").alias("aa_e6"),
+        )
+    )
+    e_flag = e.select("id_a", "id_b", F.lit(True).alias("is_edge"))
+    return (
+        sc.join(
+            e_flag,
+            (sc["i"] == e_flag["id_a"]) & (sc["j"] == e_flag["id_b"]),
+            "left",
+        )
+        .select(
+            F.col("i").alias("id_a"),
+            F.col("j").alias("id_b"),
+            "common_neighbors",
+            "aa_e6",
+            F.coalesce("is_edge", F.lit(False)).alias("is_edge"),
+        )
+        .orderBy(
+            F.col("aa_e6").desc(), F.col("common_neighbors").desc(), "id_a", "id_b"
+        )
+        .limit(k)
+    )
+
+
 def _deletion_variants_expr(col: str, max_dist: int) -> str:
     """SQL expression: the FastSS deletion neighborhood of ``col`` up to
     ``max_dist`` character deletions (distinct, includes the original).

@@ -105,4 +105,7 @@ def test_tau_e6_validated_and_lazy_mode_takes_no_cache(spark):
     lazy = containment_join(docs, docs, n=2, tau_e6=500_000, eager=False)
     lazy.count()
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
-    assert after == before
+    # no NEW cache may appear; the async ContextCleaner may legitimately
+    # drop entries persisted by EARLIER tests between the two snapshots,
+    # so equality would flake under a full-suite run
+    assert not (after - before)

@@ -65,7 +65,21 @@ BASE_EMB = 2_000
 
 
 def gen_dataset(spark, out_dir: str, m: int) -> None:
-    """Synthetic sf0.1-shaped dataset at ``m`` times the row counts."""
+    """Synthetic sf0.1-shaped dataset at ``m`` times the row counts.
+
+    Vocabulary grows with scale (Heaps' law: real corpora add vocabulary
+    as they grow; vocab = 20 * m^(1/3), unchanged at m=1 so rows measured
+    before r8 stay comparable).  A FIXED vocab makes the dedup graph
+    densify QUADRATICALLY -- two random 5-24-token docs over 20 words
+    share a 3-gram shingle with constant probability, so random minhash
+    band collisions scale as n^2 (measured at r8: edges/m^2 ~ 1500
+    constant across m=1..30, max degree growing linearly) and every
+    graph-family rehearsal exponent silently measures input blowup
+    instead of operator behavior.  With vocab ~ m^(1/3) the random
+    pair-collision probability falls as ~1/V^3 ~ 1/m, keeping the random
+    edge term ~linear in n on top of the by-construction-linear n/5
+    twin edges -- constant relative density, which is what 'same corpus,
+    more of it' means."""
     from odp_dynamic_data_pipeline_spark.sources.pyds import register_python_sources
 
     register_python_sources(spark)
@@ -74,7 +88,7 @@ def gen_dataset(spark, out_dir: str, m: int) -> None:
         spark.read.format("synthetic_corpus")
         .option("n_docs", n_docs)
         .option("partitions", 32)
-        .option("vocab", 20)
+        .option("vocab", max(20, round(20 * m ** (1.0 / 3.0))))
         .load()
     )
     twins = raw.where(F.col("doc_id") % 5 == 0).select(
