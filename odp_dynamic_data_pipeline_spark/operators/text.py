@@ -1083,3 +1083,126 @@ def iexp2_fp20(f: int) -> int:
         if (frac >> (20 - k)) & 1:
             acc = (acc * EXP2_FP20_CONSTS[k - 1]) >> 20
     return acc << (f >> 20)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_tokens: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document EXACT-substring duplicate spans -- the ExactSubstr
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), re-expressed relationally: every MAXIMAL token span
+    whose every ``min_tokens``-token window occurs at least ``min_count``
+    times in the corpus (across documents OR repeated within one -- the
+    suffix-array semantics).  This is the span-LEVEL sibling of
+    ``boilerplate_scrub``: blocks there are stride-aligned (a duplicated
+    passage straddling a block boundary is missed and removal granularity
+    is the block); here windows slide at stride 1, so any duplicated
+    passage of >= min_tokens tokens is caught wherever it starts, and the
+    reported span is maximal.
+
+    Relational shape (the suffix array replaced by fixed-length anchor
+    hashing): (1) explode each doc into its sliding windows -- n_tokens
+    rows total, the honest cost of stride-1 coverage; (2) ONE shuffle on
+    the 16-byte md5 window hash counts global occurrences; (3) join the
+    >= min_count hashes back; (4) per-doc interval merge of the surviving
+    window positions (one partitioned window function): consecutive
+    duplicated windows with gap <= min_tokens fuse into one maximal span.
+    Every step is JVM expressions; at 100 TB the window-frequency table
+    is the only wide shuffle and it prunes to repeated hashes only.
+
+    A token inside ANY duplicated window is a duplicated token (Lee et
+    al.'s removal criterion); spans are maximal runs of duplicated
+    tokens.  Output: (id_col, span_start, span_end, span_tokens,
+    n_windows) -- 1-based inclusive token positions, ready for a slice()
+    scrub or a removal-rate report."""
+    if min_tokens < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    L = min_tokens
+    toks = with_tokens(df.select(id_col, text_col), text_col, "__toks")
+    # sequence(1, 0) is DESCENDING in Spark, so short docs need the guard
+    win = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(__toks) >= {L} THEN "
+                f"transform(sequence(1, size(__toks) - {L} + 1), i -> "
+                f"struct(i AS pos, md5(array_join(slice(__toks, i, {L}), ' ')) AS wh))"
+                f" ELSE array() END"
+            )
+        ).alias("w"),
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+    dup_h = (
+        win.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("wh")
+    )
+    dup = win.join(dup_h, "wh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    new_grp = F.when(prev.isNull() | (F.col("pos") - prev > L), 1).otherwise(0)
+    grouped = dup.withColumn(
+        "__grp",
+        F.sum(new_grp).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return grouped.groupBy(id_col, "__grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(L - 1)).cast("long").alias("span_end"),
+        (F.max("pos") + F.lit(L - 1) - F.min("pos") + 1).cast("long").alias("span_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+    ).drop("__grp")
+
+
+def scrub_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_tokens: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The removal half of :func:`duplicate_spans` (Lee et al. 2022 apply
+    ExactSubstr by CUTTING the duplicated spans, not dropping documents):
+    every token inside a reported maximal duplicated span is removed and
+    the survivors re-join in order.  Conservation law (tested):
+    n_clean_tokens == n_tokens - n_dropped_tokens, and a document with no
+    duplicated span passes through with its token sequence intact.
+
+    Scale shape: duplicate_spans' one wide shuffle, a per-doc span
+    collect_list (spans per doc are few and short by construction), one
+    broadcast-shaped left join back to the corpus, then pure array
+    expressions -- no Python, no second shuffle over the corpus.
+
+    Output: (id_col, n_tokens, n_dropped_tokens, clean_text)."""
+    spans = duplicate_spans(
+        df, text_col, min_tokens=min_tokens, min_count=min_count, id_col=id_col
+    )
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans"),
+        F.sum("span_tokens").alias("__dropped"),
+    )
+    toks = with_tokens(df.select(id_col, text_col), text_col, "__toks")
+    joined = toks.join(agg, id_col, "left")
+    covered = (
+        "exists(coalesce(__spans, array()),"
+        " s -> i >= s.span_start AND i <= s.span_end)"
+    )
+    clean = (
+        f"CASE WHEN size(__toks) >= 1 THEN "
+        f"array_join(transform(filter(sequence(1, size(__toks)),"
+        f" i -> NOT {covered}), i -> element_at(__toks, i)), ' ')"
+        f" ELSE '' END"
+    )
+    return joined.select(
+        id_col,
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("__dropped"), F.lit(0)).cast("long").alias("n_dropped_tokens"),
+        F.expr(clean).alias("clean_text"),
+    )

@@ -4818,3 +4818,114 @@ def duck_iexp2_sql(f: str) -> str:
         f" THEN (acc * ({consts})[CAST(k AS INT)]) >> 20 ELSE acc END)"
         f" << (CAST({f} AS BIGINT) >> 20))"
     )
+
+
+@register(
+    "exactsubstr_dup_spans",
+    """
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+win AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS wh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+        FROM toks)
+),
+duph AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(*) >= 2),
+dup AS (SELECT w.doc_id, w.pos FROM win w JOIN duph USING (wh)),
+g AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                  CAST(-100 AS BIGINT)) > 8
+              THEN 1 ELSE 0 END AS ng
+  FROM dup
+),
+s AS (
+  SELECT doc_id, pos,
+         SUM(ng) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM g
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM s GROUP BY doc_id, grp
+""",
+)
+def exactsubstr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level EXACT-substring dedup report (Lee et al. 2022
+    ExactSubstr, re-expressed relationally -- operators.text.
+    duplicate_spans): every maximal token span whose every 8-token
+    stride-1 window occurs >= 2 times in the corpus (cross-document or
+    within-document), as (doc_id, span_start, span_end, span_tokens,
+    n_windows).  The span-level sibling of boilerplate_scrub's
+    stride-aligned blocks: a duplicated passage is caught wherever it
+    starts and reported MAXIMAL, which is what a surgical span-removal
+    pass (rather than whole-doc dedup) consumes.  The DuckDB oracle
+    replays the md5 window anchors, the >= 2 frequency gate, and the
+    per-doc interval merge verbatim."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.duplicate_spans(docs, "text", min_tokens=8, min_count=2)
+
+
+@register(
+    "exactsubstr_scrub",
+    """
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+win AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS wh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+        FROM toks)
+),
+duph AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(*) >= 2),
+dup AS (SELECT w.doc_id, w.pos FROM win w JOIN duph USING (wh)),
+g AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                  CAST(-100 AS BIGINT)) > 8
+              THEN 1 ELSE 0 END AS ng
+  FROM dup
+),
+s AS (
+  SELECT doc_id, pos,
+         SUM(ng) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM g
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS a, MAX(pos) + 7 AS b,
+         MAX(pos) + 7 - MIN(pos) + 1 AS st
+  FROM s GROUP BY doc_id, grp
+),
+agg AS (
+  SELECT doc_id, LIST(struct_pack(a := a, b := b)) AS sp,
+         CAST(SUM(st) AS BIGINT) AS dropped
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.dropped, 0) AS BIGINT) AS n_dropped_tokens,
+       CASE WHEN len(t.t) >= 1 THEN
+         -- COALESCE: DuckDB's array_to_string returns NULL (not '') on an
+         -- empty list, e.g. a fully-duplicated document
+         COALESCE(array_to_string(list_transform(list_filter(generate_series(1, len(t.t)),
+           i -> a.sp IS NULL OR len(list_filter(a.sp, s2 -> i >= s2.a AND i <= s2.b)) = 0),
+           i -> t.t[i]), ' '), '')
+       ELSE '' END AS clean_text
+FROM toks t LEFT JOIN agg a USING (doc_id)
+""",
+)
+def exactsubstr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of exactsubstr_dup_spans (Lee et al. 2022 apply
+    ExactSubstr by cutting duplicated spans, not dropping documents):
+    every token inside a maximal duplicated span is removed and the
+    survivors re-join in order (operators.text.scrub_duplicate_spans).
+    The oracle replays span detection AND the positional cut verbatim,
+    so the hash pins the exact cleaned text of every document -- the
+    strongest possible check that span boundaries, interval merging and
+    the conservation law (n_clean == n_tokens - n_dropped, unit-tested)
+    agree across engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.scrub_duplicate_spans(docs, "text", min_tokens=8, min_count=2)

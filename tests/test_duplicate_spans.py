@@ -1,0 +1,114 @@
+"""duplicate_spans (relational ExactSubstr, Lee et al. 2022): maximal
+cross-document duplicated token spans from stride-1 window anchors --
+span maximality, within-doc repeats, interval merging, short docs."""
+
+from __future__ import annotations
+
+import pytest
+
+from odp_dynamic_data_pipeline_spark.operators.text import duplicate_spans
+
+
+def _spans(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_spans(df, **kw)
+    return {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_windows)
+        for r in out.collect()
+    }
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_shared_passage_maximal_span_at_different_offsets(spark):
+    # a 12-token passage shared by two docs, at token offset 4 in doc 1
+    # and offset 1 in doc 2: each doc reports ONE maximal span of exactly
+    # 12 tokens (= 5 windows of 8), positioned correctly
+    passage = _words("p", 12)
+    rows = [
+        (1, _words("a", 3) + " " + passage + " " + _words("b", 4)),
+        (2, passage + " " + _words("c", 2)),
+    ]
+    got = _spans(spark, rows, min_tokens=8)
+    assert got == {(1, 4, 15, 12, 5), (2, 1, 12, 12, 5)}
+
+
+def test_within_doc_repetition_counts(spark):
+    # suffix-array semantics: the SAME doc repeating an 8-token run twice
+    # flags both occurrences even with no second document
+    run = _words("r", 8)
+    rows = [(1, run + " xx yy " + run)]
+    got = _spans(spark, rows, min_tokens=8)
+    assert got == {(1, 1, 8, 8, 1), (1, 11, 18, 8, 1)}
+
+
+def test_overlapping_duplicated_regions_merge(spark):
+    # doc 3 contains passage A immediately followed by passage B; doc 1
+    # shares A, doc 2 shares B -- doc 3's two duplicated regions are
+    # adjacent and must fuse into ONE maximal span of 16 tokens
+    a, b = _words("a", 8), _words("b", 8)
+    rows = [(1, a), (2, b), (3, a + " " + b)]
+    got = _spans(spark, rows, min_tokens=8)
+    assert (3, 1, 16, 16, 2) in got
+    assert (1, 1, 8, 8, 1) in got and (2, 9, 16, 8, 1) not in got
+    assert (2, 1, 8, 8, 1) in got
+
+
+def test_disjoint_spans_stay_separate(spark):
+    # two shared 8-token passages separated by 9 unique tokens in doc 1:
+    # gap > min_tokens, so two separate spans
+    a, b = _words("a", 8), _words("b", 8)
+    rows = [(1, a + " " + _words("u", 9) + " " + b), (2, a), (3, b)]
+    got = _spans(spark, rows, min_tokens=8)
+    doc1 = sorted(t for t in got if t[0] == 1)
+    assert doc1 == [(1, 1, 8, 8, 1), (1, 18, 25, 8, 1)]
+
+
+def test_short_and_unique_docs_emit_nothing(spark):
+    rows = [(1, _words("x", 5)), (2, _words("y", 30)), (3, _words("z", 30))]
+    assert _spans(spark, rows, min_tokens=8) == set()
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_tokens"):
+        duplicate_spans(df, min_tokens=1)
+    with pytest.raises(ValueError, match="min_count"):
+        duplicate_spans(df, min_count=1)
+
+
+# ---------------------------------------------------------------------------
+# scrub_duplicate_spans (the removal half)
+# ---------------------------------------------------------------------------
+
+from odp_dynamic_data_pipeline_spark.operators.text import (  # noqa: E402
+    scrub_duplicate_spans,
+)
+
+
+def test_scrub_cuts_spans_and_conserves_counts(spark):
+    passage = _words("p", 12)
+    keep1, keep2 = _words("a", 3), _words("b", 4)
+    rows = [
+        (1, keep1 + " " + passage + " " + keep2),
+        (2, passage + " " + _words("c", 2)),
+        (3, _words("zz", 9)),  # untouched doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_duplicate_spans(df, min_tokens=8).collect()}
+    assert out[1].clean_text == keep1 + " " + keep2
+    assert out[2].clean_text == _words("c", 2)
+    assert out[3].clean_text == _words("zz", 9) and out[3].n_dropped_tokens == 0
+    for r in out.values():
+        n_clean = len(r.clean_text.split()) if r.clean_text else 0
+        assert n_clean == r.n_tokens - r.n_dropped_tokens
+
+
+def test_scrub_empty_result_when_whole_doc_duplicated(spark):
+    run = _words("r", 8)
+    df = spark.createDataFrame([(1, run), (2, run)], "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_duplicate_spans(df, min_tokens=8).collect()}
+    assert out[1].clean_text == "" and out[1].n_dropped_tokens == 8
+    assert out[2].clean_text == ""
