@@ -1124,10 +1124,32 @@ def duplicate_spans(
         raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    win = token_windows(df, text_col, min_tokens=min_tokens, id_col=id_col)
+    dup_h = (
+        win.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("wh")
+    )
+    dup = win.join(dup_h, "wh").select(id_col, "pos")
+    return merge_window_spans(dup, min_tokens=min_tokens, id_col=id_col)
+
+
+def token_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stride-1 sliding token windows as (id_col, pos, wh): the md5 anchor
+    table shared by batch ``duplicate_spans`` and the streaming
+    ``run_incremental_spans`` -- both sides MUST hash identical window
+    text or stream/batch parity breaks."""
     L = min_tokens
     toks = with_tokens(df.select(id_col, text_col), text_col, "__toks")
     # sequence(1, 0) is DESCENDING in Spark, so short docs need the guard
-    win = toks.select(
+    return toks.select(
         id_col,
         F.explode(
             F.expr(
@@ -1138,13 +1160,20 @@ def duplicate_spans(
             )
         ).alias("w"),
     ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
-    dup_h = (
-        win.groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .where(F.col("__c") >= min_count)
-        .select("wh")
-    )
-    dup = win.join(dup_h, "wh").select(id_col, "pos")
+
+
+def merge_window_spans(
+    dup: DataFrame,
+    *,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc interval merge of duplicated window positions (id_col, pos)
+    into maximal spans -- the second half of ``duplicate_spans``, shared
+    with the streaming twin.  Windows are all ``min_tokens`` long at
+    stride 1, so two survive-positions fuse iff their gap is <=
+    min_tokens (overlap or adjacency)."""
+    L = min_tokens
     w = Window.partitionBy(id_col).orderBy("pos")
     prev = F.lag("pos").over(w)
     new_grp = F.when(prev.isNull() | (F.col("pos") - prev > L), 1).otherwise(0)

@@ -2851,3 +2851,97 @@ def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum(_cents("value")).cast("long").alias("sum_cents"),
     )
+
+
+@register(
+    "incremental_spans_stream",
+    """
+WITH toks AS (SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS bt,
+                     regexp_extract_all(text, '\\S+') AS t
+              FROM documents),
+win AS (
+  SELECT doc_id, bt, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS wh
+  FROM (SELECT doc_id, bt, t,
+               unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+        FROM toks)
+),
+cnt AS (SELECT wh, bt, COUNT(*) AS c FROM win GROUP BY wh, bt),
+vis AS (
+  SELECT wh, bt,
+         SUM(c) OVER (PARTITION BY wh ORDER BY bt
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccum
+  FROM cnt
+),
+dup AS (
+  SELECT w.doc_id, w.pos
+  FROM win w JOIN vis ON vis.wh = w.wh AND vis.bt = w.bt
+  WHERE vis.ccum >= 2
+),
+g AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                  CAST(-100 AS BIGINT)) > 8
+              THEN 1 ELSE 0 END AS ng
+  FROM dup
+),
+s AS (
+  SELECT doc_id, pos,
+         SUM(ng) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM g
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM s GROUP BY doc_id, grp
+""",
+)
+def incremental_spans_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of exactsubstr_dup_spans with the INGEST-GATE
+    semantics (streaming.run_incremental_spans): documents arrive in two
+    deterministic micro-batches (even doc_ids, then odd), each batch's
+    docs get their maximal duplicated spans against the accreted window
+    store + the batch itself, and history is never retro-flagged.  Because
+    the gate is "window occurrences over batches <= mine", the accumulated
+    output is FULLY replayable in SQL: the oracle computes the per-batch
+    cumulative window counts (SUM(c) OVER bt) and re-derives every span --
+    a complete hash oracle for one-sided streaming semantics, the 22nd
+    streaming query and the 5th with an exact-value oracle."""
+    import glob
+    import os
+    import shutil
+
+    from odp_dynamic_data_pipeline_spark.streaming.stream import run_incremental_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = _stream_tmpdir("incspans_stream")
+    src = f"{tmp}/in"
+    os.makedirs(src)
+    # one file per batch, mtimes forcing oldest-first = even docs first
+    for i, pred in enumerate((F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1)):
+        part_dir = f"{tmp}/part{i}"
+        docs.where(pred).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        (part_file,) = glob.glob(f"{part_dir}/part-*.parquet")
+        dst = f"{src}/batch{i}.parquet"
+        shutil.move(part_file, dst)
+        os.utime(dst, (1_700_000_000 + i * 600, 1_700_000_000 + i * 600))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _stream_shuffle(spark):
+        run_incremental_spans(
+            stream,
+            f"{tmp}/store",
+            f"{tmp}/out",
+            checkpoint=f"{tmp}/ckpt",
+            min_tokens=8,
+            min_count=2,
+        )
+    return spark.read.parquet(f"{tmp}/out").select(
+        "doc_id", "span_start", "span_end", "span_tokens", "n_windows"
+    )

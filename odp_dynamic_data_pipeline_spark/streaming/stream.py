@@ -1051,3 +1051,94 @@ def run_incremental_hamming(
     )
     q.awaitTermination()
     return q
+
+
+def run_incremental_spans(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    *,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    min_count: int = 2,
+):
+    """Streaming ExactSubstr at INGEST time: per micro-batch, each arriving
+    document's stride-1 token windows (operators.text.token_windows -- the
+    SAME md5 anchors the batch duplicate_spans hashes) are counted against
+    the accreted window store PLUS the batch itself, and the batch's
+    documents get their maximal duplicated spans emitted
+    (operators.text.merge_window_spans).
+
+    Semantics are deliberately ONE-SIDED -- the ingest-gate contract: a
+    new document is span-checked against everything already admitted, but
+    history is never retro-flagged when a LATER arrival creates the
+    min_count-th occurrence of one of its windows (re-scrubbing admitted
+    data is a batch maintenance job: run duplicate_spans over the store).
+    Because the gate is "count over batches <= mine", a stream fed in a
+    DETERMINISTIC batch order is exactly replayable by a batch engine --
+    the incremental_spans_stream oracle replays the two-drop split in SQL.
+
+    Store layout (the run_incremental_dedup discipline):
+    {store_path}/wins/batch_id=N holds the batch's (id, pos, wh) window
+    rows; a retry excludes its own failed partition and per-batch output
+    overwrite makes replays idempotent.  Per-batch cost is batch-driven
+    (windows of the batch + one hash-join against colliding store hashes),
+    not store-size-driven; compact the store with
+    compact_incremental_store."""
+    from pyspark.sql import functions as SF
+
+    from odp_dynamic_data_pipeline_spark.operators.text import (
+        merge_window_spans,
+        token_windows,
+    )
+
+    if min_tokens < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+
+    def _path_exists(spark, path: str) -> bool:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(path), conf)
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        win = token_windows(
+            batch_df.select(id_col, text_col), text_col,
+            min_tokens=min_tokens, id_col=id_col,
+        ).persist()
+        batch_counts = win.groupBy("wh").agg(SF.count(SF.lit(1)).alias("__cb"))
+        if _path_exists(spark, f"{store_path}/wins"):
+            store_counts = (
+                spark.read.parquet(f"{store_path}/wins")
+                .where(SF.col("batch_id") != SF.lit(batch_id))
+                .groupBy("wh")
+                .agg(SF.count(SF.lit(1)).alias("__cs"))
+            )
+            totals = batch_counts.join(store_counts, "wh", "left").select(
+                "wh",
+                (SF.col("__cb") + SF.coalesce("__cs", SF.lit(0))).alias("__c"),
+            )
+        else:
+            totals = batch_counts.select("wh", SF.col("__cb").alias("__c"))
+        dup = (
+            win.join(totals.where(SF.col("__c") >= min_count).select("wh"), "wh")
+            .select(id_col, "pos")
+        )
+        spans = merge_window_spans(dup, min_tokens=min_tokens, id_col=id_col)
+        spans.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        win.write.mode("overwrite").parquet(f"{store_path}/wins/batch_id={batch_id}")
+        win.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
