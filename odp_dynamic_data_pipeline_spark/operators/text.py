@@ -1235,3 +1235,114 @@ def scrub_duplicate_spans(
         F.coalesce(F.col("__dropped"), F.lit(0)).cast("long").alias("n_dropped_tokens"),
         F.expr(clean).alias("clean_text"),
     )
+
+
+def cross_duplicate_spans(
+    corpus: DataFrame,
+    needles: DataFrame,
+    *,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus ExactSubstr -- span-level DECONTAMINATION: every
+    maximal token span of a CORPUS document whose every ``min_tokens``-
+    token window also occurs somewhere in the NEEDLE set (the benchmark /
+    eval corpus).  This is the eval-leakage variant of
+    :func:`duplicate_spans` (the GPT-3 / PaLM decontamination appendices
+    run exactly this asymmetric check before training): the n-gram
+    overlap-rate report (`contamination_check`) says WHETHER a doc is
+    tainted; this says precisely WHICH maximal spans leaked, so the fix
+    can be a surgical cut instead of dropping the document.
+
+    Scale shape: the needle window set is DISTINCT window hashes of the
+    (small) benchmark side -- broadcastable in practice; the corpus side
+    streams its stride-1 windows through one semi-join, then the per-doc
+    interval merge.  No frequency table, no self-join.
+
+    Output: (id_col, span_start, span_end, span_tokens, n_windows) over
+    corpus documents only."""
+    if min_tokens < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    cw = token_windows(corpus, text_col, min_tokens=min_tokens, id_col=id_col)
+    nw = (
+        token_windows(needles, text_col, min_tokens=min_tokens, id_col=id_col)
+        .select("wh")
+        .distinct()
+    )
+    dup = cw.join(nw, "wh").select(id_col, "pos")
+    return merge_window_spans(dup, min_tokens=min_tokens, id_col=id_col)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    *,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002;
+    the Theta-sketch core): per group, the ``k`` smallest 60-bit
+    md5-derived hashes of the value set, plus the unbiased estimate
+    est = (k - 1) * 2^52 / h_k (exact count when fewer than k distinct
+    values exist).  Unlike HLL (whose register layout is library-
+    specific), KMV is DETERMINISTIC and engine-replayable -- the DuckDB
+    oracle reproduces the sketch hash-for-hash -- and MERGEABLE: the
+    sketch of a union is the k smallest of the concatenated sketches
+    (property-tested), which is what lets 1000 executors sketch their
+    shards independently and a coordinator fold the results.
+
+    Plan shape: one distinct on (group, hash) -- the only wide shuffle --
+    then a row_number window over the SAME partitioning (Catalyst reuses
+    the exchange) keeps the k smallest.  At 100 TB a deployment
+    pre-filters ``h < threshold`` from a prior estimate before the
+    distinct so the shuffle carries ~k rows per group, not the value
+    universe; the algebra is unchanged.
+
+    Output: (group_cols..., sketch array<bigint> ascending, n_sketch,
+    est_distinct bigint)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    group_cols = group_cols or []
+    h = F.expr(
+        # 52-bit hash space: (k-1) * 2^52 stays inside int64 for k <= 2048
+        # (15 hex chars = 60 bits would overflow the estimate numerator)
+        f"CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 13), 16, 10) AS BIGINT)"
+    )
+    distinct = df.select(*group_cols, h.alias("__h")).where(F.col("__h").isNotNull()).distinct()
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy("__h")
+    else:
+        w = Window.partitionBy().orderBy("__h")
+    topk = distinct.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+    agg = topk.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("__h")).alias("sketch"),
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.max("__h").alias("__hk"),
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("long")
+    ).otherwise(F.expr(f"CAST(({k} - 1) AS BIGINT) * CAST(shiftleft(CAST(1 AS BIGINT), 52) AS BIGINT) div __hk"))
+    return agg.select(*group_cols, "sketch", "n_sketch", est.alias("est_distinct"))
+
+
+def kmv_merge(sketches: DataFrame, *, k: int = 64, group_cols: list[str] | None = None) -> DataFrame:
+    """Fold per-shard KMV sketches into one per group: explode, distinct,
+    keep the k smallest -- the coordinator half of :func:`kmv_sketch`
+    (identical output schema and estimate algebra)."""
+    group_cols = group_cols or []
+    rows = sketches.select(*group_cols, F.explode("sketch").alias("__h")).distinct()
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy("__h")
+    else:
+        w = Window.partitionBy().orderBy("__h")
+    topk = rows.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+    agg = topk.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("__h")).alias("sketch"),
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.max("__h").alias("__hk"),
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("long")
+    ).otherwise(F.expr(f"CAST(({k} - 1) AS BIGINT) * CAST(shiftleft(CAST(1 AS BIGINT), 52) AS BIGINT) div __hk"))
+    return agg.select(*group_cols, "sketch", "n_sketch", est.alias("est_distinct"))

@@ -2945,3 +2945,57 @@ def incremental_spans_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{tmp}/out").select(
         "doc_id", "span_start", "span_end", "span_tokens", "n_windows"
     )
+
+
+@register(
+    "kmv_distinct_users",
+    """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+),
+topk AS (SELECT event_type, h FROM r WHERE rn <= 64),
+agg AS (
+  SELECT event_type, LIST(h ORDER BY h) AS sketch,
+         CAST(COUNT(*) AS BIGINT) AS n_sketch, MAX(h) AS hk
+  FROM topk GROUP BY event_type
+),
+ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+       FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+SELECT a.event_type, a.n_sketch,
+       CASE WHEN a.n_sketch < 64 THEN a.n_sketch
+            ELSE CAST(63 AS BIGINT) * (CAST(1 AS BIGINT) << 52) // a.hk END
+         AS est_distinct,
+       e.exact_users
+FROM agg a JOIN ex e USING (event_type)
+""",
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (operators.text.kmv_sketch,
+    Bar-Yossef et al. 2002 / the Theta-sketch core) over per-event-type
+    distinct users, k = 64, WITH the exact count alongside for error
+    inspection.  Unlike the HLL family (whose register layout is
+    library-specific, so those oracles check a 5%% tolerance boolean),
+    the KMV sketch is deterministic md5 arithmetic -- the DuckDB oracle
+    reproduces n_sketch AND the (k-1) * 2^52 / h_k estimate value-for-
+    value, making this the only distinct-count sketch in the registry
+    whose ESTIMATE is hash-gated.  Mergeability (shard sketches fold to
+    the global sketch) is pinned by property tests."""
+    from odp_dynamic_data_pipeline_spark.operators.text import kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = kmv_sketch(ev, "user_id", k=64, group_cols=["event_type"])
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type", "n_sketch", "est_distinct", "exact_users"
+    )

@@ -4929,3 +4929,56 @@ def exactsubstr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree across engines."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.scrub_duplicate_spans(docs, "text", min_tokens=8, min_count=2)
+
+
+@register(
+    "decontamination_spans",
+    """
+WITH bench AS (SELECT regexp_extract_all(text, '\\S+') AS t
+               FROM documents WHERE doc_id % 37 = 0),
+corp AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+         FROM documents WHERE doc_id % 37 <> 0),
+nw AS (SELECT DISTINCT md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS wh
+       FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+             FROM bench)),
+cw AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+              md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS wh
+       FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+             FROM corp)),
+dup AS (SELECT c.doc_id, c.pos FROM cw c JOIN nw USING (wh)),
+g AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                  CAST(-100 AS BIGINT)) > 8
+              THEN 1 ELSE 0 END AS ng
+  FROM dup
+),
+s AS (
+  SELECT doc_id, pos,
+         SUM(ng) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM g
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM s GROUP BY doc_id, grp
+""",
+)
+def decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level eval DECONTAMINATION (operators.text.
+    cross_duplicate_spans): maximal token spans of TRAINING documents
+    whose every 8-token window also occurs in the benchmark slice
+    (doc_id % 37 == 0 stands in for the eval set) -- the asymmetric
+    ExactSubstr the GPT-3 / PaLM decontamination appendices describe.
+    `contamination_check` reports WHETHER a doc overlaps the benchmark;
+    this reports exactly WHICH maximal spans leaked, so the remedy can be
+    a surgical cut.  The needle window set is distinct benchmark hashes
+    (broadcast-sized); the corpus streams through one semi-join + the
+    per-doc interval merge."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    return tx.cross_duplicate_spans(corpus, bench, min_tokens=8)

@@ -1,0 +1,100 @@
+"""kmv_sketch / kmv_merge (k-minimum-values distinct sketch): merge
+algebra (shard sketches fold to the global sketch exactly), exact-below-k
+behavior, estimate accuracy, determinism; cross_duplicate_spans
+(span-level decontamination) crafted-doc semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from odp_dynamic_data_pipeline_spark.operators.text import (
+    cross_duplicate_spans,
+    kmv_merge,
+    kmv_sketch,
+)
+
+
+def _ids(spark, n, offset=0):
+    return spark.range(offset, offset + n).select(F.col("id").alias("v"))
+
+
+def test_exact_below_k_and_deterministic(spark):
+    df = _ids(spark, 40)
+    a = kmv_sketch(df, "v", k=64).collect()[0]
+    b = kmv_sketch(df, "v", k=64).collect()[0]
+    assert a.n_sketch == 40 and a.est_distinct == 40  # exact below k
+    assert a.sketch == b.sketch  # deterministic md5, no RNG
+    assert a.sketch == sorted(a.sketch)
+
+
+def test_estimate_within_tolerance_above_k(spark):
+    # KMV standard error ~ 1/sqrt(k-2); at k=64 and n=5000 the estimate
+    # should land well inside 3 sigma (~38%) -- use 25% as the gate
+    df = _ids(spark, 5000)
+    r = kmv_sketch(df, "v", k=64).collect()[0]
+    assert r.n_sketch == 64
+    assert abs(r.est_distinct - 5000) <= 1250, r.est_distinct
+
+
+def test_merge_of_shard_sketches_equals_global(spark):
+    # the mergeability contract: sketch(A union B) == merge(sketch(A),
+    # sketch(B)) EXACTLY (k smallest of the union = k smallest of the
+    # concatenated k-smallest lists), including overlapping shards
+    whole = _ids(spark, 3000)
+    s_global = kmv_sketch(whole, "v", k=32).collect()[0]
+    shard_a = kmv_sketch(_ids(spark, 2000), "v", k=32)  # ids 0..1999
+    shard_b = kmv_sketch(_ids(spark, 2000, offset=1000), "v", k=32)  # 1000..2999
+    merged = kmv_merge(shard_a.unionByName(shard_b), k=32).collect()[0]
+    assert merged.sketch == s_global.sketch
+    assert merged.est_distinct == s_global.est_distinct
+
+
+def test_grouped_sketch_and_validation(spark):
+    df = spark.range(200).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    rows = {r.g: r for r in kmv_sketch(df, "v", k=16, group_cols=["g"]).collect()}
+    assert set(rows) == {0, 1} and all(r.n_sketch == 16 for r in rows.values())
+    with pytest.raises(ValueError, match="k must"):
+        kmv_sketch(df, "v", k=1)
+
+
+# ---------------------------------------------------------------------------
+# cross_duplicate_spans (span-level decontamination)
+# ---------------------------------------------------------------------------
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_cross_spans_find_benchmark_leaks_only(spark):
+    leak = _words("q", 10)  # a 10-token benchmark passage
+    bench = spark.createDataFrame(
+        [(100, _words("b", 3) + " " + leak)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, _words("a", 2) + " " + leak + " " + _words("c", 3)),  # leaked
+            (2, _words("u", 20)),  # clean
+            (3, leak),  # fully leaked
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in cross_duplicate_spans(corpus, bench, min_tokens=8).collect()
+    }
+    assert got == {(1, 3, 12, 10), (3, 1, 10, 10)}
+
+
+def test_cross_spans_corpus_internal_dups_ignored(spark):
+    # two corpus docs sharing a passage the benchmark does NOT contain:
+    # decontamination must stay silent (that is duplicate_spans' job)
+    shared = _words("s", 9)
+    bench = spark.createDataFrame([(100, _words("b", 12))], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, shared), (2, shared)], "doc_id long, text string"
+    )
+    assert cross_duplicate_spans(corpus, bench, min_tokens=8).count() == 0
