@@ -2999,3 +2999,78 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.join(exact, "event_type").select(
         "event_type", "n_sketch", "est_distinct", "exact_users"
     )
+
+
+@register(
+    "incremental_kmv_stream",
+    """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+),
+topk AS (SELECT event_type, h FROM r WHERE rn <= 64),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sketch, MAX(h) AS hk
+  FROM topk GROUP BY event_type
+)
+SELECT event_type, n_sketch,
+       CASE WHEN n_sketch < 64 THEN n_sketch
+            ELSE CAST(63 AS BIGINT) * (CAST(1 AS BIGINT) << 52) // hk END
+         AS est_distinct
+FROM agg
+""",
+)
+def incremental_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of kmv_distinct_users (streaming.run_incremental_kmv):
+    events arrive in two micro-batches, each batch's per-event-type KMV
+    sketch folds into the accreted min-hash store, and the evolving merged
+    sketch + estimate is emitted per batch.  KMV is ORDER-INDEPENDENT --
+    the k smallest hashes of a union do not care how the union arrived --
+    so the FINAL batch's emitted estimate equals the one-shot batch sketch
+    over all events, and the oracle hash-pins the estimate VALUE (the HLL
+    streaming twin can only assert a tolerance boolean).  O(k) state per
+    group instead of O(distinct users)."""
+    import glob
+    import os
+    import shutil
+
+    from odp_dynamic_data_pipeline_spark.streaming.stream import run_incremental_kmv
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "event_id")
+    tmp = _stream_tmpdir("inckmv_stream")
+    src = f"{tmp}/in"
+    os.makedirs(src)
+    for i, pred in enumerate((F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)):
+        part_dir = f"{tmp}/part{i}"
+        ev.where(pred).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        (part_file,) = glob.glob(f"{part_dir}/part-*.parquet")
+        dst = f"{src}/batch{i}.parquet"
+        shutil.move(part_file, dst)
+        os.utime(dst, (1_700_000_000 + i * 600, 1_700_000_000 + i * 600))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _stream_shuffle(spark):
+        run_incremental_kmv(
+            stream,
+            f"{tmp}/store",
+            f"{tmp}/out",
+            checkpoint=f"{tmp}/ckpt",
+            col="user_id",
+            k=64,
+            group_cols=["event_type"],
+        )
+    batches = sorted(
+        int(p.split("=")[1]) for p in os.listdir(f"{tmp}/out") if p.startswith("batch_id=")
+    )
+    return spark.read.parquet(f"{tmp}/out/batch_id={batches[-1]}").select(
+        "event_type", "n_sketch", "est_distinct"
+    )

@@ -1142,3 +1142,66 @@ def run_incremental_spans(
     )
     q.awaitTermination()
     return q
+
+
+def run_incremental_kmv(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    *,
+    checkpoint: str,
+    col: str,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+):
+    """Streaming distinct-count tracking via the KMV sketch
+    (operators.text.kmv_sketch): per micro-batch, sketch the batch, fold
+    it into the accreted batch-keyed min-hash store, and emit the MERGED
+    per-group sketch + estimate -- an evolving distinct-cardinality time
+    series over an unbounded stream with O(k) state per group instead of
+    O(distinct values).
+
+    KMV is ORDER-INDEPENDENT (the k smallest hashes of a union do not
+    care how the union arrived), so the final batch's emitted sketch
+    EQUALS the one-shot batch kmv_sketch over all data -- which is why
+    the streaming twin (incremental_kmv_stream) carries a full hash
+    oracle on the estimate itself, not a tolerance boolean.
+
+    Store layout (the run_incremental_dedup discipline):
+    {store_path}/mins/batch_id=N holds the batch's per-group k-smallest
+    distinct hashes; a retry excludes its own failed partition and
+    per-batch output overwrite makes replays idempotent.  Store growth is
+    bounded by k rows per group per batch and compacts with
+    compact_incremental_store."""
+    from pyspark.sql import functions as SF
+
+    from odp_dynamic_data_pipeline_spark.operators.text import kmv_merge, kmv_sketch
+
+    groups = group_cols or []
+
+    def _path_exists(spark, path: str) -> bool:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(path), conf)
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = kmv_sketch(batch_df, col, k=k, group_cols=groups)
+        rows = batch_sk.select(*groups, SF.explode("sketch").alias("h"))
+        rows.write.mode("overwrite").parquet(f"{store_path}/mins/batch_id={batch_id}")
+        all_rows = spark.read.parquet(f"{store_path}/mins") if _path_exists(
+            spark, f"{store_path}/mins"
+        ) else rows
+        sketches = all_rows.groupBy(*groups).agg(SF.collect_list("h").alias("sketch"))
+        merged = kmv_merge(sketches, k=k, group_cols=groups)
+        merged.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -98,3 +98,72 @@ def test_cross_spans_corpus_internal_dups_ignored(spark):
         [(1, shared), (2, shared)], "doc_id long, text string"
     )
     assert cross_duplicate_spans(corpus, bench, min_tokens=8).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# run_incremental_kmv (streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_kmv_final_equals_batch(spark, tmp_path):
+    import json
+    import os
+    import time
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from odp_dynamic_data_pipeline_spark.sources.readers import read_file_stream
+    from odp_dynamic_data_pipeline_spark.streaming.stream import run_incremental_kmv
+
+    schema = StructType(
+        [StructField("g", StringType()), StructField("v", LongType())]
+    )
+    b0 = [{"g": "x", "v": i} for i in range(300)]
+    b1 = [{"g": "x", "v": i} for i in range(150, 450)] + [
+        {"g": "y", "v": i} for i in range(20)
+    ]
+    d = tmp_path / "kmv_in"
+    d.mkdir()
+    now = time.time()
+    for i, rows in enumerate([b0, b1]):
+        p = d / f"b{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (now - 60 + 30 * i, now - 60 + 30 * i))
+    stream = read_file_stream(
+        spark, str(d), schema, multiline=False, max_files_per_trigger=1
+    )
+    store, out = str(tmp_path / "kmv_store"), str(tmp_path / "kmv_out")
+    run_incremental_kmv(
+        stream, store, out, checkpoint=str(tmp_path / "kmv_ck"),
+        col="v", k=32, group_cols=["g"],
+    )
+    # final batch's merged sketch == one-shot batch sketch on the union
+    # (overlapping batches on purpose: order-independence must dedupe)
+    final = {
+        r.g: (r.sketch, r.n_sketch, r.est_distinct)
+        for r in spark.read.parquet(f"{out}/batch_id=1").collect()
+    }
+    union = spark.createDataFrame(
+        [(r["g"], r["v"]) for r in b0 + b1], "g string, v long"
+    )
+    want = {
+        r.g: (r.sketch, r.n_sketch, r.est_distinct)
+        for r in kmv_sketch(union, "v", k=32, group_cols=["g"]).collect()
+    }
+    assert final == want
+    assert final["y"][1] == 20 and final["y"][2] == 20  # below-k exact
+    # the evolving series: batch 0's estimate only saw batch 0
+    first = {
+        r.g: r.est_distinct
+        for r in spark.read.parquet(f"{out}/batch_id=0").collect()
+    }
+    b0_only = {
+        r.g: r.est_distinct
+        for r in kmv_sketch(
+            spark.createDataFrame([(r["g"], r["v"]) for r in b0], "g string, v long"),
+            "v", k=32, group_cols=["g"],
+        ).collect()
+    }
+    assert first == b0_only
