@@ -567,7 +567,12 @@ def duplicate_spans(
     window exists.
 
     Returns (id_col, span_start, span_end, n_windows): 1-based inclusive
-    token positions of each merged duplicated span."""
+    token positions of each merged duplicated span.
+
+    See also ``operators.text.occurrence_duplicate_spans``: the
+    OCCURRENCE-gated variant (flags within-document repetition too) that
+    feeds the cut-all scrub, cross-corpus decontamination, and the
+    streaming ingest gate."""
     L = window
     toks = (
         ensure_min_parallelism(df.select(id_col, text_col))
@@ -705,7 +710,10 @@ def scrub_duplicate_spans(
     per-token shuffle (the only shuffles carry (hash, doc) and
     (doc, position) slim rows).
 
-    Returns (id_col, n_tokens, n_cut, scrubbed_text)."""
+    Returns (id_col, n_tokens, n_cut, scrubbed_text).
+
+    See also ``operators.text.scrub_occurrence_spans``: the cut-ALL-copies
+    variant (no keeper) for material that should not survive anywhere."""
     L = window
     toks = ensure_min_parallelism(df.select(id_col, text_col)).withColumn(
         "__toks", F.expr(f"regexp_extract_all({text_col}, r'\\S+', 0)")

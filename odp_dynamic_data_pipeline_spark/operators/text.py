@@ -1085,7 +1085,7 @@ def iexp2_fp20(f: int) -> int:
     return acc << (f >> 20)
 
 
-def duplicate_spans(
+def occurrence_duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
     *,
@@ -1093,17 +1093,18 @@ def duplicate_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Cross-document EXACT-substring duplicate spans -- the ExactSubstr
-    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
-    Models Better"), re-expressed relationally: every MAXIMAL token span
-    whose every ``min_tokens``-token window occurs at least ``min_count``
-    times in the corpus (across documents OR repeated within one -- the
-    suffix-array semantics).  This is the span-LEVEL sibling of
-    ``boilerplate_scrub``: blocks there are stride-aligned (a duplicated
-    passage straddling a block boundary is missed and removal granularity
-    is the block); here windows slide at stride 1, so any duplicated
-    passage of >= min_tokens tokens is caught wherever it starts, and the
-    reported span is maximal.
+    """OCCURRENCE-gated exact-substring duplicate spans: every MAXIMAL
+    token span whose every ``min_tokens``-token window occurs at least
+    ``min_count`` times in the corpus -- across documents OR repeated
+    within one (the suffix-array counting semantics of Lee et al. 2022
+    ExactSubstr).  Deliberate VARIANT of
+    ``operators.dedup.duplicate_spans``, which gates on >= 2 DISTINCT
+    documents (within-doc degenerate repetition invisible) and exists to
+    feed the keep-one-copy scrub; this occurrence gate also catches
+    self-repetition (looping boilerplate, template stutter) and feeds the
+    cut-ALL-copies scrub, the cross-corpus decontamination join, and the
+    streaming ingest gate (all three share ``token_windows`` /
+    ``merge_window_spans`` so every variant hashes identical anchors).
 
     Relational shape (the suffix array replaced by fixed-length anchor
     hashing): (1) explode each doc into its sliding windows -- n_tokens
@@ -1189,7 +1190,7 @@ def merge_window_spans(
     ).drop("__grp")
 
 
-def scrub_duplicate_spans(
+def scrub_occurrence_spans(
     df: DataFrame,
     text_col: str = "text",
     *,
@@ -1197,10 +1198,13 @@ def scrub_duplicate_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """The removal half of :func:`duplicate_spans` (Lee et al. 2022 apply
-    ExactSubstr by CUTTING the duplicated spans, not dropping documents):
-    every token inside a reported maximal duplicated span is removed and
-    the survivors re-join in order.  Conservation law (tested):
+    """The removal half of :func:`occurrence_duplicate_spans`: every token
+    inside a reported maximal duplicated span is removed from EVERY
+    occurrence and the survivors re-join in order -- the "delete repeated
+    material entirely" action (right for boilerplate/self-repetition).
+    Deliberate VARIANT of ``operators.dedup.scrub_duplicate_spans``, which
+    elects a keeper (lowest doc id keeps its copy) -- right when one
+    canonical copy should survive.  Conservation law (tested):
     n_clean_tokens == n_tokens - n_dropped_tokens, and a document with no
     duplicated span passes through with its token sequence intact.
 
@@ -1210,7 +1214,7 @@ def scrub_duplicate_spans(
     expressions -- no Python, no second shuffle over the corpus.
 
     Output: (id_col, n_tokens, n_dropped_tokens, clean_text)."""
-    spans = duplicate_spans(
+    spans = occurrence_duplicate_spans(
         df, text_col, min_tokens=min_tokens, min_count=min_count, id_col=id_col
     )
     agg = spans.groupBy(id_col).agg(

@@ -4821,7 +4821,7 @@ def duck_iexp2_sql(f: str) -> str:
 
 
 @register(
-    "exactsubstr_dup_spans",
+    "occurrence_dup_spans",
     """
 WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
 win AS (
@@ -4853,24 +4853,24 @@ SELECT doc_id,
 FROM s GROUP BY doc_id, grp
 """,
 )
-def exactsubstr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-level EXACT-substring dedup report (Lee et al. 2022
-    ExactSubstr, re-expressed relationally -- operators.text.
-    duplicate_spans): every maximal token span whose every 8-token
-    stride-1 window occurs >= 2 times in the corpus (cross-document or
-    within-document), as (doc_id, span_start, span_end, span_tokens,
-    n_windows).  The span-level sibling of boilerplate_scrub's
-    stride-aligned blocks: a duplicated passage is caught wherever it
-    starts and reported MAXIMAL, which is what a surgical span-removal
-    pass (rather than whole-doc dedup) consumes.  The DuckDB oracle
-    replays the md5 window anchors, the >= 2 frequency gate, and the
-    per-doc interval merge verbatim."""
+def occurrence_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCCURRENCE-gated duplicate-span report (operators.text.
+    occurrence_duplicate_spans): every maximal token span whose every
+    8-token stride-1 window occurs >= 2 times in the corpus --
+    cross-document OR repeated within one document, the suffix-array
+    counting semantics.  Deliberate variant of `exact_substring_spans`
+    (operators.dedup.duplicate_spans), whose >= 2 DISTINCT-docs gate
+    cannot see within-doc degenerate repetition; this one also anchors
+    the streaming ingest gate (incremental_spans_stream) and the
+    decontamination join, which share its window hashes.  The DuckDB
+    oracle replays the md5 anchors, the occurrence gate, and the per-doc
+    interval merge verbatim."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return tx.duplicate_spans(docs, "text", min_tokens=8, min_count=2)
+    return tx.occurrence_duplicate_spans(docs, "text", min_tokens=8, min_count=2)
 
 
 @register(
-    "exactsubstr_scrub",
+    "occurrence_span_scrub",
     """
 WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
 win AS (
@@ -4917,18 +4917,19 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN agg a USING (doc_id)
 """,
 )
-def exactsubstr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REMOVAL half of exactsubstr_dup_spans (Lee et al. 2022 apply
-    ExactSubstr by cutting duplicated spans, not dropping documents):
-    every token inside a maximal duplicated span is removed and the
-    survivors re-join in order (operators.text.scrub_duplicate_spans).
-    The oracle replays span detection AND the positional cut verbatim,
-    so the hash pins the exact cleaned text of every document -- the
-    strongest possible check that span boundaries, interval merging and
-    the conservation law (n_clean == n_tokens - n_dropped, unit-tested)
-    agree across engines."""
+def occurrence_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of occurrence_dup_spans: every token inside a
+    maximal duplicated span is removed from EVERY occurrence and the
+    survivors re-join in order (operators.text.scrub_occurrence_spans) --
+    the cut-all action for material that should not survive anywhere
+    (looping boilerplate, template stutter).  Deliberate variant of
+    `exact_substring_scrub` (keep-one-copy keeper election).  The oracle
+    replays span detection AND the positional cut verbatim, so the hash
+    pins the exact cleaned text of every document -- boundaries, interval
+    merging and the conservation law (n_clean == n_tokens - n_dropped,
+    unit-tested) agree across engines."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return tx.scrub_duplicate_spans(docs, "text", min_tokens=8, min_count=2)
+    return tx.scrub_occurrence_spans(docs, "text", min_tokens=8, min_count=2)
 
 
 @register(

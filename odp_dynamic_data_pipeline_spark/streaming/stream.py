@@ -1066,7 +1066,7 @@ def run_incremental_spans(
 ):
     """Streaming ExactSubstr at INGEST time: per micro-batch, each arriving
     document's stride-1 token windows (operators.text.token_windows -- the
-    SAME md5 anchors the batch duplicate_spans hashes) are counted against
+    SAME md5 anchors the batch occurrence_duplicate_spans hashes) are counted against
     the accreted window store PLUS the batch itself, and the batch's
     documents get their maximal duplicated spans emitted
     (operators.text.merge_window_spans).

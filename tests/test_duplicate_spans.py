@@ -1,17 +1,18 @@
-"""duplicate_spans (relational ExactSubstr, Lee et al. 2022): maximal
-cross-document duplicated token spans from stride-1 window anchors --
-span maximality, within-doc repeats, interval merging, short docs."""
+"""occurrence_duplicate_spans / scrub_occurrence_spans (occurrence-gated
+span dedup, the cut-all variant of the dedup.py keeper family): span
+maximality, within-doc repeats, interval merging, short docs,
+conservation law."""
 
 from __future__ import annotations
 
 import pytest
 
-from odp_dynamic_data_pipeline_spark.operators.text import duplicate_spans
+from odp_dynamic_data_pipeline_spark.operators.text import occurrence_duplicate_spans
 
 
 def _spans(spark, rows, **kw):
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = duplicate_spans(df, **kw)
+    out = occurrence_duplicate_spans(df, **kw)
     return {
         (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_windows)
         for r in out.collect()
@@ -74,17 +75,17 @@ def test_short_and_unique_docs_emit_nothing(spark):
 def test_validation(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="min_tokens"):
-        duplicate_spans(df, min_tokens=1)
+        occurrence_duplicate_spans(df, min_tokens=1)
     with pytest.raises(ValueError, match="min_count"):
-        duplicate_spans(df, min_count=1)
+        occurrence_duplicate_spans(df, min_count=1)
 
 
 # ---------------------------------------------------------------------------
-# scrub_duplicate_spans (the removal half)
+# scrub_occurrence_spans (the removal half)
 # ---------------------------------------------------------------------------
 
 from odp_dynamic_data_pipeline_spark.operators.text import (  # noqa: E402
-    scrub_duplicate_spans,
+    scrub_occurrence_spans,
 )
 
 
@@ -97,7 +98,7 @@ def test_scrub_cuts_spans_and_conserves_counts(spark):
         (3, _words("zz", 9)),  # untouched doc
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {r.doc_id: r for r in scrub_duplicate_spans(df, min_tokens=8).collect()}
+    out = {r.doc_id: r for r in scrub_occurrence_spans(df, min_tokens=8).collect()}
     assert out[1].clean_text == keep1 + " " + keep2
     assert out[2].clean_text == _words("c", 2)
     assert out[3].clean_text == _words("zz", 9) and out[3].n_dropped_tokens == 0
@@ -109,6 +110,6 @@ def test_scrub_cuts_spans_and_conserves_counts(spark):
 def test_scrub_empty_result_when_whole_doc_duplicated(spark):
     run = _words("r", 8)
     df = spark.createDataFrame([(1, run), (2, run)], "doc_id long, text string")
-    out = {r.doc_id: r for r in scrub_duplicate_spans(df, min_tokens=8).collect()}
+    out = {r.doc_id: r for r in scrub_occurrence_spans(df, min_tokens=8).collect()}
     assert out[1].clean_text == "" and out[1].n_dropped_tokens == 8
     assert out[2].clean_text == ""
