@@ -689,6 +689,96 @@ def pagerank(
     return ranks.select("nid", F.col("r").alias("rank"))
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    seed_col: str = "id",
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart) over an undirected
+    pair list: restart mass returns to the SEED set instead of spreading
+    uniformly, so the score is each node's stationary visit probability
+    for walks that keep teleporting home -- the INFLUENCE companion to
+    ``bfs_hops`` (hops say how FAR the contamination blast radius
+    reaches; PPR says how MUCH of the walk mass each document absorbs,
+    decaying with distance and splitting across branches).  Standard uses:
+    contamination influence from benchmark-tainted seeds, seed-anchored
+    canonical-copy election, topic-conditioned authority.
+
+    Same determinism contract as :func:`pagerank`: pure integer
+    fixed-point (``scale`` units), truncating division, fixed unrolled
+    ``iters`` -- every round replays bit-exactly in a SQL oracle.  Nodes
+    are the edge endpoints plus the seeds (an isolated seed keeps its
+    restart mass and radiates nothing); non-seed nodes start and restart
+    at 0.  Per iteration: one equi-join + one groupBy over slim rows,
+    ranks localCheckpoint-ed so the plan stays flat.
+
+    Returns (nid, rank) with rank in fixed-point ``scale`` units (rows
+    whose rank is 0 are nodes the walk never reaches)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=False
+    )
+    sd = seeds.select(F.col(seed_col).alias("nid")).distinct().localCheckpoint(
+        eager=False
+    )
+    n_seeds = sd.count()  # bounded driver scalar
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    nodes = (
+        deg.select(F.col("src").alias("nid"))
+        .unionByName(sd)
+        .distinct()
+        .join(sd.withColumn("__s", F.lit(True)), "nid", "left")
+        .select("nid", F.coalesce("__s", F.lit(False)).alias("__seed"))
+        .localCheckpoint(eager=False)
+    )
+    base = ((100 - damping_pct) * scale) // (100 * n_seeds)
+    restart = F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0))
+    ranks = nodes.select(
+        "nid",
+        F.when(F.col("__seed"), F.lit(scale // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    for _ in range(iters):
+        contrib = (
+            sym.join(ranks, sym["src"] == ranks["nid"])
+            .join(deg, "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["nid"] == contrib["dst"], "left")
+            .select(
+                "nid",
+                (
+                    restart
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("nid", F.col("r").alias("rank"))
+
+
 def scrub_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

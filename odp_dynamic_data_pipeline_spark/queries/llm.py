@@ -4983,3 +4983,70 @@ def decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 37 == 0)
     corpus = docs.where(F.col("doc_id") % 37 != 0)
     return tx.cross_duplicate_spans(corpus, bench, min_tokens=8)
+
+
+def _ppr_oracle(iters: int = 4) -> str:
+    """Unrolled personalized-PageRank replay over the md5-minhash pair
+    graph with restart mass on the src0 seed documents -- bit-identical
+    integer arithmetic to operators.dedup.personalized_pagerank (same
+    contract as _pagerank_oracle, plus the seed-gated restart term)."""
+    prefix = MINHASH_MD5_ORACLE[: MINHASH_MD5_ORACLE.index("SELECT a.doc_id AS id_a")]
+    body = prefix + """, pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+sd AS (SELECT DISTINCT doc_id AS nid FROM documents WHERE source = 'src0'),
+ns AS (SELECT COUNT(*) AS n FROM sd),
+fl AS (
+  SELECT u.nid, (sd.nid IS NOT NULL) AS is_seed
+  FROM (SELECT src AS nid FROM deg UNION SELECT nid FROM sd) u
+  LEFT JOIN sd ON sd.nid = u.nid
+),
+r0 AS (SELECT fl.nid,
+              CASE WHEN is_seed THEN CAST(1000000000 AS BIGINT) // ns.n
+                   ELSE CAST(0 AS BIGINT) END AS r
+       FROM fl CROSS JOIN ns)"""
+    for k in range(1, iters + 1):
+        body += f""",
+r{k} AS (
+  SELECT fl.nid,
+         CASE WHEN fl.is_seed THEN (15 * CAST(1000000000 AS BIGINT)) // (100 * ns.n)
+              ELSE CAST(0 AS BIGINT) END
+         + (85 * COALESCE(s.s, CAST(0 AS BIGINT))) // 100 AS r
+  FROM fl CROSS JOIN ns
+  LEFT JOIN (
+    SELECT e.dst, SUM(r.r // dg.deg) AS s
+    FROM sym e JOIN r{k - 1} r ON r.nid = e.src JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = fl.nid
+)"""
+    body += f"""
+SELECT nid AS doc_id, CAST(r AS BIGINT) AS ppr_e9 FROM r{iters}
+"""
+    return body
+
+
+@register("contamination_ppr", _ppr_oracle(iters=4))
+def contamination_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAMINATION INFLUENCE via personalized PageRank
+    (operators.dedup.personalized_pagerank): restart mass on the
+    benchmark-tainted src0 documents, walked 4 fixed-point rounds over the
+    md5-minhash near-dup graph.  `contamination_spread_hops` answers how
+    FAR the blast radius reaches (min hops); this answers how MUCH walk
+    mass each document absorbs -- decaying with distance, splitting across
+    branches, and accumulating through multiple paths, which is the
+    ranking a triage queue wants (review the highest-mass documents
+    first).  Exact integer fixed-point e9 arithmetic; the oracle unrolls
+    all rounds with the seed-gated restart term."""
+    edges = dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b")
+    seeds = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source") == "src0")
+        .select(F.col("doc_id").alias("id"))
+    )
+    out = dd.personalized_pagerank(edges, seeds, iters=4)
+    return out.select(F.col("nid").alias("doc_id"), F.col("rank").alias("ppr_e9"))

@@ -198,3 +198,79 @@ def test_topk_validation(spark):
         adamic_adar_topk(df, k=0)
     with pytest.raises(ValueError, match="sample_per_node"):
         adamic_adar_topk(df, k=1, sample_per_node=1)
+
+
+# ---------------------------------------------------------------------------
+# personalized_pagerank (random walk with restart from a seed set)
+# ---------------------------------------------------------------------------
+
+from odp_dynamic_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    personalized_pagerank,
+)
+
+SCALE = 1_000_000_000
+
+
+def _ppr_reference(edges, seeds, iters, damping=85, scale=SCALE):
+    sym = {}
+    for a, b in edges:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    nodes = set(sym) | set(seeds)
+    base = ((100 - damping) * scale) // (100 * len(seeds))
+    r = {n: (scale // len(seeds) if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        s = {n: 0 for n in nodes}
+        for src, dsts in sym.items():
+            c = r[src] // len(dsts)
+            for d in dsts:
+                s[d] += c
+        r = {
+            n: (base if n in seeds else 0) + (damping * s[n]) // 100
+            for n in nodes
+        }
+    return r
+
+
+def _ppr(spark, edges, seeds, iters):
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    s = spark.createDataFrame([(x,) for x in seeds], "id long")
+    return {
+        r.nid: r.rank
+        for r in personalized_pagerank(e, s, iters=iters).collect()
+    }
+
+
+def test_ppr_matches_reference_and_decays_with_distance(spark):
+    # path 1-2-3-4 with seed {1}: mass decays along the path; node 5 is
+    # disconnected (rank 0), seed 9 is isolated (keeps restart mass only)
+    edges = [(1, 2), (2, 3), (3, 4), (5, 6)]
+    got = _ppr(spark, edges, [1, 9], 4)
+    want = _ppr_reference(edges, {1, 9}, 4)
+    assert got == want
+    # at small fixed iters rank ping-pongs along a path (bipartite
+    # oscillation), so no per-node ordering holds -- assert reachability
+    # mass instead: every path node carries mass, disconnected ones none
+    assert min(got[1], got[2], got[3], got[4]) > 0
+    assert got[5] == 0 and got[6] == 0
+    assert got[9] == ((100 - 85) * SCALE) // (100 * 2)  # isolated seed
+
+
+def test_ppr_mass_splits_across_branches_and_accumulates(spark):
+    # star seed 0 -> {1,2,3}; node 4 reachable from BOTH 1 and 2: it must
+    # out-rank node 5 reachable only from 3 (two paths accumulate)
+    edges = [(0, 1), (0, 2), (0, 3), (1, 4), (2, 4), (3, 5)]
+    got = _ppr(spark, edges, [0], 4)
+    want = _ppr_reference(edges, {0}, 4)
+    assert got == want
+    assert got[4] > got[5] > 0
+
+
+def test_ppr_validation(spark):
+    e = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    import pytest
+
+    with pytest.raises(ValueError, match="seed set"):
+        personalized_pagerank(e, spark.createDataFrame([], "id long"))
+    with pytest.raises(ValueError, match="iters"):
+        personalized_pagerank(e, spark.createDataFrame([(1,)], "id long"), iters=0)
