@@ -1350,3 +1350,83 @@ def kmv_merge(sketches: DataFrame, *, k: int = 64, group_cols: list[str] | None 
         F.col("n_sketch") < k, F.col("n_sketch").cast("long")
     ).otherwise(F.expr(f"CAST(({k} - 1) AS BIGINT) * CAST(shiftleft(CAST(1 AS BIGINT), 52) AS BIGINT) div __hk"))
     return agg.select(*group_cols, "sketch", "n_sketch", est.alias("est_distinct"))
+
+
+def kmv_overlap(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise distinct-set OVERLAP estimation between groups from KMV
+    sketches -- the Theta-sketch set algebra (union / intersection /
+    Jaccard over sketches, Dasgupta et al. 2016) on the deterministic
+    52-bit md5 space of :func:`kmv_sketch`: for every group pair, the
+    union sketch U is the k smallest hashes of the two groups' sketches
+    combined, ``n_common`` counts U members present in BOTH sketches, and
+
+        est_jaccard_e6 = 1e6 * n_common / |U|
+        est_inter      = n_common * est_union / |U|
+
+    -- the standard KMV estimators, exact-integer and engine-replayable
+    (the oracle reproduces every estimate value-for-value; an HLL-based
+    overlap would need inclusion-exclusion over three +-2%% estimates and
+    could not be hash-gated).  The cross-source audience/user-overlap
+    matrix at 100 TB: each group is sketched once (one distinct shuffle),
+    pairs operate on k-row sketches -- G^2 * k sketch rows, never data.
+
+    Output: (g_a, g_b, n_union_sketch, est_union, n_common, est_inter,
+    est_jaccard_e6), one row per unordered group pair (g_a < g_b)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.expr(
+        f"CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 13), 16, 10) AS BIGINT)"
+    )
+    d = (
+        df.select(F.col(group_col).alias("g"), h.alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    sk = d.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).select("g", "h")
+    gs = sk.select("g").distinct()
+    prs = (
+        gs.select(F.col("g").alias("g_a"))
+        .join(gs.select(F.col("g").alias("g_b")))
+        .where(F.col("g_a") < F.col("g_b"))
+    )
+    ua = prs.join(sk.select(F.col("g").alias("g_a"), "h"), "g_a")
+    ub = prs.join(sk.select(F.col("g").alias("g_b"), "h"), "g_b")
+    u = ua.select("g_a", "g_b", "h").unionByName(ub.select("g_a", "g_b", "h")).distinct()
+    wu = Window.partitionBy("g_a", "g_b").orderBy("h")
+    uk = u.withColumn("__rn", F.row_number().over(wu)).where(F.col("__rn") <= k)
+    in_a = sk.select(F.col("g").alias("g_a"), "h", F.lit(1).alias("__ia"))
+    in_b = sk.select(F.col("g").alias("g_b"), "h", F.lit(1).alias("__ib"))
+    marked = (
+        uk.join(in_a, ["g_a", "h"], "left")
+        .join(in_b, ["g_b", "h"], "left")
+        .select(
+            "g_a", "g_b", "h",
+            (F.coalesce("__ia", F.lit(0)) * F.coalesce("__ib", F.lit(0))).alias("__both"),
+        )
+    )
+    agg = marked.groupBy("g_a", "g_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
+        F.max("h").alias("__hk"),
+        F.sum("__both").cast("long").alias("n_common"),
+    )
+    est_union = F.when(
+        F.col("n_union_sketch") < k, F.col("n_union_sketch")
+    ).otherwise(
+        F.expr(f"CAST(({k} - 1) AS BIGINT) * CAST(shiftleft(CAST(1 AS BIGINT), 52) AS BIGINT) div __hk")
+    )
+    return agg.withColumn("est_union", est_union.cast("long")).select(
+        "g_a",
+        "g_b",
+        "n_union_sketch",
+        "est_union",
+        "n_common",
+        F.expr("(n_common * est_union) div n_union_sketch").alias("est_inter"),
+        F.expr("(1000000 * n_common) div n_union_sketch").alias("est_jaccard_e6"),
+    )

@@ -3074,3 +3074,71 @@ def incremental_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{tmp}/out/batch_id={batches[-1]}").select(
         "event_type", "n_sketch", "est_distinct"
     )
+
+
+@register(
+    "kmv_overlap_matrix",
+    """
+WITH d AS (
+  SELECT DISTINCT event_type AS g,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+sk AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d)
+  WHERE rn <= 64
+),
+gs AS (SELECT DISTINCT g FROM sk),
+prs AS (SELECT a.g AS g_a, b.g AS g_b FROM gs a JOIN gs b ON a.g < b.g),
+u AS (
+  SELECT p.g_a, p.g_b, s.h FROM prs p JOIN sk s ON s.g = p.g_a
+  UNION
+  SELECT p.g_a, p.g_b, s.h FROM prs p JOIN sk s ON s.g = p.g_b
+),
+uk AS (
+  SELECT g_a, g_b, h FROM (
+    SELECT g_a, g_b, h,
+           row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rn FROM u)
+  WHERE rn <= 64
+),
+m AS (
+  SELECT uk.g_a, uk.g_b, uk.h,
+         CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 ELSE 0 END AS bth
+  FROM uk
+  LEFT JOIN sk sa ON sa.g = uk.g_a AND sa.h = uk.h
+  LEFT JOIN sk sb ON sb.g = uk.g_b AND sb.h = uk.h
+),
+agg AS (
+  SELECT g_a, g_b, CAST(COUNT(*) AS BIGINT) AS n_union_sketch, MAX(h) AS hk,
+         CAST(SUM(bth) AS BIGINT) AS n_common
+  FROM m GROUP BY g_a, g_b
+),
+est AS (
+  SELECT g_a, g_b, n_union_sketch, n_common,
+         CASE WHEN n_union_sketch < 64 THEN n_union_sketch
+              ELSE CAST(63 AS BIGINT) * (CAST(1 AS BIGINT) << 52) // hk END
+           AS est_union
+  FROM agg
+)
+SELECT g_a, g_b, n_union_sketch, est_union, n_common,
+       (n_common * est_union) // n_union_sketch AS est_inter,
+       (1000000 * n_common) // n_union_sketch AS est_jaccard_e6
+FROM est
+""",
+)
+def kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-USER overlap between event types from KMV
+    sketches (operators.text.kmv_overlap -- Theta-sketch set algebra on
+    the deterministic 52-bit md5 space): union sketch = k smallest of the
+    pair's combined sketches, n_common = union members present in BOTH,
+    est_jaccard = n_common/|U|, est_inter = est_jaccard * est_union.  The
+    cross-source audience-overlap matrix at 100 TB: each source sketched
+    once, pairs operate on k-row sketches.  Every estimate is exact
+    integer arithmetic, so the oracle hash-pins the VALUES -- an
+    HLL-based overlap (inclusion-exclusion over three ~2%% estimates)
+    could not be hash-gated."""
+    from odp_dynamic_data_pipeline_spark.operators.text import kmv_overlap
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return kmv_overlap(ev, "user_id", "event_type", k=64)

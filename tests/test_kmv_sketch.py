@@ -167,3 +167,47 @@ def test_incremental_kmv_final_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert first == b0_only
+
+
+# ---------------------------------------------------------------------------
+# kmv_overlap (Theta-sketch set algebra)
+# ---------------------------------------------------------------------------
+
+from odp_dynamic_data_pipeline_spark.operators.text import kmv_overlap  # noqa: E402
+
+
+def test_overlap_exact_below_k_and_accuracy(spark):
+    # groups small enough that sketches are exhaustive: estimates are EXACT
+    rows = (
+        [("a", i) for i in range(30)]
+        + [("b", i) for i in range(20, 50)]  # |a ∩ b| = 10, |a ∪ b| = 50
+        + [("c", i) for i in range(100, 110)]  # disjoint from both
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r.g_a, r.g_b): (r.est_union, r.n_common, r.est_inter, r.est_jaccard_e6)
+        for r in kmv_overlap(df, "v", "g", k=64).collect()
+    }
+    assert got[("a", "b")] == (50, 10, 10, 200_000)  # J = 10/50 exactly
+    assert got[("a", "c")][1] == 0 and got[("a", "c")][2] == 0
+    assert got[("b", "c")][3] == 0
+
+
+def test_overlap_estimates_above_k_within_tolerance(spark):
+    # 3000-element groups with 50% overlap at k=64: KMV jaccard std err
+    # ~ sqrt(J(1-J)/k) ~ 6%; union std err ~ 1/sqrt(k-2) ~ 13%. 3-sigma
+    # gates.
+    rows = [("a", i) for i in range(3000)] + [("b", i) for i in range(1500, 4500)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kmv_overlap(df, "v", "g", k=64).collect()[0]
+    assert abs(r.est_union - 4500) <= 1800
+    assert abs(r.est_jaccard_e6 - 333_333) <= 200_000
+    assert abs(r.est_inter - 1500) <= 1000
+
+
+def test_overlap_validation(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        kmv_overlap(df, "v", "g", k=1)
