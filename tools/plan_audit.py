@@ -42,6 +42,9 @@ PANDAS_BY_DESIGN = {
 # queries where a cartesian against a broadcast side is the algorithm
 BROADCAST_NLJ_BY_DESIGN = {
     "range_join_value_tiers",      # 3-row tier bounds table
+    "kmv_overlap_matrix",          # group-pair cross product of the DISTINCT
+                                   # group list (G rows, G=5 event types);
+                                   # per-pair work is k-row sketches, never data
     "embedding_cosine_topk",       # brute-force baseline: scan x broadcast queries
     "matryoshka_overlap_report",   # two cosine_topk legs: scan x broadcast queries (k-bounded overlap join after)
     "hard_negative_mining",        # brute-force baseline: scan x broadcast queries
