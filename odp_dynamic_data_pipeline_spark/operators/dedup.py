@@ -732,8 +732,13 @@ def personalized_pagerank(
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
         eager=False
     )
-    sd = seeds.select(F.col(seed_col).alias("nid")).distinct().localCheckpoint(
-        eager=False
+    # a NULL seed id would inflate n_seeds (diluting every restart share)
+    # while never matching a node -- drop it before counting
+    sd = (
+        seeds.select(F.col(seed_col).alias("nid"))
+        .where(F.col("nid").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     n_seeds = sd.count()  # bounded driver scalar
     if n_seeds == 0:

@@ -113,3 +113,51 @@ def test_scrub_empty_result_when_whole_doc_duplicated(spark):
     out = {r.doc_id: r for r in scrub_occurrence_spans(df, min_tokens=8).collect()}
     assert out[1].clean_text == "" and out[1].n_dropped_tokens == 8
     assert out[2].clean_text == ""
+
+
+def _reference_spans(docs, L, min_count):
+    """Pure-Python occurrence-gated span reference: window hashes ->
+    global occurrence counts -> per-doc interval merge."""
+    from collections import Counter
+
+    wins = {}  # doc -> [(pos, key)]
+    counts = Counter()
+    for d, text in docs:
+        toks = text.split()
+        ws = []
+        for i in range(len(toks) - L + 1):
+            key = " ".join(toks[i : i + L])
+            ws.append((i + 1, key))
+            counts[key] += 1
+        wins[d] = ws
+    out = set()
+    for d, ws in wins.items():
+        dup = sorted(p for p, key in ws if counts[key] >= min_count)
+        if not dup:
+            continue
+        start = prev = dup[0]
+        n = 1
+        for p in dup[1:]:
+            if p - prev > L:
+                out.add((d, start, prev + L - 1, prev + L - start, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        out.add((d, start, prev + L - 1, prev + L - start, n))
+    return out
+
+
+def test_random_corpora_match_reference(spark):
+    # tiny alphabet + short words force organic window collisions across
+    # and within docs; every (doc, span) must match the pure-Python
+    # reference exactly, across L values
+    import random
+
+    for seed, n_docs, L in [(1, 25, 3), (2, 40, 4), (3, 30, 5)]:
+        rng = random.Random(seed)
+        docs = []
+        for i in range(n_docs):
+            words = [rng.choice("ab") for _ in range(rng.randint(0, 14))]
+            docs.append((i, " ".join(words)))
+        got = _spans(spark, docs, min_tokens=L)
+        assert got == _reference_spans(docs, L, 2), (seed, L)

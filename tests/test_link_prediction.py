@@ -274,3 +274,12 @@ def test_ppr_validation(spark):
         personalized_pagerank(e, spark.createDataFrame([], "id long"))
     with pytest.raises(ValueError, match="iters"):
         personalized_pagerank(e, spark.createDataFrame([(1,)], "id long"), iters=0)
+
+
+def test_ppr_null_seed_ids_do_not_dilute_restart_mass(spark):
+    e = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    s_clean = spark.createDataFrame([(1,)], "id long")
+    s_dirty = spark.createDataFrame([(1,), (None,)], "id long")
+    got_clean = {r.nid: r.rank for r in personalized_pagerank(e, s_clean, iters=3).collect()}
+    got_dirty = {r.nid: r.rank for r in personalized_pagerank(e, s_dirty, iters=3).collect()}
+    assert got_clean == got_dirty  # the NULL row must not halve the shares
