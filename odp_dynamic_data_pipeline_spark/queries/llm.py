@@ -5050,3 +5050,101 @@ def contamination_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = dd.personalized_pagerank(edges, seeds, iters=4)
     return out.select(F.col("nid").alias("doc_id"), F.col("rank").alias("ppr_e9"))
+
+
+def _threshold_sweep_oracle(taus=(300_000, 500_000, 700_000)) -> str:
+    """Scored 8-gram Jaccard pairs once (the jaccard_prefix_join brute
+    force), then one recursive min-label CC + cluster-size rollup per
+    threshold -- the oracle unions the per-threshold summary rows."""
+    # pair scoring via the inverted index (join on shared shingle hashes,
+    # GROUP BY pair), NOT all-pairs list_intersect: identical result (a
+    # pair with zero shared shingles cannot pass any tau > 0) and ~40x
+    # cheaper at sf0.1 (the first cut took 790 s in DuckDB)
+    head = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+  WHERE len(regexp_extract_all(text, '\S+')) >= 8
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 7)) AS i FROM toks)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         (1000000 * inter) // (sa.sz + sb.sz - inter) AS jac_e6
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE 1000000 * inter >= 300000 * (sa.sz + sb.sz - inter)
+)"""
+    parts, selects = [], []
+    for t in taus:
+        parts.append(f""",
+sym{t} AS (SELECT id_a AS src, id_b AS dst FROM scored WHERE jac_e6 >= {t}
+           UNION ALL SELECT id_b, id_a FROM scored WHERE jac_e6 >= {t}),
+n{t} AS (SELECT DISTINCT src AS nid FROM sym{t}),
+cc{t} AS (SELECT nid, nid AS comp FROM n{t}
+          UNION SELECT s.dst, cc{t}.comp FROM cc{t} JOIN sym{t} s ON s.src = cc{t}.nid),
+lab{t} AS (SELECT nid, MIN(comp) AS comp FROM cc{t} GROUP BY nid),
+sz{t} AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS csz FROM lab{t} GROUP BY comp),
+row{t} AS (
+  SELECT CAST({t} AS BIGINT) AS threshold_e6,
+         CAST(COALESCE(SUM(csz), 0) AS BIGINT) AS n_dup_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(COALESCE(SUM(csz), 0) - COUNT(*) AS BIGINT) AS n_removable,
+         CAST(COALESCE(MAX(csz), 0) AS BIGINT) AS max_cluster
+  FROM sz{t})""")
+        selects.append(f"SELECT * FROM row{t}")
+    return head + "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("dedup_threshold_sweep", _threshold_sweep_oracle())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup TUNING KNOB report: exact 8-gram Jaccard pairs scored
+    ONCE (operators.dedup.jaccard_join at the loosest threshold), then
+    connected components per candidate threshold {0.3, 0.5, 0.7} with the
+    cluster-size rollup a threshold decision needs -- docs involved,
+    cluster count, removable docs (n - clusters = what dedup deletes),
+    and the largest cluster (the template-family blowup a too-loose
+    threshold causes).  Production dedup picks tau by exactly this curve:
+    removable-count stability vs max-cluster explosion.  Scale shape: the
+    expensive pair scoring runs once; each threshold re-filters the
+    SCORED pair list (kilobytes per million docs) and runs CC over edge
+    endpoints only.  The oracle replays all three CC runs recursively and
+    hash-pins every summary number."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (
+        dd.jaccard_join(docs, n=8, tau_e6=300_000)
+        .select("id_a", "id_b", "jac_e6")
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for tau in (300_000, 500_000, 700_000):
+        e = pairs.where(F.col("jac_e6") >= tau).select("id_a", "id_b")
+        nodes = (
+            e.select(F.col("id_a").alias("doc_id"))
+            .unionByName(e.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        comp = dd.connected_components(nodes, e, id_col="doc_id")
+        csz = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csz"))
+        row = csz.agg(
+            F.coalesce(F.sum("csz"), F.lit(0)).cast("long").alias("n_dup_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.coalesce(F.max("csz"), F.lit(0)).cast("long").alias("max_cluster"),
+        ).select(
+            F.lit(tau).cast("long").alias("threshold_e6"),
+            "n_dup_docs",
+            "n_clusters",
+            (F.col("n_dup_docs") - F.col("n_clusters")).cast("long").alias("n_removable"),
+            "max_cluster",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "threshold_e6", "n_dup_docs", "n_clusters", "n_removable", "max_cluster"
+    )
