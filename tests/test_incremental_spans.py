@@ -104,3 +104,37 @@ def test_store_accretes_batch_keyed(spark, tmp_path):
     b1 = [{"doc_id": 2, "text": _words("b", 10)}]
     _, store = _run(spark, tmp_path, [b0, b1], min_tokens=8)
     assert sorted(os.listdir(f"{store}/wins")) == ["batch_id=0", "batch_id=1"]
+
+
+def test_store_compaction_mid_stream_output_unchanged(spark, tmp_path):
+    # fold the window store into the batch_id=-1 baseline between
+    # AvailableNow runs: later batches must still count historical windows
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        compact_incremental_store,
+    )
+
+    passage = _words("p", 9)
+    b0 = [{"doc_id": 1, "text": passage}]
+    b1 = [{"doc_id": 2, "text": _words("x", 2) + " " + passage}]
+    src = _write_batches(tmp_path, [b0])
+    store, out, ck = (
+        str(tmp_path / "sp_store"),
+        str(tmp_path / "sp_out"),
+        str(tmp_path / "sp_ck"),
+    )
+    stream = read_file_stream(spark, src, SCHEMA, multiline=False)
+    run_incremental_spans(stream, store, out, checkpoint=ck, min_tokens=8)
+    assert compact_incremental_store(spark, f"{store}/wins") == 1
+    assert os.listdir(f"{store}/wins") == ["batch_id=-1"]
+    # drop 2: doc 2 must pair against the COMPACTED baseline
+    p = os.path.join(src, "b1.json")
+    with open(p, "w") as f:
+        for r in b1:
+            f.write(json.dumps(r) + "\n")
+    stream2 = read_file_stream(spark, src, SCHEMA, multiline=False)
+    run_incremental_spans(stream2, store, out, checkpoint=ck, min_tokens=8)
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(2, 3, 11)}  # doc 1 stays unflagged (one-sided), doc 2 flagged

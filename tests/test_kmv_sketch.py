@@ -211,3 +211,51 @@ def test_overlap_validation(spark):
 
     with pytest.raises(ValueError, match="k must"):
         kmv_overlap(df, "v", "g", k=1)
+
+
+def test_incremental_kmv_store_compaction_estimate_unchanged(spark, tmp_path):
+    # folding the min-hash store into batch_id=-1 between runs must leave
+    # the merged sketch (k smallest distinct of the union) identical
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from odp_dynamic_data_pipeline_spark.sources.readers import read_file_stream
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        compact_incremental_store,
+        run_incremental_kmv,
+    )
+
+    schema = StructType([StructField("g", StringType()), StructField("v", LongType())])
+    d = tmp_path / "kc_in"
+    d.mkdir()
+    now = _time.time()
+
+    def _drop(name, rows, age):
+        p = d / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (now - age, now - age))
+
+    _drop("b0.json", [{"g": "x", "v": i} for i in range(200)], 60)
+    store, out, ck = (
+        str(tmp_path / "kc_store"),
+        str(tmp_path / "kc_out"),
+        str(tmp_path / "kc_ck"),
+    )
+    stream = read_file_stream(spark, str(d), schema, multiline=False)
+    run_incremental_kmv(stream, store, out, checkpoint=ck, col="v", k=32, group_cols=["g"])
+    assert compact_incremental_store(spark, f"{store}/mins") == 1
+    _drop("b1.json", [{"g": "x", "v": i} for i in range(100, 300)], 20)
+    stream2 = read_file_stream(spark, str(d), schema, multiline=False)
+    run_incremental_kmv(stream2, store, out, checkpoint=ck, col="v", k=32, group_cols=["g"])
+    batches = sorted(
+        int(p.split("=")[1]) for p in _os.listdir(out) if p.startswith("batch_id=")
+    )
+    final = spark.read.parquet(f"{out}/batch_id={batches[-1]}").collect()[0]
+    union = spark.createDataFrame([("x", i) for i in range(300)], "g string, v long")
+    want = kmv_sketch(union, "v", k=32, group_cols=["g"]).collect()[0]
+    assert final.sketch == want.sketch and final.est_distinct == want.est_distinct

@@ -51,13 +51,26 @@ spark.stop()
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "STREAM_BENCH_LOCAL.json")
+    # positional [sf_dir] [out_json] [query...] -- but a caller passing
+    # query names FIRST used to get the first name as sf_dir and the
+    # second as out_json (silently writing a stray file into the repo
+    # root).  Anything that is not an existing directory / .json path is
+    # treated as a query name instead.
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.1"
+    out_path = os.path.join(REPO, "STREAM_BENCH_LOCAL.json")
+    if args and os.path.isdir(args[0]):
+        sf_dir = args.pop(0)
+        if args and args[0].endswith(".json"):
+            out_path = args.pop(0)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sys.path.insert(0, REPO)
     from odp_dynamic_data_pipeline_spark.queries import SPARK_QUERIES
 
-    explicit = sys.argv[3:]
+    unknown = [n for n in args if n not in SPARK_QUERIES]
+    if unknown:
+        raise SystemExit(f"stream_bench: not registered queries: {unknown}")
+    explicit = args
     names = explicit or [n for n in SPARK_QUERIES if "stream" in n]
     results: dict[str, dict] = {}
     if explicit and os.path.exists(out_path):
