@@ -62,6 +62,8 @@ DEFAULT_QUERIES = [
 
 BASE_DOCS = 4_000   # + 800 twins ~= sf0.1's 5,000 docs at m=1
 BASE_EMB = 2_000
+BASE_EVENTS = 100_000  # sf0.1's events row count at m=1
+BASE_USERS = 1_500
 
 
 def gen_dataset(spark, out_dir: str, m: int) -> None:
@@ -117,6 +119,26 @@ def gen_dataset(spark, out_dir: str, m: int) -> None:
         F.pmod(F.xxhash64("id", F.lit("label")), F.lit(10)).cast("int").alias("label"),
     )
     emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    # events shaped like the driver table (event_id, ts over 30 days,
+    # user_id scaling WITH the corpus -- more data means more users, the
+    # "same product, more traffic" model -- 5 event types, value, props);
+    # deterministic xxhash64 fields, no RNG
+    types = "array('view', 'click', 'purchase', 'signup', 'error')"
+    ev = spark.range(BASE_EVENTS * m).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestamp_seconds(1704067200 + pmod(xxhash64(id, 'ts'), 2592000))"
+        ).alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit("u")), F.lit(BASE_USERS * m)).alias("user_id"),
+        F.expr(
+            f"element_at({types}, CAST(pmod(xxhash64(id, 'et'), 5) + 1 AS INT))"
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit("v")), F.lit(100_000)) / 100.0).alias("value"),
+        F.to_json(
+            F.struct(F.pmod(F.xxhash64("id", F.lit("k")), F.lit(1024)).alias("k"))
+        ).alias("props"),
+    )
+    ev.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
 def fit_exponent(ts: dict[int, float]) -> float:
