@@ -1235,7 +1235,12 @@ def scrub_occurrence_spans(
     )
     return joined.select(
         id_col,
-        F.size("__toks").cast("long").alias("n_tokens"),
+        # NULL text tokenizes to a NULL array; report 0 tokens, not the
+        # legacy sizeOfNull -1 (the oracle coalesces len(t) the same way)
+        F.when(F.col("__toks").isNotNull(), F.size("__toks"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
         F.coalesce(F.col("__dropped"), F.lit(0)).cast("long").alias("n_dropped_tokens"),
         F.expr(clean).alias("clean_text"),
     )
@@ -1278,6 +1283,41 @@ def cross_duplicate_spans(
     return merge_window_spans(dup, min_tokens=min_tokens, id_col=id_col)
 
 
+def _kmv_global_topk(rows: DataFrame, k: int) -> DataFrame:
+    """Shard-then-fold global k-smallest for the UNGROUPED sketch paths
+    (kmv_sketch / kmv_merge with no group_cols): each input partition
+    keeps its own k smallest ``__h`` via a per-shard window (parallel,
+    spill-able -- the shard key is ``spark_partition_id()``, so no task
+    ever sorts more than its own partition), then one bounded global fold
+    over <= k rows PER SHARD assembles the final sketch with a
+    partial-aggregatable collect_list.  No single-partition window
+    anywhere in the plan; the only single-task step is the final merge of
+    <= k * num_shuffle_partitions longs (k=64 x 10k partitions = 640k
+    values worst case -- bounded by config, not by data).  Bit-identical
+    to a global ``row_number() <= k`` because the k smallest of a set is
+    the k smallest of the union of per-shard k-smallest (KMV's
+    mergeability, property-tested)."""
+    shard = rows.withColumn("__shard", F.spark_partition_id())
+    w = Window.partitionBy("__shard").orderBy("__h")
+    pruned = (
+        shard.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("__h")
+    )
+    agg = pruned.agg(F.sort_array(F.collect_list("__h")).alias("__all"))
+    out = agg.select(
+        F.slice("__all", 1, k).alias("sketch"),
+        F.least(F.size("__all"), F.lit(k)).cast("long").alias("n_sketch"),
+    )
+    est = F.when(F.col("n_sketch") < k, F.col("n_sketch")).otherwise(
+        F.expr(
+            f"CAST(({k} - 1) AS BIGINT) * CAST(shiftleft(CAST(1 AS BIGINT), 52) AS BIGINT)"
+            " div element_at(sketch, CAST(size(sketch) AS INT))"
+        )
+    )
+    return out.select("sketch", "n_sketch", est.cast("long").alias("est_distinct"))
+
+
 def kmv_sketch(
     df: DataFrame,
     col: str,
@@ -1298,15 +1338,21 @@ def kmv_sketch(
 
     Plan shape: one distinct on (group, hash) -- the only wide shuffle --
     then a row_number window over the SAME partitioning (Catalyst reuses
-    the exchange) keeps the k smallest.  At 100 TB a deployment
+    the exchange) keeps the k smallest.  The UNGROUPED path (group_cols
+    empty) never funnels through a single-partition window: it sketches
+    per ``spark_partition_id()`` shard and folds the <= k-per-shard
+    survivors with a bounded global aggregate (see _kmv_global_topk) --
+    bit-identical by KMV mergeability.  At 100 TB a deployment
     pre-filters ``h < threshold`` from a prior estimate before the
     distinct so the shuffle carries ~k rows per group, not the value
     universe; the algebra is unchanged.
 
     Output: (group_cols..., sketch array<bigint> ascending, n_sketch,
     est_distinct bigint)."""
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
+    if not (2 <= k <= 2048):
+        # (k-1) * 2^52 fits int64 only for k <= 2048; beyond that the
+        # estimate numerator silently overflows
+        raise ValueError(f"k must be in [2, 2048], got {k}")
     group_cols = group_cols or []
     h = F.expr(
         # 52-bit hash space: (k-1) * 2^52 stays inside int64 for k <= 2048
@@ -1314,10 +1360,10 @@ def kmv_sketch(
         f"CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 13), 16, 10) AS BIGINT)"
     )
     distinct = df.select(*group_cols, h.alias("__h")).where(F.col("__h").isNotNull()).distinct()
-    if group_cols:
-        w = Window.partitionBy(*group_cols).orderBy("__h")
-    else:
-        w = Window.partitionBy().orderBy("__h")
+    if not group_cols:
+        # ungrouped: shard-then-fold -- never a single-partition window
+        return _kmv_global_topk(distinct, k)
+    w = Window.partitionBy(*group_cols).orderBy("__h")
     topk = distinct.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
     agg = topk.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list("__h")).alias("sketch"),
@@ -1334,12 +1380,14 @@ def kmv_merge(sketches: DataFrame, *, k: int = 64, group_cols: list[str] | None 
     """Fold per-shard KMV sketches into one per group: explode, distinct,
     keep the k smallest -- the coordinator half of :func:`kmv_sketch`
     (identical output schema and estimate algebra)."""
+    if not (2 <= k <= 2048):
+        raise ValueError(f"k must be in [2, 2048], got {k}")
     group_cols = group_cols or []
     rows = sketches.select(*group_cols, F.explode("sketch").alias("__h")).distinct()
-    if group_cols:
-        w = Window.partitionBy(*group_cols).orderBy("__h")
-    else:
-        w = Window.partitionBy().orderBy("__h")
+    if not group_cols:
+        # ungrouped: shard-then-fold -- never a single-partition window
+        return _kmv_global_topk(rows, k)
+    w = Window.partitionBy(*group_cols).orderBy("__h")
     topk = rows.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
     agg = topk.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list("__h")).alias("sketch"),
@@ -1378,8 +1426,8 @@ def kmv_overlap(
 
     Output: (g_a, g_b, n_union_sketch, est_union, n_common, est_inter,
     est_jaccard_e6), one row per unordered group pair (g_a < g_b)."""
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
+    if not (2 <= k <= 2048):
+        raise ValueError(f"k must be in [2, 2048], got {k}")
     h = F.expr(
         f"CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 13), 16, 10) AS BIGINT)"
     )

@@ -4905,7 +4905,7 @@ agg AS (
   FROM spans GROUP BY doc_id
 )
 SELECT t.doc_id,
-       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(t.t), 0) AS BIGINT) AS n_tokens,
        CAST(COALESCE(a.dropped, 0) AS BIGINT) AS n_dropped_tokens,
        CASE WHEN len(t.t) >= 1 THEN
          -- COALESCE: DuckDB's array_to_string returns NULL (not '') on an

@@ -967,8 +967,21 @@ def run_incremental_hamming(
     id_a != id_b) and never re-emits pairs already reported -- each batch
     anti-joins its candidate pairs against the accumulated output
     (excluding its own partition, so a retried batch still re-emits its
-    identical rows).  Ids are assumed to identify a STABLE code; an id
-    re-delivered with a different code keeps its first-reported pairs."""
+    identical rows).  The anti-join's right side is pre-pruned to prior
+    pairs that TOUCH a batch id (every candidate pair has at least one
+    batch-side endpoint), so the suppression cost is batch-driven, not
+    output-lifetime-driven.  Ids are assumed to identify a STABLE code;
+    an id re-delivered with a different code keeps its first-reported
+    pairs.
+
+    Store compatibility: the (bi, bv) values are produced by
+    ``hamming_bands``, whose band layout changed in r8 to balanced widths
+    when ``bits % (max_dist + 1) != 0``.  A band store persisted by
+    pre-r8 code will NOT match post-r8 bands (missed cross-batch pairs,
+    silently); rebuild or recompute the store after upgrading --
+    re-running the stream from its source, or regenerating
+    {store_path}/bands from the stored (id, code) columns via
+    hamming_bands, restores consistency."""
     from pyspark.sql import functions as SF
 
     from odp_dynamic_data_pipeline_spark.operators.dedup import hamming_bands
@@ -1032,13 +1045,28 @@ def run_incremental_hamming(
             # re-delivered ids regenerate pairs already reported by earlier
             # batches; suppress them so the accumulated output stays the
             # unordered pair SET (own partition excluded -- a retried batch
-            # must still re-emit its identical rows)
+            # must still re-emit its identical rows).  Every candidate pair
+            # has >= 1 batch-side endpoint, so prior pairs touching NO
+            # batch id can never match -- semi-join-prune them first to
+            # keep the suppression cost batch-driven, not proportional to
+            # the stream's lifetime output (duplicate rows from the
+            # id_a/id_b union are harmless on an anti-join's right side)
+            batch_ids = SF.broadcast(
+                bands.select(SF.col(id_col)).distinct()
+            )
             prior = (
                 spark.read.parquet(out_path)
                 .where(SF.col("batch_id") != SF.lit(batch_id))
                 .select("id_a", "id_b")
             )
-            pairs = pairs.join(prior, ["id_a", "id_b"], "left_anti")
+            touching = prior.join(
+                batch_ids.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi"
+            ).unionByName(
+                prior.join(
+                    batch_ids.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi"
+                )
+            )
+            pairs = pairs.join(touching, ["id_a", "id_b"], "left_anti")
         pairs.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
         bands.write.mode("overwrite").parquet(f"{store_path}/bands/batch_id={batch_id}")
         bands.unpersist()

@@ -259,3 +259,54 @@ def test_incremental_kmv_store_compaction_estimate_unchanged(spark, tmp_path):
     union = spark.createDataFrame([("x", i) for i in range(300)], "g string, v long")
     want = kmv_sketch(union, "v", k=32, group_cols=["g"]).collect()[0]
     assert final.sketch == want.sketch and final.est_distinct == want.est_distinct
+
+
+# ---------------------------------------------------------------------------
+# ungrouped two-level (shard-then-fold) path -- VERDICT r8 item 2
+# ---------------------------------------------------------------------------
+
+
+def test_ungrouped_two_level_bit_identical(spark):
+    # the shard/fold rewrite must equal the naive global top-k EXACTLY,
+    # across awkward partition layouts (including partitions with < k rows)
+    for n, parts, k in [(5000, 16, 64), (40, 7, 64), (300, 1, 16), (65, 32, 64)]:
+        df = _ids(spark, n).repartition(parts)
+        got = kmv_sketch(df, "v", k=k).collect()[0]
+        h = F.expr("CAST(conv(substr(md5(CAST(v AS STRING)), 1, 13), 16, 10) AS BIGINT)")
+        ref = [r.h for r in df.select(h.alias("h")).distinct().orderBy("h").limit(k).collect()]
+        assert got.sketch == ref, (n, parts, k)
+        assert got.n_sketch == min(n, k)
+        if n >= k:
+            assert got.est_distinct == (k - 1) * (1 << 52) // ref[-1]
+        else:
+            assert got.est_distinct == n
+
+
+def test_ungrouped_plan_has_no_single_partition_window(spark):
+    df = _ids(spark, 100)
+    plan = kmv_sketch(df, "v", k=8)._jdf.queryExecution().executedPlan().toString()
+    assert "__shard" in plan  # sharded level-1 window
+    # every Window node must carry a partition spec: the node prints as
+    # "Window [exprs], [partition cols], [order]" when partitioned and
+    # "Window [exprs], [order]" when global -- count comma-separated
+    # bracket groups per Window line
+    for line in plan.splitlines():
+        ls = line.strip().lstrip("+-* ")
+        if ls.startswith("Window "):
+            assert ls.count("], [") >= 2, f"single-partition window: {ls}"
+
+
+def test_ungrouped_empty_input(spark):
+    empty = spark.range(0).select(F.col("id").alias("v"))
+    r = kmv_sketch(empty, "v", k=8).collect()[0]
+    assert list(r.sketch) == [] and r.n_sketch == 0 and r.est_distinct == 0
+
+
+def test_k_upper_bound_validation(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="2048"):
+        kmv_sketch(df, "v", k=4096)
+    with pytest.raises(ValueError, match="2048"):
+        kmv_merge(df.select(F.array(F.lit(1)).alias("sketch")), k=4096)
+    with pytest.raises(ValueError, match="2048"):
+        kmv_overlap(df, "v", "g", k=4096)
