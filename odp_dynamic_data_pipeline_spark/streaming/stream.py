@@ -932,6 +932,53 @@ def compact_incremental_store(spark, store_path: str) -> int:
     return len(to_fold)
 
 
+def compact_incremental_count_store(
+    spark, store_path: str, key_cols: list[str], count_col: str = "cnt"
+) -> int:
+    """Compaction twin of :func:`compact_incremental_store` for COUNT
+    stores (run_incremental_spans' (wh, cnt) table): fold every
+    ``batch_id=N`` partition into one ``batch_id=-1`` baseline by SUMMING
+    ``count_col`` per ``key_cols``.  A distinct-fold would collapse equal
+    per-batch counts into one row and under-gate min_count -- count
+    stores need the additive fold, value stores need the set fold; the
+    two functions are deliberately separate so neither can be misapplied
+    silently (schema mismatch fails loudly).
+
+    Same lifecycle discipline as the set-fold twin: run BETWEEN streaming
+    runs, never under a live writer.  Crash window caveat is SHARPER here
+    than for set stores: a crash after the baseline write but before the
+    partition deletes leaves counts doubled (set-store consumers tolerate
+    duplicate rows; count sums do not), which can only over-flag new
+    arrivals until the next compaction completes -- it never un-flags.
+    Returns the number of batch partitions folded."""
+    from pyspark.sql import functions as SF
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    parts = [
+        s.getPath().getName()
+        for s in fs.listStatus(root)
+        if s.isDirectory() and s.getPath().getName().startswith("batch_id=")
+    ]
+    to_fold = [p for p in parts if p != "batch_id=-1"]
+    if not to_fold:
+        return 0
+    df = spark.read.parquet(store_path).drop("batch_id")
+    folded = df.groupBy(*key_cols).agg(
+        SF.sum(count_col).cast("long").alias(count_col)
+    )
+    folded.write.mode("overwrite").parquet(f"{store_path}/__baseline_tmp")
+    merged = spark.read.parquet(f"{store_path}/__baseline_tmp")
+    merged.write.mode("overwrite").parquet(f"{store_path}/batch_id=-1")
+    for p in parts:
+        if p != "batch_id=-1":
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store_path}/{p}"), True)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store_path}/__baseline_tmp"), True)
+    return len(to_fold)
+
+
 def run_incremental_hamming(
     stream: DataFrame,
     store_path: str,
@@ -1108,13 +1155,31 @@ def run_incremental_spans(
     DETERMINISTIC batch order is exactly replayable by a batch engine --
     the incremental_spans_stream oracle replays the two-drop split in SQL.
 
-    Store layout (the run_incremental_dedup discipline):
-    {store_path}/wins/batch_id=N holds the batch's (id, pos, wh) window
-    rows; a retry excludes its own failed partition and per-batch output
-    overwrite makes replays idempotent.  Per-batch cost is batch-driven
-    (windows of the batch + one hash-join against colliding store hashes),
-    not store-size-driven; compact the store with
-    compact_incremental_store."""
+    Store layout (the run_incremental_dedup discipline, AGGREGATED):
+    {store_path}/whc/batch_id=N holds the batch's (wh, cnt) window-hash
+    COUNTS -- never positions.  The one-sided gate makes positions from
+    history unnecessary: a window count is all the gate ever asks of
+    admitted data, so the store is distinct-wh-sized (10-100x smaller
+    than raw (id, pos, wh) rows for repetitive corpora) and compacts by
+    SUMMING counts per hash (compact_incremental_count_store -- NOT the
+    distinct-fold compact_incremental_store, which would collapse equal
+    counts and under-gate).  A retry excludes its own failed partition
+    and per-batch output overwrite makes replays idempotent.
+
+    Per-batch cost is batch-driven, provably: the store side is pruned
+    with a broadcast semi-join on the BATCH's distinct window hashes
+    BEFORE any aggregation, so the only store-proportional work is the
+    columnar scan of the wh/cnt columns (sequential IO, no shuffle); the
+    shuffle and the count fold carry colliding hashes only.  The
+    broadcast is bounded by the micro-batch's distinct windows -- size
+    triggers (maxFilesPerTrigger / maxBytesPerTrigger) bound it the same
+    way they bound the batch itself.  Re-scrubbing admitted data remains
+    a batch maintenance job over the corpus (duplicate_spans), not the
+    store.
+
+    Legacy stores: a pre-r9 {store_path}/wins raw-window store is
+    auto-migrated (counted per batch partition into whc, then deleted)
+    before the first micro-batch."""
     from pyspark.sql import functions as SF
 
     from odp_dynamic_data_pipeline_spark.operators.text import (
@@ -1133,35 +1198,68 @@ def run_incremental_spans(
         fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(path), conf)
         return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
 
+    def _migrate_legacy_wins(spark) -> None:
+        # pre-r9 layout: {store_path}/wins/batch_id=N raw (id, pos, wh)
+        # rows -- fold each batch partition into (wh, cnt) and drop it
+        if not _path_exists(spark, f"{store_path}/wins") or _path_exists(
+            spark, f"{store_path}/whc"
+        ):
+            return
+        wins = spark.read.parquet(f"{store_path}/wins")
+        (
+            wins.groupBy("batch_id", "wh")
+            .agg(SF.count(SF.lit(1)).cast("long").alias("cnt"))
+            .write.partitionBy("batch_id")
+            .mode("overwrite")
+            .parquet(f"{store_path}/whc")
+        )
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create(store_path), conf
+        )
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store_path}/wins"), True)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         win = token_windows(
             batch_df.select(id_col, text_col), text_col,
             min_tokens=min_tokens, id_col=id_col,
         ).persist()
-        batch_counts = win.groupBy("wh").agg(SF.count(SF.lit(1)).alias("__cb"))
-        if _path_exists(spark, f"{store_path}/wins"):
+        batch_counts = win.groupBy("wh").agg(
+            SF.count(SF.lit(1)).cast("long").alias("cnt")
+        ).persist()
+        if _path_exists(spark, f"{store_path}/whc"):
+            # prune BEFORE counting: only store hashes that collide with
+            # this batch can affect the gate, and the batch's distinct-wh
+            # set is broadcast-bounded -- per-batch shuffle cost is
+            # collision-driven, not store-size-driven
             store_counts = (
-                spark.read.parquet(f"{store_path}/wins")
+                spark.read.parquet(f"{store_path}/whc")
                 .where(SF.col("batch_id") != SF.lit(batch_id))
+                .join(SF.broadcast(batch_counts.select("wh")), "wh", "left_semi")
                 .groupBy("wh")
-                .agg(SF.count(SF.lit(1)).alias("__cs"))
+                .agg(SF.sum("cnt").alias("__cs"))
             )
             totals = batch_counts.join(store_counts, "wh", "left").select(
                 "wh",
-                (SF.col("__cb") + SF.coalesce("__cs", SF.lit(0))).alias("__c"),
+                (SF.col("cnt") + SF.coalesce("__cs", SF.lit(0))).alias("__c"),
             )
         else:
-            totals = batch_counts.select("wh", SF.col("__cb").alias("__c"))
+            totals = batch_counts.select("wh", SF.col("cnt").alias("__c"))
         dup = (
             win.join(totals.where(SF.col("__c") >= min_count).select("wh"), "wh")
             .select(id_col, "pos")
         )
         spans = merge_window_spans(dup, min_tokens=min_tokens, id_col=id_col)
         spans.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
-        win.write.mode("overwrite").parquet(f"{store_path}/wins/batch_id={batch_id}")
+        batch_counts.write.mode("overwrite").parquet(
+            f"{store_path}/whc/batch_id={batch_id}"
+        )
+        batch_counts.unpersist()
         win.unpersist()
 
+    _migrate_legacy_wins(stream.sparkSession)
     q = (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
