@@ -520,21 +520,32 @@ def run_incremental_dedup(
             )
         else:
             fp = fp.dropDuplicates([fp_col])
+        fp = fp.persist()
         if _path_exists(spark, store_path):
             # exclude this batch's own partition: a retry must not see the
-            # failed attempt's fingerprints and drop the whole batch
+            # failed attempt's fingerprints and drop the whole batch.
+            # Broadcast direction matters at scale: broadcast the BATCH's
+            # fingerprints into a semi-join that prunes the store to
+            # actual hits (store scanned map-side, never shuffled or
+            # broadcast whole), then anti-join the batch against the
+            # batch-bounded hit set -- per-batch cost is batch-driven
+            # plus a sequential store scan, flat in store size
             seen = (
                 spark.read.parquet(store_path)
                 .where(SF.col("batch_id") != SF.lit(batch_id))
                 .select(fp_col)
             )
-            fresh = fp.join(SF.broadcast(seen), fp_col, "left_anti")
+            hits = seen.join(
+                SF.broadcast(fp.select(fp_col)), fp_col, "left_semi"
+            )
+            fresh = fp.join(SF.broadcast(hits), fp_col, "left_anti")
         else:  # first batch: no store yet
             fresh = fp
         fresh.persist()
         fresh.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
         fresh.select(fp_col).write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
         fresh.unpersist()
+        fp.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(process)
@@ -846,16 +857,22 @@ def run_incremental_neardup(
         cand = cands[0]
         for c in cands[1:]:
             cand = cand.unionByName(c)
-        cand = cand.dropDuplicates(["id_a", "id_b"])
+        cand = cand.dropDuplicates(["id_a", "id_b"]).persist()
         # verification: old ids resolve against the store's hash table,
-        # new ids against this batch's
+        # new ids against this batch's.  The store side is pruned to the
+        # ids that actually appear in candidate pairs (collision-bounded,
+        # broadcast-safe) BEFORE the union, so the shingle-hash table is
+        # only ever scanned -- never shuffled whole -- and the join work
+        # is candidate-driven, not store-size-driven
         if _path_exists(spark, f"{store_path}/hashes"):
-            all_hashes = (
+            need = cand.select(SF.col("id_a").alias(id_col)).distinct()
+            store_h = (
                 spark.read.parquet(f"{store_path}/hashes")
                 .where(SF.col("batch_id") != SF.lit(batch_id))
+                .join(SF.broadcast(need), id_col, "left_semi")
                 .select(id_col, "hsh")
-                .unionByName(hashed.select(id_col, "hsh"))
             )
+            all_hashes = store_h.unionByName(hashed.select(id_col, "hsh"))
         else:
             all_hashes = hashed.select(id_col, "hsh")
         ha = all_hashes.select(SF.col(id_col).alias("id_a"), SF.col("hsh").alias("h_a"))
@@ -878,6 +895,7 @@ def run_incremental_neardup(
         hashed.select(id_col, "hsh").write.mode("overwrite").parquet(
             f"{store_path}/hashes/batch_id={batch_id}"
         )
+        cand.unpersist()
         buckets.unpersist()
         hashed.unpersist()
 
@@ -1293,35 +1311,71 @@ def run_incremental_kmv(
     the streaming twin (incremental_kmv_stream) carries a full hash
     oracle on the estimate itself, not a tolerance boolean.
 
+    Per-batch cost is FLAT in stream lifetime: each batch folds its own
+    sketch against the PREVIOUS batch's emitted sketch (k rows per group
+    -- itself the merge of everything before it, by KMV mergeability:
+    the k smallest of top-k(A) union B is the k smallest of A union B,
+    property-tested), never against the accreted store.  O(batch +
+    k * groups) work per batch regardless of how many batches came
+    before.  Idempotent under retries: batch N deterministically reads
+    the newest emission with id < N, so a replay rebuilds the identical
+    partition.
+
     Store layout (the run_incremental_dedup discipline):
-    {store_path}/mins/batch_id=N holds the batch's per-group k-smallest
-    distinct hashes; a retry excludes its own failed partition and
-    per-batch output overwrite makes replays idempotent.  Store growth is
-    bounded by k rows per group per batch and compacts with
-    compact_incremental_store."""
+    {store_path}/mins/batch_id=N still records the batch's per-group
+    k-smallest distinct hashes -- a rebuildable audit trail (lets an
+    operator re-derive any prefix's sketch, or recover if out_path is
+    lost) that the hot path never re-reads; growth is bounded by k rows
+    per group per batch and compacts with compact_incremental_store."""
     from pyspark.sql import functions as SF
 
     from odp_dynamic_data_pipeline_spark.operators.text import kmv_merge, kmv_sketch
 
     groups = group_cols or []
 
-    def _path_exists(spark, path: str) -> bool:
+    def _latest_prior_out(spark, current_id: int):
+        """Newest emitted partition with batch_id < current (None if no
+        prior emission): the accreted state, k rows per group."""
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(path), conf)
-        return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create(out_path), conf
+        )
+        root = jvm.org.apache.hadoop.fs.Path(out_path)
+        if not fs.exists(root):
+            return None
+        ids = []
+        for s in fs.listStatus(root):
+            name = s.getPath().getName()
+            if s.isDirectory() and name.startswith("batch_id="):
+                try:
+                    bid = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if bid < current_id:
+                    ids.append(bid)
+        if not ids:
+            return None
+        return spark.read.parquet(f"{out_path}/batch_id={max(ids)}")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_sk = kmv_sketch(batch_df, col, k=k, group_cols=groups)
+        batch_sk = kmv_sketch(batch_df, col, k=k, group_cols=groups).persist()
         rows = batch_sk.select(*groups, SF.explode("sketch").alias("h"))
         rows.write.mode("overwrite").parquet(f"{store_path}/mins/batch_id={batch_id}")
-        all_rows = spark.read.parquet(f"{store_path}/mins") if _path_exists(
-            spark, f"{store_path}/mins"
-        ) else rows
-        sketches = all_rows.groupBy(*groups).agg(SF.collect_list("h").alias("sketch"))
-        merged = kmv_merge(sketches, k=k, group_cols=groups)
+        prev = _latest_prior_out(spark, batch_id)
+        if prev is not None:
+            merged = kmv_merge(
+                prev.select(*groups, "sketch").unionByName(
+                    batch_sk.select(*groups, "sketch")
+                ),
+                k=k,
+                group_cols=groups,
+            )
+        else:
+            merged = batch_sk.select(*groups, "sketch", "n_sketch", "est_distinct")
         merged.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        batch_sk.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(process)
