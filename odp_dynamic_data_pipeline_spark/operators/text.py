@@ -1283,6 +1283,204 @@ def cross_duplicate_spans(
     return merge_window_spans(dup, min_tokens=min_tokens, id_col=id_col)
 
 
+def char_exact_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_tokens: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    max_ext: int = 64,
+) -> DataFrame:
+    """Character-exact boundary trim for :func:`occurrence_duplicate_spans`
+    (VERDICT r8 item 5): the token-window spans are token-granular -- a
+    duplicated region whose true boundary falls INSIDE a token (shared
+    "...foo" prefix of otherwise-different boundary tokens, Lee et al.
+    2022's byte-exact suffix-array bounds) gets cut at the token edge.
+    This pass extends each span end character-by-character against a
+    PARTNER occurrence of the span's boundary window:
+
+      1. recompute each span's boundary window hashes from the doc's OWN
+         token array (no join against the corpus window table on
+         position);
+      2. for every needed hash, keep the two smallest corpus occurrences
+         (row_number <= 2 over (doc, pos) -- every in-span window has
+         >= min_count >= 2 occurrences by construction), and pick the
+         first that is not the span's own boundary -- a deterministic
+         partner, possibly the same document at another position;
+      3. extend left/right by the longest common suffix/prefix of the
+         two NORMALIZED texts (tokens joined by single spaces -- the
+         same token space the window hashes anchor) around the span and
+         around the partner's window, capped at ``max_ext`` characters
+         per side.
+
+    The cap keeps the comparison O(max_ext) per span AND is semantically
+    safe: an aligned match of >= min_tokens full tokens past the
+    boundary would have produced duplicated windows and widened the
+    token span itself, so real extensions are < min_tokens tokens.
+    Extensions count characters of the normalized text and INCLUDE the
+    inter-token space when both contexts share it (the character-exact
+    duplicated substring " foo" starts at the separator).
+
+    Scale shape: spans-bounded joins throughout -- the corpus window
+    table is touched once, semi-join-pruned to boundary hashes; the
+    occurrence pivot is two rows per hash; partner texts join on doc id
+    (spans-bounded); the character math is JVM string expressions over
+    <= max_ext chars.  No Python, no new corpus-scale shuffle.
+
+    Output: (id_col, span_start, span_end, span_tokens, char_start,
+    char_end, ext_left, ext_right, char_exact_start, char_exact_end) --
+    char columns are 1-based inclusive indices into the normalized
+    text."""
+    L = min_tokens
+    if max_ext < 1:
+        raise ValueError(f"max_ext must be >= 1, got {max_ext}")
+    spans = occurrence_duplicate_spans(
+        df, text_col, min_tokens=L, min_count=min_count, id_col=id_col
+    )
+    toks = with_tokens(df.select(id_col, text_col), text_col, "__toks").select(
+        id_col, "__toks"
+    )
+    sp = spans.join(toks, id_col).select(
+        id_col,
+        "span_start",
+        "span_end",
+        "span_tokens",
+        "__toks",
+        F.expr(
+            f"md5(array_join(slice(__toks, CAST(span_start AS INT), {L}), ' '))"
+        ).alias("__lwh"),
+        F.expr(
+            f"md5(array_join(slice(__toks, CAST(span_end - {L} + 1 AS INT), {L}), ' '))"
+        ).alias("__rwh"),
+    )
+    needles = (
+        sp.select(F.col("__lwh").alias("wh"))
+        .unionByName(sp.select(F.col("__rwh").alias("wh")))
+        .distinct()
+    )
+    win = token_windows(df, text_col, min_tokens=L, id_col=id_col)
+    occ = win.join(needles, "wh", "left_semi")
+    w2 = Window.partitionBy("wh").orderBy(F.col(id_col), F.col("pos"))
+    o12 = (
+        occ.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= 2)
+        .groupBy("wh")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("__rn") == 1,
+                    F.struct(
+                        F.col(id_col).alias("pid"), F.col("pos").alias("ppos")
+                    ),
+                )
+            ).alias("o1"),
+            F.max(
+                F.when(
+                    F.col("__rn") == 2,
+                    F.struct(
+                        F.col(id_col).alias("pid"), F.col("pos").alias("ppos")
+                    ),
+                )
+            ).alias("o2"),
+        )
+    )
+    lo = o12.select(
+        F.col("wh").alias("__lwh"), F.col("o1").alias("__lo1"), F.col("o2").alias("__lo2")
+    )
+    ro = o12.select(
+        F.col("wh").alias("__rwh"), F.col("o1").alias("__ro1"), F.col("o2").alias("__ro2")
+    )
+    sp = sp.join(lo, "__lwh").join(ro, "__rwh")
+    self_l = (F.col("__lo1.pid") == F.col(id_col)) & (
+        F.col("__lo1.ppos") == F.col("span_start")
+    )
+    self_r = (F.col("__ro1.pid") == F.col(id_col)) & (
+        F.col("__ro1.ppos") == F.col("span_end") - F.lit(L) + F.lit(1)
+    )
+    sp = sp.withColumn(
+        "__pl", F.when(self_l, F.col("__lo2")).otherwise(F.col("__lo1"))
+    ).withColumn("__pr", F.when(self_r, F.col("__ro2")).otherwise(F.col("__ro1")))
+    plt = toks.select(
+        F.col(id_col).alias("__plid"), F.col("__toks").alias("__pltoks")
+    )
+    prt = toks.select(
+        F.col(id_col).alias("__prid"), F.col("__toks").alias("__prtoks")
+    )
+    sp = (
+        sp.withColumn("__plid", F.col("__pl.pid"))
+        .withColumn("__prid", F.col("__pr.pid"))
+        .join(plt, "__plid")
+        .join(prt, "__prid")
+    )
+    # 1-based char index of token p's first char in the normalized text
+    def cstart(arr: str, p: str) -> str:
+        return (
+            f"CASE WHEN {p} <= 1 THEN CAST(1 AS BIGINT) ELSE "
+            f"CAST(length(array_join(slice({arr}, 1, CAST({p} AS INT) - 1), ' ')) + 2 AS BIGINT) END"
+        )
+
+    # 1-based char index of token p's last char
+    def cend(arr: str, p: str) -> str:
+        return f"CAST(length(array_join(slice({arr}, 1, CAST({p} AS INT)), ' ')) AS BIGINT)"
+
+    sp = (
+        sp.withColumn("__a0", F.expr(cstart("__toks", "span_start")))
+        .withColumn("__a1", F.expr(cend("__toks", "span_end")))
+        .withColumn("__b0", F.expr(cstart("__pltoks", "__pl.ppos")))
+        .withColumn(
+            "__b1", F.expr(cend("__prtoks", f"__pr.ppos + {L} - 1"))
+        )
+        .withColumn("__onorm", F.expr("array_join(__toks, ' ')"))
+        .withColumn("__plnorm", F.expr("array_join(__pltoks, ' ')"))
+        .withColumn("__prnorm", F.expr("array_join(__prtoks, ' ')"))
+    )
+    sp = (
+        sp.withColumn(
+            "__la", F.expr(f"substr(reverse(substr(__onorm, 1, CAST(__a0 AS INT) - 1)), 1, {max_ext})")
+        )
+        .withColumn(
+            "__lb", F.expr(f"substr(reverse(substr(__plnorm, 1, CAST(__b0 AS INT) - 1)), 1, {max_ext})")
+        )
+        .withColumn("__ra", F.expr(f"substr(__onorm, CAST(__a1 AS INT) + 1, {max_ext})"))
+        .withColumn("__rb", F.expr(f"substr(__prnorm, CAST(__b1 AS INT) + 1, {max_ext})"))
+    )
+
+    def lcp(a: str, b: str, out: str) -> str:
+        n = f"least(length({a}), length({b}))"
+        mism = (
+            f"array_position(transform(sequence(1, {n}), i -> "
+            f"substr({a}, i, 1) = substr({b}, i, 1)), false)"
+        )
+        return (
+            f"CAST(CASE WHEN {n} = 0 THEN 0 "
+            f"WHEN {mism} = 0 THEN {n} ELSE {mism} - 1 END AS BIGINT) AS {out}"
+        )
+
+    sp = sp.selectExpr(
+        id_col,
+        "span_start",
+        "span_end",
+        "span_tokens",
+        "__a0 AS char_start",
+        "__a1 AS char_end",
+        lcp("__la", "__lb", "ext_left"),
+        lcp("__ra", "__rb", "ext_right"),
+    )
+    return sp.select(
+        id_col,
+        "span_start",
+        "span_end",
+        "span_tokens",
+        "char_start",
+        "char_end",
+        "ext_left",
+        "ext_right",
+        (F.col("char_start") - F.col("ext_left")).alias("char_exact_start"),
+        (F.col("char_end") + F.col("ext_right")).alias("char_exact_end"),
+    )
+
+
 def _kmv_global_topk(rows: DataFrame, k: int) -> DataFrame:
     """Shard-then-fold global k-smallest for the UNGROUPED sketch paths
     (kmv_sketch / kmv_merge with no group_cols): each input partition
