@@ -1283,6 +1283,44 @@ def cross_duplicate_spans(
     return merge_window_spans(dup, min_tokens=min_tokens, id_col=id_col)
 
 
+def window_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_tokens: int = 8,
+    top: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Skew report for the window-hash shuffle that anchors the whole
+    ExactSubstr family (duplicate_spans / occurrence_duplicate_spans /
+    the streaming ingest gate): the ``top`` most-repeated token windows
+    with their occurrence and distinct-document counts.  A mega-viral
+    boilerplate window (cookie banners, license headers) is ONE hot key
+    on ``wh``; this report is how an operator finds it before it finds
+    them.
+
+    The shuffle itself absorbs the skew by construction -- COUNT over
+    ``wh`` partial-aggregates map-side, so the hot key crosses the wire
+    as one row per upstream partition, not once per occurrence; and the
+    join-back in the span operators broadcasts the (small) duplicated-
+    hash set, so the window table is never re-shuffled on the hot key
+    (crafted 10^6-occurrence receipt in tests/test_window_skew.py and
+    SCALE.md).  orderBy+limit compiles to TakeOrdered: k rows to the
+    driver, never a global sort."""
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    win = token_windows(df, text_col, min_tokens=min_tokens, id_col=id_col)
+    agg = (
+        win.groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+    )
+    return agg.orderBy(F.col("n_occurrences").desc(), "wh").limit(top)
+
+
 def char_exact_spans(
     df: DataFrame,
     text_col: str = "text",

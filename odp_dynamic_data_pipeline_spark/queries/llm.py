@@ -5270,3 +5270,33 @@ def char_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     character-exact boundary."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.char_exact_spans(docs, "text", min_tokens=8, min_count=2, max_ext=64)
+
+
+@register(
+    "window_heavy_hitters",
+    """
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+win AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS wh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+        FROM toks)
+),
+agg AS (
+  SELECT wh, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM win GROUP BY wh HAVING COUNT(*) >= 2
+)
+SELECT wh, n_occurrences, n_docs
+FROM agg ORDER BY n_occurrences DESC, wh LIMIT 20
+""",
+)
+def window_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key report on the ExactSubstr window-hash shuffle
+    (operators.text.window_heavy_hitters, VERDICT r8 item 8): the 20
+    most-repeated 8-token windows with occurrence and distinct-doc
+    counts -- how a deployment spots the mega-viral boilerplate window
+    before it becomes the shuffle's hot key.  Deterministic ordering
+    (count desc, wh) makes the top-k hash-stable across engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.window_heavy_hitters(docs, "text", min_tokens=8, top=20)
