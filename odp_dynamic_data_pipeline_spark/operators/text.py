@@ -1519,6 +1519,88 @@ def char_exact_spans(
     )
 
 
+def scrub_char_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_tokens: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    max_ext: int = 64,
+) -> DataFrame:
+    """The REMOVAL half of :func:`char_exact_spans`: cut every
+    character-exact duplicated range from the NORMALIZED text (tokens
+    joined by single spaces -- the coordinate space the char bounds
+    live in) of every document that carries one.  Character-exact
+    sibling of :func:`scrub_occurrence_spans` (which cuts whole
+    tokens): the sub-token fragments the boundary trim recovers
+    ("...foo" shared by otherwise-different tokens) are removed too,
+    Lee et al. 2022's byte-exact deletion.
+
+    Extended ranges from adjacent spans can touch or overlap, so the
+    char intervals are interval-merged per document first (running-max
+    window, the merge_window_spans discipline in char space).  The cut
+    itself is a single JVM ``aggregate`` fold over the doc's sorted
+    intervals -- O(intervals) string concats per doc, not a per-char
+    scan.  Conservation law (tested): length(clean_text) == n_chars -
+    n_dropped_chars.  Documents with no span pass through with their
+    normalized text intact (the scrub is defined in normalized space;
+    raw inter-token whitespace is already gone).
+
+    Output: (id_col, n_chars, n_dropped_chars, clean_text)."""
+    spans = char_exact_spans(
+        df,
+        text_col,
+        min_tokens=min_tokens,
+        min_count=min_count,
+        id_col=id_col,
+        max_ext=max_ext,
+    ).select(
+        id_col,
+        F.col("char_exact_start").alias("__s"),
+        F.col("char_exact_end").alias("__e"),
+    )
+    # per-doc interval merge: a range starts a new group iff it begins
+    # after the running max end of everything before it
+    w = Window.partitionBy(id_col).orderBy("__s", "__e")
+    prev_max = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = spans.withColumn(
+        "__ng", F.when(prev_max.isNull() | (F.col("__s") > prev_max), 1).otherwise(0)
+    ).withColumn(
+        "__grp",
+        F.sum("__ng").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    merged = grouped.groupBy(id_col, "__grp").agg(
+        F.min("__s").alias("__s"), F.max("__e").alias("__e")
+    )
+    ivs = merged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("__s", "__e"))).alias("__ivs"),
+        F.sum(F.col("__e") - F.col("__s") + 1).alias("__dropped"),
+    )
+    toks = with_tokens(df.select(id_col, text_col), text_col, "__toks")
+    joined = toks.withColumn(
+        # NULL text tokenizes to a NULL array -> empty normalized text
+        "__norm",
+        F.coalesce(F.expr("array_join(__toks, ' ')"), F.lit("")),
+    ).join(ivs, id_col, "left")
+    # fold sorted disjoint intervals into the kept text: carry (next
+    # uncut position, accumulated string); finish with the tail
+    cut = (
+        "aggregate(coalesce(__ivs, array()), "
+        "named_struct('p', CAST(1 AS BIGINT), 'a', ''), "
+        "(acc, iv) -> named_struct("
+        "'p', iv.__e + 1, "
+        "'a', concat(acc.a, substr(__norm, CAST(acc.p AS INT), CAST(iv.__s - acc.p AS INT)))), "
+        "acc -> concat(acc.a, substr(__norm, CAST(acc.p AS INT))))"
+    )
+    return joined.select(
+        id_col,
+        F.length("__norm").cast("long").alias("n_chars"),
+        F.coalesce(F.col("__dropped"), F.lit(0)).cast("long").alias("n_dropped_chars"),
+        F.expr(cut).alias("clean_text"),
+    )
+
+
 def _kmv_global_topk(rows: DataFrame, k: int) -> DataFrame:
     """Shard-then-fold global k-smallest for the UNGROUPED sketch paths
     (kmv_sketch / kmv_merge with no group_cols): each input partition

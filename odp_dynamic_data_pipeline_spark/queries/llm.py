@@ -5300,3 +5300,142 @@ def window_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, wh) makes the top-k hash-stable across engines."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.window_heavy_hitters(docs, "text", min_tokens=8, top=20)
+
+
+@register(
+    "scrub_char_exact",
+    """
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+win AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS wh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+        FROM toks)
+),
+duph AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(*) >= 2),
+dup AS (SELECT w.doc_id, w.pos FROM win w JOIN duph USING (wh)),
+g AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                  CAST(-100 AS BIGINT)) > 8
+              THEN 1 ELSE 0 END AS ng
+  FROM dup
+),
+s AS (
+  SELECT doc_id, pos,
+         SUM(ng) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM g
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS ss, MAX(pos) + 7 AS se
+  FROM s GROUP BY doc_id, grp
+),
+sp AS (
+  SELECT spans.doc_id, ss, se, t,
+         md5(array_to_string(list_slice(t, CAST(ss AS INT), CAST(ss AS INT) + 7), ' ')) AS lwh,
+         md5(array_to_string(list_slice(t, CAST(se AS INT) - 7, CAST(se AS INT)), ' ')) AS rwh
+  FROM spans JOIN toks ON toks.doc_id = spans.doc_id
+),
+occ AS (
+  SELECT wh, doc_id AS pid, pos AS ppos,
+         row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+  FROM win WHERE wh IN (SELECT lwh FROM sp UNION SELECT rwh FROM sp)
+),
+piv AS (
+  SELECT wh,
+         MAX(CASE WHEN rn = 1 THEN pid END) AS p1,
+         MAX(CASE WHEN rn = 1 THEN ppos END) AS q1,
+         MAX(CASE WHEN rn = 2 THEN pid END) AS p2,
+         MAX(CASE WHEN rn = 2 THEN ppos END) AS q2
+  FROM occ WHERE rn <= 2 GROUP BY wh
+),
+pick AS (
+  SELECT sp.doc_id, sp.ss, sp.se, sp.t,
+         CASE WHEN pl.p1 = sp.doc_id AND pl.q1 = sp.ss THEN pl.p2 ELSE pl.p1 END AS plid,
+         CASE WHEN pl.p1 = sp.doc_id AND pl.q1 = sp.ss THEN pl.q2 ELSE pl.q1 END AS plpos,
+         CASE WHEN pr.p1 = sp.doc_id AND pr.q1 = sp.se - 7 THEN pr.p2 ELSE pr.p1 END AS prid,
+         CASE WHEN pr.p1 = sp.doc_id AND pr.q1 = sp.se - 7 THEN pr.q2 ELSE pr.q1 END AS prpos
+  FROM sp JOIN piv pl ON pl.wh = sp.lwh JOIN piv pr ON pr.wh = sp.rwh
+),
+prep AS (
+  SELECT p.doc_id, p.ss, p.se,
+         CASE WHEN p.ss <= 1 THEN CAST(1 AS BIGINT)
+              ELSE CAST(length(array_to_string(list_slice(p.t, 1, CAST(p.ss AS INT) - 1), ' ')) + 2 AS BIGINT)
+         END AS a0,
+         CAST(length(array_to_string(list_slice(p.t, 1, CAST(p.se AS INT)), ' ')) AS BIGINT) AS a1,
+         array_to_string(p.t, ' ') AS onorm,
+         CASE WHEN p.plpos <= 1 THEN CAST(1 AS BIGINT)
+              ELSE CAST(length(array_to_string(list_slice(tl.t, 1, CAST(p.plpos AS INT) - 1), ' ')) + 2 AS BIGINT)
+         END AS b0,
+         CAST(length(array_to_string(list_slice(tr.t, 1, CAST(p.prpos AS INT) + 7), ' ')) AS BIGINT) AS b1,
+         array_to_string(tl.t, ' ') AS plnorm,
+         array_to_string(tr.t, ' ') AS prnorm
+  FROM pick p
+  JOIN toks tl ON tl.doc_id = p.plid
+  JOIN toks tr ON tr.doc_id = p.prid
+),
+strs AS (
+  SELECT doc_id, a0, a1,
+         substr(reverse(substr(onorm, 1, CAST(a0 AS INT) - 1)), 1, 64) AS la,
+         substr(reverse(substr(plnorm, 1, CAST(b0 AS INT) - 1)), 1, 64) AS lb,
+         substr(onorm, CAST(a1 AS INT) + 1, 64) AS ra,
+         substr(prnorm, CAST(b1 AS INT) + 1, 64) AS rb
+  FROM prep
+),
+rng AS (
+  SELECT doc_id,
+    a0 - CAST(CASE WHEN least(length(la), length(lb)) = 0 THEN 0
+         ELSE coalesce(list_position(list_transform(range(1, least(length(la), length(lb)) + 1),
+              i -> substr(la, CAST(i AS INT), 1) = substr(lb, CAST(i AS INT), 1)), false),
+              least(length(la), length(lb)) + 1) - 1 END AS BIGINT) AS cs,
+    a1 + CAST(CASE WHEN least(length(ra), length(rb)) = 0 THEN 0
+         ELSE coalesce(list_position(list_transform(range(1, least(length(ra), length(rb)) + 1),
+              i -> substr(ra, CAST(i AS INT), 1) = substr(rb, CAST(i AS INT), 1)), false),
+              least(length(ra), length(rb)) + 1) - 1 END AS BIGINT) AS ce
+  FROM strs
+),
+mg AS (
+  SELECT doc_id, cs, ce,
+         CASE WHEN cs > COALESCE(MAX(ce) OVER (PARTITION BY doc_id ORDER BY cs, ce
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(-1 AS BIGINT))
+              THEN 1 ELSE 0 END AS ng
+  FROM rng
+),
+mg2 AS (
+  SELECT doc_id, cs, ce,
+         SUM(ng) OVER (PARTITION BY doc_id ORDER BY cs, ce
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM mg
+),
+iv AS (SELECT doc_id, MIN(cs) AS cs, MAX(ce) AS ce FROM mg2 GROUP BY doc_id, grp),
+ivl AS (
+  SELECT doc_id, LIST(struct_pack(cs := cs, ce := ce)) AS ivs,
+         CAST(SUM(ce - cs + 1) AS BIGINT) AS dropped
+  FROM iv GROUP BY doc_id
+),
+norm AS (SELECT doc_id, COALESCE(array_to_string(t, ' '), '') AS nm FROM toks)
+SELECT n.doc_id,
+       CAST(length(n.nm) AS BIGINT) AS n_chars,
+       CAST(COALESCE(l.dropped, 0) AS BIGINT) AS n_dropped_chars,
+       CASE WHEN l.ivs IS NULL THEN n.nm ELSE
+         COALESCE(array_to_string(list_transform(list_filter(generate_series(1, length(n.nm)),
+           i -> len(list_filter(l.ivs, v -> i >= v.cs AND i <= v.ce)) = 0),
+           i -> substr(n.nm, CAST(i AS INT), 1)), ''), '')
+       END AS clean_text
+FROM norm n LEFT JOIN ivl l USING (doc_id)
+""",
+)
+def scrub_char_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of char_exact_spans (operators.text.
+    scrub_char_exact): every character-exact duplicated range --
+    including the sub-token fragments the boundary trim recovers -- is
+    cut from the normalized text of every document, after a per-doc
+    char-interval merge (extended ranges of adjacent spans can touch).
+    Spark cuts with a single aggregate fold over the sorted intervals;
+    the DuckDB oracle re-derives the same intervals and cuts per
+    character -- different shapes, identical strings, so the hash pins
+    every cleaned document and the conservation law
+    len(clean) == n_chars - n_dropped holds across engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.scrub_char_exact(docs, "text", min_tokens=8, min_count=2, max_ext=64)

@@ -107,3 +107,64 @@ def test_validation(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="max_ext"):
         char_exact_spans(docs, "text", max_ext=0)
+
+
+# ---------------------------------------------------------------------------
+# scrub_char_exact (the removal half)
+# ---------------------------------------------------------------------------
+
+from odp_dynamic_data_pipeline_spark.operators.text import scrub_char_exact  # noqa: E402
+
+
+def test_scrub_cuts_char_exact_ranges(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aa1 aa2 preXfoo " + S8 + " fooY bb1"),
+            (2, "cc1 preZfoo " + S8 + " fooQ"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_chars, r.n_dropped_chars, r.clean_text)
+        for r in scrub_char_exact(docs, "text", min_tokens=8).collect()
+    }
+    # doc 1: chars 13..43 ("foo S1..S8 foo") cut from the 48-char norm
+    assert got[1] == (48, 31, "aa1 aa2 preXY bb1")
+    assert got[2] == (40, 31, "cc1 preZQ")
+    for n_chars, dropped, clean in got.values():
+        assert len(clean) == n_chars - dropped  # conservation
+
+
+def test_scrub_merges_overlapping_extensions(spark):
+    # doc 1 carries two duplicated runs whose char-exact extensions meet
+    # in the shared middle token "foo": the two char intervals overlap
+    # and must merge into one cut covering the entire document
+    P = " ".join(f"P{i}" for i in range(8))
+    R = " ".join(f"R{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, P + " foo " + R),
+            (2, "c1 " + P + " fool"),
+            (3, "afoo " + R + " c2"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_chars, r.n_dropped_chars, r.clean_text)
+        for r in scrub_char_exact(docs, "text", min_tokens=8).collect()
+    }
+    n1 = len(P + " foo " + R)
+    assert got[1] == (n1, n1, "")  # one merged interval, fully cut
+
+
+def test_scrub_passthrough_without_spans(spark):
+    docs = spark.createDataFrame(
+        [(1, "a  b   c d e"), (2, "q r s t u")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_chars, r.n_dropped_chars, r.clean_text)
+        for r in scrub_char_exact(docs, "text", min_tokens=8).collect()
+    }
+    # normalized space: multi-whitespace collapses to single separators
+    assert got[1] == (9, 0, "a b c d e")
+    assert got[2] == (9, 0, "q r s t u")
