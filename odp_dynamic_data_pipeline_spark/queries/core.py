@@ -357,6 +357,59 @@ def incremental_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_agg_bucketed_stream",
+    """
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+""",
+)
+def incremental_agg_bucketed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED delta-merge materialized aggregate == batch aggregate,
+    driver-verified: per-USER totals (a large keyspace, the case the
+    legacy whole-rewrite store is wrong for) folded across micro-batches
+    with run_incremental_agg(n_buckets=64) -- each batch reads and
+    rewrites ONLY the key-hash buckets it touches, and the manifest's
+    bucket->version map assembles the final store across version
+    directories.  The final read is checked against the one-shot batch
+    GROUP BY oracle; integer cents make equality bitwise.  Together with
+    incremental_agg_stream (legacy path, same fold algebra) this pins
+    both store protocols against the same semantics."""
+
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        read_incremental_agg,
+        run_incremental_agg,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("ts", "user_id", _cents("value").alias("cents"))
+        .repartition(4)
+    )
+    tmp = _stream_tmpdir("incaggbk_stream")
+    src = f"{tmp}/in"
+    ev.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    with _stream_shuffle(spark):
+        run_incremental_agg(
+            stream,
+            f"{tmp}/store",
+            checkpoint=f"{tmp}/ckpt",
+            key_cols=["user_id"],
+            sum_col="cents",
+            n_buckets=64,
+        )
+    return read_incremental_agg(spark, f"{tmp}/store").select(
+        "user_id", "n", F.col("sum_cents").cast("long").alias("sum_cents")
+    )
+
+
+@register(
     "stream_stream_join_pairs",
     """
 SELECT l.event_id AS view_id, r.event_id AS purchase_id, l.user_id

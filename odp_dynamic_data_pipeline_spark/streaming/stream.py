@@ -557,42 +557,32 @@ def run_incremental_dedup(
     return q
 
 
-def run_incremental_agg(
-    stream: DataFrame,
+def apply_incremental_agg_batch(
+    batch_df: DataFrame,
+    batch_id: int,
     store_path: str,
     *,
-    checkpoint: str,
     key_cols: list[str],
     count_col: str = "n",
     sum_col: str | None = None,
-):
-    """Incremental materialized aggregate: maintain per-key (count, sum)
-    totals in a parquet store, folding in each micro-batch's partial
-    aggregate -- the streaming analogue of a materialized view, and the
-    pattern behind every "running metrics" table the reference recomputes
-    from scratch hourly (src/batch_tlb.py:64-77 re-reads the whole hour).
-
-    Merge protocol: per batch, aggregate the batch (tiny), read the current
-    store, union + re-aggregate, write to a NEW versioned directory, then
-    flip a one-line manifest (same swap discipline as compact_parquet).
-    Idempotent under foreachBatch retries: the version directory is keyed
-    by batch_id, and re-running a batch rebuilds the same next version from
-    the same previous version -- the store never double-counts because the
-    manifest only ever advances to a fully written version.
-
-    At 100 TB the store is partitioned by key-hash and the union/re-agg is
-    a co-partitioned merge; the per-batch cost scales with store size, so
-    for very large keyspaces prefer the applyInPandasWithState path
-    (bounded state, no full rewrite) -- this operator is for dashboard-
-    sized aggregate tables with exactly-once folds."""
+    n_buckets: int | None = None,
+) -> None:
+    """One micro-batch fold of :func:`run_incremental_agg` -- exposed at
+    module level so retry idempotency (same batch_id applied twice) is
+    directly testable without checkpoint surgery, and so a non-streaming
+    caller can fold a backfill batch with the identical protocol."""
     from pyspark.sql import functions as SF
 
+    spark = batch_df.sparkSession
     aggs = [SF.count(SF.lit(1)).alias(count_col)]
     if sum_col:
         aggs.append(SF.sum(sum_col).alias(f"sum_{sum_col}"))
+    refold = [
+        SF.sum(count_col).alias(count_col),
+        *([SF.sum(f"sum_{sum_col}").alias(f"sum_{sum_col}")] if sum_col else []),
+    ]
 
-    def _read_manifest(spark) -> tuple[str, str] | None:
-        """Returns (current_version, parent_version) or None if no store."""
+    def _read_manifest() -> tuple[str, str, dict | None, dict | None] | None:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         fs = jvm.org.apache.hadoop.fs.FileSystem.get(
@@ -601,29 +591,41 @@ def run_incremental_agg(
         mpath = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST")
         if not fs.exists(mpath):
             return None
-        stream_ = fs.open(mpath)
-        try:
-            reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream_))
-            return reader.readLine(), reader.readLine()
-        finally:
-            stream_.close()
+        return _agg_manifest(spark, store_path)
 
-    def _write_manifest(spark, version: str, parent: str) -> None:
+    def _write_manifest(
+        version: str,
+        parent: str,
+        cur_map: dict | None = None,
+        par_map: dict | None = None,
+    ) -> None:
         # write-to-tmp then rename WITH OVERWRITE (FileContext supports it;
         # plain FileSystem.rename refuses an existing target).  A
         # delete-then-rename flip would leave a window with no MANIFEST in
         # which read_incremental_agg raises; overwrite-rename is atomic on
         # posix and HDFS, so readers always see either the old or the new
-        # manifest.
+        # manifest.  Bucketed stores append two JSON lines (current bucket
+        # map, parent bucket map) -- same single-file flip, so the
+        # bucket->version mapping is exactly as atomic as the version
+        # pointer.
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         fs = jvm.org.apache.hadoop.fs.FileSystem.get(
             jvm.java.net.URI.create(store_path), conf
         )
         tmp = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST.tmp")
+        body = f"{version}\n{parent}"
+        if cur_map is not None:
+            import json as _json
+
+            # par_map None serializes as JSON null: "the parent was a
+            # legacy whole-version store", so a retry of the upgrade
+            # batch re-runs the full legacy fold instead of reading an
+            # empty bucket map and dropping history
+            body += f"\n{_json.dumps(cur_map)}\n{_json.dumps(par_map)}"
         out = fs.create(tmp, True)
         try:
-            out.write(bytearray(f"{version}\n{parent}".encode()))
+            out.write(bytearray(body.encode()))
         finally:
             out.close()
         dst = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST")
@@ -635,7 +637,7 @@ def run_incremental_agg(
         opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
         fc.rename(tmp, dst, opts)
 
-    def _fresh_version(spark, batch_id: int) -> str:
+    def _fresh_version() -> str:
         # never write into a directory that exists: an existing v{b} is
         # either the live version a concurrent reader is scanning (retry
         # after flip) or a partial write from a crashed attempt (retry
@@ -654,29 +656,127 @@ def run_incremental_agg(
             cand = f"{me}_r{attempt}"
         return cand
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        part = batch_df.groupBy(*key_cols).agg(*aggs)
-        me = f"v{batch_id}"
-        manifest = _read_manifest(spark)
-        if manifest is None:
-            base = None  # first batch ever
-        elif manifest[0].split("_")[0] == me:
-            # retry AFTER a successful flip for this very batch: rebuild
-            # from the recorded parent, not from our own (possibly partial)
-            # output -- folding the current version would double-count
-            base = manifest[1] if manifest[1] != "-" else None
-        else:
-            base = manifest[0]
+    part = batch_df.groupBy(*key_cols).agg(*aggs)
+    me = f"v{batch_id}"
+    manifest = _read_manifest()
+    if manifest is None:
+        base, base_map = None, None  # first batch ever
+    elif manifest[0].split("_")[0] == me:
+        # retry AFTER a successful flip for this very batch: rebuild
+        # from the recorded parent, not from our own (possibly partial)
+        # output -- folding the current version would double-count
+        base = manifest[1] if manifest[1] != "-" else None
+        base_map = manifest[3]
+    else:
+        base, base_map = manifest[0], manifest[2]
+    if n_buckets is None:
         if base is not None:
+            if base_map is not None:
+                raise ValueError(
+                    "store at %r is bucketed (manifest carries a bucket"
+                    " map); pass the same n_buckets to keep folding it"
+                    % store_path
+                )
             prev = spark.read.parquet(f"{store_path}/{base}")
-            part = prev.unionByName(part).groupBy(*key_cols).agg(
-                SF.sum(count_col).alias(count_col),
-                *([SF.sum(f"sum_{sum_col}").alias(f"sum_{sum_col}")] if sum_col else []),
-            )
-        target = _fresh_version(spark, batch_id)
+            part = prev.unionByName(part).groupBy(*key_cols).agg(*refold)
+        target = _fresh_version()
         part.write.parquet(f"{store_path}/{target}")
-        _write_manifest(spark, target, base if base is not None else "-")
+        _write_manifest(target, base if base is not None else "-")
+        return
+    # bucketed delta-merge: fold ONLY the buckets this batch touches
+    bexpr = SF.pmod(SF.xxhash64(*key_cols), SF.lit(n_buckets)).cast("int")
+    part = part.withColumn("bucket", bexpr).persist()
+    if base is not None and base_map is None:
+        # legacy whole-version store: upgrade in place -- fold the full
+        # current version once, every bucket comes out mapped
+        prev = spark.read.parquet(f"{store_path}/{base}")
+        merged = (
+            prev.unionByName(part.drop("bucket"))
+            .groupBy(*key_cols)
+            .agg(*refold)
+            .withColumn("bucket", bexpr)
+            .persist()
+        )
+        touched = [r.bucket for r in merged.select("bucket").distinct().collect()]
+    else:
+        touched = [r.bucket for r in part.select("bucket").distinct().collect()]
+        paths = [
+            f"{store_path}/{base_map[str(k)]}/bucket={k}"
+            for k in touched
+            if base_map and str(k) in base_map
+        ]
+        if paths:
+            prev = spark.read.parquet(*paths)
+            merged = (
+                prev.unionByName(part.drop("bucket"))
+                .groupBy(*key_cols)
+                .agg(*refold)
+                .withColumn("bucket", bexpr)
+            )
+        else:
+            merged = part
+    target = _fresh_version()
+    merged.write.partitionBy("bucket").parquet(f"{store_path}/{target}")
+    new_map = dict(base_map or {})
+    for k in touched:
+        new_map[str(k)] = target
+    _write_manifest(target, base if base is not None else "-", new_map, base_map)
+    if merged is not part:
+        merged.unpersist()
+    part.unpersist()
+
+
+def run_incremental_agg(
+    stream: DataFrame,
+    store_path: str,
+    *,
+    checkpoint: str,
+    key_cols: list[str],
+    count_col: str = "n",
+    sum_col: str | None = None,
+    n_buckets: int | None = None,
+):
+    """Incremental materialized aggregate: maintain per-key (count, sum)
+    totals in a parquet store, folding in each micro-batch's partial
+    aggregate -- the streaming analogue of a materialized view, and the
+    pattern behind every "running metrics" table the reference recomputes
+    from scratch hourly (src/batch_tlb.py:64-77 re-reads the whole hour).
+
+    Merge protocol: per batch, aggregate the batch (tiny), read the current
+    store, union + re-aggregate, write to a NEW versioned directory, then
+    flip a one-line manifest (same swap discipline as compact_parquet).
+    Idempotent under foreachBatch retries: the version directory is keyed
+    by batch_id, and re-running a batch rebuilds the same next version from
+    the same previous version -- the store never double-counts because the
+    manifest only ever advances to a fully written version.
+
+    ``n_buckets=None`` (legacy) rewrites the WHOLE aggregate each batch --
+    per-batch cost scales with store size; right for dashboard-sized
+    tables.  ``n_buckets=B`` switches to the BUCKETED DELTA-MERGE: keys
+    hash into B buckets, a version directory contains only the buckets
+    the batch TOUCHED (written ``bucket=K`` partitions), and the manifest
+    carries a bucket->version map (still one atomic file flip, so readers
+    always see a consistent store).  Per-batch read+write cost is then
+    proportional to the buckets the batch touches -- batch-driven for
+    large keyspaces (receipt: store_growth rehearsal row
+    ``store_growth_agg``) -- and a retry after a successful flip rebuilds
+    from the recorded PARENT map exactly as the legacy path rebuilds from
+    the parent version.  A legacy store upgrades in place: the first
+    bucketed batch folds the whole current version once and writes a
+    fully bucket-mapped store.  The poor-man's table format: what
+    Delta/Iceberg do with file-level manifests, expressed in plain
+    parquet + one swap file."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_incremental_agg_batch(
+            batch_df,
+            batch_id,
+            store_path,
+            key_cols=key_cols,
+            count_col=count_col,
+            sum_col=sum_col,
+            n_buckets=n_buckets,
+        )
 
     q = (
         stream.writeStream.foreachBatch(process)
@@ -688,8 +788,11 @@ def run_incremental_agg(
     return q
 
 
-def read_incremental_agg(spark, store_path: str) -> DataFrame:
-    """Read the current version of a run_incremental_agg store."""
+def _agg_manifest(spark, store_path: str) -> tuple[str, str, dict | None, dict | None]:
+    """Parse a run_incremental_agg MANIFEST: (current, parent, current
+    bucket map, parent bucket map); maps are None for legacy stores."""
+    import json as _json
+
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
@@ -697,10 +800,30 @@ def read_incremental_agg(spark, store_path: str) -> DataFrame:
     stream_ = fs.open(mpath)
     try:
         reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream_))
-        version = reader.readLine()
+        cur, par = reader.readLine(), reader.readLine()
+        l3, l4 = reader.readLine(), reader.readLine()
     finally:
         stream_.close()
-    return spark.read.parquet(f"{store_path}/{version}")
+    return (
+        cur,
+        par,
+        _json.loads(l3) if l3 else None,
+        _json.loads(l4) if l4 else None,
+    )
+
+
+def read_incremental_agg(spark, store_path: str) -> DataFrame:
+    """Read the current state of a run_incremental_agg store: the current
+    version directory for a legacy store, or the union of per-bucket
+    paths named by the manifest's bucket map for a bucketed store (one
+    multi-path read -- a version directory may also hold STALE buckets
+    superseded by later versions, so the map, not the directory, is the
+    source of truth)."""
+    cur, _par, cur_map, _pm = _agg_manifest(spark, store_path)
+    if cur_map is None:
+        return spark.read.parquet(f"{store_path}/{cur}")
+    paths = [f"{store_path}/{v}/bucket={k}" for k, v in sorted(cur_map.items())]
+    return spark.read.parquet(*paths)
 
 
 def vacuum_incremental_agg(spark, store_path: str) -> list[str]:
@@ -710,21 +833,21 @@ def vacuum_incremental_agg(spark, store_path: str) -> list[str]:
 
     Deletes every ``v*`` directory EXCEPT the manifest's current version
     and its recorded parent (the parent stays because a retry of the
-    in-flight batch rebuilds from it).  Reads the manifest first, so a
-    concurrent fold that flips mid-vacuum can at worst leave one extra
-    undeleted directory -- never delete a directory a reader can reach.
-    Returns the deleted version names."""
+    in-flight batch rebuilds from it) -- and, for a BUCKETED store,
+    every version still owning a bucket in the current or parent bucket
+    map (delta-merge versions stay live as long as any bucket points at
+    them).  Reads the manifest first, so a concurrent fold that flips
+    mid-vacuum can at worst leave one extra undeleted directory -- never
+    delete a directory a reader can reach.  Returns the deleted version
+    names."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
-    mpath = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST")
-    stream_ = fs.open(mpath)
-    try:
-        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream_))
-        current, parent = reader.readLine(), reader.readLine()
-    finally:
-        stream_.close()
+    current, parent, cur_map, par_map = _agg_manifest(spark, store_path)
     keep = {current, parent}
+    for m in (cur_map, par_map):
+        if m:
+            keep.update(m.values())
     deleted: list[str] = []
     for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(store_path)):
         name = status.getPath().getName()

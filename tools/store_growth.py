@@ -68,6 +68,7 @@ BASE = {
     "hamming": 200_000,
     "kmv": 50_000,
     "spans": 200_000,
+    "agg": 100_000,  # aggregate-store keys
 }
 
 
@@ -149,9 +150,10 @@ class Family:
     def store_tables(self) -> list[str]:
         return [""]
 
-    def check(self, spark, out: str) -> None:
+    def check(self, spark, rdir: str) -> None:
         """Assert the batch actually hit history (flat-but-empty is not
-        a receipt); run once on the warm pass."""
+        a receipt); run once on the warm pass.  Receives the run dir
+        (store/ and out/ inside)."""
         raise NotImplementedError
 
     def timed_run(
@@ -168,7 +170,7 @@ class Family:
         self.run(spark, stream, f"{rdir}/store", f"{rdir}/out", f"{rdir}/ck")
         dt = time.time() - t0
         if verify:
-            self.check(spark, f"{rdir}/out")
+            self.check(spark, rdir)
         shutil.rmtree(rdir)
         return dt
 
@@ -176,8 +178,8 @@ class Family:
 class Dedup(Family):
     name = "dedup"
 
-    def check(self, spark, out):
-        n = spark.read.parquet(f"{out}/batch_id=0").count()
+    def check(self, spark, rdir):
+        n = spark.read.parquet(f"{rdir}/out/batch_id=0").count()
         assert n == 450, f"dedup: expected 450 survivors, got {n}"
 
     def history_rows(self):
@@ -207,8 +209,8 @@ class Dedup(Family):
 class Neardup(Family):
     name = "neardup"
 
-    def check(self, spark, out):
-        n = spark.read.parquet(f"{out}/batch_id=0").count()
+    def check(self, spark, rdir):
+        n = spark.read.parquet(f"{rdir}/out/batch_id=0").count()
         assert n >= 30, f"neardup: expected >=30 pairs vs history, got {n}"
 
     def history_rows(self):
@@ -255,8 +257,8 @@ class Hamming(Family):
         x = (i * 0x9E3779B97F4A7C15 + 0x632BE59BD9B4E019) & ((1 << 60) - 1)
         return x
 
-    def check(self, spark, out):
-        n = spark.read.parquet(f"{out}/batch_id=0").count()
+    def check(self, spark, rdir):
+        n = spark.read.parquet(f"{rdir}/out/batch_id=0").count()
         assert n >= 30, f"hamming: expected >=30 dist-0 pairs, got {n}"
 
     def history_rows(self):
@@ -291,8 +293,8 @@ class Kmv(Family):
     name = "kmv"
     schema = KV_SCHEMA
 
-    def check(self, spark, out):
-        rows = spark.read.parquet(f"{out}/batch_id=0").collect()
+    def check(self, spark, rdir):
+        rows = spark.read.parquet(f"{rdir}/out/batch_id=0").collect()
         assert {r.g for r in rows} == {"x", "y"} and all(
             r.est_distinct > 0 for r in rows
         ), f"kmv: bad emission {rows}"
@@ -327,8 +329,8 @@ class Kmv(Family):
 class Spans(Family):
     name = "spans"
 
-    def check(self, spark, out):
-        df = spark.read.parquet(f"{out}/batch_id=0")
+    def check(self, spark, rdir):
+        df = spark.read.parquet(f"{rdir}/out/batch_id=0")
         n = df.select("doc_id").distinct().count()
         assert n == 50, f"spans: expected 50 flagged docs, got {n}"
 
@@ -358,7 +360,72 @@ class Spans(Family):
         ).write.mode("overwrite").parquet(f"{store}/whc/batch_id=-2")
 
 
-FAMILIES = {f.name: f for f in [Dedup(), Neardup(), Hamming(), Kmv(), Spans()]}
+class AggBucketed(Family):
+    """run_incremental_agg with the r9 bucketed delta-merge: the store is
+    a manifest-versioned per-key aggregate over m*100k keys; the fixed
+    batch touches 50 keys (~49 of 1024 buckets), so per-batch IO is
+    touched_buckets * bucket_size = ~5%% of the store -- the B knob
+    shrinks the constant; the LEGACY twin below rewrites the whole store
+    every batch for contrast."""
+
+    name = "agg_bucketed"
+    schema = KV_SCHEMA
+    NB: int | None = 1024
+
+    def prepare_template(self, spark, root: str) -> str:
+        tdir = f"{root}/{self.name}/template"
+        os.makedirs(f"{tdir}/store", exist_ok=True)
+        return tdir
+
+    def write_filler(self, spark, store, m):
+        from odp_dynamic_data_pipeline_spark.streaming.stream import (
+            apply_incremental_agg_batch,
+        )
+
+        hist = spark.range(BASE["agg"] * m).select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("g"),
+            F.lit(1).cast("long").alias("v"),
+        )
+        apply_incremental_agg_batch(
+            hist, -1, store, key_cols=["g"], sum_col="v", n_buckets=self.NB
+        )
+
+    def batch_rows(self):
+        return [(f"k{i}", 2) for i in range(50)]
+
+    def run(self, spark, stream, store, out, ck):
+        from odp_dynamic_data_pipeline_spark.streaming.stream import (
+            run_incremental_agg,
+        )
+
+        run_incremental_agg(
+            stream, store, checkpoint=ck, key_cols=["g"], sum_col="v",
+            n_buckets=self.NB,
+        )
+
+    def check(self, spark, rdir):
+        from odp_dynamic_data_pipeline_spark.streaming.stream import (
+            read_incremental_agg,
+        )
+
+        rows = {
+            r.g: (r.n, r.sum_v)
+            for r in read_incremental_agg(spark, f"{rdir}/store")
+            .where(F.col("g").isin([f"k{i}" for i in range(50)]))
+            .collect()
+        }
+        assert all(v == (2, 3) for v in rows.values()) and len(rows) == 50, rows
+
+
+class AggLegacy(AggBucketed):
+    name = "agg_legacy"
+    NB = None
+
+
+FAMILIES = {
+    f.name: f
+    for f in [Dedup(), Neardup(), Hamming(), Kmv(), Spans(), AggBucketed(), AggLegacy()]
+}
 
 
 def fit_exponent(ts: dict[int, float]) -> float:
