@@ -1411,6 +1411,146 @@ def run_incremental_spans(
     return q
 
 
+def run_incremental_ivf(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    *,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+):
+    """Streaming ANN retrieval at INGEST time -- the similarity member of
+    the incremental-store suite (dedup / neardup / hamming / kmv / spans /
+    agg): per micro-batch, each arriving vector is IVF-assigned (its
+    ``nprobe`` nearest coarse lists, operators.similarity.ivf_assign's
+    exact integer distances) and exact-cosine-scored against the accreted
+    vector store restricted to those lists PLUS the batch itself; its
+    top-``k`` neighbors are emitted, and the batch's vectors join the
+    store under their single nearest list.
+
+    Semantics are ONE-SIDED and EVENT-SCOPED: an arrival's report sees
+    everything admitted up to and including its own batch, history is
+    never retro-reported when a closer neighbor arrives later, and a
+    re-delivered id gets a fresh report against the larger store (the
+    output is an arrival-time report LOG -- contrast
+    run_incremental_hamming, which maintains a deduplicated pair SET).
+    Deterministic batch order makes the accumulated log exactly
+    SQL-replayable (incremental_ivf_stream oracle: candidates gated on
+    batch <= mine, same integer quantization / tie-breaks).
+
+    Centroids are derived ONCE from the first batch (its first ``nlist``
+    vectors by id -- the ivf_topk seeding) and persisted at
+    {store_path}/centroids; every later batch loads them, so list
+    assignments stay consistent for the stream's lifetime.  Pre-seed the
+    file with trained k-means output (kmeans_quantizer) to deploy a real
+    quantizer -- the protocol only needs centroids to be FIXED, not how
+    they were produced.
+
+    Scale shape: the batch's probe rows are broadcast (batch-bounded)
+    into an equi-join on list id, so the store is scanned map-side --
+    never shuffled -- and only vectors in probed lists are scored;
+    per-batch cost is probe-driven, not store-size-driven (the
+    store_growth discipline).  Store layout is batch-keyed
+    ({store_path}/vecs/batch_id=N holding (id, ivf_list, qvec, qnorm)):
+    a retry excludes its own failed partition and per-batch output
+    overwrite makes replays idempotent; compact with
+    compact_incremental_store."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    from odp_dynamic_data_pipeline_spark.operators.similarity import (
+        DOT,
+        ivf_assign,
+        quantized,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (1 <= nprobe <= nlist):
+        raise ValueError(f"need 1 <= nprobe <= nlist, got {nprobe}/{nlist}")
+
+    def _path_exists(spark, path: str) -> bool:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(path), conf)
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        q = (
+            quantized(batch_df.select(id_col, vec_col), vec_col)
+            .select(id_col, "qvec", "qnorm")
+            .persist()
+        )
+        cpath = f"{store_path}/centroids"
+        if _path_exists(spark, cpath):
+            cents = [
+                r.qvec for r in spark.read.parquet(cpath).orderBy("j").collect()
+            ]
+        else:
+            cents = [
+                r.qvec
+                for r in q.orderBy(id_col).limit(nlist).select("qvec").collect()
+            ]
+            spark.createDataFrame(
+                [(j, list(c)) for j, c in enumerate(cents)],
+                "j int, qvec array<bigint>",
+            ).write.mode("overwrite").parquet(cpath)
+        cand = ivf_assign(q, cents, nprobe=1).select(
+            SF.col(id_col).alias("cand_id"), "qvec", "qnorm", "ivf_list"
+        )
+        qry = ivf_assign(q, cents, nprobe=nprobe).select(
+            SF.col(id_col).alias("qid"),
+            SF.col("qvec").alias("q_qvec"),
+            SF.col("qnorm").alias("q_qnorm"),
+            SF.explode("ivf_list").alias("ivf_list"),
+        )
+        sides = cand
+        if _path_exists(spark, f"{store_path}/vecs"):
+            old = (
+                spark.read.parquet(f"{store_path}/vecs")
+                .where(SF.col("batch_id") != SF.lit(batch_id))
+                .select(
+                    SF.col(id_col).alias("cand_id"), "qvec", "qnorm", "ivf_list"
+                )
+            )
+            sides = sides.unionByName(old)
+        pairs = sides.join(SF.broadcast(qry), "ivf_list").where(
+            SF.col("cand_id") != SF.col("qid")
+        )
+        dot = SF.expr(DOT.format(a="q_qvec", b="qvec"))
+        cosine = dot.cast("double") / SF.sqrt(
+            SF.col("q_qnorm").cast("double") * SF.col("qnorm").cast("double")
+        )
+        scored = pairs.select(
+            "qid", "cand_id", cosine.alias("cosine")
+        ).dropDuplicates(["qid", "cand_id"])
+        w = Window.partitionBy("qid").orderBy(SF.col("cosine").desc(), "cand_id")
+        topk = (
+            scored.withColumn("rank", SF.row_number().over(w))
+            .where(SF.col("rank") <= k)
+            .select("qid", "cand_id", "rank", "cosine")
+        )
+        topk.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        cand.select(
+            SF.col("cand_id").alias(id_col), "ivf_list", "qvec", "qnorm"
+        ).write.mode("overwrite").parquet(f"{store_path}/vecs/batch_id={batch_id}")
+        q.unpersist()
+
+    q_ = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return q_
+
+
 def run_incremental_kmv(
     stream: DataFrame,
     store_path: str,
