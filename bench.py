@@ -172,7 +172,17 @@ def main() -> None:
             for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
             if (m := re.search(r"BENCH_r(\d+)\.json$", p))
         ]
-        stamped = os.path.join(here, f"BENCH_LOCAL_r{max(rounds, default=0) + 1:02d}.json")
+        # NEVER clobber an existing round map: sibling runs in the same
+        # round stamp to r{N}b, r{N}c, ... so every map stays a genuinely
+        # independent measurement (r9 lesson: the overwrite silently turned
+        # the committed "sibling" into a byte-copy of the second run and
+        # lost the first run's map entirely)
+        base = f"BENCH_LOCAL_r{max(rounds, default=0) + 1:02d}"
+        stamped = os.path.join(here, f"{base}.json")
+        for suffix in "bcdefghij":
+            if not os.path.exists(stamped):
+                break
+            stamped = os.path.join(here, f"{base}{suffix}.json")
         try:
             with open(stamped, "w") as f:
                 f.write(line + "\n")
