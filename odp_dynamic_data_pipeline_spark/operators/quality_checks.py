@@ -112,3 +112,117 @@ def binary_auc(
             ).alias(out_col),
         )
     )
+
+
+def approx_fd_report(df: DataFrame, name: str, lhs: list[str], rhs: str) -> DataFrame:
+    """Approximate-functional-dependency check with the g3 error measure
+    (Kivinen/Mannila 1995; the metric TANE-style FD discovery minimizes):
+    g3 = the minimum number of rows to delete so that ``lhs -> rhs`` holds
+    exactly = sum over lhs-keys of (rows_under_key - max single-rhs count).
+
+    Shape: one groupBy(lhs+rhs) with map-side partial aggregation, one
+    groupBy(lhs) over the (key, value, count) rollup -- the second shuffle
+    moves one row per DISTINCT (lhs, rhs) pair, never data rows -- then a
+    single-row fold.  No majority tiebreak is needed: g3 depends only on
+    the per-key MAX count.  Output one row:
+    (fd, n_rows, n_keys, n_violating_keys, g3_removals, g3_e6)."""
+    per_val = df.groupBy(*lhs, rhs).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    per_key = per_val.groupBy(*lhs).agg(
+        F.sum("__c").cast("long").alias("__tot"),
+        F.max("__c").cast("long").alias("__mx"),
+        F.count(F.lit(1)).cast("long").alias("__nv"),
+    )
+    return per_key.agg(
+        F.sum("__tot").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum((F.col("__nv") > 1).cast("long")).cast("long").alias("n_violating_keys"),
+        F.sum(F.col("__tot") - F.col("__mx")).cast("long").alias("g3_removals"),
+    ).select(
+        F.lit(name).alias("fd"),
+        "n_rows",
+        "n_keys",
+        "n_violating_keys",
+        "g3_removals",
+        F.expr("(1000000 * g3_removals) div n_rows").cast("long").alias("g3_e6"),
+    )
+
+
+def blocking_quality(
+    df: DataFrame,
+    schemes: "dict[str, Column]",
+    truth_key: "Column",
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocking-scheme evaluation for entity resolution (Christen 2012):
+    for each candidate blocking key, report the two numbers that decide
+    whether a blocking pass is safe before an O(n^2)-ish matcher --
+    reduction ratio (pairs pruned vs the full cross product) and pairs
+    completeness (ground-truth duplicate pairs whose two members still
+    share a block).
+
+    Everything is COUNTING on group sizes -- no pair is ever materialized:
+    candidate pairs = sum over blocks of C(n,2); captured true pairs =
+    sum over (block, truth) cells of C(n,2) (single-key blocking: a truth
+    pair survives iff both rows land in the same block).  One explode to
+    (scheme, block) rows, two groupBy rollups, one broadcast of the
+    2-row totals.  Output one row per scheme:
+    (scheme, n_blocks, cand_pairs, reduction_e6, true_pairs,
+    captured_pairs, completeness_e6)."""
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(name).alias("scheme"), key.cast("string").alias("block"))
+                for name, key in schemes.items()
+            ]
+        )
+    ).alias("sb")
+    base = df.select(F.col(id_col), truth_key.cast("string").alias("__truth"), pairs).select(
+        id_col, "__truth", "sb.scheme", "sb.block"
+    )
+
+    totals = (
+        df.select(truth_key.cast("string").alias("__truth"))
+        .groupBy("__truth")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("true_pairs"),
+        )
+    )
+
+    per_block = base.groupBy("scheme", "block").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cand = per_block.groupBy("scheme").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("cand_pairs"),
+    )
+    per_cell = base.groupBy("scheme", "block", "__truth").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    captured = per_cell.groupBy("scheme").agg(
+        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("captured_pairs")
+    )
+    return (
+        cand.join(captured, "scheme")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "scheme",
+            "n_blocks",
+            "cand_pairs",
+            F.expr(
+                "(1000000 * (n_docs * (n_docs - 1) div 2 - cand_pairs))"
+                " div (n_docs * (n_docs - 1) div 2)"
+            )
+            .cast("long")
+            .alias("reduction_e6"),
+            "true_pairs",
+            "captured_pairs",
+            F.when(
+                F.col("true_pairs") > 0,
+                F.expr("(1000000 * captured_pairs) div true_pairs"),
+            )
+            .otherwise(1000000)
+            .cast("long")
+            .alias("completeness_e6"),
+        )
+    )

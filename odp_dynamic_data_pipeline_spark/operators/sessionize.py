@@ -165,3 +165,80 @@ def pair_page_views_exact(
 
     bucketed = df.withColumn("__pv_bucket", F.pmod(F.abs(F.hash(group_col)), F.lit(buckets)))
     return bucketed.groupBy("__pv_bucket").applyInPandas(walk_bucket, schema=out_schema)
+
+
+def sessionize_capped(
+    df: DataFrame,
+    *,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 28800,
+    cap_s: int = 86400,
+) -> DataFrame:
+    """Sessionization with BOTH an inactivity gap and an anchor-relative
+    duration cap (the web-analytics rule: a session ends after ``gap_s``
+    of silence OR when it has lasted ``cap_s`` since its FIRST event).
+
+    Unlike the pure gap rule (session_gap_windows: one lag + one running
+    sum, all window algebra), the cap makes the walk inherently
+    sequential: each split's position depends on the previous session's
+    ANCHOR, which itself moves at every split -- a data-dependent
+    recurrence with no prefix-scan closed form.  So this runs as the
+    per-group Arrow-batched pattern (pair_page_views_exact's class):
+    one shuffle on the group key, then a greedy in-kernel walk whose
+    iteration count is the number of SESSIONS (searchsorted jumps), not
+    the number of events.
+
+    Emits one row per session: (group_col, session_n 1-based,
+    n_events, start_us, end_us) -- aggregates only, so the operator's
+    output is sessions-sized, never events-sized."""
+    from pyspark.sql.types import LongType
+
+    out_schema = StructType(
+        [
+            df.schema[group_col],
+            StructField("session_n", LongType()),
+            StructField("n_events", LongType()),
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+        ]
+    )
+    gap_us = gap_s * 1_000_000
+    cap_us = cap_s * 1_000_000
+
+    def walk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(ts)
+        # gap breaks are anchor-independent: prefix-computable
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        gap_starts = np.flatnonzero(brk)
+        bounds = np.append(gap_starts, n)
+        # within each gap-run, greedy cap splits: jump to the first event
+        # past anchor+cap; iterations = number of emitted sessions
+        starts: list[int] = []
+        for gi in range(len(gap_starts)):
+            s, e = bounds[gi], bounds[gi + 1]
+            i = s
+            while i < e:
+                starts.append(i)
+                i = int(np.searchsorted(ts[s:e], ts[i] + cap_us, side="right")) + s
+        st = np.asarray(starts, dtype=np.int64)
+        en = np.append(st[1:], n) - 1
+        group_key = pdf[group_col].iloc[0]
+        return pd.DataFrame(
+            {
+                group_col: np.repeat(group_key, len(st)),
+                "session_n": np.arange(1, len(st) + 1, dtype=np.int64),
+                "n_events": en - st + 1,
+                "start_us": ts[st],
+                "end_us": ts[en],
+            }
+        )
+
+    return df.select(group_col, ts_col).groupBy(group_col).applyInPandas(walk, schema=out_schema)

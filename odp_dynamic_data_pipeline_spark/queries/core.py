@@ -3195,3 +3195,128 @@ def kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     return kmv_overlap(ev, "user_id", "event_type", k=64)
+
+
+def _fd_block(tag: str, table: str, lhs: list[str], rhs: str, name: str) -> str:
+    """One approximate-FD g3 block (operators.quality_checks.approx_fd_report
+    twin): per-(lhs, rhs) counts, per-lhs rollup, single-row fold."""
+    lhs_sql = ", ".join(lhs)
+    return f"""
+{tag}v AS (
+  SELECT {lhs_sql}, {rhs}, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {table} GROUP BY {lhs_sql}, {rhs}
+),
+{tag}k AS (
+  SELECT {lhs_sql}, SUM(c) AS tot, MAX(c) AS mx, COUNT(*) AS nv
+  FROM {tag}v GROUP BY {lhs_sql}
+),
+{tag} AS (
+  SELECT '{name}' AS fd,
+         CAST(SUM(tot) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+         CAST(SUM(tot - mx) AS BIGINT) AS g3_removals,
+         CAST((1000000 * SUM(tot - mx)) // SUM(tot) AS BIGINT) AS g3_e6
+  FROM {tag}k
+)"""
+
+
+_FD_ORACLE = (
+    "WITH "
+    + ",".join(
+        [
+            _fd_block("fd1", "documents", ["source"], "lang", "documents.source->lang"),
+            _fd_block("fd2", "documents", ["lang"], "source", "documents.lang->source"),
+            _fd_block(
+                "fd3", "orders JOIN customer ON o_custkey = c_custkey",
+                ["o_custkey"], "c_mktsegment", "orders*customer.o_custkey->c_mktsegment",
+            ),
+            _fd_block(
+                "fd4", "customer", ["c_nationkey"], "c_mktsegment",
+                "customer.c_nationkey->c_mktsegment",
+            ),
+            _fd_block("fd5", "events", ["event_type"], "user_id", "events.event_type->user_id"),
+        ]
+    )
+    + """
+SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL SELECT * FROM fd3
+UNION ALL SELECT * FROM fd4 UNION ALL SELECT * FROM fd5
+"""
+)
+
+
+@register("fd_violation_report", _FD_ORACLE)
+def fd_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-functional-dependency audit
+    (operators.quality_checks.approx_fd_report): the g3 error measure
+    (minimum row deletions for the FD to hold -- the metric TANE-style FD
+    discovery ranks by) for five candidate dependencies, one holding
+    exactly over a DERIVED relation (orders x customer: o_custkey ->
+    c_mktsegment, g3 = 0) and four violated to different degrees.  Each
+    FD costs two partial-aggregated shuffles over DISTINCT value
+    combinations, never data rows twice -- the profiling pass you run
+    before trusting a key for dedup or enrichment joins."""
+    from odp_dynamic_data_pipeline_spark.operators.quality_checks import (
+        approx_fd_report,
+        union_reports,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    oc = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    return union_reports(
+        [
+            approx_fd_report(docs, "documents.source->lang", ["source"], "lang"),
+            approx_fd_report(docs, "documents.lang->source", ["lang"], "source"),
+            approx_fd_report(
+                oc, "orders*customer.o_custkey->c_mktsegment", ["o_custkey"], "c_mktsegment"
+            ),
+            approx_fd_report(
+                cust, "customer.c_nationkey->c_mktsegment", ["c_nationkey"], "c_mktsegment"
+            ),
+            approx_fd_report(ev, "events.event_type->user_id", ["event_type"], "user_id"),
+        ]
+    )
+
+
+@register(
+    "session_cap_windows",
+    """
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+walk(user_id, rn, tu, sess, anchor) AS (
+  SELECT user_id, rn, tu, CAST(1 AS BIGINT), tu FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.tu,
+         w.sess + CASE WHEN e.tu - w.tu > 28800000000 OR e.tu - w.anchor > 86400000000
+                       THEN 1 ELSE 0 END,
+         CASE WHEN e.tu - w.tu > 28800000000 OR e.tu - w.anchor > 86400000000
+              THEN e.tu ELSE w.anchor END
+  FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id, CAST(sess AS BIGINT) AS session_n,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(tu) AS BIGINT) AS start_us,
+       CAST(MAX(tu) AS BIGINT) AS end_us
+FROM walk GROUP BY user_id, sess
+""",
+)
+def session_cap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap + duration-cap sessionization (operators.sessionize.
+    sessionize_capped): a session ends after 8 h of inactivity OR once it
+    has lasted 24 h since its FIRST event.  The cap makes the walk a
+    data-dependent recurrence (each split moves the anchor the next split
+    is measured from) with no window-algebra closed form, so it runs as
+    the per-group Arrow-batched pattern -- greedy searchsorted jumps, one
+    iteration per SESSION.  The DuckDB oracle replays the recurrence as a
+    recursive CTE stepping every user's timeline in lockstep, so session
+    numbering, sizes, and boundaries are value-exact."""
+    from odp_dynamic_data_pipeline_spark.operators.sessionize import sessionize_capped
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_capped(ev, group_col="user_id", ts_col="ts", gap_s=28800, cap_s=86400)

@@ -1,0 +1,153 @@
+"""Unit tests for the r9 second-wave operators: retrieval evaluation
+(nDCG/MRR/P/R), reciprocal-rank fusion, blocking-scheme quality,
+approximate-FD g3, and gap+cap sessionization -- crafted inputs with
+hand-computed expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from odp_dynamic_data_pipeline_spark.operators.quality_checks import (
+    approx_fd_report,
+    blocking_quality,
+)
+from odp_dynamic_data_pipeline_spark.operators.ranking import (
+    ndcg_discounts_fp20,
+    retrieval_eval,
+    rrf_fuse,
+)
+from odp_dynamic_data_pipeline_spark.operators.sessionize import sessionize_capped
+from odp_dynamic_data_pipeline_spark.operators.text import ilog2_fp20
+
+
+def test_ndcg_discounts_exact():
+    # rank 1 -> 1/log2(2) = 1.0 exactly in fp20
+    d = dict(ndcg_discounts_fp20(3))
+    assert d[1] == 1 << 20
+    # rank 3 -> 1/log2(4) = 0.5 exactly
+    assert d[3] == (1 << 40) // ilog2_fp20(4) == (1 << 20) // 2
+    # monotone decreasing
+    vals = [v for _, v in ndcg_discounts_fp20(10)]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_retrieval_eval_crafted(spark):
+    # d1: 'cat' x3 (relevant, high tf); d2: 'cat' x1 (hit but NOT relevant);
+    # d3: 'cat' x2 'dog' x2 (relevant, gain 2); d4: no query terms.
+    rows = [
+        (1, "cat cat cat filler filler"),
+        (2, "cat filler filler filler"),
+        (3, "cat cat dog dog filler"),
+        (4, "filler filler filler filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = retrieval_eval(df, {"q": ["cat", "dog"]}, k=3, rel_tf=2)
+    r = out.collect()[0]
+    assert r["query_id"] == "q"
+    assert r["n_retrieved"] == 3  # d1, d2, d3 have hits
+    assert r["n_rel_total"] == 2  # d1 (gain 1), d3 (gain 2)
+    assert r["n_rel_topk"] == 2
+    assert r["p_at_k_e6"] == 2 * 1000000 // 3
+    assert r["r_at_k_e6"] == 1000000
+    assert r["first_rel_rank"] >= 1
+    assert r["mrr_e6"] == 1000000 // r["first_rel_rank"]
+    # ideal ordering is gain desc => idcg >= dcg => ndcg <= 1
+    assert 0 < r["ndcg_e6"] <= 1000000
+
+
+def test_retrieval_eval_perfect_ranking_is_1(spark):
+    # single relevant doc ranked first => DCG == IDCG exactly
+    rows = [(1, "cat cat cat"), (2, "filler words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = retrieval_eval(df, {"q": ["cat"]}, k=5, rel_tf=2).collect()[0]
+    assert r["ndcg_e6"] == 1000000
+    assert r["mrr_e6"] == 1000000
+    assert r["first_rel_rank"] == 1
+
+
+def test_rrf_fuse_exact(spark):
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(20, 1), (10, 2), (40, 3)], "doc_id long, rank long")
+    out = rrf_fuse({"a": a, "b": b}, id_col="doc_id", k=4, c=60).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 10: 1e9//61 + 1e9//62; doc 20 identical sum; tie broken by id
+    s = 10**9 // 61 + 10**9 // 62
+    assert by_id[10]["rrf_e9"] == s and by_id[20]["rrf_e9"] == s
+    assert [r["doc_id"] for r in out[:2]] == [10, 20]
+    assert by_id[30]["rrf_e9"] == 10**9 // 63
+    assert by_id[40]["rank_a"] is None and by_id[40]["rank_b"] == 3
+
+
+def test_blocking_quality_counts(spark):
+    # truth groups: {1,2} (same tokens, different order), {3}, {4}
+    # block 'first char': 1,3 share 'a...'; 2 'b...'; 4 'c...'
+    rows = [
+        (1, "aa bb"),
+        (2, "bb aa"),
+        (3, "aa zz"),
+        (4, "cc dd"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    out = blocking_quality(
+        df,
+        schemes={"first2": F.expr("substring(text, 1, 2)")},
+        truth_key=F.expr(f"array_join(array_sort({toks}), ' ')"),
+    ).collect()
+    r = out[0]
+    # blocks: 'aa' -> {1,3}, 'bb' -> {2}, 'cc' -> {4}; cand pairs = 1
+    assert r["n_blocks"] == 3 and r["cand_pairs"] == 1
+    # true pairs: (1,2); captured: none (1 and 2 in different blocks)
+    assert r["true_pairs"] == 1 and r["captured_pairs"] == 0
+    assert r["completeness_e6"] == 0
+    # reduction: 1 - 1/6
+    assert r["reduction_e6"] == 1000000 * 5 // 6
+
+
+def test_approx_fd_g3(spark):
+    # key A: 3 rows, values x,x,y -> max 2, removals 1, violating
+    # key B: 2 rows, values z,z -> holds
+    rows = [("A", "x"), ("A", "x"), ("A", "y"), ("B", "z"), ("B", "z")]
+    df = spark.createDataFrame(rows, "k string, v string")
+    r = approx_fd_report(df, "t.k->v", ["k"], "v").collect()[0]
+    assert r["n_rows"] == 5 and r["n_keys"] == 2
+    assert r["n_violating_keys"] == 1 and r["g3_removals"] == 1
+    assert r["g3_e6"] == 1000000 // 5
+
+
+def _ts(h: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+
+
+def test_sessionize_capped_gap_and_cap(spark):
+    # user 1: events at 0h,1h,2h then 20h (gap 18h > 8h) -> gap split;
+    # user 2: events every 5h from 0h to 30h (all gaps < 8h) -> cap at 24h
+    #   splits after the event at 20h is in (25h > 24h from anchor 0h):
+    #   anchor 0h, events 0,5,10,15,20 in session 1 (25h breaks: 25-0>24),
+    #   session 2 anchor 25h: events 25,30.
+    rows = [(1, _ts(0.0)), (1, _ts(1.0)), (1, _ts(2.0)), (1, _ts(20.0))] + [
+        (2, _ts(float(h))) for h in range(0, 31, 5)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize_capped(df, group_col="user_id", ts_col="ts", gap_s=8 * 3600, cap_s=24 * 3600)
+    got = {(r["user_id"], r["session_n"]): (r["n_events"], r["start_us"], r["end_us"]) for r in out.collect()}
+    # the walk reads the SESSION-NAIVE datetime64 values, so expectations
+    # are naive-as-epoch too (independent of the host zone)
+    us = lambda h: int((_ts(h) - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)  # noqa: E731
+    assert got[(1, 1)] == (3, us(0), us(2))
+    assert got[(1, 2)] == (1, us(20), us(20))
+    assert got[(2, 1)] == (5, us(0), us(20))
+    assert got[(2, 2)] == (2, us(25), us(30))
+
+
+def test_sessionize_capped_boundary_inclusive(spark):
+    # an event EXACTLY cap seconds after the anchor stays in the session
+    # (break requires ts - anchor > cap), matching the oracle recurrence
+    rows = [(1, _ts(0.0)), (1, _ts(24.0)), (1, _ts(24.5))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize_capped(df, group_col="user_id", ts_col="ts", gap_s=30 * 3600, cap_s=24 * 3600)
+    rows_out = sorted([tuple(r) for r in out.collect()])
+    assert rows_out[0][1:3] == (1, 2)  # session 1 has 2 events
+    assert rows_out[1][1:3] == (2, 1)  # 24.5h broke (24.5 - 0 > 24)

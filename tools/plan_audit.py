@@ -38,6 +38,7 @@ PANDAS_BY_DESIGN = {
     "udtf_polymorphic_fields", # polymorphic (analyze-schema) UDTF IS the extension surface under test
     "udtf_table_partition_args",  # partition-scoped TABLE(... PARTITION BY) UDTF IS the extension surface under test
     "mapinarrow_embedding_norms",  # mapInArrow Arrow-native kernel IS the operator
+    "session_cap_windows",         # anchor-restart cap walk: data-dependent recurrence, no window-algebra closed form
 }
 # queries where a cartesian against a broadcast side is the algorithm
 BROADCAST_NLJ_BY_DESIGN = {
@@ -70,6 +71,7 @@ BROADCAST_NLJ_BY_DESIGN = {
     "cluster_aware_split",         # two single-row report halves (split sizes x leak counts) crossed
     "randomization_test_means",    # single-row observed-totals + single-row extreme-count broadcasts
     "exact_quantiles_events",      # single-row grand-total broadcast over the distinct-value rollup
+    "blocking_quality_report",     # single-row (n_docs, true_pairs) totals broadcast over 2 scheme rows
 }
 # queries where a GLOBAL (unpartitioned) window is safe: its input is
 # already bounded to <= top_k rows by TakeOrderedAndProject / limit, or to a
@@ -98,6 +100,7 @@ GLOBAL_WINDOW_BOUNDED = {
     "topk_sketch_tokens",      # rank over the VOCAB table (corpus already reduced), limit 20
     "cusum_changepoints",      # prefix/min/max frames over the calendar-hour rollup (bounded by horizon, not data)
     "pareto_frontier_parts",   # running min over the distinct-size rollup (bounded by the size domain, not data)
+    "rrf_fusion_topk",         # dense ranks over each system's top-100 run (limit 100 feeds the window)
 }
 
 
