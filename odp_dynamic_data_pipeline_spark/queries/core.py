@@ -3320,3 +3320,80 @@ def session_cap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return sessionize_capped(ev, group_col="user_id", ts_col="ts", gap_s=28800, cap_s=86400)
+
+
+@register(
+    "session_cap_windows_stream",
+    """
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+walk(user_id, rn, tu, sess, anchor) AS (
+  SELECT user_id, rn, tu, CAST(1 AS BIGINT), tu FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.tu,
+         w.sess + CASE WHEN e.tu - w.tu > 28800000000 OR e.tu - w.anchor > 86400000000
+                       THEN 1 ELSE 0 END,
+         CASE WHEN e.tu - w.tu > 28800000000 OR e.tu - w.anchor > 86400000000
+              THEN e.tu ELSE w.anchor END
+  FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id, CAST(sess AS BIGINT) AS session_n,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(tu) AS BIGINT) AS start_us,
+       CAST(MAX(tu) AS BIGINT) AS end_us
+FROM walk GROUP BY user_id, sess
+""",
+)
+def session_cap_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of session_cap_windows, checked against the SAME
+    recursive-CTE oracle (stream == batch == oracle): events arrive in two
+    CHRONOLOGICAL micro-batches (first half of the month, then the rest),
+    streaming.run_incremental_sessions carries one open session per user
+    in a bucketed delta-merge store (per-batch cost reads/rewrites only
+    the buckets the batch touches) and emits sessions the moment a later
+    event closes them on the gap or the cap.  Because a session boundary
+    depends only on (previous event time, current anchor) -- both in the
+    store -- ANY chronological split replays to exactly the one-shot
+    batch result: emitted closed sessions + final open sessions hash-match
+    sessionize_capped."""
+    import glob
+    import os
+    import shutil
+
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        read_incremental_sessions,
+        run_incremental_sessions,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    tmp = _stream_tmpdir("sesscap_stream")
+    src = f"{tmp}/in"
+    os.makedirs(src)
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    for i, pred in enumerate((F.col("ts") < cutoff, F.col("ts") >= cutoff)):
+        part_dir = f"{tmp}/part{i}"
+        ev.where(pred).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        (part_file,) = glob.glob(f"{part_dir}/part-*.parquet")
+        dst = f"{src}/batch{i}.parquet"
+        shutil.move(part_file, dst)
+        os.utime(dst, (1_700_000_000 + i * 600, 1_700_000_000 + i * 600))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _stream_shuffle(spark):
+        run_incremental_sessions(
+            stream,
+            f"{tmp}/store",
+            f"{tmp}/out",
+            checkpoint=f"{tmp}/ckpt",
+            group_col="user_id",
+            ts_col="ts",
+            gap_s=28800,
+            cap_s=86400,
+        )
+    return read_incremental_sessions(spark, f"{tmp}/store", f"{tmp}/out")

@@ -1648,3 +1648,340 @@ def run_incremental_kmv(
     )
     q.awaitTermination()
     return q
+
+
+def _sessions_manifest(spark, store_path: str):
+    """Parse a run_incremental_sessions MANIFEST: (current, parent,
+    current bucket map, parent bucket map, current max_ts_us, parent
+    max_ts_us).  Returns None when the store has no manifest yet."""
+    import json as _json
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
+    mpath = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST")
+    if not fs.exists(mpath):
+        return None
+    stream_ = fs.open(mpath)
+    try:
+        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream_))
+        cur, par = reader.readLine(), reader.readLine()
+        l3, l4, l5, l6 = (reader.readLine() for _ in range(4))
+    finally:
+        stream_.close()
+    return (
+        cur,
+        par,
+        _json.loads(l3) if l3 else None,
+        _json.loads(l4) if l4 else None,
+        _json.loads(l5) if l5 else None,
+        _json.loads(l6) if l6 else None,
+    )
+
+
+def _sessions_write_manifest(
+    spark, store_path: str, version: str, parent: str,
+    cur_map: dict, par_map, cur_max, par_max,
+) -> None:
+    """Atomic overwrite-rename manifest flip (apply_incremental_agg_batch
+    discipline), with two extra JSON lines carrying the store's event-time
+    high-water mark (current / parent) for the chronology guard."""
+    import json as _json
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST.tmp")
+    body = (
+        f"{version}\n{parent}\n{_json.dumps(cur_map)}\n{_json.dumps(par_map)}"
+        f"\n{_json.dumps(cur_max)}\n{_json.dumps(par_max)}"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(body.encode()))
+    finally:
+        out.close()
+    dst = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST")
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(jvm.java.net.URI.create(store_path), conf)
+    gw = spark.sparkContext._gateway
+    opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, dst, opts)
+
+
+def apply_incremental_sessions_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    out_path: str,
+    *,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 28800,
+    cap_s: int = 86400,
+    n_buckets: int = 64,
+) -> None:
+    """One micro-batch of streaming gap+cap sessionization (the stateful
+    twin of operators.sessionize.sessionize_capped) -- exposed at module
+    level so retry idempotency and the chronology guard are directly
+    testable without checkpoint surgery.
+
+    State = ONE open session per group seen so far: (group, session_n,
+    n_events, start_us, last_us), laid out in hash buckets with the
+    bucketed delta-merge discipline of apply_incremental_agg_batch
+    (versioned bucket partitions + one atomic manifest flip carrying a
+    bucket->version map), so a batch reads and rewrites ONLY the buckets
+    its groups hash into -- per-batch cost is batch-driven, not
+    store-size-driven.  Sessions CLOSED inside the batch (a later event
+    broke them on the gap or the cap) are appended idempotently to
+    ``{out_path}/batch={batch_id}`` (a post-flip retry recomputes the
+    identical rows from the recorded parent state).
+
+    Requires chronological batches: every event time in a batch must be
+    >= the store's high-water mark (equal allowed -- tie order cannot
+    change gap/cap decisions).  The guard RAISES on a late batch instead
+    of silently corrupting session boundaries; upstream replays satisfy
+    it by splitting drops on event time, exactly how hourly file drops
+    arrive in the reference's world."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as SF
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = batch_df.sparkSession
+    gap_us, cap_us = gap_s * 1_000_000, cap_s * 1_000_000
+
+    b = batch_df.select(group_col, ts_col)
+    lim = b.agg(
+        SF.min(SF.unix_micros(ts_col)).alias("mn"), SF.max(SF.unix_micros(ts_col)).alias("mx")
+    ).first()
+    if lim["mn"] is None:
+        return  # empty batch: state and output unchanged
+    batch_min, batch_max = int(lim["mn"]), int(lim["mx"])
+
+    me = f"v{batch_id}"
+    manifest = _sessions_manifest(spark, store_path)
+    if manifest is None:
+        base_map, base_max = None, None
+    elif manifest[0].split("_")[0] == me:
+        # retry AFTER a successful flip for this very batch: rebuild from
+        # the recorded parent, never from our own output
+        base_map, base_max = manifest[3], manifest[5]
+    else:
+        base_map, base_max = manifest[2], manifest[4]
+    if base_max is not None and batch_min < base_max:
+        raise ValueError(
+            f"run_incremental_sessions: late batch (min ts {batch_min} us <"
+            f" store high-water mark {base_max} us); sessions require"
+            " chronological drops"
+        )
+
+    bexpr = SF.pmod(SF.xxhash64(group_col), SF.lit(n_buckets)).cast("int")
+    part = b.withColumn("bucket", bexpr).persist()
+    touched = sorted(r["bucket"] for r in part.select("bucket").distinct().collect())
+    paths = [
+        f"{store_path}/{base_map[str(k)]}/bucket={k}"
+        for k in touched
+        if base_map and str(k) in base_map
+    ]
+    if paths:
+        seeds = spark.read.parquet(*paths).select(
+            SF.col(group_col),
+            SF.col("session_n").alias("__seed_sess"),
+            SF.col("n_events").alias("__seed_n"),
+            SF.col("start_us").alias("__seed_start"),
+            SF.col("last_us").alias("__seed_last"),
+        )
+    else:
+        seeds = None
+
+    walk_in = part.drop("bucket")
+    if seeds is not None:
+        walk_in = walk_in.join(seeds, group_col, "left")
+    else:
+        for c in ("__seed_sess", "__seed_n", "__seed_start", "__seed_last"):
+            walk_in = walk_in.withColumn(c, SF.lit(None).cast("long"))
+
+    out_schema = StructType(
+        [
+            batch_df.schema[group_col],
+            StructField("session_n", LongType()),
+            StructField("n_events", LongType()),
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("is_open", LongType()),
+        ]
+    )
+
+    def walk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(ts)
+        seeded = pd.notna(pdf["__seed_sess"].iloc[0])
+        if seeded:
+            s_sess = int(pdf["__seed_sess"].iloc[0])
+            s_n = int(pdf["__seed_n"].iloc[0])
+            s_start = int(pdf["__seed_start"].iloc[0])
+            s_last = int(pdf["__seed_last"].iloc[0])
+        # gap breaks (anchor-independent); position 0 continues the open
+        # session iff seeded and within the gap of the stored last event
+        brk = np.empty(n, dtype=bool)
+        brk[0] = (not seeded) or (ts[0] - s_last > gap_us)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        seg_starts = np.flatnonzero(brk)
+        sessions: list[tuple[int, int, int, int]] = []  # (sess, n, start, last)
+        sess = s_sess if seeded else 0
+        if not brk[0]:
+            # continuation segment: [0, e0) under the STORED anchor
+            e0 = int(seg_starts[0]) if len(seg_starts) else n
+            j = int(np.searchsorted(ts[:e0], s_start + cap_us, side="right"))
+            if j == 0:
+                # first batch event already beyond the cap: the stored
+                # session closes with no new events
+                sessions.append((s_sess, s_n, s_start, s_last))
+            else:
+                sessions.append((s_sess, s_n + j, s_start, int(ts[j - 1])))
+            # remaining events of this gap-run open fresh sessions
+            i = j
+            while i < e0:
+                j2 = int(np.searchsorted(ts[:e0], ts[i] + cap_us, side="right"))
+                sess += 1
+                sessions.append((sess, j2 - i, int(ts[i]), int(ts[j2 - 1])))
+                i = j2
+        elif seeded:
+            # gap broke the stored session at the batch boundary
+            sessions.append((s_sess, s_n, s_start, s_last))
+        bounds = np.append(seg_starts, n)
+        for gi in range(len(seg_starts)):
+            s, e = int(bounds[gi]), int(bounds[gi + 1])
+            i = s
+            while i < e:
+                j2 = int(np.searchsorted(ts[s:e], ts[i] + cap_us, side="right")) + s
+                sess += 1
+                sessions.append((sess, j2 - i, int(ts[i]), int(ts[j2 - 1])))
+                i = j2
+        arr = np.asarray(sessions, dtype=np.int64).reshape(len(sessions), 4)
+        is_open = np.zeros(len(sessions), dtype=np.int64)
+        is_open[-1] = 1  # the last session stays open in the store
+        group_key = pdf[group_col].iloc[0]
+        return pd.DataFrame(
+            {
+                group_col: np.repeat(group_key, len(sessions)),
+                "session_n": arr[:, 0],
+                "n_events": arr[:, 1],
+                "start_us": arr[:, 2],
+                "last_us": arr[:, 3],
+                "is_open": is_open,
+            }
+        )
+
+    walked = walk_in.groupBy(group_col).applyInPandas(walk, schema=out_schema).persist()
+    closed = walked.where(SF.col("is_open") == 0).select(
+        group_col, "session_n", "n_events", "start_us", SF.col("last_us").alias("end_us")
+    )
+    closed.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    new_open = walked.where(SF.col("is_open") == 1).select(
+        group_col, "session_n", "n_events", "start_us", "last_us"
+    )
+    if seeds is not None:
+        carried = (
+            spark.read.parquet(*paths)
+            .select(group_col, "session_n", "n_events", "start_us", "last_us")
+            .join(part.select(group_col).distinct(), group_col, "left_anti")
+        )
+        new_state = carried.unionByName(new_open)
+    else:
+        new_state = new_open
+    new_state = new_state.withColumn("bucket", bexpr)
+
+    # fresh version dir (never write into an existing one)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
+    cand, attempt = me, 0
+    while fs.exists(jvm.org.apache.hadoop.fs.Path(f"{store_path}/{cand}")):
+        attempt += 1
+        cand = f"{me}_r{attempt}"
+    new_state.write.partitionBy("bucket").parquet(f"{store_path}/{cand}")
+    new_map = dict(base_map or {})
+    for k in touched:
+        new_map[str(k)] = cand
+    parent = manifest[0] if manifest is not None and manifest[0].split("_")[0] != me else (
+        manifest[1] if manifest is not None else "-"
+    )
+    _sessions_write_manifest(
+        spark, store_path, cand, parent, new_map, base_map,
+        max(batch_max, base_max or batch_max), base_max,
+    )
+    walked.unpersist()
+    part.unpersist()
+
+
+def run_incremental_sessions(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    *,
+    checkpoint: str,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 28800,
+    cap_s: int = 86400,
+    n_buckets: int = 64,
+):
+    """Streaming gap+cap sessionization over chronological micro-batches:
+    foreachBatch drives apply_incremental_sessions_batch (bucketed
+    delta-merge open-session store + idempotent per-batch emission of
+    closed sessions).  Mergeability argument: a session's boundaries
+    depend only on (previous event time, current anchor), both carried in
+    the store, so ANY chronological split of the input replays to exactly
+    the one-shot batch result -- read_incremental_sessions() is
+    hash-identical to sessionize_capped over the union of all drops."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_incremental_sessions_batch(
+            batch_df,
+            batch_id,
+            store_path,
+            out_path,
+            group_col=group_col,
+            ts_col=ts_col,
+            gap_s=gap_s,
+            cap_s=cap_s,
+            n_buckets=n_buckets,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_incremental_sessions(spark, store_path: str, out_path: str) -> DataFrame:
+    """Current sessionization result: emitted CLOSED sessions (all
+    batch= partitions of the output) plus the store's OPEN sessions --
+    exactly the rows sessionize_capped produces over the same events."""
+    from pyspark.sql import functions as SF
+
+    m = _sessions_manifest(spark, store_path)
+    if m is None:
+        raise ValueError(f"no session store at {store_path}")
+    paths = [f"{store_path}/{v}/bucket={k}" for k, v in sorted(m[2].items())]
+    open_s = spark.read.parquet(*paths).select(
+        "*",
+    )
+    open_s = open_s.select(
+        open_s.columns[0], "session_n", "n_events", "start_us", SF.col("last_us").alias("end_us")
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(out_path), conf)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(out_path)):
+        closed = spark.read.parquet(f"{out_path}/batch=*")
+        return closed.unionByName(open_s)
+    return open_s
