@@ -26,11 +26,18 @@ def asof_join(
     value_cols: list[str] | None = None,
     right_ts_alias: str = "asof_ts",
     right_suffix: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the columns of the latest right row with
     ``right.ts <= left.ts`` and the same ``on`` key; left rows with no prior
     right row get nulls.  Equal timestamps match (inclusive): right rows
     order before left rows at the same instant.
+
+    ``direction='forward'`` flips the match to the EARLIEST right row with
+    ``right.ts >= left.ts`` (still inclusive) -- the "next event after"
+    lookup (next maintenance window, next price tick, next purchase after
+    a view).  Same single-shuffle union-window shape, mirrored: the frame
+    looks at following rows and takes the FIRST future right row.
 
     If a right value column shares its name with a left payload column the
     join raises, unless ``right_suffix`` is given -- then every colliding
@@ -60,19 +67,34 @@ def asof_join(
     for c in left_payload:
         rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction must be backward|forward, got {direction!r}")
+
     unioned = lt.unionByName(rt.select(*lt.columns))
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col(ts_col), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort BEFORE left at the same instant -> inclusive
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(ts_col), F.col("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda col: F.last(col, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # left rows sort BEFORE right at the same instant (side desc) ->
+        # the current-row-to-end frame still sees an equal-ts right row
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(ts_col), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda col: F.first(col, ignorenulls=True).over(w)  # noqa: E731
     out = unioned.withColumn(
         right_ts_alias,
-        F.last(F.when(F.col("__side") == 0, F.col(ts_col)), ignorenulls=True).over(w),
+        pick(F.when(F.col("__side") == 0, F.col(ts_col))),
     )
     for c in value_cols:
         out = out.withColumn(
             out_name[c],
-            F.last(F.when(F.col("__side") == 0, F.col(f"__r_{c}")), ignorenulls=True).over(w),
+            pick(F.when(F.col("__side") == 0, F.col(f"__r_{c}"))),
         )
     return out.where(F.col("__side") == 1).drop("__side", *[f"__r_{c}" for c in value_cols])

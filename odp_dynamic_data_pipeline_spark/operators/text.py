@@ -1796,3 +1796,66 @@ def kmv_overlap(
         F.expr("(n_common * est_union) div n_union_sketch").alias("est_inter"),
         F.expr("(1000000 * n_common) div n_union_sketch").alias("est_jaccard_e6"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church & Hanks
+    1990): score each adjacent token pair by how much more often it
+    occurs than its parts predict, PMI = log2(N * c(a,b) / (c_first(a) *
+    c_second(b))) over bigram positions, and return the top-k pairs with
+    at least ``min_count`` occurrences -- the lexicon pass that surfaces
+    multi-word terms before phrase-aware tokenization or dedup.
+
+    Exact integer arithmetic: the log2 runs through the fp20 fixed-point
+    recurrence (ilog2_fp20_sql) on the integer products N*c_ab and
+    c_a*c_b (both < 2^63 for corpora up to ~10^9 bigrams with capped
+    pair counts), so the score is engine-portable bit-for-bit and CAN be
+    negative (pairs rarer than chance).
+
+    Shape: one tokenize pass -> bigram explode -> one groupBy(a, b) with
+    map-side partial aggregation; the marginal tables c_first / c_second
+    are vocabulary-sized aggregates broadcast back onto the pair table;
+    top-k is TakeOrderedAndProject.  Nothing driver-side except the
+    single N scalar."""
+    from odp_dynamic_data_pipeline_spark.functions.scalars import ilog2_fp20_sql
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import ensure_min_parallelism
+
+    toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    bigrams = (
+        f"CASE WHEN size({toks}) < 2 THEN array() ELSE zip_with("
+        f" slice({toks}, 1, size({toks}) - 1), slice({toks}, 2, size({toks}) - 1),"
+        f" (a, b) -> struct(a, b)) END"
+    )
+    bg = ensure_min_parallelism(df.select(id_col, text_col)).select(
+        F.explode(F.expr(bigrams)).alias("__bg")
+    ).select(F.col("__bg.a").alias("a"), F.col("__bg.b").alias("b"))
+
+    pairs = bg.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    firsts = pairs.groupBy("a").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    seconds = pairs.groupBy("b").agg(F.sum("n_ab").cast("long").alias("n_b"))
+    n_row = pairs.agg(F.sum("n_ab").cast("long").alias("n")).first()
+    n_bigrams = int(n_row["n"]) if n_row["n"] is not None else 0
+
+    scored = (
+        pairs.where(F.col("n_ab") >= min_count)
+        .join(F.broadcast(firsts), "a")
+        .join(F.broadcast(seconds), "b")
+        .withColumn(
+            "pmi_fp20",
+            (
+                F.expr(ilog2_fp20_sql(f"{n_bigrams} * n_ab"))
+                - F.expr(ilog2_fp20_sql("n_a * n_b"))
+            ).cast("long"),
+        )
+        .select("a", "b", "n_ab", "n_a", "n_b", "pmi_fp20")
+    )
+    return scored.orderBy(
+        F.col("pmi_fp20").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(k)

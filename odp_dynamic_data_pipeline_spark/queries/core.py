@@ -3397,3 +3397,43 @@ def session_cap_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             cap_s=86400,
         )
     return read_incremental_sessions(spark, f"{tmp}/store", f"{tmp}/out")
+
+
+@register(
+    "asof_next_purchase",
+    """
+WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts, CAST(ROUND(value * 100, 0) AS BIGINT) AS purchase_value_cents
+      FROM events WHERE event_type = 'purchase')
+SELECT v.event_id, v.user_id,
+       epoch_us(v.ts) AS ts_us,
+       epoch_us(p.ts) AS purchase_ts_us,
+       p.purchase_value_cents
+FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
+""",
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators.asof.asof_join direction='forward'):
+    each 'view' matched to the user's NEXT 'purchase' at-or-after it --
+    the attribution-lookahead mirror of asof_last_view, same union +
+    ordered-window shape (one shuffle on the key, no range explosion),
+    frame flipped to current-row-to-end with FIRST ignorenulls.  Oracle:
+    DuckDB's native ASOF with the <= inequality."""
+    from odp_dynamic_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", _cents("value").alias("purchase_value_cents")
+    )
+    out = asof_join(
+        views, purchases, on="user_id", ts_col="ts",
+        right_ts_alias="purchase_ts", direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "purchase_value_cents",
+    )

@@ -5802,3 +5802,47 @@ def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         truth_key=F.col("user_id"),
         id_col="event_id",
     )
+
+
+def _pmi_oracle(min_count: int = 5, k: int = 20) -> str:
+    lg_num = duck_ilog2_sql("tot.n * n_ab")
+    lg_den = duck_ilog2_sql("n_a * n_b")
+    return f"""
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+bg AS (
+  SELECT UNNEST(list_transform(range(1, len(toks)),
+                i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p
+  FROM t
+),
+pairs AS (
+  SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM bg GROUP BY p.a, p.b
+),
+firsts AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM pairs GROUP BY a),
+seconds AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM pairs GROUP BY b),
+tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM pairs),
+scored AS (
+  SELECT a, b, n_ab, n_a, n_b,
+         CAST(({lg_num}) - ({lg_den}) AS BIGINT) AS pmi_fp20
+  FROM pairs JOIN firsts USING (a) JOIN seconds USING (b) CROSS JOIN tot
+  WHERE n_ab >= {min_count}
+)
+SELECT a, b, n_ab, n_a, n_b, pmi_fp20
+FROM scored ORDER BY pmi_fp20 DESC, a, b LIMIT {k}
+"""
+
+
+@register("pmi_collocations", _pmi_oracle())
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators.text.pmi_collocations): top-20
+    adjacent token pairs by pointwise mutual information (Church & Hanks
+    1990) with a min-count gate -- the multi-word-term lexicon pass of a
+    text pipeline.  PMI's log2 runs through the same fp20 fixed-point
+    recurrence as the BM25 idf on integer products, so positive AND
+    negative scores replay bit-for-bit in the DuckDB oracle.  One bigram
+    pass, vocabulary-sized marginals broadcast onto the pair table,
+    TakeOrdered top-k."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.pmi_collocations(docs, min_count=5, k=20)

@@ -151,3 +151,23 @@ def test_sessionize_capped_boundary_inclusive(spark):
     rows_out = sorted([tuple(r) for r in out.collect()])
     assert rows_out[0][1:3] == (1, 2)  # session 1 has 2 events
     assert rows_out[1][1:3] == (2, 1)  # 24.5h broke (24.5 - 0 > 24)
+
+
+def test_pmi_collocations_crafted(spark):
+    from odp_dynamic_data_pipeline_spark.operators.text import (
+        ilog2_fp20,
+        pmi_collocations,
+    )
+
+    # 'aa bb' occurs 4x (always together); 'cc' pairs with dd/ee evenly
+    rows = [(i, "aa bb cc dd cc ee aa bb") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["a"], r["b"]): r for r in pmi_collocations(df, min_count=2, k=10).collect()}
+    r = out[("aa", "bb")]
+    # bigrams per doc: 7 -> N = 14; aa->bb 4 times; aa first 4, bb second 4
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (4, 4, 4)
+    assert r["pmi_fp20"] == ilog2_fp20(14 * 4) - ilog2_fp20(4 * 4)
+    # 'bb cc' happens 2x; bb-as-first 2, cc-as-second 4 (bb cc + dd cc)
+    r2 = out[("bb", "cc")]
+    assert (r2["n_ab"], r2["n_a"], r2["n_b"]) == (2, 2, 4)
+    assert r2["pmi_fp20"] == ilog2_fp20(14 * 2) - ilog2_fp20(2 * 4)

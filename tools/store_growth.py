@@ -25,7 +25,7 @@ just the slope.  A truly store-driven cost shows up as ratio >> 1 (the
 pre-r9 spans runner re-aggregated the whole window store every batch).
 
 Usage: python tools/store_growth.py [out_json] [family ...]
-  families: dedup neardup hamming kmv spans
+  families: dedup neardup hamming kmv spans agg_bucketed agg_legacy sessions
   env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALES (default "1,3,10,30")
 Merges rows keyed store_growth_<family> into SCALE_REHEARSAL.json.
 """
@@ -49,6 +49,7 @@ from pyspark.sql.types import (  # noqa: E402
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 DOC_SCHEMA = StructType(
@@ -69,6 +70,7 @@ BASE = {
     "kmv": 50_000,
     "spans": 200_000,
     "agg": 100_000,  # aggregate-store keys
+    "sessions": 100_000,  # open-session users
 }
 
 
@@ -422,9 +424,90 @@ class AggLegacy(AggBucketed):
     NB = None
 
 
+SESS_SCHEMA = StructType(
+    [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+)
+SESS_T0 = 1_700_000_000_000_000  # epoch us
+
+
+class Sessions(Family):
+    """run_incremental_sessions: the store is ONE open session per user
+    over m*100k users in 1024 hash buckets; the fixed batch touches 50
+    stored users (continuations) + 10 new ones (~58 of 1024 buckets), so
+    per-batch IO is touched_buckets/1024 of the store.  Store filler is
+    written in the operator's own layout (state rows + manifest) -- the
+    aged-store shape a long-lived stream accretes."""
+
+    name = "sessions"
+    schema = SESS_SCHEMA
+    NB = 1024
+
+    def prepare_template(self, spark, root: str) -> str:
+        tdir = f"{root}/{self.name}/template"
+        os.makedirs(f"{tdir}/store", exist_ok=True)
+        os.makedirs(f"{tdir}/out", exist_ok=True)
+        return tdir
+
+    def write_filler(self, spark, store, m):
+        from odp_dynamic_data_pipeline_spark.streaming.stream import (
+            _sessions_write_manifest,
+        )
+
+        state = spark.range(BASE["sessions"] * m).select(
+            F.col("id").alias("user_id"),
+            F.lit(1).cast("long").alias("session_n"),
+            F.lit(3).cast("long").alias("n_events"),
+            F.lit(SESS_T0).cast("long").alias("start_us"),
+            F.lit(SESS_T0 + 3_600_000_000).cast("long").alias("last_us"),
+            F.pmod(F.xxhash64("id"), F.lit(self.NB)).cast("int").alias("bucket"),
+        )
+        state.write.partitionBy("bucket").mode("overwrite").parquet(f"{store}/v-1")
+        _sessions_write_manifest(
+            spark, store, "v-1", "-",
+            {str(k): "v-1" for k in range(self.NB)}, None,
+            SESS_T0 + 3_600_000_000, None,
+        )
+
+    def batch_rows(self):
+        import datetime as _dt
+
+        t = _dt.datetime.utcfromtimestamp((SESS_T0 + 7_200_000_000) / 1e6)
+        return [(i, t) for i in range(50)] + [
+            (10_000_000 + i, t) for i in range(10)
+        ]
+
+    def run(self, spark, stream, store, out, ck):
+        from odp_dynamic_data_pipeline_spark.streaming.stream import (
+            run_incremental_sessions,
+        )
+
+        run_incremental_sessions(
+            stream, store, out, checkpoint=ck,
+            group_col="user_id", ts_col="ts",
+            gap_s=28800, cap_s=86400, n_buckets=self.NB,
+        )
+
+    def check(self, spark, rdir):
+        from odp_dynamic_data_pipeline_spark.streaming.stream import (
+            read_incremental_sessions,
+        )
+
+        rows = {
+            r.user_id: (r.session_n, r.n_events)
+            for r in read_incremental_sessions(spark, f"{rdir}/store", f"{rdir}/out")
+            .where(F.col("user_id") < 50)
+            .collect()
+        }
+        # 50 continuations absorbed the batch event into the stored session
+        assert len(rows) == 50 and all(v == (1, 4) for v in rows.values()), rows
+
+
 FAMILIES = {
     f.name: f
-    for f in [Dedup(), Neardup(), Hamming(), Kmv(), Spans(), AggBucketed(), AggLegacy()]
+    for f in [
+        Dedup(), Neardup(), Hamming(), Kmv(), Spans(), AggBucketed(), AggLegacy(),
+        Sessions(),
+    ]
 }
 
 
