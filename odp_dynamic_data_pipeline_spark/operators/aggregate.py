@@ -47,3 +47,55 @@ def with_zero_default_universe(
         for c in metric_cols:
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return out
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Lower weighted median per group: the smallest value v whose
+    cumulative weight reaches half the group's total weight (no
+    interpolation -- the returned value is always an actual data value,
+    so everything stays exact integers).  The estimator behind
+    quantity-weighted price summaries and sample-weighted label stats.
+
+    Shape: collapse ties first (groupBy (group, value) with map-side
+    partial agg -- the heavy reduction), then a cumulative-sum window
+    over the DISTINCT-value rollup (rows = distinct values per group,
+    never data rows), then one more groupBy for the argmin.  Output:
+    (group_cols..., total_w, n_distinct_values, wmedian)."""
+    per_val = df.groupBy(*group_cols, value_col).agg(
+        F.sum(weight_col).cast("long").alias("__w")
+    )
+    from pyspark.sql import Window
+
+    wspec = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    cum = per_val.select(
+        *group_cols,
+        value_col,
+        F.col("__w"),
+        F.sum("__w").over(wspec).cast("long").alias("__cum"),
+        F.sum("__w").over(wtot).cast("long").alias("__tot"),
+    )
+    return (
+        cum.where(2 * F.col("__cum") >= F.col("__tot"))
+        .groupBy(*group_cols)
+        .agg(
+            F.max("__tot").cast("long").alias("total_w"),
+            F.min(value_col).alias("wmedian"),
+        )
+        .join(
+            per_val.groupBy(*group_cols).agg(
+                F.count(F.lit(1)).cast("long").alias("n_distinct_values")
+            ),
+            group_cols,
+        )
+        .select(*group_cols, "total_w", "n_distinct_values", "wmedian")
+    )

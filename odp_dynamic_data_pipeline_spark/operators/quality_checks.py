@@ -226,3 +226,53 @@ def blocking_quality(
             .alias("completeness_e6"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    cents_col: str,
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Robust outlier report per group: median / MAD (median absolute
+    deviation) and the count of points beyond ``k`` MADs -- the
+    scale-free outlier gate that survives the heavy tails a mean/stddev
+    z-score drowns in.
+
+    Exactness: interpolated medians of integers can land on halves, so
+    values are pre-scaled x2 before the first median (med_x2 is integer)
+    and deviations x2 again before the second (mad_x4 is integer); the
+    gate ``dev > k * mad`` compares the same scale on both sides, so the
+    whole report is integer-exact and engine-portable.  Two exact
+    percentile aggregations + two joins back on the group key; for a
+    100 TB pass swap percentile -> approx_percentile and keep the gate
+    (documented trade -- this is the oracle-exact variant).
+
+    Output: (group_col, n, median_cents_x2, mad_cents_x4, n_outliers,
+    max_dev_x4)."""
+    x = df.select(group_col, (2 * F.col(cents_col)).cast("long").alias("__x2"))
+    med = x.groupBy(group_col).agg(
+        F.expr("CAST(percentile(__x2, 0.5) AS BIGINT)").alias("__med2")
+    )
+    d = x.join(med, group_col).select(
+        group_col,
+        "__med2",
+        (2 * F.abs(F.col("__x2") - F.col("__med2"))).cast("long").alias("__dev4"),
+    )
+    mad = d.groupBy(group_col).agg(
+        F.expr("CAST(percentile(__dev4, 0.5) AS BIGINT)").alias("__mad4")
+    )
+    return (
+        d.join(mad, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("__med2").cast("long").alias("median_cents_x2"),
+            F.max("__mad4").cast("long").alias("mad_cents_x4"),
+            F.sum((F.col("__dev4") > k * F.col("__mad4")).cast("long"))
+            .cast("long")
+            .alias("n_outliers"),
+            F.max("__dev4").cast("long").alias("max_dev_x4"),
+        )
+    )

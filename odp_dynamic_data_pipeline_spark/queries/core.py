@@ -3437,3 +3437,157 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("purchase_ts").alias("purchase_ts_us"),
         "purchase_value_cents",
     )
+
+
+@register(
+    "mad_outlier_report",
+    """
+WITH x AS (
+  SELECT event_type, 2 * CAST(ROUND(value * 100, 0) AS BIGINT) AS x2 FROM events
+),
+m AS (
+  SELECT event_type, CAST(quantile_cont(x2, 0.5) AS BIGINT) AS med2
+  FROM x GROUP BY event_type
+),
+d AS (
+  SELECT x.event_type, med2, 2 * ABS(x2 - med2) AS dev4
+  FROM x JOIN m USING (event_type)
+),
+md AS (
+  SELECT event_type, CAST(quantile_cont(dev4, 0.5) AS BIGINT) AS mad4
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(med2) AS BIGINT) AS median_cents_x2,
+       CAST(MAX(mad4) AS BIGINT) AS mad_cents_x4,
+       CAST(SUM(CASE WHEN dev4 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(MAX(dev4) AS BIGINT) AS max_dev_x4
+FROM d JOIN md USING (event_type)
+GROUP BY d.event_type
+""",
+)
+def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit (operators.quality_checks.mad_outliers):
+    per event type, median / MAD and the count of values beyond 3 MADs --
+    the scale-free gate that survives heavy tails where mean/stddev
+    z-scores drown.  Values pre-scale x2 (then deviations x2 again) so
+    both interpolated medians stay integer-exact; every number replays
+    bit-for-bit in the oracle.  This exact variant IS the oracle twin; a
+    100 TB pass swaps percentile -> approx_percentile and keeps the gate."""
+    from odp_dynamic_data_pipeline_spark.operators.quality_checks import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", _cents("value").alias("cents")
+    )
+    return mad_outliers(ev, "event_type", "cents", k=3)
+
+
+@register(
+    "weighted_median_price",
+    """
+WITH pv AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2, 3
+),
+c AS (
+  SELECT l_returnflag, l_linestatus, price_cents, w,
+         SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                      ORDER BY price_cents
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS tot
+  FROM pv
+),
+nd AS (
+  SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_distinct_values
+  FROM pv GROUP BY 1, 2
+)
+SELECT c.l_returnflag, c.l_linestatus,
+       CAST(MAX(tot) AS BIGINT) AS total_w,
+       nd.n_distinct_values,
+       CAST(MIN(price_cents) AS BIGINT) AS wmedian
+FROM c JOIN nd USING (l_returnflag, l_linestatus)
+WHERE 2 * cum >= tot
+GROUP BY c.l_returnflag, c.l_linestatus, nd.n_distinct_values
+""",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per (returnflag, linestatus)
+    (operators.aggregate.weighted_median): the lower weighted median --
+    smallest price whose cumulative quantity reaches half the group's
+    total -- so the result is an actual data value and everything stays
+    integer-exact.  Ties collapse FIRST (map-side partial agg); the
+    cumulative window runs over the distinct-price rollup, never data
+    rows."""
+    from odp_dynamic_data_pipeline_spark.operators.aggregate import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        _cents("l_extendedprice").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    out = weighted_median(li, ["l_returnflag", "l_linestatus"], "price_cents", "qty")
+    return out.select(
+        "l_returnflag", "l_linestatus", "total_w", "n_distinct_values",
+        F.col("wmedian").cast("long").alias("wmedian"),
+    )
+
+
+@register(
+    "cdc_upsert_stream",
+    """
+SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+       CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents
+FROM (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id IS NOT NULL
+) WHERE rn = 1
+""",
+)
+def cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC upsert == batch latest-row-per-key, driver-verified
+    (streaming.run_incremental_upsert): events replayed as micro-batches
+    in ARBITRARY order (no chronology requirement -- max-by-seq is
+    commutative, deliberately unlike the sessionizer's guard) folded into
+    a bucketed last-wins store; the final store is checked against the
+    one-shot window oracle.  The streaming face of MERGE WHEN MATCHED
+    UPDATE (batch twin merge_cdc_snapshot), with (ts, event_id) as the
+    deterministic sequence."""
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        read_incremental_upsert,
+        run_incremental_upsert,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type", _cents("value").alias("value_cents"))
+        .repartition(4)
+    )
+    tmp = _stream_tmpdir("cdc_upsert_stream")
+    src = f"{tmp}/in"
+    ev.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    with _stream_shuffle(spark):
+        run_incremental_upsert(
+            stream,
+            f"{tmp}/store",
+            checkpoint=f"{tmp}/ckpt",
+            key_cols=["user_id"],
+            seq_cols=["ts", "event_id"],
+        )
+    return read_incremental_upsert(spark, f"{tmp}/store").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.col("value_cents").cast("long").alias("value_cents"),
+    )

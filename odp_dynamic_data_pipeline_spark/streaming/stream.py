@@ -1985,3 +1985,127 @@ def read_incremental_sessions(spark, store_path: str, out_path: str) -> DataFram
         closed = spark.read.parquet(f"{out_path}/batch=*")
         return closed.unionByName(open_s)
     return open_s
+
+
+def apply_incremental_upsert_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    *,
+    key_cols: list[str],
+    seq_cols: list[str],
+    n_buckets: int = 256,
+) -> None:
+    """One micro-batch of the streaming CDC upsert (last-wins materialized
+    table): keep, per key, the row with the highest ``seq_cols`` tuple
+    seen so far -- the streaming face of MERGE ... WHEN MATCHED UPDATE
+    (batch twin: merge_cdc_snapshot).  Unlike the sessionizer there is NO
+    chronology requirement: max-by-seq is commutative, so late and
+    out-of-order batches fold correctly by construction.
+
+    Same bucketed delta-merge store as apply_incremental_agg_batch
+    (versioned bucket partitions + atomic manifest flip + rebuild-from-
+    parent retries): per-batch IO is touched_buckets * bucket_size, never
+    the whole table.  Deterministic winner: (seq_cols...) descending --
+    callers include a unique tiebreaker as the last seq col."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return
+
+    order = [SF.col(c).desc() for c in seq_cols]
+    w = W.partitionBy(*key_cols).orderBy(*order)
+    latest = (
+        batch_df.withColumn("__rn", SF.row_number().over(w))
+        .where(SF.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    me = f"v{batch_id}"
+    manifest = _sessions_manifest(spark, store_path)
+    if manifest is None:
+        base_map = None
+    elif manifest[0].split("_")[0] == me:
+        base_map = manifest[3]  # post-flip retry: rebuild from parent map
+    else:
+        base_map = manifest[2]
+
+    bexpr = SF.pmod(SF.xxhash64(*key_cols), SF.lit(n_buckets)).cast("int")
+    part = latest.withColumn("bucket", bexpr).persist()
+    touched = sorted(r["bucket"] for r in part.select("bucket").distinct().collect())
+    paths = [
+        f"{store_path}/{base_map[str(k)]}/bucket={k}"
+        for k in touched
+        if base_map and str(k) in base_map
+    ]
+    if paths:
+        prev = spark.read.parquet(*paths)
+        merged = (
+            prev.unionByName(part.drop("bucket"))
+            .withColumn("__rn", SF.row_number().over(w))
+            .where(SF.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn("bucket", bexpr)
+        )
+    else:
+        merged = part
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
+    cand, attempt = me, 0
+    while fs.exists(jvm.org.apache.hadoop.fs.Path(f"{store_path}/{cand}")):
+        attempt += 1
+        cand = f"{me}_r{attempt}"
+    merged.write.partitionBy("bucket").parquet(f"{store_path}/{cand}")
+    new_map = dict(base_map or {})
+    for k in touched:
+        new_map[str(k)] = cand
+    parent = (
+        manifest[0]
+        if manifest is not None and manifest[0].split("_")[0] != me
+        else (manifest[1] if manifest is not None else "-")
+    )
+    _sessions_write_manifest(spark, store_path, cand, parent, new_map, base_map, None, None)
+    part.unpersist()
+
+
+def run_incremental_upsert(
+    stream: DataFrame,
+    store_path: str,
+    *,
+    checkpoint: str,
+    key_cols: list[str],
+    seq_cols: list[str],
+    n_buckets: int = 256,
+):
+    """Streaming CDC upsert: foreachBatch drives
+    apply_incremental_upsert_batch; the store always holds exactly the
+    latest row per key (by seq), whatever order the batches arrive in."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_incremental_upsert_batch(
+            batch_df, batch_id, store_path,
+            key_cols=key_cols, seq_cols=seq_cols, n_buckets=n_buckets,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_incremental_upsert(spark, store_path: str) -> DataFrame:
+    """Read the current upsert table: the union of per-bucket paths named
+    by the manifest's bucket map."""
+    m = _sessions_manifest(spark, store_path)
+    if m is None:
+        raise ValueError(f"no upsert store at {store_path}")
+    paths = [f"{store_path}/{v}/bucket={k}" for k, v in sorted(m[2].items())]
+    return spark.read.parquet(*paths)

@@ -171,3 +171,76 @@ def test_pmi_collocations_crafted(spark):
     r2 = out[("bb", "cc")]
     assert (r2["n_ab"], r2["n_a"], r2["n_b"]) == (2, 2, 4)
     assert r2["pmi_fp20"] == ilog2_fp20(14 * 2) - ilog2_fp20(2 * 4)
+
+
+def test_mad_outliers_crafted(spark):
+    from odp_dynamic_data_pipeline_spark.operators.quality_checks import mad_outliers
+
+    # values 1..9 plus an outlier 1000 (cents): median of 10 values = 5.5
+    # -> med_x2 = 11; deviations |x-5.5| = 4.5,3.5,...,3.5,994.5 ->
+    # dev_x4 = 2*|2x - 11|; mad = median of devs
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]]
+    df = spark.createDataFrame(rows, "g string, cents long")
+    r = mad_outliers(df, "g", "cents", k=3).collect()[0]
+    assert r["n"] == 10 and r["median_cents_x2"] == 11
+    devs4 = sorted(2 * abs(2 * v - 11) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])
+    mad4 = (devs4[4] + devs4[5]) // 2  # even count, both even values
+    assert r["mad_cents_x4"] == mad4
+    assert r["n_outliers"] == sum(1 for d in devs4 if d > 3 * mad4)
+    assert r["max_dev_x4"] == devs4[-1]
+
+
+def test_weighted_median_crafted(spark):
+    from odp_dynamic_data_pipeline_spark.operators.aggregate import weighted_median
+
+    # prices 10 (w 1), 20 (w 2), 30 (w 7): total 10, half 5 -> cum at 30
+    # reaches 10 >= 5... cum: 10->1, 20->3, 30->10; first 2*cum >= 10 is 30
+    rows = [("g", 10, 1), ("g", 20, 2), ("g", 30, 7), ("h", 5, 4), ("h", 9, 1)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    out = {r["g"]: r for r in weighted_median(df, ["g"], "v", "w").collect()}
+    assert out["g"]["wmedian"] == 30 and out["g"]["total_w"] == 10
+    # h: cum 5->4 (2*4 >= 5) -> wmedian 5
+    assert out["h"]["wmedian"] == 5 and out["h"]["n_distinct_values"] == 2
+
+
+def test_incremental_upsert_out_of_order_and_retry(spark, tmp_path):
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        apply_incremental_upsert_batch,
+        read_incremental_upsert,
+    )
+
+    store = f"{tmp_path}/store"
+    mk = lambda rows: spark.createDataFrame(rows, "k long, seq long, val string")  # noqa: E731
+    # batch 0 carries the NEWEST rows; batch 1 older + a new key: last-wins
+    # by seq must hold regardless of arrival order
+    apply_incremental_upsert_batch(
+        mk([(1, 10, "new1"), (2, 20, "new2"), (1, 9, "mid1")]), 0, store,
+        key_cols=["k"], seq_cols=["seq"], n_buckets=8,
+    )
+    apply_incremental_upsert_batch(
+        mk([(1, 5, "old1"), (3, 1, "only3"), (2, 25, "newer2")]), 1, store,
+        key_cols=["k"], seq_cols=["seq"], n_buckets=8,
+    )
+    # post-flip retry of batch 1: identical result
+    apply_incremental_upsert_batch(
+        mk([(1, 5, "old1"), (3, 1, "only3"), (2, 25, "newer2")]), 1, store,
+        key_cols=["k"], seq_cols=["seq"], n_buckets=8,
+    )
+    got = {r["k"]: (r["seq"], r["val"]) for r in read_incremental_upsert(spark, store).collect()}
+    assert got == {1: (10, "new1"), 2: (25, "newer2"), 3: (1, "only3")}
+
+
+def test_incremental_upsert_seq_tiebreak(spark, tmp_path):
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        apply_incremental_upsert_batch,
+        read_incremental_upsert,
+    )
+
+    store = f"{tmp_path}/store"
+    mk = lambda rows: spark.createDataFrame(rows, "k long, seq long, tie long, val string")  # noqa: E731
+    apply_incremental_upsert_batch(
+        mk([(1, 10, 1, "a"), (1, 10, 2, "b")]), 0, store,
+        key_cols=["k"], seq_cols=["seq", "tie"], n_buckets=4,
+    )
+    [r] = read_incremental_upsert(spark, store).collect()
+    assert (r["tie"], r["val"]) == (2, "b")  # deterministic tiebreak on the 2nd seq col
