@@ -99,3 +99,67 @@ def weighted_median(
         )
         .select(*group_cols, "total_w", "n_distinct_values", "wmedian")
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    p_lo: int = 5,
+    p_hi: int = 95,
+) -> DataFrame:
+    """Winsorized (clipped) statistics per group: values below the p_lo-th
+    / above the p_hi-th percentile are clamped to those bounds before
+    summing -- the robust mean that tames heavy tails without dropping
+    rows (the action-side sibling of the MAD outlier REPORT).
+
+    Bounds are NEAREST-RANK percentiles (smallest value whose cumulative
+    count reaches ceil(p * n / 100)), so they are actual data values and
+    the whole computation stays integer-exact -- deliberately not the
+    interpolated quantile, whose fractional results would push the
+    clipped sum into float territory.
+
+    Shape: the weighted_median pattern -- collapse to per-(group, value)
+    counts map-side, cumulative window over the DISTINCT-value rollup to
+    find both bounds, broadcast the 2-value bounds row back, one clipped
+    aggregation.  Output: (group_cols..., n, lo_bound, hi_bound,
+    n_clipped_low, n_clipped_high, wins_sum, wins_mean_e6)."""
+    from pyspark.sql import Window
+
+    per_val = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    wspec = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    cum = per_val.select(
+        *group_cols,
+        value_col,
+        F.sum("__c").over(wspec).cast("long").alias("__cum"),
+        F.sum("__c").over(wtot).cast("long").alias("__tot"),
+    )
+    bounds = (
+        cum.groupBy(*group_cols)
+        .agg(
+            F.min(
+                F.when(100 * F.col("__cum") >= F.lit(p_lo) * F.col("__tot"), F.col(value_col))
+            ).alias("lo_bound"),
+            F.min(
+                F.when(100 * F.col("__cum") >= F.lit(p_hi) * F.col("__tot"), F.col(value_col))
+            ).alias("hi_bound"),
+        )
+    )
+    x = df.join(F.broadcast(bounds), group_cols)
+    clipped = F.greatest(F.col("lo_bound"), F.least(F.col("hi_bound"), F.col(value_col)))
+    return x.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("lo_bound").cast("long").alias("lo_bound"),
+        F.max("hi_bound").cast("long").alias("hi_bound"),
+        F.sum((F.col(value_col) < F.col("lo_bound")).cast("long")).cast("long").alias("n_clipped_low"),
+        F.sum((F.col(value_col) > F.col("hi_bound")).cast("long")).cast("long").alias("n_clipped_high"),
+        F.sum(clipped).cast("long").alias("wins_sum"),
+    ).withColumn("wins_mean_e6", F.expr("(1000000 * wins_sum) div n").cast("long"))

@@ -276,3 +276,67 @@ def mad_outliers(
             F.max("__dev4").cast("long").alias("max_dev_x4"),
         )
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    lo: int,
+    hi: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact precision/recall curve over a FIXED threshold grid: scores
+    bucket into ``n_buckets`` equi-width bins over the declared [lo, hi)
+    integer domain, and each non-empty bucket's lower bound becomes a
+    threshold t with precision/recall of the rule ``score >= t`` -- the
+    companion artifact to the scalar ROC-AUC (binary_auc): AUC says the
+    ranking is good, the curve says WHERE to cut it.
+
+    The grid is domain-fixed (not data-quantiles), so the heavy reduction
+    is one groupBy(bucket) with map-side partial aggregation; the
+    cumulative pass runs over <= n_buckets pre-aggregated rows (a bounded
+    global window, the cusum/pareto class).  All integer: precision_e6 =
+    1e6*tp // pred_pos, recall_e6 = 1e6*tp // total_pos.
+
+    Output per non-empty bucket, highest threshold first:
+    (threshold_e6, n_ge, tp_ge, precision_e6, recall_e6)."""
+    width = (hi - lo) // n_buckets
+    b = df.select(
+        (F.col(score_col) - F.lit(lo)).cast("long").alias("__d"),
+        F.col(label_col).cast("boolean").alias("__lab"),
+    ).select(
+        F.least(
+            F.lit(n_buckets - 1).cast("long"),
+            F.greatest(F.lit(0).cast("long"), F.expr(f"__d div {width}")),
+        ).alias("__b"),
+        "__lab",
+    )
+    agg = b.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__lab").cast("long")).cast("long").alias("__pos"),
+    )
+    w = (
+        Window.orderBy(F.col("__b").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy()
+    return (
+        agg.select(
+            "__b",
+            F.sum("__n").over(w).cast("long").alias("n_ge"),
+            F.sum("__pos").over(w).cast("long").alias("tp_ge"),
+            F.sum("__pos").over(wtot).cast("long").alias("__totpos"),
+        )
+        .select(
+            (F.lit(lo) + F.col("__b") * width).cast("long").alias("threshold_e6"),
+            "n_ge",
+            "tp_ge",
+            F.expr("(1000000 * tp_ge) div n_ge").cast("long").alias("precision_e6"),
+            F.when(F.col("__totpos") > 0, F.expr("(1000000 * tp_ge) div __totpos"))
+            .otherwise(0)
+            .cast("long")
+            .alias("recall_e6"),
+        )
+    )

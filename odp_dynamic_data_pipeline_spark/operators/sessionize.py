@@ -174,6 +174,7 @@ def sessionize_capped(
     ts_col: str = "ts",
     gap_s: int = 28800,
     cap_s: int = 86400,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Sessionization with BOTH an inactivity gap and an anchor-relative
     duration cap (the web-analytics rule: a session ends after ``gap_s``
@@ -191,7 +192,14 @@ def sessionize_capped(
 
     Emits one row per session: (group_col, session_n 1-based,
     n_events, start_us, end_us) -- aggregates only, so the operator's
-    output is sessions-sized, never events-sized."""
+    output is sessions-sized, never events-sized.
+
+    ``buckets``: with high-cardinality group keys, grouped-pandas
+    machinery costs ~4 ms PER GROUP (pair_page_views_exact's
+    adjudication); ``buckets=N`` keys the Arrow stage on
+    ``pmod(xxhash64(group), N)`` and runs the unchanged per-group walk
+    in an in-kernel pandas groupby loop -- identical output, one Arrow
+    batch per bucket instead of one per key."""
     from pyspark.sql.types import LongType
 
     out_schema = StructType(
@@ -241,4 +249,18 @@ def sessionize_capped(
             }
         )
 
-    return df.select(group_col, ts_col).groupBy(group_col).applyInPandas(walk, schema=out_schema)
+    base = df.select(group_col, ts_col)
+    if buckets is None:
+        return base.groupBy(group_col).applyInPandas(walk, schema=out_schema)
+
+    def walk_bucket(pdf):
+        import pandas as pd
+
+        return pd.concat(
+            [walk(sub) for _, sub in pdf.groupby(group_col, sort=False)],
+            ignore_index=True,
+        )
+
+    return base.groupBy(
+        F.pmod(F.xxhash64(group_col), F.lit(buckets)).cast("int")
+    ).applyInPandas(walk_bucket, schema=out_schema)

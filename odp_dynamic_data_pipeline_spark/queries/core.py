@@ -3319,7 +3319,9 @@ def session_cap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odp_dynamic_data_pipeline_spark.operators.sessionize import sessionize_capped
 
     ev = load_table(spark, sf_dir, "events")
-    return sessionize_capped(ev, group_col="user_id", ts_col="ts", gap_s=28800, cap_s=86400)
+    return sessionize_capped(
+        ev, group_col="user_id", ts_col="ts", gap_s=28800, cap_s=86400, buckets=32
+    )
 
 
 @register(
@@ -3395,6 +3397,9 @@ def session_cap_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_col="ts",
             gap_s=28800,
             cap_s=86400,
+            # bucket count sized to the 1.5k-user keyspace (see SCALE.md:
+            # per-batch IO ~= touched_buckets * store/B)
+            n_buckets=16,
         )
     return read_incremental_sessions(spark, f"{tmp}/store", f"{tmp}/out")
 
@@ -3583,6 +3588,10 @@ def cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint=f"{tmp}/ckpt",
             key_cols=["user_id"],
             seq_cols=["ts", "event_id"],
+            # B sizes to the keyspace (1.5k users here): a bucket should
+            # stay ~file-sized -- the same knob the rehearsal runs at 1024
+            # over 3M keys
+            n_buckets=32,
         )
     return read_incremental_upsert(spark, f"{tmp}/store").select(
         "user_id",
@@ -3591,3 +3600,53 @@ def cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value_cents").cast("long").alias("value_cents"),
     )
+
+
+@register(
+    "winsorized_value_stats",
+    """
+WITH x AS (
+  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events
+),
+pv AS (
+  SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, cents,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cumc,
+         SUM(c) OVER (PARTITION BY event_type) AS tot
+  FROM pv
+),
+bounds AS (
+  SELECT event_type,
+         MIN(CASE WHEN 100 * cumc >= 5 * tot THEN cents END) AS lo_bound,
+         MIN(CASE WHEN 100 * cumc >= 95 * tot THEN cents END) AS hi_bound
+  FROM cum GROUP BY event_type
+)
+SELECT x.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(lo_bound) AS BIGINT) AS lo_bound,
+       CAST(MAX(hi_bound) AS BIGINT) AS hi_bound,
+       CAST(SUM(CASE WHEN cents < lo_bound THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN cents > hi_bound THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       CAST(SUM(GREATEST(lo_bound, LEAST(hi_bound, cents))) AS BIGINT) AS wins_sum,
+       CAST((1000000 * SUM(GREATEST(lo_bound, LEAST(hi_bound, cents)))) // COUNT(*) AS BIGINT) AS wins_mean_e6
+FROM x JOIN bounds USING (event_type)
+GROUP BY x.event_type
+""",
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value statistics
+    (operators.aggregate.winsorized_stats): values clamped to the
+    nearest-rank p05/p95 bounds before summing -- the robust mean that
+    tames heavy tails without dropping rows (action-side sibling of the
+    MAD outlier report).  Nearest-rank bounds are actual data values, so
+    the clipped sum stays integer-exact end to end -- deliberately NOT
+    the interpolated quantile, whose fractional bounds would push the
+    sum into float territory."""
+    from odp_dynamic_data_pipeline_spark.operators.aggregate import winsorized_stats
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", _cents("value").alias("cents")
+    )
+    return winsorized_stats(ev, ["event_type"], "cents", p_lo=5, p_hi=95)

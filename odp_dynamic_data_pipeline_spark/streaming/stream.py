@@ -1785,7 +1785,10 @@ def apply_incremental_sessions_batch(
         if base_map and str(k) in base_map
     ]
     if paths:
-        seeds = spark.read.parquet(*paths).select(
+        # one read of the touched buckets serves BOTH the seed join and
+        # the carried-rows anti-join (the dominant per-batch IO term)
+        bucket_state = spark.read.parquet(*paths).persist()
+        seeds = bucket_state.select(
             SF.col(group_col),
             SF.col("session_n").alias("__seed_sess"),
             SF.col("n_events").alias("__seed_n"),
@@ -1793,9 +1796,9 @@ def apply_incremental_sessions_batch(
             SF.col("last_us").alias("__seed_last"),
         )
     else:
-        seeds = None
+        bucket_state, seeds = None, None
 
-    walk_in = part.drop("bucket")
+    walk_in = part
     if seeds is not None:
         walk_in = walk_in.join(seeds, group_col, "left")
     else:
@@ -1875,7 +1878,22 @@ def apply_incremental_sessions_batch(
             }
         )
 
-    walked = walk_in.groupBy(group_col).applyInPandas(walk, schema=out_schema).persist()
+    def walk_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # grouped-pandas machinery costs ~4 ms PER GROUP (the
+        # pair_page_views_exact buckets adjudication, PLANS.md); keying
+        # the Arrow stage on the store bucket and looping the UNCHANGED
+        # per-user walk in-kernel (~50 us per group) makes the Python
+        # stage bucket-count-shaped instead of user-count-shaped
+        return pd.concat(
+            [walk(sub) for _, sub in pdf.groupby(group_col, sort=False)],
+            ignore_index=True,
+        )
+
+    walked = (
+        walk_in.groupBy("bucket")
+        .applyInPandas(walk_bucket, schema=out_schema)
+        .persist()
+    )
     closed = walked.where(SF.col("is_open") == 0).select(
         group_col, "session_n", "n_events", "start_us", SF.col("last_us").alias("end_us")
     )
@@ -1884,9 +1902,9 @@ def apply_incremental_sessions_batch(
     new_open = walked.where(SF.col("is_open") == 1).select(
         group_col, "session_n", "n_events", "start_us", "last_us"
     )
-    if seeds is not None:
+    if bucket_state is not None:
         carried = (
-            spark.read.parquet(*paths)
+            bucket_state
             .select(group_col, "session_n", "n_events", "start_us", "last_us")
             .join(part.select(group_col).distinct(), group_col, "left_anti")
         )
@@ -1916,6 +1934,8 @@ def apply_incremental_sessions_batch(
     )
     walked.unpersist()
     part.unpersist()
+    if bucket_state is not None:
+        bucket_state.unpersist()
 
 
 def run_incremental_sessions(

@@ -244,3 +244,45 @@ def test_incremental_upsert_seq_tiebreak(spark, tmp_path):
     )
     [r] = read_incremental_upsert(spark, store).collect()
     assert (r["tie"], r["val"]) == (2, "b")  # deterministic tiebreak on the 2nd seq col
+
+
+def test_pr_curve_crafted(spark):
+    from odp_dynamic_data_pipeline_spark.operators.quality_checks import pr_curve
+
+    # scores 0..9 in a [0, 10) domain with 5 buckets (width 2);
+    # labels: positives at scores 6..9
+    rows = [(s, s >= 6) for s in range(10)]
+    df = spark.createDataFrame(rows, "score long, lab boolean")
+    out = {r["threshold_e6"]: r for r in pr_curve(df, "score", "lab", lo=0, hi=10, n_buckets=5).collect()}
+    # threshold 8 (bucket 4): scores 8,9 -> n_ge 2, tp 2, precision 1.0, recall 2/4
+    assert (out[8]["n_ge"], out[8]["tp_ge"]) == (2, 2)
+    assert out[8]["precision_e6"] == 1000000 and out[8]["recall_e6"] == 500000
+    # threshold 4 (bucket 2): scores 4..9 -> n 6, tp 4 -> precision 4/6, recall 1.0
+    assert (out[4]["n_ge"], out[4]["tp_ge"]) == (6, 4)
+    assert out[4]["precision_e6"] == 4 * 1000000 // 6 and out[4]["recall_e6"] == 1000000
+    # threshold 0: everything -> precision = base rate
+    assert out[0]["n_ge"] == 10 and out[0]["precision_e6"] == 400000
+
+
+def test_winsorized_stats_crafted(spark):
+    from odp_dynamic_data_pipeline_spark.operators.aggregate import winsorized_stats
+
+    # 1..10: nearest-rank p10 bound = ceil(0.1*10)=1st value -> 1;
+    # p90 = 9th value -> 9; clip 10 -> 9
+    rows = [("g", v) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = winsorized_stats(df, ["g"], "v", p_lo=10, p_hi=90).collect()[0]
+    assert (r["lo_bound"], r["hi_bound"]) == (1, 9)
+    assert (r["n_clipped_low"], r["n_clipped_high"]) == (0, 1)
+    assert r["wins_sum"] == sum(range(1, 10)) + 9  # 10 clipped to 9
+    assert r["wins_mean_e6"] == 1000000 * r["wins_sum"] // 10
+
+
+def test_sessionize_capped_buckets_mode_identical(spark):
+    # buckets=N reshapes the Arrow stage, never the result
+    rows = [(u, _ts(float(h + u))) for u in range(7) for h in range(0, 40, 5)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    kw = dict(group_col="user_id", ts_col="ts", gap_s=6 * 3600, cap_s=20 * 3600)
+    a = {tuple(r) for r in sessionize_capped(df, **kw).collect()}
+    b = {tuple(r) for r in sessionize_capped(df, buckets=3, **kw).collect()}
+    assert a == b and len(a) > 7

@@ -101,6 +101,7 @@ GLOBAL_WINDOW_BOUNDED = {
     "cusum_changepoints",      # prefix/min/max frames over the calendar-hour rollup (bounded by horizon, not data)
     "pareto_frontier_parts",   # running min over the distinct-size rollup (bounded by the size domain, not data)
     "rrf_fusion_topk",         # dense ranks over each system's top-100 run (limit 100 feeds the window)
+    "pr_curve_report",         # cumulative pass over the 64-bucket threshold rollup (domain-fixed, not data)
 }
 
 
