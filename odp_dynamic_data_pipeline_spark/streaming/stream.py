@@ -2129,3 +2129,34 @@ def read_incremental_upsert(spark, store_path: str) -> DataFrame:
         raise ValueError(f"no upsert store at {store_path}")
     paths = [f"{store_path}/{v}/bucket={k}" for k, v in sorted(m[2].items())]
     return spark.read.parquet(*paths)
+
+
+def vacuum_incremental_kv(spark, store_path: str) -> list[str]:
+    """Retention for the bucketed delta-merge stores written by
+    run_incremental_sessions / run_incremental_upsert (the 6-line
+    manifest family): every fold writes a new version directory and only
+    flips the manifest, so without cleanup the store grows by one copy
+    of the touched buckets per batch.  Deletes every ``v*`` directory
+    not referenced by the CURRENT or PARENT bucket map (parent stays
+    live: a post-flip retry rebuilds from it) nor by the version/parent
+    pointers themselves.  Same never-strand-a-reader discipline as
+    vacuum_incremental_agg: the manifest is read first, so a concurrent
+    flip can at worst leave one extra undeleted directory.  Returns the
+    deleted version names."""
+    m = _sessions_manifest(spark, store_path)
+    if m is None:
+        return []
+    keep = {m[0], m[1]}
+    for bmap in (m[2], m[3]):
+        if bmap:
+            keep.update(bmap.values())
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
+    deleted: list[str] = []
+    for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(store_path)):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("v") and name not in keep:
+            fs.delete(status.getPath(), True)
+            deleted.append(name)
+    return deleted

@@ -136,3 +136,30 @@ def test_empty_batch_is_noop(spark, tmp_path):
     )
     got = {tuple(r) for r in read_incremental_sessions(spark, store, out).collect()}
     assert got == _batch_expected(spark)
+
+
+def test_vacuum_keeps_readable_store(spark, tmp_path):
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        apply_incremental_sessions_batch,
+        read_incremental_sessions,
+        vacuum_incremental_kv,
+    )
+
+    tmp = str(tmp_path)
+    store, out = f"{tmp}/store", f"{tmp}/out"
+    batches = _split_by_hour(ROWS, 6.0, 12.0, 21.0)
+    for bid, rows in enumerate(batches):
+        apply_incremental_sessions_batch(
+            _mkdf(spark, rows), bid, store, out,
+            group_col="user_id", ts_col="ts", gap_s=GAP_S, cap_s=CAP_S, n_buckets=8,
+        )
+    before = {tuple(r) for r in read_incremental_sessions(spark, store, out).collect()}
+    deleted = vacuum_incremental_kv(spark, store)
+    # 4 batches wrote 4 versions; current + every map-referenced version
+    # must survive, the rest go
+    after = {tuple(r) for r in read_incremental_sessions(spark, store, out).collect()}
+    assert after == before == _batch_expected(spark)
+    import os
+
+    remaining = {d for d in os.listdir(store) if d.startswith("v")}
+    assert not (remaining & set(deleted))
