@@ -3650,3 +3650,128 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", _cents("value").alias("cents")
     )
     return winsorized_stats(ev, ["event_type"], "cents", p_lo=5, p_hi=95)
+
+
+@register(
+    "incremental_postings_stream",
+    r"""
+WITH tok AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+    FROM documents
+  ) GROUP BY doc_id, t
+)
+SELECT t, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+FROM tok GROUP BY t
+""",
+)
+def incremental_postings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL inverted-index statistics == batch statistics,
+    driver-verified: per-(doc, term) tf rows stream in micro-batches into
+    run_incremental_agg's versioned store keyed by term -- df folds as a
+    plain count (each doc lives in exactly one drop, so (doc, term) rows
+    never repeat across batches) and cf as a sum -- and the final store
+    is checked against the one-shot corpus rollup.  This is the index-
+    maintenance loop of a retrieval stack: the SAME (term, df, cf) table
+    bm25_scores derives per query is kept current per arriving batch
+    instead of recomputed corpus-wide."""
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        read_incremental_agg,
+        run_incremental_agg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("t"),
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .repartition(4)
+    )
+    tmp = _stream_tmpdir("incpostings_stream")
+    src = f"{tmp}/in"
+    tok.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(tok.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    with _stream_shuffle(spark):
+        run_incremental_agg(
+            stream,
+            f"{tmp}/store",
+            checkpoint=f"{tmp}/ckpt",
+            key_cols=["t"],
+            count_col="df",
+            sum_col="tf",
+        )
+    return read_incremental_agg(spark, f"{tmp}/store").select(
+        "t", F.col("df").cast("long").alias("df"), F.col("sum_tf").cast("long").alias("cf")
+    )
+
+
+@register(
+    "incremental_topk_stream",
+    """
+WITH agg AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type, user_id
+),
+r AS (
+  SELECT event_type, user_id, sum_cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY sum_cents DESC, user_id) AS rnk
+  FROM agg
+)
+SELECT event_type, CAST(rnk AS BIGINT) AS rnk, user_id, sum_cents
+FROM r WHERE rnk <= 3
+""",
+)
+def incremental_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k SERVED off an incrementally maintained view == batch top-k,
+    driver-verified: per-(type, user) cent totals fold across micro-batches
+    into the BUCKETED delta-merge store (per-batch IO bounded by touched
+    buckets), and the top-3 spenders per event type are read from the
+    final store through a WindowGroupLimit rank -- the dashboard pattern
+    where the expensive aggregate is maintained, not recomputed, and the
+    cheap rank runs at read time."""
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        read_incremental_agg,
+        run_incremental_agg,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id", _cents("value").alias("cents"))
+        .repartition(4)
+    )
+    tmp = _stream_tmpdir("inctopk_stream")
+    src = f"{tmp}/in"
+    ev.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    with _stream_shuffle(spark):
+        run_incremental_agg(
+            stream,
+            f"{tmp}/store",
+            checkpoint=f"{tmp}/ckpt",
+            key_cols=["event_type", "user_id"],
+            sum_col="cents",
+            n_buckets=32,
+        )
+    agg = read_incremental_agg(spark, f"{tmp}/store")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("sum_cents").desc(), F.col("user_id").asc()
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "user_id", F.col("sum_cents").cast("long").alias("sum_cents"))
+    )
