@@ -71,11 +71,27 @@ def asof_join(
         raise ValueError(f"asof_join: direction must be backward|forward, got {direction!r}")
 
     unioned = lt.unionByName(rt.select(*lt.columns))
+
+    # Deterministic tiebreak when several RIGHT rows share (key, ts): order
+    # them by their value columns (non-orderable types hash via xxhash64) so
+    # the picked row is a pure function of the data, not of partition order.
+    # Backward takes the LAST in-frame right row -> max by value; forward
+    # takes the FIRST -> min by value.  Left rows carry NULL __r_ columns,
+    # so the tiebreak never reorders a left row relative to right rows.
+    from pyspark.sql.types import MapType
+
+    def _tb(c: str):
+        dt = right.schema[c].dataType
+        col = F.col(f"__r_{c}")
+        return F.xxhash64(col) if isinstance(dt, MapType) else col
+
+    tiebreak = [_tb(c) for c in value_cols]
+
     if direction == "backward":
         # right rows sort BEFORE left at the same instant -> inclusive
         w = (
             Window.partitionBy(on)
-            .orderBy(F.col(ts_col), F.col("__side"))
+            .orderBy(F.col(ts_col), F.col("__side"), *tiebreak)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         pick = lambda col: F.last(col, ignorenulls=True).over(w)  # noqa: E731
@@ -84,17 +100,28 @@ def asof_join(
         # the current-row-to-end frame still sees an equal-ts right row
         w = (
             Window.partitionBy(on)
-            .orderBy(F.col(ts_col), F.col("__side").desc())
+            .orderBy(F.col(ts_col), F.col("__side").desc(), *tiebreak)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = lambda col: F.first(col, ignorenulls=True).over(w)  # noqa: E731
-    out = unioned.withColumn(
-        right_ts_alias,
-        pick(F.when(F.col("__side") == 0, F.col(ts_col))),
+    # Pick the matched right row ATOMICALLY as one struct: per-column
+    # last/first(ignorenulls) would mix values from different right rows
+    # whenever a right value column contains a genuine NULL (the null skips
+    # back to an older row for that column only).  The struct is non-null
+    # for every right row even when its fields are null, so all output
+    # columns come from the same matched row -- ASOF semantics.
+    payload = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col(ts_col).alias("__ts"),
+            *[F.col(f"__r_{c}").alias(f"__v_{c}") for c in value_cols],
+        ),
+    )
+    out = unioned.withColumn("__pick", pick(payload)).withColumn(
+        right_ts_alias, F.col("__pick.__ts")
     )
     for c in value_cols:
-        out = out.withColumn(
-            out_name[c],
-            pick(F.when(F.col("__side") == 0, F.col(f"__r_{c}"))),
-        )
-    return out.where(F.col("__side") == 1).drop("__side", *[f"__r_{c}" for c in value_cols])
+        out = out.withColumn(out_name[c], F.col(f"__pick.__v_{c}"))
+    return out.where(F.col("__side") == 1).drop(
+        "__side", "__pick", *[f"__r_{c}" for c in value_cols]
+    )

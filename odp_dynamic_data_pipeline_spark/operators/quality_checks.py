@@ -181,13 +181,25 @@ def blocking_quality(
         id_col, "__truth", "sb.scheme", "sb.block"
     )
 
+    # NULL truth keys carry no ground-truth identity: they must NOT form a
+    # single C(n,2) pseudo-entity (which would inflate true_pairs and skew
+    # completeness).  n_docs still counts every record -- reduction ratio is
+    # about the candidate space, which includes unlabeled rows.
+    truth_rows = df.select(truth_key.cast("string").alias("__truth")).where(
+        F.col("__truth").isNotNull()
+    )
     totals = (
-        df.select(truth_key.cast("string").alias("__truth"))
-        .groupBy("__truth")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .agg(
-            F.sum("n").cast("long").alias("n_docs"),
-            F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("true_pairs"),
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(
+            F.broadcast(
+                truth_rows.groupBy("__truth")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.expr("n * (n - 1) div 2")), F.lit(0)
+                    ).cast("long").alias("true_pairs")
+                )
+            )
         )
     )
 
@@ -196,14 +208,18 @@ def blocking_quality(
         F.count(F.lit(1)).cast("long").alias("n_blocks"),
         F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("cand_pairs"),
     )
-    per_cell = base.groupBy("scheme", "block", "__truth").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    per_cell = (
+        base.where(F.col("__truth").isNotNull())
+        .groupBy("scheme", "block", "__truth")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     captured = per_cell.groupBy("scheme").agg(
-        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("captured_pairs")
+        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("__cap")
     )
     return (
-        cand.join(captured, "scheme")
+        cand.join(captured, "scheme", "left")
+        .withColumn("captured_pairs", F.coalesce(F.col("__cap"), F.lit(0)).cast("long"))
+        .drop("__cap")
         .crossJoin(F.broadcast(totals))
         .select(
             "scheme",
@@ -303,6 +319,12 @@ def pr_curve(
     Output per non-empty bucket, highest threshold first:
     (threshold_e6, n_ge, tp_ge, precision_e6, recall_e6)."""
     width = (hi - lo) // n_buckets
+    if width <= 0:
+        raise ValueError(
+            f"pr_curve: domain [{lo}, {hi}) narrower than n_buckets={n_buckets} "
+            f"(width {width}); widen the domain or lower n_buckets -- a zero "
+            f"width would silently collapse every row into bucket 0"
+        )
     b = df.select(
         (F.col(score_col) - F.lit(lo)).cast("long").alias("__d"),
         F.col(label_col).cast("boolean").alias("__lab"),

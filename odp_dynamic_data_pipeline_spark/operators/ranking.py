@@ -87,6 +87,12 @@ def retrieval_eval(
     n_row = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n"), F.sum("dl").cast("long").alias("tot")
     ).first()
+    if int(n_row["n"]) == 0:
+        raise ValueError(
+            "retrieval_eval: corpus is empty after tokenization (no document "
+            "produced any token) -- avgdl/idf are undefined; check text_col "
+            "and the tokenizer pattern"
+        )
     n_docs, avgdl = int(n_row["n"]), int(n_row["tot"]) // int(n_row["n"])
     dfs = {
         r["__t"]: int(r["n"])

@@ -5754,9 +5754,12 @@ base AS (
   SELECT event_id, truth, 'type_day', b_type_day FROM t
 ),
 totals AS (
-  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
-         CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS true_pairs
-  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY truth)
+  -- NULL truth keys are unlabeled, not one giant entity: they contribute to
+  -- n_docs (candidate space) but never to true_pairs (mirrors the operator)
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_docs,
+         CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS true_pairs
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t
+        WHERE truth IS NOT NULL GROUP BY truth)
 ),
 pb AS (SELECT scheme, block, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY scheme, block),
 cand AS (
@@ -5764,15 +5767,17 @@ cand AS (
          CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
   FROM pb GROUP BY scheme
 ),
-pc AS (SELECT scheme, block, truth, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY scheme, block, truth),
+pc AS (SELECT scheme, block, truth, CAST(COUNT(*) AS BIGINT) AS n FROM base
+       WHERE truth IS NOT NULL GROUP BY scheme, block, truth),
 cap AS (SELECT scheme, CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS captured_pairs FROM pc GROUP BY scheme)
 SELECT cand.scheme, n_blocks, cand_pairs,
        CAST((1000000 * (n_docs * (n_docs - 1) // 2 - cand_pairs))
             // (n_docs * (n_docs - 1) // 2) AS BIGINT) AS reduction_e6,
-       true_pairs, captured_pairs,
-       CAST(CASE WHEN true_pairs > 0 THEN (1000000 * captured_pairs) // true_pairs
+       true_pairs,
+       CAST(COALESCE(captured_pairs, 0) AS BIGINT) AS captured_pairs,
+       CAST(CASE WHEN true_pairs > 0 THEN (1000000 * COALESCE(captured_pairs, 0)) // true_pairs
                  ELSE 1000000 END AS BIGINT) AS completeness_e6
-FROM cand JOIN cap USING (scheme) CROSS JOIN totals
+FROM cand LEFT JOIN cap USING (scheme) CROSS JOIN totals
 """,
 )
 def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -286,3 +286,43 @@ def test_sessionize_capped_buckets_mode_identical(spark):
     a = {tuple(r) for r in sessionize_capped(df, **kw).collect()}
     b = {tuple(r) for r in sessionize_capped(df, buckets=3, **kw).collect()}
     assert a == b and len(a) > 7
+
+
+def test_pr_curve_degenerate_domain_raises(spark):
+    import pytest
+
+    from odp_dynamic_data_pipeline_spark.operators.quality_checks import pr_curve
+
+    df = spark.createDataFrame([(1, True)], "score long, lab boolean")
+    with pytest.raises(ValueError, match="n_buckets"):
+        pr_curve(df, "score", "lab", lo=0, hi=5, n_buckets=10)
+
+
+def test_retrieval_eval_empty_corpus_raises(spark):
+    import pytest
+
+    from odp_dynamic_data_pipeline_spark.operators.ranking import retrieval_eval
+
+    docs = spark.createDataFrame([], "doc_id string, text string")
+    with pytest.raises(ValueError, match="empty"):
+        retrieval_eval(docs, queries={"q1": ["hello"]})
+
+
+def test_blocking_quality_null_truth_not_an_entity(spark):
+    # Two NULL-truth rows share a block: they must NOT count as a true
+    # pair (or a captured pair), but they DO stay in n_docs/cand space.
+    rows = [
+        (1, "e1", "blk"),
+        (2, "e1", "blk"),
+        (3, None, "blk"),
+        (4, None, "blk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ent string, blk string")
+    r = blocking_quality(
+        df, schemes={"s": F.col("blk")}, truth_key=F.col("ent")
+    ).collect()[0]
+    # truth pairs: only (1,2); the two NULL rows are unlabeled
+    assert r["true_pairs"] == 1 and r["captured_pairs"] == 1
+    # candidate space counts all 4 docs: one block of 4 -> C(4,2)=6 pairs
+    assert r["cand_pairs"] == 6 and r["reduction_e6"] == 0
+    assert r["completeness_e6"] == 1000000

@@ -471,7 +471,13 @@ class Sessions(Family):
     def batch_rows(self):
         import datetime as _dt
 
-        t = _dt.datetime.utcfromtimestamp((SESS_T0 + 7_200_000_000) / 1e6)
+        # timezone-aware UTC: Spark interprets NAIVE datetimes in the session
+        # timezone, which on a non-UTC machine would shift the batch event
+        # relative to the store's epoch-us high-water mark and trip the
+        # late-batch guard spuriously.
+        t = _dt.datetime.fromtimestamp(
+            (SESS_T0 + 7_200_000_000) / 1e6, tz=_dt.timezone.utc
+        )
         return [(i, t) for i in range(50)] + [
             (10_000_000 + i, t) for i in range(10)
         ]
