@@ -1,0 +1,293 @@
+"""Versioned bucketed key-value parquet store with an atomic manifest flip.
+
+ONE implementation of the store mechanics shared by every incremental
+runner in :mod:`streaming.stream` that maintains mutable state as plain
+parquet (the poor-man's table format: what Delta/Iceberg do with
+file-level manifests, expressed as versioned directories plus one swap
+file):
+
+- ``run_incremental_agg`` (flat + bucketed; serves the postings / top-k
+  maintained views),
+- ``run_incremental_sessions`` (open-session state + event-time
+  high-water mark),
+- ``run_incremental_upsert`` (CDC last-wins table).
+
+The families differ ONLY in their merge function (refold counts / walk
+sessions / max-by-seq) and in what extra metadata the manifest carries;
+everything below -- manifest parse, atomic flip, fresh-version election,
+retry base resolution, bucket-path resolution, vacuum retention -- is
+identical, and lives here exactly once so a new store family inherits
+the receipts (tests/test_kvstore_matrix.py) instead of re-earning them.
+
+On-disk format (unchanged from the pre-unification implementations, so
+every existing store and oracle replays bit-identically):
+
+``{store}/MANIFEST`` -- newline-separated:
+  line 1: current version directory name (``v{batch}`` or ``v{batch}_r{k}``)
+  line 2: parent version directory name (``-`` if none)
+  line 3: current bucket map JSON   -- only for bucketed stores
+  line 4: parent bucket map JSON (may be ``null`` = legacy parent)
+  line 5+: extra JSON values (e.g. sessions' current/parent event-time
+           high-water marks; upsert writes ``null``/``null``)
+
+``{store}/v{B}[/bucket={K}]`` -- immutable version directories.  A
+version directory is written exactly once, fully, BEFORE the manifest
+flips to it; bucketed versions contain only the buckets their batch
+touched, and the manifest's bucket map (not the directory listing) is
+the source of truth for which version owns each bucket.
+
+Crash/retry protocol (the part every family must get right, hence
+shared): a version directory is keyed by batch_id; a retry AFTER a
+successful flip for the same batch rebuilds from the recorded PARENT
+(never from its own possibly-partial output -- no double counting), and
+writes a fresh ``v{b}_r{k}`` rather than touching any existing
+directory (an existing ``v{b}`` is either live under a concurrent
+reader or a partial write from a crashed attempt).
+
+Reader/vacuum contract: ``vacuum`` retains the current and parent
+version pointers plus every version referenced by the current or parent
+bucket map, so (a) a post-flip retry can always rebuild, and (b) a
+reader that resolved its paths from the manifest no earlier than the
+latest flip is never stranded -- folds only ever ADD directories, so a
+reader may overlap any number of subsequent folds; it must only not
+straddle a LATER vacuum (ops rule: drain readers before vacuuming, the
+same rule Delta's VACUUM retention window encodes).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def _fs(spark, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    return jvm, conf, jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(path), conf
+    )
+
+
+@dataclass
+class Manifest:
+    """Parsed manifest: version pointers, bucket maps, extra JSON values."""
+
+    current: str
+    parent: str
+    cur_map: dict | None = None
+    par_map: dict | None = None
+    extras: list = field(default_factory=list)
+
+
+@dataclass
+class BatchBase:
+    """The state a batch folds ON TOP OF, after the retry rule: if the
+    manifest's current version already belongs to this batch_id (post-
+    flip retry), the base is the recorded PARENT; otherwise the current."""
+
+    version: str | None  # parent-version pointer ('-'/None when first batch)
+    bucket_map: dict | None
+    extras: list
+    parent_pointer: str  # what the next flip must record as its parent
+
+
+class ManifestStore:
+    """Handle on one versioned store directory (see module docstring)."""
+
+    def __init__(self, spark, store_path: str, *, n_extras: int = 0):
+        self.spark = spark
+        self.path = store_path
+        self.n_extras = n_extras
+
+    # -- manifest ---------------------------------------------------------
+
+    def read_manifest(self) -> Manifest | None:
+        jvm, conf, fs = _fs(self.spark, self.path)
+        mpath = jvm.org.apache.hadoop.fs.Path(f"{self.path}/MANIFEST")
+        if not fs.exists(mpath):
+            return None
+        stream_ = fs.open(mpath)
+        try:
+            reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream_))
+            cur, par = reader.readLine(), reader.readLine()
+            l3, l4 = reader.readLine(), reader.readLine()
+            extras = [reader.readLine() for _ in range(self.n_extras)]
+        finally:
+            stream_.close()
+        return Manifest(
+            cur,
+            par,
+            json.loads(l3) if l3 else None,
+            json.loads(l4) if l4 else None,
+            [json.loads(e) if e else None for e in extras],
+        )
+
+    def write_manifest(
+        self,
+        version: str,
+        parent: str,
+        cur_map: dict | None = None,
+        par_map: dict | None = None,
+        extras: list | None = None,
+    ) -> None:
+        """Write-to-tmp then rename WITH OVERWRITE (FileContext supports
+        it; plain FileSystem.rename refuses an existing target).  A
+        delete-then-rename flip would leave a window with no MANIFEST in
+        which readers raise; overwrite-rename is atomic on posix and
+        HDFS, so a reader always sees either the old or the new manifest
+        -- and for bucketed stores the bucket map rides the SAME file, so
+        the bucket->version mapping is exactly as atomic as the version
+        pointer.  ``par_map=None`` under a non-None ``cur_map``
+        serializes as JSON null: "the parent was a legacy whole-version
+        store", so a retry of the upgrade batch re-runs the full legacy
+        fold instead of reading an empty bucket map and dropping
+        history."""
+        jvm, conf, fs = _fs(self.spark, self.path)
+        body = f"{version}\n{parent}"
+        if cur_map is not None or extras is not None:
+            body += f"\n{json.dumps(cur_map)}\n{json.dumps(par_map)}"
+        for e in extras or []:
+            body += f"\n{json.dumps(e)}"
+        tmp = jvm.org.apache.hadoop.fs.Path(f"{self.path}/MANIFEST.tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(body.encode()))
+        finally:
+            out.close()
+        dst = jvm.org.apache.hadoop.fs.Path(f"{self.path}/MANIFEST")
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jvm.java.net.URI.create(self.path), conf
+        )
+        gw = self.spark.sparkContext._gateway
+        opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, dst, opts)
+
+    # -- versions ---------------------------------------------------------
+
+    def fresh_version(self, batch_id: int) -> str:
+        """Never write into a directory that exists: an existing ``v{b}``
+        is either the live version a concurrent reader is scanning (retry
+        after flip) or a partial write from a crashed attempt (retry
+        before flip).  Either way a fresh ``v{b}_r{k}`` keeps every flip
+        pointing at a directory that was written exactly once, fully."""
+        jvm, conf, fs = _fs(self.spark, self.path)
+        me = f"v{batch_id}"
+        cand, attempt = me, 0
+        while fs.exists(jvm.org.apache.hadoop.fs.Path(f"{self.path}/{cand}")):
+            attempt += 1
+            cand = f"{me}_r{attempt}"
+        return cand
+
+    def base_for_batch(self, batch_id: int) -> BatchBase:
+        """Resolve what this batch folds on top of, applying the retry
+        rule: a manifest whose current version carries this batch_id
+        means a prior attempt already flipped -- rebuild from the
+        recorded parent, never from our own output (folding the current
+        version would double-count)."""
+        m = self.read_manifest()
+        me = f"v{batch_id}"
+        if m is None:
+            return BatchBase(None, None, [None] * self.n_extras, "-")
+        if m.current.split("_")[0] == me:
+            par = m.parent if m.parent != "-" else None
+            half = len(m.extras) // 2
+            # extras convention: [current..., parent...] halves -- a
+            # post-flip retry adopts the PARENT half as its base
+            extras = m.extras[half:] + [None] * half if m.extras else []
+            return BatchBase(par, m.par_map, extras, m.parent)
+        half = len(m.extras) // 2
+        extras = m.extras[:half] + [None] * half if m.extras else []
+        return BatchBase(m.current, m.cur_map, extras, m.current)
+
+    # -- bucket resolution ------------------------------------------------
+
+    def bucket_paths(self, bucket_map: dict | None, buckets=None) -> list[str]:
+        """Per-bucket parquet paths named by a bucket map (optionally
+        restricted to ``buckets``).  The map, not any directory listing,
+        is the source of truth: a version directory may hold STALE
+        buckets superseded by later versions."""
+        if not bucket_map:
+            return []
+        if buckets is None:
+            items = sorted(bucket_map.items())
+        else:
+            items = [(str(k), bucket_map[str(k)]) for k in buckets if str(k) in bucket_map]
+        return [f"{self.path}/{v}/bucket={k}" for k, v in items]
+
+    def read_buckets(self, bucket_map: dict | None, buckets=None) -> DataFrame | None:
+        paths = self.bucket_paths(bucket_map, buckets)
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def read_current(self) -> DataFrame:
+        """Current state: the current version directory for a legacy flat
+        store, or one multi-path read of the buckets the manifest maps."""
+        m = self.read_manifest()
+        if m is None:
+            raise ValueError(f"no store at {self.path}")
+        if m.cur_map is None:
+            return self.spark.read.parquet(f"{self.path}/{m.current}")
+        return self.spark.read.parquet(*self.bucket_paths(m.cur_map))
+
+    # -- commit -----------------------------------------------------------
+
+    def commit_buckets(
+        self,
+        batch_id: int,
+        merged: DataFrame,
+        touched: list[int],
+        base: BatchBase,
+        *,
+        extras: list | None = None,
+    ) -> str:
+        """Write the merged touched-bucket state as a fresh version
+        (partitioned by ``bucket``), advance the bucket map for the
+        touched buckets only, and flip the manifest atomically.  Returns
+        the version name written."""
+        target = self.fresh_version(batch_id)
+        merged.write.partitionBy("bucket").parquet(f"{self.path}/{target}")
+        new_map = dict(base.bucket_map or {})
+        for k in touched:
+            new_map[str(k)] = target
+        self.write_manifest(target, base.parent_pointer, new_map, base.bucket_map, extras)
+        return target
+
+    def commit_flat(self, batch_id: int, merged: DataFrame, base: BatchBase) -> str:
+        """Legacy whole-version commit: write the full state as a fresh
+        version directory and flip the two-line manifest."""
+        target = self.fresh_version(batch_id)
+        merged.write.parquet(f"{self.path}/{target}")
+        self.write_manifest(target, base.parent_pointer)
+        return target
+
+    # -- retention --------------------------------------------------------
+
+    def vacuum(self) -> list[str]:
+        """Delete every ``v*`` directory EXCEPT the manifest's current and
+        parent version pointers and every version still owning a bucket
+        in the current or parent bucket map (the parent stays because a
+        post-flip retry of the in-flight batch rebuilds from it;
+        delta-merge versions stay live as long as any bucket points at
+        them).  The manifest is read FIRST, so a concurrent fold that
+        flips mid-vacuum can at worst leave one extra undeleted directory
+        -- never delete a directory a current-manifest reader can reach.
+        Returns the deleted version names."""
+        m = self.read_manifest()
+        if m is None:
+            return []
+        keep = {m.current, m.parent}
+        for bmap in (m.cur_map, m.par_map):
+            if bmap:
+                keep.update(bmap.values())
+        jvm, conf, fs = _fs(self.spark, self.path)
+        deleted: list[str] = []
+        for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(self.path)):
+            name = status.getPath().getName()
+            if status.isDirectory() and name.startswith("v") and name not in keep:
+                fs.delete(status.getPath(), True)
+                deleted.append(name)
+        return deleted

@@ -573,7 +573,10 @@ def apply_incremental_agg_batch(
     caller can fold a backfill batch with the identical protocol."""
     from pyspark.sql import functions as SF
 
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+
     spark = batch_df.sparkSession
+    store = ManifestStore(spark, store_path)
     aggs = [SF.count(SF.lit(1)).alias(count_col)]
     if sum_col:
         aggs.append(SF.sum(sum_col).alias(f"sum_{sum_col}"))
@@ -582,114 +585,27 @@ def apply_incremental_agg_batch(
         *([SF.sum(f"sum_{sum_col}").alias(f"sum_{sum_col}")] if sum_col else []),
     ]
 
-    def _read_manifest() -> tuple[str, str, dict | None, dict | None] | None:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-            jvm.java.net.URI.create(store_path), conf
-        )
-        mpath = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST")
-        if not fs.exists(mpath):
-            return None
-        return _agg_manifest(spark, store_path)
-
-    def _write_manifest(
-        version: str,
-        parent: str,
-        cur_map: dict | None = None,
-        par_map: dict | None = None,
-    ) -> None:
-        # write-to-tmp then rename WITH OVERWRITE (FileContext supports it;
-        # plain FileSystem.rename refuses an existing target).  A
-        # delete-then-rename flip would leave a window with no MANIFEST in
-        # which read_incremental_agg raises; overwrite-rename is atomic on
-        # posix and HDFS, so readers always see either the old or the new
-        # manifest.  Bucketed stores append two JSON lines (current bucket
-        # map, parent bucket map) -- same single-file flip, so the
-        # bucket->version mapping is exactly as atomic as the version
-        # pointer.
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-            jvm.java.net.URI.create(store_path), conf
-        )
-        tmp = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST.tmp")
-        body = f"{version}\n{parent}"
-        if cur_map is not None:
-            import json as _json
-
-            # par_map None serializes as JSON null: "the parent was a
-            # legacy whole-version store", so a retry of the upgrade
-            # batch re-runs the full legacy fold instead of reading an
-            # empty bucket map and dropping history
-            body += f"\n{_json.dumps(cur_map)}\n{_json.dumps(par_map)}"
-        out = fs.create(tmp, True)
-        try:
-            out.write(bytearray(body.encode()))
-        finally:
-            out.close()
-        dst = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST")
-        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            jvm.java.net.URI.create(store_path), conf
-        )
-        gw = spark.sparkContext._gateway
-        opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
-        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-        fc.rename(tmp, dst, opts)
-
-    def _fresh_version() -> str:
-        # never write into a directory that exists: an existing v{b} is
-        # either the live version a concurrent reader is scanning (retry
-        # after flip) or a partial write from a crashed attempt (retry
-        # before flip).  Either way, a fresh v{b}_r{k} keeps every flip
-        # pointing at a directory that was written exactly once, fully.
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-            jvm.java.net.URI.create(store_path), conf
-        )
-        me = f"v{batch_id}"
-        cand = me
-        attempt = 0
-        while fs.exists(jvm.org.apache.hadoop.fs.Path(f"{store_path}/{cand}")):
-            attempt += 1
-            cand = f"{me}_r{attempt}"
-        return cand
-
     part = batch_df.groupBy(*key_cols).agg(*aggs)
-    me = f"v{batch_id}"
-    manifest = _read_manifest()
-    if manifest is None:
-        base, base_map = None, None  # first batch ever
-    elif manifest[0].split("_")[0] == me:
-        # retry AFTER a successful flip for this very batch: rebuild
-        # from the recorded parent, not from our own (possibly partial)
-        # output -- folding the current version would double-count
-        base = manifest[1] if manifest[1] != "-" else None
-        base_map = manifest[3]
-    else:
-        base, base_map = manifest[0], manifest[2]
+    base = store.base_for_batch(batch_id)
     if n_buckets is None:
-        if base is not None:
-            if base_map is not None:
+        if base.version is not None:
+            if base.bucket_map is not None:
                 raise ValueError(
                     "store at %r is bucketed (manifest carries a bucket"
                     " map); pass the same n_buckets to keep folding it"
                     % store_path
                 )
-            prev = spark.read.parquet(f"{store_path}/{base}")
+            prev = spark.read.parquet(f"{store_path}/{base.version}")
             part = prev.unionByName(part).groupBy(*key_cols).agg(*refold)
-        target = _fresh_version()
-        part.write.parquet(f"{store_path}/{target}")
-        _write_manifest(target, base if base is not None else "-")
+        store.commit_flat(batch_id, part, base)
         return
     # bucketed delta-merge: fold ONLY the buckets this batch touches
     bexpr = SF.pmod(SF.xxhash64(*key_cols), SF.lit(n_buckets)).cast("int")
     part = part.withColumn("bucket", bexpr).persist()
-    if base is not None and base_map is None:
+    if base.version is not None and base.bucket_map is None:
         # legacy whole-version store: upgrade in place -- fold the full
         # current version once, every bucket comes out mapped
-        prev = spark.read.parquet(f"{store_path}/{base}")
+        prev = spark.read.parquet(f"{store_path}/{base.version}")
         merged = (
             prev.unionByName(part.drop("bucket"))
             .groupBy(*key_cols)
@@ -700,13 +616,8 @@ def apply_incremental_agg_batch(
         touched = [r.bucket for r in merged.select("bucket").distinct().collect()]
     else:
         touched = [r.bucket for r in part.select("bucket").distinct().collect()]
-        paths = [
-            f"{store_path}/{base_map[str(k)]}/bucket={k}"
-            for k in touched
-            if base_map and str(k) in base_map
-        ]
-        if paths:
-            prev = spark.read.parquet(*paths)
+        prev = store.read_buckets(base.bucket_map, touched)
+        if prev is not None:
             merged = (
                 prev.unionByName(part.drop("bucket"))
                 .groupBy(*key_cols)
@@ -715,12 +626,7 @@ def apply_incremental_agg_batch(
             )
         else:
             merged = part
-    target = _fresh_version()
-    merged.write.partitionBy("bucket").parquet(f"{store_path}/{target}")
-    new_map = dict(base_map or {})
-    for k in touched:
-        new_map[str(k)] = target
-    _write_manifest(target, base if base is not None else "-", new_map, base_map)
+    store.commit_buckets(batch_id, merged, touched, base)
     if merged is not part:
         merged.unpersist()
     part.unpersist()
@@ -790,26 +696,14 @@ def run_incremental_agg(
 
 def _agg_manifest(spark, store_path: str) -> tuple[str, str, dict | None, dict | None]:
     """Parse a run_incremental_agg MANIFEST: (current, parent, current
-    bucket map, parent bucket map); maps are None for legacy stores."""
-    import json as _json
+    bucket map, parent bucket map); maps are None for legacy stores.
+    Back-compat wrapper over kvstore.ManifestStore."""
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
-    mpath = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST")
-    stream_ = fs.open(mpath)
-    try:
-        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream_))
-        cur, par = reader.readLine(), reader.readLine()
-        l3, l4 = reader.readLine(), reader.readLine()
-    finally:
-        stream_.close()
-    return (
-        cur,
-        par,
-        _json.loads(l3) if l3 else None,
-        _json.loads(l4) if l4 else None,
-    )
+    m = ManifestStore(spark, store_path).read_manifest()
+    if m is None:
+        raise ValueError(f"no incremental-agg store at {store_path}")
+    return (m.current, m.parent, m.cur_map, m.par_map)
 
 
 def read_incremental_agg(spark, store_path: str) -> DataFrame:
@@ -819,42 +713,21 @@ def read_incremental_agg(spark, store_path: str) -> DataFrame:
     multi-path read -- a version directory may also hold STALE buckets
     superseded by later versions, so the map, not the directory, is the
     source of truth)."""
-    cur, _par, cur_map, _pm = _agg_manifest(spark, store_path)
-    if cur_map is None:
-        return spark.read.parquet(f"{store_path}/{cur}")
-    paths = [f"{store_path}/{v}/bucket={k}" for k, v in sorted(cur_map.items())]
-    return spark.read.parquet(*paths)
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+
+    return ManifestStore(spark, store_path).read_current()
 
 
 def vacuum_incremental_agg(spark, store_path: str) -> list[str]:
     """Retention for the versioned aggregate store: every micro-batch fold
     writes a new version directory and only flips the manifest, so without
     cleanup the store grows by one full copy of the aggregate per batch.
+    Delegates to kvstore.ManifestStore.vacuum -- see its docstring for the
+    retention set and the never-strand-a-reader argument.  Returns the
+    deleted version names."""
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
 
-    Deletes every ``v*`` directory EXCEPT the manifest's current version
-    and its recorded parent (the parent stays because a retry of the
-    in-flight batch rebuilds from it) -- and, for a BUCKETED store,
-    every version still owning a bucket in the current or parent bucket
-    map (delta-merge versions stay live as long as any bucket points at
-    them).  Reads the manifest first, so a concurrent fold that flips
-    mid-vacuum can at worst leave one extra undeleted directory -- never
-    delete a directory a reader can reach.  Returns the deleted version
-    names."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
-    current, parent, cur_map, par_map = _agg_manifest(spark, store_path)
-    keep = {current, parent}
-    for m in (cur_map, par_map):
-        if m:
-            keep.update(m.values())
-    deleted: list[str] = []
-    for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(store_path)):
-        name = status.getPath().getName()
-        if status.isDirectory() and name.startswith("v") and name not in keep:
-            fs.delete(status.getPath(), True)
-            deleted.append(name)
-    return deleted
+    return ManifestStore(spark, store_path).vacuum()
 
 
 def run_available_now(
@@ -1651,62 +1524,30 @@ def run_incremental_kmv(
 
 
 def _sessions_manifest(spark, store_path: str):
-    """Parse a run_incremental_sessions MANIFEST: (current, parent,
-    current bucket map, parent bucket map, current max_ts_us, parent
-    max_ts_us).  Returns None when the store has no manifest yet."""
-    import json as _json
+    """Parse a run_incremental_sessions / run_incremental_upsert MANIFEST:
+    (current, parent, current bucket map, parent bucket map, current
+    max_ts_us, parent max_ts_us).  Returns None when the store has no
+    manifest yet.  Back-compat wrapper over kvstore.ManifestStore."""
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
-    mpath = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST")
-    if not fs.exists(mpath):
+    m = ManifestStore(spark, store_path, n_extras=2).read_manifest()
+    if m is None:
         return None
-    stream_ = fs.open(mpath)
-    try:
-        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream_))
-        cur, par = reader.readLine(), reader.readLine()
-        l3, l4, l5, l6 = (reader.readLine() for _ in range(4))
-    finally:
-        stream_.close()
-    return (
-        cur,
-        par,
-        _json.loads(l3) if l3 else None,
-        _json.loads(l4) if l4 else None,
-        _json.loads(l5) if l5 else None,
-        _json.loads(l6) if l6 else None,
-    )
+    return (m.current, m.parent, m.cur_map, m.par_map, m.extras[0], m.extras[1])
 
 
 def _sessions_write_manifest(
     spark, store_path: str, version: str, parent: str,
     cur_map: dict, par_map, cur_max, par_max,
 ) -> None:
-    """Atomic overwrite-rename manifest flip (apply_incremental_agg_batch
+    """Atomic overwrite-rename manifest flip (kvstore.ManifestStore
     discipline), with two extra JSON lines carrying the store's event-time
     high-water mark (current / parent) for the chronology guard."""
-    import json as _json
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST.tmp")
-    body = (
-        f"{version}\n{parent}\n{_json.dumps(cur_map)}\n{_json.dumps(par_map)}"
-        f"\n{_json.dumps(cur_max)}\n{_json.dumps(par_max)}"
+    ManifestStore(spark, store_path, n_extras=2).write_manifest(
+        version, parent, cur_map, par_map, [cur_max, par_max]
     )
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(body.encode()))
-    finally:
-        out.close()
-    dst = jvm.org.apache.hadoop.fs.Path(f"{store_path}/MANIFEST")
-    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(jvm.java.net.URI.create(store_path), conf)
-    gw = spark.sparkContext._gateway
-    opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
-    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-    fc.rename(tmp, dst, opts)
 
 
 def apply_incremental_sessions_batch(
@@ -1759,16 +1600,13 @@ def apply_incremental_sessions_batch(
         return  # empty batch: state and output unchanged
     batch_min, batch_max = int(lim["mn"]), int(lim["mx"])
 
-    me = f"v{batch_id}"
-    manifest = _sessions_manifest(spark, store_path)
-    if manifest is None:
-        base_map, base_max = None, None
-    elif manifest[0].split("_")[0] == me:
-        # retry AFTER a successful flip for this very batch: rebuild from
-        # the recorded parent, never from our own output
-        base_map, base_max = manifest[3], manifest[5]
-    else:
-        base_map, base_max = manifest[2], manifest[4]
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+
+    store = ManifestStore(spark, store_path, n_extras=2)
+    # retry rule lives in base_for_batch: a post-flip retry rebuilds from
+    # the recorded parent map/high-water mark, never from its own output
+    base = store.base_for_batch(batch_id)
+    base_map, base_max = base.bucket_map, base.extras[0]
     if base_max is not None and batch_min < base_max:
         raise ValueError(
             f"run_incremental_sessions: late batch (min ts {batch_min} us <"
@@ -1779,15 +1617,11 @@ def apply_incremental_sessions_batch(
     bexpr = SF.pmod(SF.xxhash64(group_col), SF.lit(n_buckets)).cast("int")
     part = b.withColumn("bucket", bexpr).persist()
     touched = sorted(r["bucket"] for r in part.select("bucket").distinct().collect())
-    paths = [
-        f"{store_path}/{base_map[str(k)]}/bucket={k}"
-        for k in touched
-        if base_map and str(k) in base_map
-    ]
-    if paths:
+    bucket_state = store.read_buckets(base_map, touched)
+    if bucket_state is not None:
         # one read of the touched buckets serves BOTH the seed join and
         # the carried-rows anti-join (the dominant per-batch IO term)
-        bucket_state = spark.read.parquet(*paths).persist()
+        bucket_state = bucket_state.persist()
         seeds = bucket_state.select(
             SF.col(group_col),
             SF.col("session_n").alias("__seed_sess"),
@@ -1796,7 +1630,7 @@ def apply_incremental_sessions_batch(
             SF.col("last_us").alias("__seed_last"),
         )
     else:
-        bucket_state, seeds = None, None
+        seeds = None
 
     walk_in = part
     if seeds is not None:
@@ -1913,24 +1747,12 @@ def apply_incremental_sessions_batch(
         new_state = new_open
     new_state = new_state.withColumn("bucket", bexpr)
 
-    # fresh version dir (never write into an existing one)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
-    cand, attempt = me, 0
-    while fs.exists(jvm.org.apache.hadoop.fs.Path(f"{store_path}/{cand}")):
-        attempt += 1
-        cand = f"{me}_r{attempt}"
-    new_state.write.partitionBy("bucket").parquet(f"{store_path}/{cand}")
-    new_map = dict(base_map or {})
-    for k in touched:
-        new_map[str(k)] = cand
-    parent = manifest[0] if manifest is not None and manifest[0].split("_")[0] != me else (
-        manifest[1] if manifest is not None else "-"
-    )
-    _sessions_write_manifest(
-        spark, store_path, cand, parent, new_map, base_map,
-        max(batch_max, base_max or batch_max), base_max,
+    store.commit_buckets(
+        batch_id,
+        new_state,
+        touched,
+        base,
+        extras=[max(batch_max, base_max or batch_max), base_max],
     )
     walked.unpersist()
     part.unpersist()
@@ -2043,25 +1865,16 @@ def apply_incremental_upsert_batch(
         .drop("__rn")
     )
 
-    me = f"v{batch_id}"
-    manifest = _sessions_manifest(spark, store_path)
-    if manifest is None:
-        base_map = None
-    elif manifest[0].split("_")[0] == me:
-        base_map = manifest[3]  # post-flip retry: rebuild from parent map
-    else:
-        base_map = manifest[2]
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+
+    store = ManifestStore(spark, store_path, n_extras=2)
+    base = store.base_for_batch(batch_id)
 
     bexpr = SF.pmod(SF.xxhash64(*key_cols), SF.lit(n_buckets)).cast("int")
     part = latest.withColumn("bucket", bexpr).persist()
     touched = sorted(r["bucket"] for r in part.select("bucket").distinct().collect())
-    paths = [
-        f"{store_path}/{base_map[str(k)]}/bucket={k}"
-        for k in touched
-        if base_map and str(k) in base_map
-    ]
-    if paths:
-        prev = spark.read.parquet(*paths)
+    prev = store.read_buckets(base.bucket_map, touched)
+    if prev is not None:
         merged = (
             prev.unionByName(part.drop("bucket"))
             .withColumn("__rn", SF.row_number().over(w))
@@ -2072,23 +1885,7 @@ def apply_incremental_upsert_batch(
     else:
         merged = part
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
-    cand, attempt = me, 0
-    while fs.exists(jvm.org.apache.hadoop.fs.Path(f"{store_path}/{cand}")):
-        attempt += 1
-        cand = f"{me}_r{attempt}"
-    merged.write.partitionBy("bucket").parquet(f"{store_path}/{cand}")
-    new_map = dict(base_map or {})
-    for k in touched:
-        new_map[str(k)] = cand
-    parent = (
-        manifest[0]
-        if manifest is not None and manifest[0].split("_")[0] != me
-        else (manifest[1] if manifest is not None else "-")
-    )
-    _sessions_write_manifest(spark, store_path, cand, parent, new_map, base_map, None, None)
+    store.commit_buckets(batch_id, merged, touched, base, extras=[None, None])
     part.unpersist()
 
 
@@ -2124,39 +1921,21 @@ def run_incremental_upsert(
 def read_incremental_upsert(spark, store_path: str) -> DataFrame:
     """Read the current upsert table: the union of per-bucket paths named
     by the manifest's bucket map."""
-    m = _sessions_manifest(spark, store_path)
-    if m is None:
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+
+    m = ManifestStore(spark, store_path, n_extras=2)
+    if m.read_manifest() is None:
         raise ValueError(f"no upsert store at {store_path}")
-    paths = [f"{store_path}/{v}/bucket={k}" for k, v in sorted(m[2].items())]
-    return spark.read.parquet(*paths)
+    return m.read_current()
 
 
 def vacuum_incremental_kv(spark, store_path: str) -> list[str]:
     """Retention for the bucketed delta-merge stores written by
     run_incremental_sessions / run_incremental_upsert (the 6-line
-    manifest family): every fold writes a new version directory and only
-    flips the manifest, so without cleanup the store grows by one copy
-    of the touched buckets per batch.  Deletes every ``v*`` directory
-    not referenced by the CURRENT or PARENT bucket map (parent stays
-    live: a post-flip retry rebuilds from it) nor by the version/parent
-    pointers themselves.  Same never-strand-a-reader discipline as
-    vacuum_incremental_agg: the manifest is read first, so a concurrent
-    flip can at worst leave one extra undeleted directory.  Returns the
-    deleted version names."""
-    m = _sessions_manifest(spark, store_path)
-    if m is None:
-        return []
-    keep = {m[0], m[1]}
-    for bmap in (m[2], m[3]):
-        if bmap:
-            keep.update(bmap.values())
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(store_path), conf)
-    deleted: list[str] = []
-    for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(store_path)):
-        name = status.getPath().getName()
-        if status.isDirectory() and name.startswith("v") and name not in keep:
-            fs.delete(status.getPath(), True)
-            deleted.append(name)
-    return deleted
+    manifest family).  Delegates to kvstore.ManifestStore.vacuum -- see
+    its docstring for the retention set (current + parent pointers +
+    every version still owning a bucket in either map) and the
+    never-strand-a-reader argument.  Returns the deleted version names."""
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+
+    return ManifestStore(spark, store_path, n_extras=2).vacuum()
