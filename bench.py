@@ -188,6 +188,26 @@ def main() -> None:
                 f.write(line + "\n")
         except OSError as e:
             print(f"bench: could not write {stamped}: {e!r}", file=sys.stderr)
+        # Drift gate on the map just written, BY CONTRACT (VERDICT r9
+        # item 1: the r9 final map shipped with an unadjudicated warm
+        # doubling because the gate only ran on earlier sibling maps).
+        # Output goes to stderr so the driver's stdout JSON line stays
+        # the machine-readable artifact; a surviving flag is loud but
+        # non-fatal -- the numbers are still real measurements, the flag
+        # is the adjudication TODO.
+        import subprocess
+
+        try:
+            gate = subprocess.run(
+                [sys.executable, os.path.join(here, "tools", "bench_drift.py"), stamped],
+                capture_output=True,
+                text=True,
+                timeout=120,
+            )
+            for ln in (gate.stdout + gate.stderr).strip().splitlines():
+                print(f"bench[drift-gate]: {ln}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 -- gate failure must not kill the bench
+            print(f"bench: drift gate failed to run: {e!r}", file=sys.stderr)
     spark.stop()
 
 
