@@ -247,9 +247,25 @@ class ManifestStore:
         """Write the merged touched-bucket state as a fresh version
         (partitioned by ``bucket``), advance the bucket map for the
         touched buckets only, and flip the manifest atomically.  Returns
-        the version name written."""
+        the version name written.
+
+        The delta is hash-clustered on ``bucket`` before the write so
+        each touched bucket comes out as ONE file instead of up to
+        tasks x buckets shards -- a naked partitionBy over a shuffled
+        upstream was the dominant cost of the bucketed store at bench
+        scale (thousands of tiny parquet files per version), and at 100
+        TB the small-file storm is worse, not better.  One task per
+        touched bucket is the natural write parallelism of a delta-merge;
+        a skewed bucket is fixed by raising n_buckets (finer buckets),
+        not by sharding the write."""
+        from pyspark.sql import functions as F
+
         target = self.fresh_version(batch_id)
-        merged.write.partitionBy("bucket").parquet(f"{self.path}/{target}")
+        (
+            merged.repartition(max(1, len(touched)), F.col("bucket"))
+            .write.partitionBy("bucket")
+            .parquet(f"{self.path}/{target}")
+        )
         new_map = dict(base.bucket_map or {})
         for k in touched:
             new_map[str(k)] = target
