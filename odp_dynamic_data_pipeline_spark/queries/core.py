@@ -3699,6 +3699,10 @@ def incremental_postings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     with _stream_shuffle(spark):
+        # bucketed store: a real vocabulary is a LARGE keyspace (millions
+        # of terms at corpus scale), exactly the case the legacy whole-
+        # rewrite store is wrong for -- per-batch IO must be the buckets
+        # the batch's terms hash into, not the whole index
         run_incremental_agg(
             stream,
             f"{tmp}/store",
@@ -3706,6 +3710,7 @@ def incremental_postings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             key_cols=["t"],
             count_col="df",
             sum_col="tf",
+            n_buckets=64,
         )
     return read_incremental_agg(spark, f"{tmp}/store").select(
         "t", F.col("df").cast("long").alias("df"), F.col("sum_tf").cast("long").alias("cf")

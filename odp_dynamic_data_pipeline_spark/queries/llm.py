@@ -940,10 +940,79 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, nlist=8, nprobe=2)
 
 
-@register("similarity_lsh_topk")
+def _lsh_topk_oracle(tables: int = 8, planes: int = 4, dim: int = 64, k: int = 5) -> str:
+    """Value-for-value DuckDB replay of the WHOLE SRP-LSH pipeline.
+
+    The production hyperplanes are sign vectors derived from
+    xxhash64(plane, j) -- but operators.similarity folds them in as plan
+    LITERALS (the matrix is a constant), so the oracle embeds the SAME
+    +/-1 literals via the Python xxhash64 replication and never needs the
+    hash: bucket_t = sum_p [dot(q, s_{t,p}) > 0] * 2^p, candidates = the
+    (table, bucket) equi-join, then the exact integer-quantized cosine
+    re-rank shared with the IVF/PQ oracles.  This closes the last ANN
+    rows-only gap: the xxhash64 perf path itself is now hash-gated."""
+    from odp_dynamic_data_pipeline_spark.functions.xxh import xxhash64_ints
+
+    def signs(plane: int) -> str:
+        return (
+            "["
+            + ",".join(
+                "1" if xxhash64_ints(plane, j) % 2 == 0 else "-1" for j in range(dim)
+            )
+            + "]::BIGINT[]"
+        )
+
+    per_table = []
+    for t in range(tables):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(q, {signs(t * planes + p)}) > 0"
+            f" THEN {2 ** p} ELSE 0 END)"
+            for p in range(planes)
+        )
+        per_table.append(f"  SELECT vec_id, {t} AS tb, {terms} AS bk FROM e")
+    buckets = "\n  UNION ALL\n".join(per_table)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
+  FROM (SELECT vec_id, UNNEST(q) AS v FROM e) GROUP BY vec_id
+),
+buckets AS (
+{buckets}
+),
+pairs AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cand_id
+  FROM buckets q JOIN buckets c ON c.tb = q.tb AND c.bk = q.bk
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+pv AS (
+  SELECT p.qid, p.cand_id, UNNEST(qe.q) AS qv, UNNEST(ce.q) AS cv
+  FROM pairs p JOIN e qe ON qe.vec_id = p.qid JOIN e ce ON ce.vec_id = p.cand_id
+),
+dots AS (SELECT qid, cand_id, CAST(SUM(qv * cv) AS BIGINT) AS dot FROM pv GROUP BY qid, cand_id),
+scored AS (
+  SELECT d.qid, d.cand_id,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+  FROM dots d JOIN norms nq ON nq.vec_id = d.qid JOIN norms nc ON nc.vec_id = d.cand_id
+)
+SELECT qid, cand_id, rank, cosine FROM (
+  SELECT qid, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@register("similarity_lsh_topk", _lsh_topk_oracle())
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH-bucketed approximate top-k (scale path for
-    similarity search: equi-join on bucket replaces the cross join)."""
+    similarity search: equi-join on bucket replaces the cross join).
+    Full value-for-value oracle: the hyperplane sign matrix is a plan
+    literal, so DuckDB replays bucketing + candidate join + exact
+    re-rank exactly (see _lsh_topk_oracle)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 

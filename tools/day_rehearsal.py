@@ -1,0 +1,284 @@
+"""24-hour production rehearsal (VERDICT r9 item 6): the reference's
+actual operating mode -- an hourly DAG chain (reference
+src/pipeline_dag.py:120-121) -- composed end-to-end at rehearsal scale:
+
+  per hour h in a synthetic day of 24 hourly drops:
+    1. the shipped YAML observability pipeline over the hour's
+       user_exp/trace/log JSON ({hour} templating: S3/P6), plus the TLB
+       per-client metrics sink -- the reference's whole hour;
+    2. three incremental manifest stores folded with batch_id = hour
+       index (bucketed agg per-client event counts, gap+cap sessions,
+       CDC last-page upsert) -- the maintained views a production
+       deployment keeps NEXT to the hourly batch outputs (section 2.7);
+    3. every 6 hours: vacuum every store (retention must interleave with
+       live folds without stranding anything).
+
+Receipts (merged into SCALE_REHEARSAL.json under "day_rehearsal_24h",
+summarized in SCALE.md):
+  - per-hour wall clock flat: mean(last 6 hours) / mean(first 6 hours)
+    ~ 1 -- per-hour cost must be hour-driven, not day-so-far-driven;
+  - idempotent replay: the ENTIRE day re-run from the same inputs into a
+    fresh root produces content-identical outputs (every hourly stage
+    file, every TLB metrics file, every final store state) -- the
+    reference's Airflow re-run semantics, which the batch-keyed +
+    manifest-flip protocols promise by construction and this measures;
+  - bounded retention: after the final vacuum, each store holds only
+    manifest-referenced versions (current + parent pointers + mapped
+    bucket versions), not one version per hour.
+
+Usage: python tools/day_rehearsal.py [out_json]
+  env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_HOURS (default 24)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+DAY = "20241116"
+N_CLIENTS = 40
+N_TRACES = 30
+SPANS_PER_TRACE = 3
+LOGS_PER_SPAN = 2
+
+
+def gen_hour(data_dir: str, hour: str, hidx: int) -> None:
+    """One synthetic hourly drop in the reference's exact JSON shapes
+    (tests/fixtures/reference_hour/), deterministic from the hour index:
+    page_view start/end pairs per client, traces with spans, span logs.
+    A third of clients are 'quiet' each hour (rotating), so the TLB
+    zero-default universe is exercised every hour."""
+    os.makedirs(data_dir, exist_ok=True)
+    ue, traces, logs = [], [], []
+    for t in range(N_TRACES):
+        tid = f"trace_{hour}_{t}"
+        c = (t + hidx) % N_CLIENTS
+        cid = f"client{c}"
+        sec = 5 + (t * 7) % 40
+        if c % 3 != hidx % 3:  # active client: a paired page view
+            ue.append(
+                {
+                    "eventId": f"ev_{hour}_{t}_s",
+                    "clientId": cid,
+                    "traceId": tid,
+                    "timestamp": f"2024-11-16T{hour[-2:]}:00:{sec:02d}Z",
+                    "page": f"/p{t % 5}",
+                    "eventType": "page_view_start",
+                }
+            )
+            ue.append(
+                {
+                    "eventId": f"ev_{hour}_{t}_e",
+                    "clientId": cid,
+                    "traceId": tid,
+                    "timestamp": f"2024-11-16T{hour[-2:]}:01:{sec:02d}Z",
+                    "page": f"/p{t % 5}",
+                    "eventType": "page_view_end",
+                }
+            )
+        else:  # quiet this hour: trace exists, no page view events
+            ue.append(
+                {
+                    "eventId": f"ev_{hour}_{t}_x",
+                    "clientId": cid,
+                    "traceId": tid,
+                    "timestamp": f"2024-11-16T{hour[-2:]}:00:{sec:02d}Z",
+                    "page": f"/p{t % 5}",
+                    "eventType": "heartbeat",
+                }
+            )
+        spans = []
+        for s in range(SPANS_PER_TRACE):
+            sid = f"span_{hour}_{t}_{s}"
+            spans.append({"spanId": sid, "server": f"srv-{s}", "log": f"op {s}"})
+            for li in range(LOGS_PER_SPAN):
+                lvl = ["INFO", "RETRY", "TIMEOUT", "ERROR"][(t + s + li) % 4]
+                logs.append(
+                    {
+                        "logId": f"log_{hour}_{t}_{s}_{li}",
+                        "spanId": sid,
+                        "timestamp": f"2024-11-16T{hour[-2:]}:00:{sec:02d}Z",
+                        "message": f"m{li}",
+                        "level": lvl,
+                        "processingTimeMs": 10 + (t + li) % 90,
+                        "eventType": lvl,
+                    }
+                )
+        traces.append({"traceId": tid, "spans": spans})
+    for name, rows in (("user_exp", ue), ("trace", traces), ("log", logs)):
+        with open(f"{data_dir}/{name}_{hour}.json", "w") as f:
+            json.dump(rows, f)
+
+
+def fold_stores(spark, data_dir: str, stores: str, hour: str, hidx: int) -> None:
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        apply_incremental_agg_batch,
+        apply_incremental_sessions_batch,
+        apply_incremental_upsert_batch,
+    )
+
+    ue = spark.read.option("multiLine", True).json(f"{data_dir}/user_exp_{hour}.json")
+    ev = ue.select(
+        "clientId",
+        F.to_timestamp("timestamp").alias("ts"),
+        "page",
+        F.lit(hidx).cast("long").alias("seq"),
+    )
+    apply_incremental_agg_batch(
+        ev.select("clientId"), hidx, f"{stores}/agg", key_cols=["clientId"],
+        n_buckets=32,
+    )
+    apply_incremental_sessions_batch(
+        ev.select("clientId", "ts"), hidx, f"{stores}/sessions",
+        f"{stores}/sessions_out", group_col="clientId", ts_col="ts",
+        gap_s=7200, cap_s=6 * 3600, n_buckets=32,
+    )
+    apply_incremental_upsert_batch(
+        ev.select("clientId", "seq", "page"), hidx, f"{stores}/cdc",
+        key_cols=["clientId"], seq_cols=["seq"], n_buckets=32,
+    )
+
+
+def vacuum_stores(spark, stores: str) -> dict[str, int]:
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+
+    return {
+        name: len(ManifestStore(spark, f"{stores}/{name}", n_extras=nx).vacuum())
+        for name, nx in (("agg", 0), ("sessions", 2), ("cdc", 2))
+    }
+
+
+def run_day(spark, data_dir: str, root: str, hours: list[str]) -> dict:
+    from odp_dynamic_data_pipeline_spark.plans import load_pipeline, tlb_metrics
+    from odp_dynamic_data_pipeline_spark.sources.writers import write_keyed_object
+
+    out_dir, stores = f"{root}/out", f"{root}/stores"
+    os.makedirs(out_dir, exist_ok=True)
+    pipe = load_pipeline(os.path.join(REPO, "pipelines/observability_correlation_pipeline.yaml"))
+    walls = []
+    for hidx, hour in enumerate(hours):
+        t0 = time.time()
+        pipe.run(spark, hour=hour, path_vars={"data_dir": data_dir, "out_dir": out_dir})
+        ue = spark.read.option("multiLine", True).json(f"{data_dir}/user_exp_{hour}.json")
+        tr = spark.read.option("multiLine", True).json(f"{data_dir}/trace_{hour}.json")
+        lg = spark.read.option("multiLine", True).json(f"{data_dir}/log_{hour}.json")
+        keyed = write_keyed_object(tlb_metrics(ue, tr, lg), "clientId")
+        with open(f"{out_dir}/tlb_metrics_{hour}.json", "w") as f:
+            json.dump(keyed, f, sort_keys=True, default=str)
+        fold_stores(spark, data_dir, stores, hour, hidx)
+        if hidx % 6 == 5:
+            vacuum_stores(spark, stores)
+        walls.append(round(time.time() - t0, 3))
+        print(f"[day] hour {hour}: {walls[-1]:.2f}s", file=sys.stderr)
+    vacuum_stores(spark, stores)
+    return {"walls": walls, "out_dir": out_dir, "stores": stores}
+
+
+def content_digest(spark, out_dir: str, stores: str, hours: list[str]) -> str:
+    """Order-insensitive content hash of every hourly output file and the
+    final state of all three stores."""
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        read_incremental_agg,
+        read_incremental_sessions,
+        read_incremental_upsert,
+    )
+
+    h = hashlib.sha256()
+    for hour in hours:
+        for name in ("user_exp_processed", "trace_processed", "log_processed"):
+            with open(f"{out_dir}/{name}_{hour}") as f:
+                rows = json.load(f)
+            for r in sorted(json.dumps(x, sort_keys=True, default=str) for x in rows):
+                h.update(r.encode())
+        with open(f"{out_dir}/tlb_metrics_{hour}.json") as f:
+            h.update(json.dumps(json.load(f), sort_keys=True).encode())
+    for df in (
+        read_incremental_agg(spark, f"{stores}/agg").select("clientId", "n"),
+        read_incremental_sessions(spark, f"{stores}/sessions", f"{stores}/sessions_out"),
+        read_incremental_upsert(spark, f"{stores}/cdc").select("clientId", "seq", "page"),
+    ):
+        for r in sorted(str(tuple(x)) for x in df.collect()):
+            h.update(r.encode())
+    return h.hexdigest()
+
+
+def version_counts(stores: str) -> dict[str, int]:
+    return {
+        name: sum(
+            1 for d in os.listdir(f"{stores}/{name}") if d.startswith("v")
+        )
+        for name in ("agg", "sessions", "cdc")
+    }
+
+
+def main() -> None:
+    out_path = (
+        sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "SCALE_REHEARSAL.json")
+    )
+    n_hours = int(os.environ.get("SPARK_GRAFT_HOURS", "24"))
+    hours = [f"{DAY}{h:02d}" for h in range(n_hours)]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from odp_dynamic_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("day_rehearsal", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="day_rehearsal_")
+    try:
+        data_dir = f"{root}/in"
+        for hidx, hour in enumerate(hours):
+            gen_hour(data_dir, hour, hidx)
+
+        r1 = run_day(spark, data_dir, f"{root}/run1", hours)
+        d1 = content_digest(spark, r1["out_dir"], r1["stores"], hours)
+        vc = version_counts(r1["stores"])
+
+        r2 = run_day(spark, data_dir, f"{root}/run2", hours)
+        d2 = content_digest(spark, r2["out_dir"], r2["stores"], hours)
+
+        walls = r1["walls"]
+        k = max(1, len(walls) // 4)
+        first, last = sum(walls[:k]) / k, sum(walls[-k:]) / k
+        row = {
+            "hours": len(hours),
+            "per_hour_walls": walls,
+            "mean_first_quarter_s": round(first, 3),
+            "mean_last_quarter_s": round(last, 3),
+            "flatness_ratio": round(last / first, 3),
+            "replay_digest_run1": d1,
+            "replay_digest_run2": d2,
+            "replay_identical": d1 == d2,
+            "store_version_counts_after_vacuum": vc,
+            "axis": "hour-chain (pipeline + TLB + 3 incremental stores + 6-hourly vacuum)",
+        }
+        assert d1 == d2, f"replay digests differ: {d1} vs {d2}"
+        assert all(v <= 4 for v in vc.values()), f"retention unbounded: {vc}"
+
+        doc = {"queries": {}}
+        if os.path.exists(out_path):
+            try:
+                with open(out_path) as f:
+                    doc = json.load(f)
+            except Exception:  # noqa: BLE001
+                doc = {"queries": {}}
+        doc.setdefault("queries", {})["day_rehearsal_24h"] = row
+        with open(out_path, "w") as f:
+            f.write(json.dumps(doc) + "\n")
+        print(json.dumps(row))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,7 @@ pre-r9 spans runner re-aggregated the whole window store every batch).
 
 Usage: python tools/store_growth.py [out_json] [family ...]
   families: dedup neardup hamming kmv spans agg_bucketed agg_legacy sessions
+            postings topk upsert
   env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALES (default "1,3,10,30")
 Merges rows keyed store_growth_<family> into SCALE_REHEARSAL.json.
 """
@@ -424,6 +425,194 @@ class AggLegacy(AggBucketed):
     NB = None
 
 
+class Postings(AggBucketed):
+    """run_incremental_agg in the POSTINGS shape (incremental inverted-
+    index stats, queries.core incremental_postings_stream): term-keyed
+    (df, cf) maintained in the bucketed store over m*100k vocabulary
+    terms; the fixed batch touches 50 terms."""
+
+    name = "postings"
+
+    def write_filler(self, spark, store, m):
+        from odp_dynamic_data_pipeline_spark.streaming.stream import (
+            apply_incremental_agg_batch,
+        )
+
+        hist = spark.range(BASE["agg"] * m).select(
+            F.concat(F.lit("t"), F.col("id").cast("string")).alias("g"),
+            F.lit(1).cast("long").alias("v"),
+        )
+        apply_incremental_agg_batch(
+            hist, -1, store, key_cols=["g"], count_col="df", sum_col="v",
+            n_buckets=self.NB,
+        )
+
+    def batch_rows(self):
+        return [(f"t{i}", 3) for i in range(50)]
+
+    def run(self, spark, stream, store, out, ck):
+        from odp_dynamic_data_pipeline_spark.streaming.stream import (
+            run_incremental_agg,
+        )
+
+        run_incremental_agg(
+            stream, store, checkpoint=ck, key_cols=["g"],
+            count_col="df", sum_col="v", n_buckets=self.NB,
+        )
+
+    def check(self, spark, rdir):
+        from odp_dynamic_data_pipeline_spark.streaming.stream import (
+            read_incremental_agg,
+        )
+
+        rows = {
+            r.g: (r.df, r.sum_v)
+            for r in read_incremental_agg(spark, f"{rdir}/store")
+            .where(F.col("g").isin([f"t{i}" for i in range(50)]))
+            .collect()
+        }
+        assert len(rows) == 50 and all(v == (2, 4) for v in rows.values()), rows
+
+
+TOPK_SCHEMA = StructType(
+    [
+        StructField("et", StringType()),
+        StructField("u", LongType()),
+        StructField("v", LongType()),
+    ]
+)
+
+
+class Topk(Family):
+    """The maintained-view half of incremental_topk_stream: composite
+    (event_type, user) cent totals in the bucketed store over m*100k
+    users x 2 types; the cheap read-time rank is not part of the fold
+    cost and is excluded (it runs over the store READ, once, at serve
+    time)."""
+
+    name = "topk"
+    schema = TOPK_SCHEMA
+    NB = 1024
+
+    def prepare_template(self, spark, root: str) -> str:
+        tdir = f"{root}/{self.name}/template"
+        os.makedirs(f"{tdir}/store", exist_ok=True)
+        return tdir
+
+    def write_filler(self, spark, store, m):
+        from odp_dynamic_data_pipeline_spark.streaming.stream import (
+            apply_incremental_agg_batch,
+        )
+
+        hist = spark.range(BASE["agg"] * m).select(
+            F.when(F.col("id") % 2 == 0, F.lit("view")).otherwise(F.lit("buy")).alias("et"),
+            F.col("id").alias("u"),
+            F.lit(10).cast("long").alias("v"),
+        )
+        apply_incremental_agg_batch(
+            hist, -1, store, key_cols=["et", "u"], sum_col="v", n_buckets=self.NB
+        )
+
+    def batch_rows(self):
+        return [("view" if i % 2 == 0 else "buy", i, 7) for i in range(50)]
+
+    def run(self, spark, stream, store, out, ck):
+        from odp_dynamic_data_pipeline_spark.streaming.stream import (
+            run_incremental_agg,
+        )
+
+        run_incremental_agg(
+            stream, store, checkpoint=ck, key_cols=["et", "u"], sum_col="v",
+            n_buckets=self.NB,
+        )
+
+    def check(self, spark, rdir):
+        from odp_dynamic_data_pipeline_spark.streaming.stream import (
+            read_incremental_agg,
+        )
+
+        rows = {
+            r.u: (r.n, r.sum_v)
+            for r in read_incremental_agg(spark, f"{rdir}/store")
+            .where(F.col("u") < 50)
+            .collect()
+        }
+        assert len(rows) == 50 and all(v == (2, 17) for v in rows.values()), rows
+
+
+CDC_SCHEMA = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("seq", LongType()),
+        StructField("val", StringType()),
+    ]
+)
+
+
+class Upsert(Family):
+    """run_incremental_upsert (CDC last-wins table): ONE row per key over
+    m*100k keys in the bucketed store; the fixed batch updates 50 stored
+    keys and inserts 10 new ones.  Store filler is written in the
+    operator's own layout (state rows + 6-line manifest) -- the aged
+    table a long-lived CDC stream accretes."""
+
+    name = "upsert"
+    schema = CDC_SCHEMA
+    NB = 1024
+
+    def prepare_template(self, spark, root: str) -> str:
+        tdir = f"{root}/{self.name}/template"
+        os.makedirs(f"{tdir}/store", exist_ok=True)
+        return tdir
+
+    def write_filler(self, spark, store, m):
+        from odp_dynamic_data_pipeline_spark.streaming.stream import (
+            _sessions_write_manifest,
+        )
+
+        state = spark.range(BASE["agg"] * m).select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+            F.lit(1).cast("long").alias("seq"),
+            F.lit("h").alias("val"),
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("k"), F.lit(self.NB)).cast("int")
+        )
+        state.write.partitionBy("bucket").mode("overwrite").parquet(f"{store}/v-1")
+        _sessions_write_manifest(
+            spark, store, "v-1", "-",
+            {str(i): "v-1" for i in range(self.NB)}, None, None, None,
+        )
+
+    def batch_rows(self):
+        return [(f"k{i}", 2, "upd") for i in range(50)] + [
+            (f"n{i}", 1, "new") for i in range(10)
+        ]
+
+    def run(self, spark, stream, store, out, ck):
+        from odp_dynamic_data_pipeline_spark.streaming.stream import (
+            run_incremental_upsert,
+        )
+
+        run_incremental_upsert(
+            stream, store, checkpoint=ck, key_cols=["k"], seq_cols=["seq"],
+            n_buckets=self.NB,
+        )
+
+    def check(self, spark, rdir):
+        from odp_dynamic_data_pipeline_spark.streaming.stream import (
+            read_incremental_upsert,
+        )
+
+        rows = {
+            r.k: (r.seq, r.val)
+            for r in read_incremental_upsert(spark, f"{rdir}/store")
+            .where(F.col("k").isin([f"k{i}" for i in range(50)] + ["n0", "n9"]))
+            .collect()
+        }
+        assert all(rows[f"k{i}"] == (2, "upd") for i in range(50)), rows
+        assert rows["n0"] == (1, "new") and rows["n9"] == (1, "new"), rows
+
+
 SESS_SCHEMA = StructType(
     [StructField("user_id", LongType()), StructField("ts", TimestampType())]
 )
@@ -512,7 +701,7 @@ FAMILIES = {
     f.name: f
     for f in [
         Dedup(), Neardup(), Hamming(), Kmv(), Spans(), AggBucketed(), AggLegacy(),
-        Sessions(),
+        Sessions(), Postings(), Topk(), Upsert(),
     ]
 }
 
