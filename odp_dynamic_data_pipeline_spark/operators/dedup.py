@@ -134,6 +134,62 @@ def minhash_signatures(
     )
 
 
+# Engine-portable (md5) MinHash family: ONE md5 per shingle, then the 16
+# "permutations" arithmetically as (a_i*h + b_i) mod p -- the standard
+# universal-hash family.  p = 2^31-1 keeps a_i*h inside int64 (a_i, h <
+# 2^31 -> product < 2^62), so Spark and DuckDB compute bit-identical
+# values with no overflow divergence.  These constants are shared by the
+# batch md5 twin queries (queries/llm.py dedup_minhash_md5 and friends)
+# and the md5-mode streaming runner (streaming.stream
+# run_incremental_neardup(hasher='md5')) -- one family, one algebra.
+MINHASH_P = 2_147_483_647  # 2^31 - 1, prime
+MINHASH_AB = [
+    ((2_654_435_761 * (i + 1)) % MINHASH_P, (40_503 * (i + 1) * (i + 1) + 1) % MINHASH_P)
+    for i in range(16)
+]
+
+_MD5_SHINGLE_HASH = f"CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % {MINHASH_P}"
+
+
+def md5_hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str = "text", *, n: int = 3, out_col: str = "hsh"
+) -> DataFrame:
+    """Distinct word-n-gram hashes in the ENGINE-PORTABLE md5 family:
+    h = int(md5(shingle)[:15 hex]) mod p.  The md5-mode analogue of
+    hashed_shingles_direct -- slower (one md5 per shingle string) but
+    replayable by any engine, which puts everything downstream of it
+    behind the DuckDB oracle gate."""
+    sh = shingles(df.select(id_col, text_col), text_col, n=n, out_col="__sh")
+    return sh.select(
+        F.col(id_col),
+        F.expr(f"array_distinct(transform(__sh, s -> {_MD5_SHINGLE_HASH}))").alias(out_col),
+    ).filter(F.size(out_col) > 0)
+
+
+def md5_minhash_signatures(
+    df: DataFrame, id_col: str, hashed_col: str = "hsh", num_perm: int = 16
+) -> DataFrame:
+    """Minhash signature over md5 shingle hashes with the arithmetic
+    universal-hash permutations (MINHASH_AB): one fold pass over the hash
+    array, exactly the per-permutation mins the DuckDB md5 oracle
+    computes with GROUP BY minima."""
+    if num_perm > len(MINHASH_AB):
+        raise ValueError(f"md5 minhash family has {len(MINHASH_AB)} permutations")
+    a_arr = "array(" + ",".join(str(a) for a, _ in MINHASH_AB[:num_perm]) + ")"
+    b_arr = "array(" + ",".join(str(b) for _, b in MINHASH_AB[:num_perm]) + ")"
+    fold = F.expr(
+        f"aggregate({hashed_col},"
+        f" array_repeat(CAST(9223372036854775807 AS BIGINT), {num_perm}),"
+        f" (acc, h) -> zip_with(acc, sequence(0, {num_perm - 1}),"
+        f"   (m, i) -> least(m, (element_at({a_arr}, i + 1) * h"
+        f"                       + element_at({b_arr}, i + 1)) % {MINHASH_P})))"
+    )
+    sig = df.select(F.col(id_col), fold.alias("__sig"))
+    return sig.select(
+        F.col(id_col), *[F.col("__sig").getItem(i).alias(f"mh_{i}") for i in range(num_perm)]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -361,11 +361,10 @@ def term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # universal-hash family.  p = 2^31-1 keeps a_i*h inside int64 (a_i, h < 2^31
 # -> product < 2^62), so Spark and DuckDB compute bit-identical values with
 # no overflow divergence.  16x fewer md5 calls than hashing per permutation.
-MINHASH_P = 2_147_483_647  # 2^31 - 1, prime
-MINHASH_AB = [
-    ((2_654_435_761 * (i + 1)) % MINHASH_P, (40_503 * (i + 1) * (i + 1) + 1) % MINHASH_P)
-    for i in range(16)
-]
+from odp_dynamic_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    MINHASH_AB,
+    MINHASH_P,
+)
 
 MINHASH_MD5_ORACLE = """
 WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),

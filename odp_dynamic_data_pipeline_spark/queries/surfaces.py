@@ -2384,6 +2384,110 @@ def observed_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEARDUP_MD5_STREAM_ORACLE = """
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS s
+       FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+             FROM toks)),
+hd AS (SELECT DISTINCT doc_id,
+              ('0x' || substr(md5(s), 1, 15))::BIGINT % {p} AS h
+       FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hd GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+         unnest([{band_hashes}]) AS b,
+         unnest([0, 1, 2, 3]) AS bi
+  FROM sig
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM hd GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM cand c
+  JOIN hd a ON a.doc_id = c.id_a
+  JOIN hd b ON b.doc_id = c.id_b AND b.h = a.h
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, jaccard_e6 FROM (
+  SELECT c.id_a, c.id_b,
+         (1000000 * COALESCE(i.ni, 0)) // (sa.sz + sb.sz - COALESCE(i.ni, 0)) AS jaccard_e6
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+) WHERE jaccard_e6 >= 200000
+""".format(
+    p=2_147_483_647,
+    mins=",\n         ".join(
+        f"min(CAST(({a} * h + {b}) % 2147483647 AS BIGINT)) AS m{i}"
+        for i, (a, b) in enumerate(dd.MINHASH_AB)
+    ),
+    band_hashes=", ".join(
+        "md5(concat_ws('|', " + ", ".join(f"m{i}" for i in range(b * 4, b * 4 + 4)) + "))"
+        for b in range(4)
+    ),
+)
+
+
+@register("incremental_neardup_md5_stream", _NEARDUP_MD5_STREAM_ORACLE)
+def incremental_neardup_md5_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED streaming near-duplicate detection (VERDICT r9 item 7):
+    run_incremental_neardup(hasher='md5') replays documents as TWO
+    chronological micro-batches through the same incremental LSH store
+    protocol as the xxhash64 production twin, but with the engine-
+    portable md5 minhash family (operators.dedup MINHASH_AB) -- so the
+    UNION of all emitted batches is checked value-for-value against the
+    DuckDB replay of the whole banding + exact-Jaccard pipeline.  Pair
+    orientation is normalized (least, greatest): a cross-batch pair is
+    emitted as (stored, new), which flips if the file source happens to
+    order the two drops differently; Jaccard is symmetric."""
+    from odp_dynamic_data_pipeline_spark.queries.core import (
+        _stream_shuffle,
+        _stream_tmpdir,
+    )
+    from odp_dynamic_data_pipeline_spark.streaming.stream import run_incremental_neardup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    tmp = _stream_tmpdir("neardup_md5_stream")
+    src = f"{tmp}/in"
+    docs.where(F.col("doc_id") <= mid).coalesce(1).write.mode("overwrite").parquet(
+        f"{src}/drop=0"
+    )
+    docs.where(F.col("doc_id") > mid).coalesce(1).write.mode("overwrite").parquet(
+        f"{src}/drop=1"
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/drop=*")
+    )
+    with _stream_shuffle(spark):
+        run_incremental_neardup(
+            stream,
+            f"{tmp}/store",
+            f"{tmp}/out",
+            checkpoint=f"{tmp}/ckpt",
+            num_perm=16,
+            bands=4,
+            threshold_e6=200_000,
+            hasher="md5",
+        )
+    return spark.read.parquet(f"{tmp}/out").select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "jaccard_e6",
+    )
+
+
 @register("incremental_neardup_stream")  # xxhash64 family: rows-only by design
 def incremental_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING near-duplicate detection (streaming.stream.

@@ -772,6 +772,7 @@ def run_incremental_neardup(
     num_perm: int = 32,
     bands: int = 8,
     threshold_e6: int = 500_000,
+    hasher: str = "xx",
 ):
     """Streaming NEAR-duplicate detection: the MinHash+LSH analogue of
     run_incremental_dedup.  Per micro-batch, each new document's hashed
@@ -779,6 +780,13 @@ def run_incremental_neardup(
     bucket collisions against BOTH the historical store and the batch
     itself, are verified by exact Jaccard over the stored shingle hashes,
     and the batch's buckets + hashes are appended to the store.
+
+    ``hasher``: ``'xx'`` (default) is the xxhash64 production path;
+    ``'md5'`` switches the WHOLE family -- shingle hash, permutation
+    mins, band bucket keys -- to the engine-portable md5 algebra shared
+    with the batch md5 twins (operators.dedup MINHASH_AB), so the
+    streaming pair set can sit behind a DuckDB oracle.  Identical store
+    protocol and join shapes either way.
 
     Store layout (both batch-keyed for idempotent retries, same discipline
     as run_incremental_dedup):
@@ -807,22 +815,51 @@ def run_incremental_neardup(
         fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(path), conf)
         return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
 
+    if hasher not in ("xx", "md5"):
+        raise ValueError(f"run_incremental_neardup: hasher must be xx|md5, got {hasher!r}")
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        hashed = hashed_shingles_direct(
-            batch_df.select(id_col, text_col), id_col, text_col, n=n
-        ).persist()
-        sig = minhash_signatures(hashed, id_col, num_perm=num_perm)
-        band_structs = [
-            SF.struct(
-                SF.lit(b).alias("band"),
-                SF.xxhash64(
-                    SF.lit(b),
-                    *[SF.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
-                ).alias("bucket"),
+        if hasher == "md5":
+            from odp_dynamic_data_pipeline_spark.operators.dedup import (
+                md5_hashed_shingles,
+                md5_minhash_signatures,
             )
-            for b in range(bands)
-        ]
+
+            hashed = md5_hashed_shingles(
+                batch_df.select(id_col, text_col), id_col, text_col, n=n
+            ).persist()
+            sig = md5_minhash_signatures(hashed, id_col, num_perm=num_perm)
+            band_structs = [
+                SF.struct(
+                    SF.lit(b).alias("band"),
+                    SF.md5(
+                        SF.concat_ws(
+                            "|",
+                            *[
+                                SF.col(f"mh_{i}").cast("string")
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        else:
+            hashed = hashed_shingles_direct(
+                batch_df.select(id_col, text_col), id_col, text_col, n=n
+            ).persist()
+            sig = minhash_signatures(hashed, id_col, num_perm=num_perm)
+            band_structs = [
+                SF.struct(
+                    SF.lit(b).alias("band"),
+                    SF.xxhash64(
+                        SF.lit(b),
+                        *[SF.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
         buckets = (
             sig.select(SF.col(id_col), SF.explode(SF.array(*band_structs)).alias("bb"))
             .select(id_col, SF.col("bb.band").alias("band"), SF.col("bb.bucket").alias("bucket"))

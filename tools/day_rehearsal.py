@@ -212,13 +212,29 @@ def content_digest(spark, out_dir: str, stores: str, hours: list[str]) -> str:
     return h.hexdigest()
 
 
-def version_counts(stores: str) -> dict[str, int]:
-    return {
-        name: sum(
-            1 for d in os.listdir(f"{stores}/{name}") if d.startswith("v")
-        )
-        for name in ("agg", "sessions", "cdc")
-    }
+def retention_audit(spark, stores: str) -> dict[str, dict]:
+    """Per store: how many version directories remain, and whether every
+    one of them is REFERENCED by the manifest (current/parent pointer or
+    a bucket-map entry).  The retention contract is not "few versions"
+    -- a bucket untouched for hours legitimately keeps its older version
+    mapped -- it is "no UNREFERENCED version survives vacuum" plus
+    "far fewer versions than folds" (reclamation actually happened)."""
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+
+    out = {}
+    for name, nx in (("agg", 0), ("sessions", 2), ("cdc", 2)):
+        m = ManifestStore(spark, f"{stores}/{name}", n_extras=nx).read_manifest()
+        keep = {m.current, m.parent}
+        for bmap in (m.cur_map, m.par_map):
+            if bmap:
+                keep.update(bmap.values())
+        on_disk = {d for d in os.listdir(f"{stores}/{name}") if d.startswith("v")}
+        out[name] = {
+            "n_versions": len(on_disk),
+            "n_referenced": len(keep & on_disk),
+            "unreferenced": sorted(on_disk - keep),
+        }
+    return out
 
 
 def main() -> None:
@@ -242,7 +258,7 @@ def main() -> None:
 
         r1 = run_day(spark, data_dir, f"{root}/run1", hours)
         d1 = content_digest(spark, r1["out_dir"], r1["stores"], hours)
-        vc = version_counts(r1["stores"])
+        vc = retention_audit(spark, r1["stores"])
 
         r2 = run_day(spark, data_dir, f"{root}/run2", hours)
         d2 = content_digest(spark, r2["out_dir"], r2["stores"], hours)
@@ -259,11 +275,13 @@ def main() -> None:
             "replay_digest_run1": d1,
             "replay_digest_run2": d2,
             "replay_identical": d1 == d2,
-            "store_version_counts_after_vacuum": vc,
+            "store_retention_after_vacuum": vc,
             "axis": "hour-chain (pipeline + TLB + 3 incremental stores + 6-hourly vacuum)",
         }
         assert d1 == d2, f"replay digests differ: {d1} vs {d2}"
-        assert all(v <= 4 for v in vc.values()), f"retention unbounded: {vc}"
+        for name, a in vc.items():
+            assert not a["unreferenced"], f"{name}: vacuum stranded ghosts {a}"
+            assert a["n_versions"] < len(hours), f"{name}: no reclamation {a}"
 
         doc = {"queries": {}}
         if os.path.exists(out_path):

@@ -58,6 +58,10 @@ DEFAULT_QUERIES = [
     "link_prediction_scores",
     "dedup_minhash_lsh",
     "incremental_neardup_stream",
+    # r10: the heavy character-exact span family (14-join plans; the
+    # "spans-bounded, no corpus-scale shuffle" claim carries a measurement)
+    "char_exact_spans",
+    "scrub_char_exact",
 ]
 
 BASE_DOCS = 4_000   # + 800 twins ~= sf0.1's 5,000 docs at m=1
