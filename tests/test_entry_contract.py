@@ -30,13 +30,14 @@ def test_queries_cover_registry_exactly_once():
     o = e.oracle_sql()
     assert set(o) == set(ORACLE_SQL)
     assert set(o) <= set(q)
-    # the deliberate rows-only set stays exactly the xxhash64 ops (three
-    # batch ops with md5-twin oracles, plus the streaming LSH twin whose
-    # registry report is a self-verifying stream-vs-batch equality)
+    # the deliberate rows-only set stays exactly the xxhash64 perf paths,
+    # EACH with a hash-gated md5 twin of the same algebra (dedup_minhash_md5,
+    # dedup_simhash_md5, incremental_neardup_md5_stream); similarity_lsh_topk
+    # left this set in r10 -- its hyperplane sign matrix is a plan literal,
+    # so the oracle replays it directly
     assert set(q) - set(o) == {
         "dedup_minhash_lsh",
         "dedup_simhash",
-        "similarity_lsh_topk",
         "incremental_neardup_stream",
     }
 
