@@ -2456,13 +2456,15 @@ def incremental_neardup_md5_stream(spark: SparkSession, sf_dir: str) -> DataFram
     from odp_dynamic_data_pipeline_spark.streaming.stream import run_incremental_neardup
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
     tmp = _stream_tmpdir("neardup_md5_stream")
     src = f"{tmp}/in"
-    docs.where(F.col("doc_id") <= mid).coalesce(1).write.mode("overwrite").parquet(
+    # deterministic even/odd split (no quantile pass): ANY split yields the
+    # same pair SET because band collisions are batch-independent, and the
+    # least/greatest normalization below makes pair orientation split-proof
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
         f"{src}/drop=0"
     )
-    docs.where(F.col("doc_id") > mid).coalesce(1).write.mode("overwrite").parquet(
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("overwrite").parquet(
         f"{src}/drop=1"
     )
     stream = (
