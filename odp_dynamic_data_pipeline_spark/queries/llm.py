@@ -5180,28 +5180,69 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster count, removable docs (n - clusters = what dedup deletes),
     and the largest cluster (the template-family blowup a too-loose
     threshold causes).  Production dedup picks tau by exactly this curve:
-    removable-count stability vs max-cluster explosion.  Scale shape: the
-    expensive pair scoring runs once; each threshold re-filters the
-    SCORED pair list (kilobytes per million docs) and runs CC over edge
-    endpoints only.  The oracle replays all three CC runs recursively and
-    hash-pins every summary number."""
+    removable-count stability vs max-cluster explosion.
+
+    Scale shape: the expensive pair scoring runs once; each threshold
+    re-filters the SCORED pair list (kilobytes per million docs).  The
+    three CC runs are HIERARCHICAL (tight -> loose): components at a
+    tighter tau provably refine the looser partition (edges(0.7) is a
+    subset of edges(0.5)), so each looser level CONTRACTS the previous
+    level's components to supernodes and runs CC on the contracted graph
+    -- sized by cluster count, not documents, with the diameter already
+    collapsed by the contraction.  Labels stay min-reachable-doc-id at
+    every level (a supernode's label IS its component's min doc id), so
+    the result is value-identical to three independent CC runs -- the
+    oracle replays all three independently and hash-pins every summary
+    number."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = (
         dd.jaccard_join(docs, n=8, tau_e6=300_000)
         .select("id_a", "id_b", "jac_e6")
         .localCheckpoint(eager=False)
     )
-    out = None
-    for tau in (300_000, 500_000, 700_000):
+    rows = {}
+    prev = None  # doc-level (doc_id, component) at the previous, TIGHTER tau
+    for tau in (700_000, 500_000, 300_000):
         e = pairs.where(F.col("jac_e6") >= tau).select("id_a", "id_b")
         nodes = (
             e.select(F.col("id_a").alias("doc_id"))
             .unionByName(e.select(F.col("id_b").alias("doc_id")))
             .distinct()
         )
-        comp = dd.connected_components(nodes, e, id_col="doc_id")
-        csz = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csz"))
-        row = csz.agg(
+        if prev is None:
+            comp = dd.connected_components(nodes, e, id_col="doc_id")
+        else:
+            # contract: endpoints map to their tighter-tau component (docs
+            # new at this tau are their own supernode); within-supernode
+            # edges vanish in the sa != sb filter
+            la = prev.select(F.col("doc_id").alias("id_a"), F.col("component").alias("__ca"))
+            lb = prev.select(F.col("doc_id").alias("id_b"), F.col("component").alias("__cb"))
+            ce = (
+                e.join(la, "id_a", "left")
+                .join(lb, "id_b", "left")
+                .select(
+                    F.coalesce("__ca", F.col("id_a")).alias("id_a"),
+                    F.coalesce("__cb", F.col("id_b")).alias("id_b"),
+                )
+                .where(F.col("id_a") != F.col("id_b"))
+            )
+            snodes = (
+                ce.select(F.col("id_a").alias("doc_id"))
+                .unionByName(ce.select(F.col("id_b").alias("doc_id")))
+                .distinct()
+            )
+            scomp = dd.connected_components(snodes, ce, id_col="doc_id").select(
+                F.col("doc_id").alias("__super"), F.col("component").alias("__scomp")
+            )
+            node_super = nodes.join(prev, "doc_id", "left").select(
+                "doc_id", F.coalesce("component", F.col("doc_id")).alias("__super")
+            )
+            comp = node_super.join(scomp, "__super", "left").select(
+                "doc_id", F.coalesce("__scomp", F.col("__super")).alias("component")
+            )
+        prev = comp.localCheckpoint(eager=False)
+        csz = prev.groupBy("component").agg(F.count(F.lit(1)).alias("csz"))
+        rows[tau] = csz.agg(
             F.coalesce(F.sum("csz"), F.lit(0)).cast("long").alias("n_dup_docs"),
             F.count(F.lit(1)).cast("long").alias("n_clusters"),
             F.coalesce(F.max("csz"), F.lit(0)).cast("long").alias("max_cluster"),
@@ -5212,7 +5253,9 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_dup_docs") - F.col("n_clusters")).cast("long").alias("n_removable"),
             "max_cluster",
         )
-        out = row if out is None else out.unionByName(row)
+    out = None
+    for tau in (300_000, 500_000, 700_000):
+        out = rows[tau] if out is None else out.unionByName(rows[tau])
     return out.select(
         "threshold_e6", "n_dup_docs", "n_clusters", "n_removable", "max_cluster"
     )
