@@ -267,3 +267,60 @@ def test_sessions_late_batch_guard(spark, tmp_path):
     fam.fold(spark, store, out, 0, fam.BATCHES[1])  # later hours first
     with pytest.raises(ValueError, match="late batch"):
         fam.fold(spark, store, out, 1, fam.BATCHES[0])
+
+
+def test_manifest_roundtrip_all_layouts(spark, tmp_path):
+    """write_manifest/read_manifest reproduce all three on-disk layouts
+    byte-compatibly: 2-line flat, 4-line bucketed, 6-line with extras."""
+    # flat (agg legacy): 2 lines
+    s0 = ManifestStore(spark, f"{tmp_path}/flat")
+    import os
+
+    os.makedirs(f"{tmp_path}/flat")
+    s0.write_manifest("v3", "v2")
+    assert open(f"{tmp_path}/flat/MANIFEST").read() == "v3\nv2"
+    m = s0.read_manifest()
+    assert (m.current, m.parent, m.cur_map, m.par_map, m.extras) == ("v3", "v2", None, None, [])
+    # bucketed (agg): 4 lines, par_map null means legacy parent
+    s1 = ManifestStore(spark, f"{tmp_path}/bkt")
+    os.makedirs(f"{tmp_path}/bkt")
+    s1.write_manifest("v1", "v0", {"0": "v1"}, None)
+    assert open(f"{tmp_path}/bkt/MANIFEST").read() == 'v1\nv0\n{"0": "v1"}\nnull'
+    m = s1.read_manifest()
+    assert m.cur_map == {"0": "v1"} and m.par_map is None
+    # 6-line (sessions/upsert): two JSON extras
+    s2 = ManifestStore(spark, f"{tmp_path}/ext", n_extras=2)
+    os.makedirs(f"{tmp_path}/ext")
+    s2.write_manifest("v5", "v4", {"1": "v5"}, {"1": "v4"}, [123, None])
+    m = s2.read_manifest()
+    assert m.extras == [123, None]
+    assert open(f"{tmp_path}/ext/MANIFEST").read().count("\n") == 5
+
+
+def test_base_for_batch_retry_rule(spark, tmp_path):
+    """Post-flip retry resolves to the PARENT (map + extras parent half);
+    a different batch resolves to the CURRENT; first batch to nothing."""
+    import os
+
+    store = f"{tmp_path}/s"
+    os.makedirs(store)
+    s = ManifestStore(spark, store, n_extras=2)
+    # no manifest yet
+    b = s.base_for_batch(0)
+    assert (b.version, b.bucket_map, b.parent_pointer) == (None, None, "-")
+    assert b.extras == [None, None]
+    # manifest says current=v7 (with a retry suffix), parent=v6
+    s.write_manifest("v7_r1", "v6", {"0": "v7_r1"}, {"0": "v6"}, [70, 60])
+    # batch 8 folds on top of current
+    b = s.base_for_batch(8)
+    assert (b.version, b.parent_pointer) == ("v7_r1", "v7_r1")
+    assert b.bucket_map == {"0": "v7_r1"} and b.extras[0] == 70
+    # batch 7 retry (v7_r1 split prefix == v7): rebuild from parent
+    b = s.base_for_batch(7)
+    assert (b.version, b.parent_pointer) == ("v6", "v6")
+    assert b.bucket_map == {"0": "v6"} and b.extras[0] == 60
+    # retry when the parent itself is '-' (first-ever batch retried)
+    s.write_manifest("v0", "-", {"0": "v0"}, None, [5, None])
+    b = s.base_for_batch(0)
+    assert (b.version, b.bucket_map, b.parent_pointer) == (None, None, "-")
+    assert b.extras[0] is None
