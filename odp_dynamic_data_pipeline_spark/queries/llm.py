@@ -699,14 +699,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(docs, "doc_id")
 
 
-def _kmeans_cte(k: int = 8, iters: int = 3) -> str:
+def _kmeans_cte(k: int | str = 8, iters: int = 3) -> str:
     """Unrolled-Lloyd DuckDB CTE prefix: the iteration count is a fixed
     hyperparameter, so the loop unrolls into ``iters`` chained CTE blocks
     (assign -> per-(cluster, pos) integer-mean update with empty clusters
     keeping their centroid) -- replaying operators.similarity.
     kmeans_quantizer value-for-value with no recursion.  Exposes
     ``assign_{iters}`` (vec_id, lst), plus ``e`` (quantized vectors) and
-    ``norms`` for downstream tails."""
+    ``norms`` for downstream tails.
+
+    ``k`` may be an int literal or a SQL scalar expression string (e.g. a
+    ``(SELECT ...)`` subquery) -- the seed CTE's LIMIT accepts both, which
+    is how the corpus-scaled k ~ sqrt(N) variant stays oracle-replayable."""
     head = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
@@ -803,6 +807,32 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-for-value."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.semantic_dedup(emb, k=8, iters=3, threshold=0.2)
+
+
+# k as a SQL scalar: floor(sqrt(N)) over the same corpus the seeds come
+# from -- both engines take IEEE-double sqrt of the exact count, so the
+# cluster count is bit-identical (Python math.sqrt and DuckDB sqrt are
+# the same libm-class double op on an exact integer input)
+_K_SQRT_SQL = "(SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) FROM e)"
+
+
+@register("semantic_dedup_scaled", _semdedup_oracle(k=_K_SQRT_SQL, iters=3, threshold=0.2))
+def semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the SCALE-PATH cluster count k = floor(sqrt(N)) -- the
+    r8 mitigation (SCALE_MITIGATIONS.json: exponent 1.03 -> 0.64 at fixed
+    k=8 vs sqrt-N) promoted to a first-class hash-gated query: with k ~
+    sqrt(N) the expected within-cluster pair count is O(N^1.5 / N) per
+    cluster and the candidate volume stays bounded as the corpus grows,
+    which is how SemDeDup is actually run on web-scale corpora (Abbas et
+    al. 2023 use ~sqrt-scale cluster counts for the same reason).  N is
+    one bounded driver scalar (a count); the oracle computes the SAME k
+    inside SQL with a LIMIT subquery, so training, assignment, and the
+    keep-first dedup all replay value-for-value at ANY corpus size."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = int(math.floor(math.sqrt(emb.count())))
+    return sim.semantic_dedup(emb, k=k, iters=3, threshold=0.2)
 
 
 def _kcenter_oracle(k: int = 8) -> str:

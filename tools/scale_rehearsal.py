@@ -47,6 +47,7 @@ from pyspark.sql import functions as F  # noqa: E402
 # semantic dedup, exact-Jaccard join, and the streaming near-dup twin
 DEFAULT_QUERIES = [
     "semantic_dedup_clusters",
+    "semantic_dedup_scaled",  # k ~ sqrt(N): the scale path (r10)
     "dedup_clusters",
     "dedup_clusters_star",
     "similarity_ivfpq_topk",
