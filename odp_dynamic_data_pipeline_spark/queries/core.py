@@ -3603,6 +3603,77 @@ def cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_upsert_deletes_stream",
+    """
+SELECT user_id, ts_us, event_id, value_cents FROM (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id IS NOT NULL
+) WHERE rn = 1 AND event_type <> 'purchase'
+""",
+)
+def cdc_upsert_deletes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert WITH DELETE TOMBSTONES == batch latest-live-row-per-key,
+    driver-verified: 'purchase' events act as the MERGE WHEN MATCHED
+    DELETE half -- a delete competes by (ts, event_id) like any update
+    and, when it wins, the key disappears from the LIVE view but its
+    tombstone is RETAINED in the store so a late lower-seq update cannot
+    resurrect it (the log-compaction delete-retention semantics;
+    resurrection pinned by crafted test).  The query then runs
+    expire_upsert_tombstones -- the retention compaction that rewrites
+    only tombstone-bearing buckets and DROPS emptied buckets from the
+    map -- and reads the live view from the COMPACTED store, so the one
+    oracle hash-gates winner election, tombstone filtering, and the
+    expiry rewrite together."""
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        expire_upsert_tombstones,
+        read_incremental_upsert,
+        run_incremental_upsert,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.col("event_type") == "purchase").alias("__del"),
+            _cents("value").alias("value_cents"),
+        )
+        .repartition(4)
+    )
+    tmp = _stream_tmpdir("cdc_upsert_del_stream")
+    src = f"{tmp}/in"
+    ev.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    with _stream_shuffle(spark):
+        run_incremental_upsert(
+            stream,
+            f"{tmp}/store",
+            checkpoint=f"{tmp}/ckpt",
+            key_cols=["user_id"],
+            seq_cols=["ts", "event_id"],
+            n_buckets=32,
+            delete_col="__del",
+        )
+    expire_upsert_tombstones(
+        spark, f"{tmp}/store", key_cols=["user_id"], delete_col="__del", n_buckets=32
+    )
+    return read_incremental_upsert(spark, f"{tmp}/store", delete_col="__del").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.col("value_cents").cast("long").alias("value_cents"),
+    )
+
+
+@register(
     "winsorized_value_stats",
     """
 WITH x AS (

@@ -1874,6 +1874,7 @@ def apply_incremental_upsert_batch(
     key_cols: list[str],
     seq_cols: list[str],
     n_buckets: int = 256,
+    delete_col: str | None = None,
 ) -> None:
     """One micro-batch of the streaming CDC upsert (last-wins materialized
     table): keep, per key, the row with the highest ``seq_cols`` tuple
@@ -1881,6 +1882,17 @@ def apply_incremental_upsert_batch(
     (batch twin: merge_cdc_snapshot).  Unlike the sessionizer there is NO
     chronology requirement: max-by-seq is commutative, so late and
     out-of-order batches fold correctly by construction.
+
+    ``delete_col`` (boolean column) enables DELETE TOMBSTONES -- the
+    WHEN MATCHED DELETE half of MERGE.  A delete row competes by seq
+    like any update and, when it wins, it is RETAINED in the store as a
+    tombstone rather than dropped: dropping it would let a LATE
+    out-of-order update with a lower seq resurrect the key on a later
+    fold (the Kafka log-compaction delete-retention problem).  Readers
+    filter tombstones out (read_incremental_upsert(delete_col=...));
+    expire_upsert_tombstones() reclaims them once upstream guarantees no
+    older-seq rows can still arrive -- the retention-window contract
+    every compacted CDC log has.
 
     Same bucketed delta-merge store as apply_incremental_agg_batch
     (versioned bucket partitions + atomic manifest flip + rebuild-from-
@@ -1891,6 +1903,11 @@ def apply_incremental_upsert_batch(
     from pyspark.sql import functions as SF
 
     spark = batch_df.sparkSession
+    if delete_col is not None and delete_col not in batch_df.columns:
+        raise ValueError(
+            f"apply_incremental_upsert_batch: delete_col {delete_col!r} not in"
+            f" batch columns {batch_df.columns}"
+        )
     if batch_df.isEmpty():
         return
 
@@ -1934,15 +1951,20 @@ def run_incremental_upsert(
     key_cols: list[str],
     seq_cols: list[str],
     n_buckets: int = 256,
+    delete_col: str | None = None,
 ):
     """Streaming CDC upsert: foreachBatch drives
     apply_incremental_upsert_batch; the store always holds exactly the
-    latest row per key (by seq), whatever order the batches arrive in."""
+    latest row per key (by seq), whatever order the batches arrive in.
+    With ``delete_col``, delete rows become retained tombstones (see
+    apply_incremental_upsert_batch) -- filter them at read time and
+    reclaim them with expire_upsert_tombstones."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         apply_incremental_upsert_batch(
             batch_df, batch_id, store_path,
             key_cols=key_cols, seq_cols=seq_cols, n_buckets=n_buckets,
+            delete_col=delete_col,
         )
 
     q = (
@@ -1955,15 +1977,83 @@ def run_incremental_upsert(
     return q
 
 
-def read_incremental_upsert(spark, store_path: str) -> DataFrame:
+def read_incremental_upsert(spark, store_path: str, *, delete_col: str | None = None) -> DataFrame:
     """Read the current upsert table: the union of per-bucket paths named
-    by the manifest's bucket map."""
+    by the manifest's bucket map.  ``delete_col`` filters out delete
+    TOMBSTONES (rows whose winning version was a delete) -- they stay in
+    the store so late lower-seq updates cannot resurrect the key, and
+    only the read hides them."""
+    from pyspark.sql import functions as SF
+
     from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
 
     m = ManifestStore(spark, store_path, n_extras=2)
     if m.read_manifest() is None:
         raise ValueError(f"no upsert store at {store_path}")
-    return m.read_current()
+    cur = m.read_current()
+    if delete_col is not None:
+        cur = cur.where(~SF.coalesce(SF.col(delete_col), SF.lit(False)))
+    return cur
+
+
+def expire_upsert_tombstones(
+    spark,
+    store_path: str,
+    *,
+    key_cols: list[str],
+    delete_col: str,
+    n_buckets: int = 256,
+) -> int:
+    """Reclaim delete tombstones from a CDC upsert store -- the
+    delete-retention compaction of a log-compacted topic: run it only
+    once upstream guarantees no row with a LOWER seq than any retained
+    tombstone can still arrive (otherwise a late update would resurrect
+    the deleted key on a later fold).
+
+    Rewrites ONLY the buckets that hold tombstones: survivors move to a
+    fresh version, a bucket left empty is DROPPED from the bucket map
+    (the commit path cannot write an empty partition -- and an unmapped
+    bucket reads as absent, which is exactly right).  One atomic
+    manifest flip, same reader guarantees as every fold; run it BETWEEN
+    streaming lifecycles like compact_incremental_store.  Returns the
+    number of tombstones expired."""
+    from pyspark.sql import functions as SF
+
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+
+    store = ManifestStore(spark, store_path, n_extras=2)
+    m = store.read_manifest()
+    if m is None:
+        return 0
+    bexpr = SF.pmod(SF.xxhash64(*key_cols), SF.lit(n_buckets)).cast("int")
+    state = store.read_current().withColumn("bucket", bexpr)
+    is_del = SF.coalesce(SF.col(delete_col), SF.lit(False))
+    tomb = state.where(is_del).persist()
+    tomb_buckets = sorted(r["bucket"] for r in tomb.select("bucket").distinct().collect())
+    n_expired = tomb.count()
+    tomb.unpersist()
+    if not tomb_buckets:
+        return 0
+    keep = state.where(SF.col("bucket").isin(tomb_buckets)).where(~is_del).persist()
+    survivor_buckets = {r["bucket"] for r in keep.select("bucket").distinct().collect()}
+    cur_num = int(m.current.split("_")[0][1:])
+    target = store.fresh_version(cur_num)
+    # an all-tombstone rewrite still writes the (empty) version directory
+    # so the manifest's current pointer always names an existing path
+    (
+        keep.repartition(max(1, len(survivor_buckets)), SF.col("bucket"))
+        .write.partitionBy("bucket")
+        .parquet(f"{store_path}/{target}")
+    )
+    keep.unpersist()
+    new_map = dict(m.cur_map or {})
+    for k in tomb_buckets:
+        if k in survivor_buckets:
+            new_map[str(k)] = target
+        else:
+            new_map.pop(str(k), None)
+    store.write_manifest(target, m.current, new_map, m.cur_map, list(m.extras))
+    return int(n_expired)
 
 
 def vacuum_incremental_kv(spark, store_path: str) -> list[str]:

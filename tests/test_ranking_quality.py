@@ -326,3 +326,90 @@ def test_blocking_quality_null_truth_not_an_entity(spark):
     # candidate space counts all 4 docs: one block of 4 -> C(4,2)=6 pairs
     assert r["cand_pairs"] == 6 and r["reduction_e6"] == 0
     assert r["completeness_e6"] == 1000000
+
+
+def test_upsert_delete_tombstone_blocks_resurrection(spark, tmp_path):
+    """A winning DELETE must be retained as a tombstone: a LATE batch
+    carrying a lower-seq update for the same key must NOT resurrect it.
+    The live read filters the tombstone; expire_upsert_tombstones then
+    reclaims it (and only then), dropping emptied buckets from the map."""
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        apply_incremental_upsert_batch,
+        expire_upsert_tombstones,
+        read_incremental_upsert,
+    )
+
+    store = f"{tmp_path}/store"
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k long, seq long, val string, del boolean"
+    )
+    # batch 0: k=1 deleted at seq 5; k=2 live at seq 1
+    apply_incremental_upsert_batch(
+        mk([(1, 5, "x", True), (2, 1, "two", False)]), 0, store,
+        key_cols=["k"], seq_cols=["seq"], n_buckets=4, delete_col="del",
+    )
+    # batch 1 (LATE, out of order): k=1 update with seq 3 < 5
+    apply_incremental_upsert_batch(
+        mk([(1, 3, "late", False)]), 1, store,
+        key_cols=["k"], seq_cols=["seq"], n_buckets=4, delete_col="del",
+    )
+    live = {r["k"]: r["val"] for r in
+            read_incremental_upsert(spark, store, delete_col="del").collect()}
+    assert live == {2: "two"}  # k=1 stays deleted -- no resurrection
+    raw = {r["k"]: (r["seq"], r["del"]) for r in
+           read_incremental_upsert(spark, store).collect()}
+    assert raw[1] == (5, True)  # the tombstone is physically retained
+    # expiry reclaims exactly the tombstone; live view unchanged
+    assert expire_upsert_tombstones(
+        spark, store, key_cols=["k"], delete_col="del", n_buckets=4
+    ) == 1
+    raw2 = {r["k"] for r in read_incremental_upsert(spark, store).collect()}
+    assert raw2 == {2}
+    live2 = {r["k"]: r["val"] for r in
+             read_incremental_upsert(spark, store, delete_col="del").collect()}
+    assert live2 == {2: "two"}
+    # idempotent: nothing left to expire
+    assert expire_upsert_tombstones(
+        spark, store, key_cols=["k"], delete_col="del", n_buckets=4
+    ) == 0
+    # folds keep working on the compacted store: a fresh higher-seq update
+    # re-creates k=1 cleanly
+    apply_incremental_upsert_batch(
+        mk([(1, 9, "back", False)]), 2, store,
+        key_cols=["k"], seq_cols=["seq"], n_buckets=4, delete_col="del",
+    )
+    live3 = {r["k"]: r["val"] for r in
+             read_incremental_upsert(spark, store, delete_col="del").collect()}
+    assert live3 == {1: "back", 2: "two"}
+
+
+def test_expire_tombstones_drops_emptied_buckets(spark, tmp_path):
+    """A bucket whose rows are ALL tombstones vanishes from the bucket
+    map after expiry (an unmapped bucket reads as absent), while buckets
+    without tombstones keep their existing version mapping untouched."""
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        apply_incremental_upsert_batch,
+        expire_upsert_tombstones,
+        read_incremental_upsert,
+    )
+
+    store = f"{tmp_path}/store"
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k long, seq long, del boolean"
+    )
+    # many keys so several buckets exist; delete EVERY key in the batch
+    # except k=0 (k=0's bucket keeps a survivor)
+    rows = [(k, 1, k != 0) for k in range(20)]
+    apply_incremental_upsert_batch(
+        mk(rows), 0, store, key_cols=["k"], seq_cols=["seq"], n_buckets=4,
+        delete_col="del",
+    )
+    before = ManifestStore(spark, store, n_extras=2).read_manifest()
+    assert expire_upsert_tombstones(
+        spark, store, key_cols=["k"], delete_col="del", n_buckets=4
+    ) == 19
+    after = ManifestStore(spark, store, n_extras=2).read_manifest()
+    assert set(after.cur_map) <= set(before.cur_map)
+    got = {r["k"] for r in read_incremental_upsert(spark, store).collect()}
+    assert got == {0}
