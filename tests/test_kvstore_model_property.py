@@ -98,6 +98,7 @@ upsert_rows = st.lists(
         st.sampled_from(["a", "b", "c", "d"]),
         st.integers(1, 20),  # seq: arbitrary order across batches
         st.sampled_from(["x", "y", "z"]),
+        st.booleans(),  # delete tombstone flag
     ),
     min_size=1,
     max_size=4,
@@ -123,7 +124,9 @@ def test_upsert_interleavings_match_last_wins_model(spark, tmp_path_factory, ops
     """Same harness for the CDC upsert: the model keeps, per key, the row
     with the max (seq, val) tuple over every batch applied ONCE -- late
     and out-of-order seqs included (max-by-seq is commutative, so unlike
-    sessions there is no chronology constraint to respect)."""
+    sessions there is no chronology constraint to respect).  Rows carry a
+    random DELETE flag: the raw store must retain winning tombstones and
+    the live (delete-filtered) read must hide exactly them."""
     from odp_dynamic_data_pipeline_spark.streaming.stream import (
         apply_incremental_upsert_batch,
         read_incremental_upsert,
@@ -136,32 +139,41 @@ def test_upsert_interleavings_match_last_wins_model(spark, tmp_path_factory, ops
     last_rows = None
 
     def apply(rows):
-        df = spark.createDataFrame(rows, "k string, seq long, val string")
+        df = spark.createDataFrame(rows, "k string, seq long, val string, del boolean")
         apply_incremental_upsert_batch(
-            df, batch_id, store, key_cols=["k"], seq_cols=["seq", "val"], n_buckets=4
+            df, batch_id, store, key_cols=["k"], seq_cols=["seq", "val"],
+            n_buckets=4, delete_col="del",
         )
 
     def check():
         if batch_id < 0:
             return
         got = {
-            (r["k"], r["seq"], r["val"])
+            tuple(r)
             for r in read_incremental_upsert(spark, store)
-            .select("k", "seq", "val")
+            .select("k", "seq", "val", "del")
             .collect()
         }
         want = set(best.values())
-        assert got == want, f"upsert diverged: {got} != {want}"
+        assert got == want, f"upsert raw state diverged: {got} != {want}"
+        got_live = {
+            tuple(r)
+            for r in read_incremental_upsert(spark, store, delete_col="del")
+            .select("k", "seq", "val", "del")
+            .collect()
+        }
+        want_live = {v for v in best.values() if not v[3]}
+        assert got_live == want_live, f"live view diverged: {got_live} != {want_live}"
 
     for op, arg in ops:
         if op == "fold":
             batch_id += 1
             last_rows = arg
             apply(arg)
-            for k, seq, val in arg:
+            for k, seq, val, dl in arg:
                 # deterministic winner: max (seq, val), mirroring seq_cols
                 if k not in best or (seq, val) > (best[k][1], best[k][2]):
-                    best[k] = (k, seq, val)
+                    best[k] = (k, seq, val, dl)
         elif op == "retry" and last_rows is not None:
             apply(last_rows)  # model unchanged
         elif op == "vacuum" and batch_id >= 0:
