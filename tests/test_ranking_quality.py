@@ -413,3 +413,34 @@ def test_expire_tombstones_drops_emptied_buckets(spark, tmp_path):
     assert set(after.cur_map) <= set(before.cur_map)
     got = {r["k"] for r in read_incremental_upsert(spark, store).collect()}
     assert got == {0}
+
+
+def test_expire_then_vacuum_never_strands_pre_expire_reader(spark, tmp_path):
+    """Expire is a manifest flip like any fold: a reader that resolved the
+    PRE-expire manifest must still collect its consistent old view (raw,
+    tombstones included) after expire + vacuum run -- expire writes a new
+    version and flips, vacuum retains current + parent, and the pre-expire
+    current IS the new parent."""
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        apply_incremental_upsert_batch,
+        expire_upsert_tombstones,
+        read_incremental_upsert,
+        vacuum_incremental_kv,
+    )
+
+    store = f"{tmp_path}/store"
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k long, seq long, del boolean"
+    )
+    apply_incremental_upsert_batch(
+        mk([(1, 5, True), (2, 1, False), (3, 2, False)]), 0, store,
+        key_cols=["k"], seq_cols=["seq"], n_buckets=4, delete_col="del",
+    )
+    reader = read_incremental_upsert(spark, store)  # pre-expire manifest
+    assert expire_upsert_tombstones(
+        spark, store, key_cols=["k"], delete_col="del", n_buckets=4
+    ) == 1
+    vacuum_incremental_kv(spark, store)
+    got = {r["k"] for r in reader.collect()}
+    assert got == {1, 2, 3}  # the old raw view, tombstone included
+    assert {r["k"] for r in read_incremental_upsert(spark, store).collect()} == {2, 3}
