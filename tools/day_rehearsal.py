@@ -133,6 +133,10 @@ def fold_stores(spark, data_dir: str, stores: str, hour: str, hidx: int) -> None
         F.to_timestamp("timestamp").alias("ts"),
         "page",
         F.lit(hidx).cast("long").alias("seq"),
+        # heartbeat = the client went quiet this hour: CDC DELETE of its
+        # last-page row (the tombstone half of the upsert store rides the
+        # same day loop as updates)
+        (F.col("eventType") == "heartbeat").alias("is_del"),
     )
     apply_incremental_agg_batch(
         ev.select("clientId"), hidx, f"{stores}/agg", key_cols=["clientId"],
@@ -144,14 +148,24 @@ def fold_stores(spark, data_dir: str, stores: str, hour: str, hidx: int) -> None
         gap_s=7200, cap_s=6 * 3600, n_buckets=32,
     )
     apply_incremental_upsert_batch(
-        ev.select("clientId", "seq", "page"), hidx, f"{stores}/cdc",
+        ev.select("clientId", "seq", "page", "is_del"), hidx, f"{stores}/cdc",
         key_cols=["clientId"], seq_cols=["seq"], n_buckets=32,
+        delete_col="is_del",
     )
 
 
 def vacuum_stores(spark, stores: str) -> dict[str, int]:
     from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        expire_upsert_tombstones,
+    )
 
+    # delete-retention compaction first (no batch older than the expired
+    # tombstones can arrive: folds are hour-ordered), then retention
+    expire_upsert_tombstones(
+        spark, f"{stores}/cdc", key_cols=["clientId"], delete_col="is_del",
+        n_buckets=32,
+    )
     return {
         name: len(ManifestStore(spark, f"{stores}/{name}", n_extras=nx).vacuum())
         for name, nx in (("agg", 0), ("sessions", 2), ("cdc", 2))
@@ -205,7 +219,9 @@ def content_digest(spark, out_dir: str, stores: str, hours: list[str]) -> str:
     for df in (
         read_incremental_agg(spark, f"{stores}/agg").select("clientId", "n"),
         read_incremental_sessions(spark, f"{stores}/sessions", f"{stores}/sessions_out"),
-        read_incremental_upsert(spark, f"{stores}/cdc").select("clientId", "seq", "page"),
+        read_incremental_upsert(spark, f"{stores}/cdc", delete_col="is_del").select(
+            "clientId", "seq", "page"
+        ),
     ):
         for r in sorted(str(tuple(x)) for x in df.collect()):
             h.update(r.encode())
