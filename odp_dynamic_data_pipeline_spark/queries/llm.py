@@ -1714,6 +1714,56 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(docs.select("doc_id"), edges, id_col="doc_id")
 
 
+@register("incremental_clusters_stream", DEDUP_CLUSTERS_ORACLE)
+def incremental_clusters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components == one-shot batch CC,
+    driver-verified against the SAME recursive-CTE oracle as
+    dedup_clusters: the exact-Jaccard near-dup edges stream in two
+    arbitrary drops (CC is commutative -- any split replays identically)
+    through streaming.run_incremental_cc's lazy-union protocol: the
+    label store only inserts new nodes, component merges append to a
+    tiny remap chain instead of rewriting member rows, and the read
+    resolves labels through the driver-closed chain.  This keeps
+    cluster-keeper decisions CURRENT per arriving corpus drop -- the
+    maintained-view face of the dedup-graph family, per-batch cost
+    batch-driven (touched buckets + a contracted merge graph with one
+    node per touched component)."""
+    from odp_dynamic_data_pipeline_spark.queries.core import (
+        _stream_shuffle,
+        _stream_tmpdir,
+    )
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        read_incremental_cc,
+        run_incremental_cc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = _jaccard_edges(docs).select("id_a", "id_b")
+    tmp = _stream_tmpdir("inc_clusters_stream")
+    src = f"{tmp}/in"
+    # one pass writes both drops (partitionBy on the split key; coalesce(1)
+    # leaves exactly one file per drop for maxFilesPerTrigger=1)
+    (
+        edges.withColumn("drop", F.pmod(F.xxhash64("id_a"), F.lit(2)))
+        .coalesce(1)
+        .write.partitionBy("drop")
+        .mode("overwrite")
+        .parquet(src)
+    )
+    stream = (
+        spark.readStream.schema(edges.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/drop=*")
+    )
+    with _stream_shuffle(spark):
+        run_incremental_cc(
+            stream, f"{tmp}/store", checkpoint=f"{tmp}/ckpt", n_buckets=32
+        )
+    return read_incremental_cc(
+        spark, f"{tmp}/store", universe=docs.select("doc_id"), id_col="doc_id"
+    ).select("doc_id", "component")
+
+
 def _jaccard_edges(docs: DataFrame) -> DataFrame:
     """Exact 3-gram Jaccard >= 0.3 near-dup edges -- the shared input of
     both connected-components queries (dedup_clusters and its

@@ -2056,6 +2056,355 @@ def expire_upsert_tombstones(
     return int(n_expired)
 
 
+def _cc_close_chain(m: dict) -> dict:
+    """Path-compress a remap dict old->new into old->FINAL (every value a
+    terminal component).  Keys are unique forever: a comp that merged
+    away is never a current label again, because folds resolve labels
+    through the chain before contracting."""
+    closed: dict = {}
+
+    def resolve(x):
+        seen = []
+        while x in m and x not in closed:
+            seen.append(x)
+            x = m[x]
+        final = closed.get(x, x)
+        for s in seen:
+            closed[s] = final
+        return final
+
+    return {k: resolve(k) for k in m}
+
+
+def apply_incremental_cc_batch(
+    edges_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    n_buckets: int = 64,
+) -> None:
+    """One micro-batch of INCREMENTAL CONNECTED COMPONENTS: maintain the
+    (node -> component) labeling of the dedup graph under edge arrivals
+    -- the streaming face of dedup_clusters, so cluster-keeper decisions
+    stay current per drop instead of recomputing CC corpus-wide.
+
+    Lazy-union design (the weighted-union-find idea expressed in Spark's
+    batch model): the label store only ever INSERTS new nodes (labeled
+    with their component's canonical min id AT INSERT TIME, bucketed by
+    node hash via the shared ManifestStore); when a batch's edges merge
+    EXISTING components, the fold records (old_comp -> final_comp) in a
+    REMAP CHAIN that rides the manifest's extras line instead of
+    rewriting every member row (members live in arbitrary buckets --
+    rewriting them would make the batch cost component-size-driven).
+    The chain is bounded metadata (one entry per merge EVENT ever, the
+    driver-constant class of k-means centroids; compact_incremental_cc
+    folds it into the labels and resets it), and riding the manifest
+    makes it exactly as atomic and retry-safe as the version pointer: a
+    post-flip retry reads the PARENT chain via base_for_batch like
+    every other store family.  Readers resolve labels through the
+    driver-closed chain with one broadcast join; per-batch work is
+    strictly batch-driven: touched buckets hold only the batch's
+    endpoint nodes, and the contracted merge graph has one node per
+    touched component, not per document.
+
+    Canonical labels are min node ids at every step (component of the
+    contracted graph = min of participating labels), so the resolved
+    labeling is value-identical to a one-shot min-label CC over the
+    union of all edges ever folded -- edge arrival order never matters
+    (CC is commutative), which is what makes the stream==batch oracle
+    possible."""
+    from pyspark.sql import functions as SF
+
+    from odp_dynamic_data_pipeline_spark.operators.dedup import connected_components
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+
+    spark = edges_df.sparkSession
+    if edges_df.isEmpty():
+        return
+    e = edges_df.select(SF.col(src_col).alias("src"), SF.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(SF.col("src").alias("node"))
+        .unionByName(e.select(SF.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    labels = ManifestStore(spark, f"{store_path}/labels", n_extras=2)
+    base = labels.base_for_batch(batch_id)
+    chain = dict(base.extras[0]) if base.extras and base.extras[0] else {}
+    bexpr = SF.pmod(SF.xxhash64("node"), SF.lit(n_buckets)).cast("int")
+    nb = nodes.withColumn("bucket", bexpr)
+    touched = sorted(r["bucket"] for r in nb.select("bucket").distinct().collect())
+    prev = labels.read_buckets(base.bucket_map, touched)
+
+    from pyspark.sql.types import StructField, StructType
+
+    ctype = e.schema["src"].dataType
+    if prev is not None:
+        if chain:
+            cmap = spark.createDataFrame(
+                [(k, v) for k, v in chain.items()],
+                StructType(
+                    [StructField("old_comp", ctype), StructField("new_comp", ctype)]
+                ),
+            )
+            prev = (
+                prev.join(
+                    SF.broadcast(cmap), prev["comp"] == cmap["old_comp"], "left"
+                )
+                .select("node", SF.coalesce("new_comp", "comp").alias("comp"))
+            )
+        prev = prev.persist()
+        # `known` tags comps of previously-stored nodes; it rides the
+        # contracted edges so the chain filter below needs NO extra job
+        lab = nodes.join(prev, "node", "left").select(
+            "node",
+            SF.coalesce("comp", SF.col("node")).alias("comp"),
+            SF.col("comp").isNotNull().alias("known"),
+        )
+    else:
+        lab = nodes.select(
+            "node", SF.col("node").alias("comp"), SF.lit(False).alias("known")
+        )
+    lab = lab.persist()
+
+    # contract batch edges onto CURRENT component labels, then resolve the
+    # merge graph with ONE driver union-find: the contracted graph is
+    # batch-driven (one node per touched component or new node), the same
+    # bounded class as the chain itself.  A batch too large to collect
+    # falls back to the distributed CC fixpoint -- identical labels (both
+    # canonicalize to the component minimum); its merge ROWS (existing
+    # comps that fused) are still chain-sized and collect fine.
+    la = lab.select(
+        SF.col("node").alias("src"), SF.col("comp").alias("ca"), SF.col("known").alias("ka")
+    )
+    lb = lab.select(
+        SF.col("node").alias("dst"), SF.col("comp").alias("cb"), SF.col("known").alias("kb")
+    )
+    ce = (
+        e.join(la, "src")
+        .join(lb, "dst")
+        .where(SF.col("ca") != SF.col("cb"))
+        .select(SF.col("ca").alias("id_a"), SF.col("cb").alias("id_b"), "ka", "kb")
+        .distinct()
+        .persist()
+    )
+    CC_DRIVER_MAX = 200_000
+    ce_rows = ce.limit(CC_DRIVER_MAX + 1).collect()
+    # which CURRENT comps belong to previously-stored nodes: only THEIR
+    # merges enter the chain (a new-node self-comp never re-appears as a
+    # label -- its rows carry the final comp directly, and chaining it
+    # would grow the chain with every arriving duplicate node)
+    exist_comps = {r["id_a"] for r in ce_rows if r["ka"]} | {
+        r["id_b"] for r in ce_rows if r["kb"]
+    }
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    if len(ce_rows) <= CC_DRIVER_MAX:
+        for row in ce_rows:
+            ra, rb = find(row["id_a"]), find(row["id_b"])
+            if ra == rb:
+                continue
+            # attach the larger root under the smaller: roots are always
+            # component MINIMA, matching min-label CC canonicalization
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+        scomp_pairs = [(x, find(x)) for x in list(parent)]
+    else:
+        cnodes = (
+            ce.select(SF.col("id_a").alias("cid"))
+            .unionByName(ce.select(SF.col("id_b").alias("cid")))
+            .distinct()
+        )
+        scomp_pairs = [
+            (r["cid"], r["component"])
+            for r in connected_components(cnodes, ce, id_col="cid")
+            .where(SF.col("cid") != SF.col("component"))
+            .collect()
+        ]
+        # the LIMIT sample above cannot be trusted for the chain filter on
+        # this path: recompute the existing-comp set distributedly (still
+        # merge-event-bounded)
+        exist_comps = {
+            r["c"]
+            for r in ce.selectExpr("id_a AS c", "ka AS k")
+            .unionByName(ce.selectExpr("id_b AS c", "kb AS k"))
+            .where("k")
+            .select("c")
+            .distinct()
+            .collect()
+        }
+    scomp = spark.createDataFrame(
+        scomp_pairs, StructType([StructField("comp", ctype), StructField("final_comp", ctype)])
+    )
+
+    # the new-node rows carry their FINAL comp directly
+    if prev is not None:
+        new_nodes = lab.join(prev.select("node"), "node", "left_anti")
+    else:
+        new_nodes = lab
+    inserted = (
+        new_nodes.join(SF.broadcast(scomp), "comp", "left")
+        .select("node", SF.coalesce("final_comp", "comp").alias("comp"))
+        .withColumn("bucket", bexpr)
+    )
+    if prev is not None:
+        new_state = (
+            # existing touched-bucket rows, refreshed to final comps
+            # (free -- the bucket is being rewritten anyway)
+            prev.join(SF.broadcast(scomp), "comp", "left")
+            .select("node", SF.coalesce("final_comp", "comp").alias("comp"))
+            .withColumn("bucket", bexpr)
+            .unionByName(inserted)
+        )
+    else:
+        new_state = inserted
+
+    # fold the batch's merges into the chain and re-close it: an old
+    # entry's VALUE may itself have merged this batch (5->1 then 1->0);
+    # only EXISTING comps enter (new-node self-comps carry final labels
+    # in their rows), keeping the chain merge-event-sized
+    new_chain = dict(chain)
+    for old, new in scomp_pairs:
+        if old != new and old in exist_comps:
+            new_chain[old] = new
+    new_chain = _cc_close_chain(new_chain)
+    labels.commit_buckets(
+        batch_id,
+        new_state,
+        touched,
+        base,
+        extras=[sorted(new_chain.items()), sorted(chain.items()) or None],
+    )
+    ce.unpersist()
+    lab.unpersist()
+    if prev is not None:
+        prev.unpersist()
+    nodes.unpersist()
+
+
+def run_incremental_cc(
+    stream: DataFrame,
+    store_path: str,
+    *,
+    checkpoint: str,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    n_buckets: int = 64,
+):
+    """Streaming incremental connected components over an edge stream:
+    foreachBatch drives apply_incremental_cc_batch.  Edge order and batch
+    boundaries never matter (CC is commutative), so arbitrary splits
+    replay to the one-shot batch labeling."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_incremental_cc_batch(
+            batch_df, batch_id, store_path,
+            src_col=src_col, dst_col=dst_col, n_buckets=n_buckets,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_incremental_cc(spark, store_path: str, universe: DataFrame | None = None, id_col: str = "doc_id") -> DataFrame:
+    """Current labeling: label-store rows resolved through the manifest's
+    remap chain (already closed; one broadcast join).  With ``universe``,
+    nodes never seen in any edge come back as their own singleton
+    component -- the isolated-node semantics of operators.dedup.
+    connected_components."""
+    from pyspark.sql import functions as SF
+
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+
+    store = ManifestStore(spark, f"{store_path}/labels", n_extras=2)
+    m = store.read_manifest()
+    if m is None:
+        raise ValueError(f"no incremental-cc store at {store_path}")
+    labels = store.read_current()
+    chain = dict(m.extras[0]) if m.extras and m.extras[0] else {}
+    if chain:
+        ctype = labels.schema["comp"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        cmap = spark.createDataFrame(
+            [(k, v) for k, v in chain.items()],
+            StructType([StructField("old_comp", ctype), StructField("new_comp", ctype)]),
+        )
+        labels = labels.join(
+            SF.broadcast(cmap), labels["comp"] == cmap["old_comp"], "left"
+        ).select("node", SF.coalesce("new_comp", "comp").alias("comp"))
+    out = labels.select(SF.col("node").alias(id_col), SF.col("comp").alias("component"))
+    if universe is not None:
+        isolated = universe.select(id_col).join(out.select(id_col), id_col, "left_anti")
+        out = out.unionByName(
+            isolated.select(SF.col(id_col), SF.col(id_col).alias("component"))
+        )
+    return out
+
+
+def compact_incremental_cc(spark, store_path: str, *, n_buckets: int = 64) -> int:
+    """Apply the manifest's remap chain to the label store (full rewrite)
+    and reset the chain -- the periodic compaction that bounds the
+    chain's size, run BETWEEN streaming lifecycles like every other
+    maintenance op here.  Returns the number of chain entries folded."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql.types import StructField, StructType
+
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+
+    store = ManifestStore(spark, f"{store_path}/labels", n_extras=2)
+    m = store.read_manifest()
+    if m is None:
+        return 0
+    chain = dict(m.extras[0]) if m.extras and m.extras[0] else {}
+    if not chain:
+        return 0
+    state = store.read_current()
+    ctype = state.schema["comp"].dataType
+    cmap = spark.createDataFrame(
+        [(k, v) for k, v in chain.items()],
+        StructType([StructField("old_comp", ctype), StructField("new_comp", ctype)]),
+    )
+    bexpr = SF.pmod(SF.xxhash64("node"), SF.lit(n_buckets)).cast("int")
+    resolved = (
+        state.join(SF.broadcast(cmap), state["comp"] == cmap["old_comp"], "left")
+        .select("node", SF.coalesce("new_comp", "comp").alias("comp"))
+        .withColumn("bucket", bexpr)
+        .persist()
+    )
+    touched = sorted(r["bucket"] for r in resolved.select("bucket").distinct().collect())
+    cur_num = int(m.current.split("_")[0][1:])
+    target = store.fresh_version(cur_num)
+    (
+        resolved.repartition(max(1, len(touched)), SF.col("bucket"))
+        .write.partitionBy("bucket")
+        .parquet(f"{store_path}/labels/{target}")
+    )
+    resolved.unpersist()
+    new_map = {str(k): target for k in touched}
+    store.write_manifest(target, m.current, new_map, m.cur_map, [None, m.extras[0]])
+    return len(chain)
+
+
 def vacuum_incremental_kv(spark, store_path: str) -> list[str]:
     """Retention for the bucketed delta-merge stores written by
     run_incremental_sessions / run_incremental_upsert (the 6-line
