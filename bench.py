@@ -144,7 +144,11 @@ def main() -> None:
         "n_queries": len(timings),
     }
     line = json.dumps(result)
-    print(line)
+    # NOTE: the result JSON is printed as the VERY LAST line of this run
+    # (see end of main) -- the driver parses the tail of the console
+    # output, and anything printed after the map (r10 lesson: the drift
+    # gate's stderr) displaces it out of the tail-capture window, leaving
+    # BENCH_r{N}.json with parsed=null.
     # full artifact to a file as well: the driver records the console tail,
     # which truncates once the query map outgrows the tail window
     out_path = os.environ.get(
@@ -191,10 +195,13 @@ def main() -> None:
         # Drift gate on the map just written, BY CONTRACT (VERDICT r9
         # item 1: the r9 final map shipped with an unadjudicated warm
         # doubling because the gate only ran on earlier sibling maps).
-        # Output goes to stderr so the driver's stdout JSON line stays
-        # the machine-readable artifact; a surviving flag is loud but
-        # non-fatal -- the numbers are still real measurements, the flag
-        # is the adjudication TODO.
+        # Gate output goes to stderr AND a side file; crucially it is
+        # emitted BEFORE the final JSON print below, so the map is always
+        # the last console line (VERDICT r10 item 2: the gate's trailing
+        # stderr displaced the map from the driver's tail window and
+        # BENCH_r10.json recorded parsed=null).  A surviving flag is loud
+        # but non-fatal -- the numbers are still real measurements, the
+        # flag is the adjudication TODO.
         import subprocess
 
         try:
@@ -204,11 +211,23 @@ def main() -> None:
                 text=True,
                 timeout=120,
             )
-            for ln in (gate.stdout + gate.stderr).strip().splitlines():
+            gate_lines = (gate.stdout + gate.stderr).strip().splitlines()
+            for ln in gate_lines:
                 print(f"bench[drift-gate]: {ln}", file=sys.stderr)
+            try:
+                with open(os.path.join(here, "BENCH_DRIFT_GATE.txt"), "w") as f:
+                    f.write(f"map: {os.path.basename(stamped)}\n")
+                    f.write("\n".join(gate_lines) + "\n")
+            except OSError:
+                pass
         except Exception as e:  # noqa: BLE001 -- gate failure must not kill the bench
             print(f"bench: drift gate failed to run: {e!r}", file=sys.stderr)
     spark.stop()
+    # LAST line of the run, by contract: the driver's BENCH_r{N}.json
+    # parses the console tail for this JSON map.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

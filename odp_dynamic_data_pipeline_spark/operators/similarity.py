@@ -268,7 +268,11 @@ def semantic_dedup(
     equi-join on the cluster id, never all-pairs -- at 100 TB the same
     shape runs with k ~ sqrt(N) clusters so the expected per-cluster pair
     count stays bounded, and the join shuffles only (id, cluster, qvec)
-    rows.  Cosine is computed on exact integer micro-unit vectors (one
+    rows.  PASS k ACCORDINGLY: a fixed small k makes within-cluster pairs
+    grow quadratically with the corpus (rehearsal exponent 1.03 for the
+    fixed-k=8 query vs 0.67 for k=floor(sqrt(N)), SCALE_REHEARSAL.json) --
+    the production caller is queries/llm.py::semantic_dedup_scaled, which
+    derives k from one bounded count() scalar.  Cosine is computed on exact integer micro-unit vectors (one
     zip_with/aggregate fold per surviving pair, JVM-side), so the whole
     pipeline -- training included -- replays bit-identically in the DuckDB
     oracle.

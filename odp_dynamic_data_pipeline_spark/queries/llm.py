@@ -804,7 +804,14 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-id cluster-mate reaches 0.2 as a semantic duplicate.  The whole
     chain -- Lloyd training, assignment, pairwise cosine, keep-first policy
     -- is deterministic integer math, so the DuckDB oracle replays it
-    value-for-value."""
+    value-for-value.
+
+    TEACHING VARIANT: k is FIXED at 8, so within-cluster candidate pairs
+    grow ~quadratically with the corpus (measured rehearsal exponent 1.03
+    at 30x, SCALE_REHEARSAL.json).  The PRODUCTION path is
+    :func:`semantic_dedup_scaled` (k = floor(sqrt(N)), exponent 0.67) --
+    fixed-k exists to pin the algebra against a small, human-checkable
+    oracle, not to run at scale."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.semantic_dedup(emb, k=8, iters=3, threshold=0.2)
 

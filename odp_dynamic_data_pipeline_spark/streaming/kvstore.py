@@ -57,6 +57,7 @@ same rule Delta's VACUUM retention window encodes).
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -68,6 +69,110 @@ def _fs(spark, path: str):
     return jvm, conf, jvm.org.apache.hadoop.fs.FileSystem.get(
         jvm.java.net.URI.create(path), conf
     )
+
+
+def read_sidecar(spark, path: str) -> str | None:
+    """Read a small sidecar file (CONFIG/FAMILY marker) as text, or None."""
+    jvm, conf, fs = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    stream_ = fs.open(p)
+    try:
+        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream_))
+        lines = []
+        while True:
+            ln = reader.readLine()
+            if ln is None:
+                break
+            lines.append(ln)
+    finally:
+        stream_.close()
+    return "\n".join(lines)
+
+
+def write_sidecar(spark, path: str, body: str) -> None:
+    """Write a small sidecar file via tmp + overwrite-rename (same atomic
+    flip as the manifest, so a reader never sees a partial file)."""
+    jvm, conf, fs = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(body.encode()))
+    finally:
+        out.close()
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        jvm.java.net.URI.create(path), conf
+    )
+    gw = spark.sparkContext._gateway
+    opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, dst, opts)
+
+
+def ensure_store_config(spark, store_path: str, config: dict) -> dict:
+    """Pin a store's layout-determining knobs (key columns, n_buckets,
+    hasher family, gap/cap, ...) in ``{store}/CONFIG`` at first fold and
+    FAIL LOUDLY on any later mismatch.
+
+    Why: these knobs are caller parameters on every fold, but the store
+    layout they determine is fixed at creation -- folding an existing
+    store with a different n_buckets or key set silently rehashes keys
+    into different buckets, making stored rows invisible to future
+    touched-bucket folds (duplicate keys on read, deleted keys
+    resurrecting, missed near-dup candidates) with no error anywhere.
+    The advisor flagged exactly this for expire_upsert_tombstones and
+    run_incremental_neardup's hasher; the guard is shared by all store
+    families.
+
+    Returns the pinned config.  Missing CONFIG on an existing store
+    (created before this guard) is adopted: the current call's values
+    are written and later calls validate against them."""
+    existing = read_store_config(spark, store_path)
+    if existing is None:
+        write_sidecar(spark, f"{store_path}/CONFIG", json.dumps(config, sort_keys=True))
+        return config
+    mismatched = {
+        k: (existing.get(k), v) for k, v in config.items() if existing.get(k) != v
+    }
+    if mismatched:
+        raise ValueError(
+            f"store at {store_path!r} was created with a different layout"
+            f" config; refusing to fold with mismatched knobs"
+            f" {{name: (stored, given)}} = {mismatched!r}."
+            " A mismatch would silently rehash keys into different"
+            " buckets / mix hash families across batch directories."
+        )
+    return existing
+
+
+def read_store_config(spark, store_path: str) -> dict | None:
+    """Read ``{store}/CONFIG`` (see ensure_store_config), or None."""
+    body = read_sidecar(spark, f"{store_path}/CONFIG")
+    return json.loads(body) if body else None
+
+
+def validate_store_config(spark, store_path: str, config: dict) -> dict | None:
+    """Read-only counterpart of ensure_store_config for maintenance ops
+    (tombstone expiry, chain compaction): validates the given knobs
+    against the pinned CONFIG if one exists, raises on mismatch, returns
+    the stored config (None when the store predates the guard -- the
+    caller's values are then trusted, matching pre-guard behavior)."""
+    existing = read_store_config(spark, store_path)
+    if existing is None:
+        return None
+    mismatched = {
+        k: (existing.get(k), v) for k, v in config.items() if existing.get(k) != v
+    }
+    if mismatched:
+        raise ValueError(
+            f"maintenance op on store {store_path!r} called with knobs that"
+            f" mismatch the pinned CONFIG {{name: (stored, given)}} ="
+            f" {mismatched!r}; proceeding would rehash keys into different"
+            " buckets and corrupt the store silently."
+        )
+    return existing
 
 
 @dataclass
@@ -181,6 +286,38 @@ class ManifestStore:
             cand = f"{me}_r{attempt}"
         return cand
 
+    @staticmethod
+    def version_batch_id(version: str) -> int:
+        """Batch id a version name belongs to: ``v{B}``, ``v{B}_r{k}``
+        (retry) and ``v{B}m{k}`` (maintenance) all parse to ``B``."""
+        m = re.match(r"^v(\d+)", version)
+        if not m:
+            raise ValueError(f"unparseable store version name {version!r}")
+        return int(m.group(1))
+
+    def fresh_maintenance_version(self, batch_id: int) -> str:
+        """Reserved version namespace ``v{B}m{k}`` for MAINTENANCE flips
+        (tombstone expiry, chain compaction) layered on top of batch B's
+        state.  The namespace matters: ``base_for_batch`` detects a
+        post-flip retry by matching the current version's batch prefix
+        (``v{B}`` / ``v{B}_r{k}``), and a maintenance flip that reused
+        that namespace would make a later replay of batch B rebuild from
+        the PRE-maintenance parent -- silently reverting the expiry or
+        compaction.  ``v{B}m{k}`` never matches the retry rule, so a
+        replayed batch B folds ON TOP of the maintenance state instead.
+
+        Contract: that replay-on-top is only correct for IDEMPOTENT fold
+        families (upsert max-by-seq, CC min-label merges -- re-folding
+        already-folded rows is a no-op).  A non-idempotent family (the
+        count/sum agg) must NOT adopt this maintenance pattern: replaying
+        a batch on top of state that already includes it double-counts."""
+        cand, attempt = f"v{batch_id}m1", 1
+        jvm, conf, fs = _fs(self.spark, self.path)
+        while fs.exists(jvm.org.apache.hadoop.fs.Path(f"{self.path}/{cand}")):
+            attempt += 1
+            cand = f"v{batch_id}m{attempt}"
+        return cand
+
     def base_for_batch(self, batch_id: int) -> BatchBase:
         """Resolve what this batch folds on top of, applying the retry
         rule: a manifest whose current version carries this batch_id
@@ -231,7 +368,24 @@ class ManifestStore:
             raise ValueError(f"no store at {self.path}")
         if m.cur_map is None:
             return self.spark.read.parquet(f"{self.path}/{m.current}")
-        return self.spark.read.parquet(*self.bucket_paths(m.cur_map))
+        paths = self.bucket_paths(m.cur_map)
+        if not paths:
+            # a non-None but EMPTY bucket map is a legitimate state:
+            # expire_upsert_tombstones drops a bucket from the map when
+            # expiry empties it, and a table whose every key was deleted
+            # and expired ends up here.  Zero-path read.parquet raises an
+            # opaque error; the store is simply EMPTY -- recover the
+            # schema from the parent map (retained by vacuum) when
+            # possible, else say clearly what happened.
+            ppaths = self.bucket_paths(m.par_map)
+            if ppaths:
+                return self.spark.read.parquet(*ppaths).limit(0)
+            raise ValueError(
+                f"store at {self.path} is empty (current bucket map has no"
+                " buckets -- e.g. tombstone expiry emptied the table) and"
+                " no parent version remains to recover the schema from"
+            )
+        return self.spark.read.parquet(*paths)
 
     # -- commit -----------------------------------------------------------
 

@@ -600,6 +600,15 @@ def apply_incremental_agg_batch(
         store.commit_flat(batch_id, part, base)
         return
     # bucketed delta-merge: fold ONLY the buckets this batch touches
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ensure_store_config
+
+    # pin the layout knobs at first bucketed fold; a later fold with a
+    # different n_buckets/key set would silently rehash keys into other
+    # buckets (rows invisible to touched-bucket folds) -- fail loudly
+    ensure_store_config(
+        spark, store_path,
+        {"family": "agg", "key_cols": list(key_cols), "n_buckets": n_buckets},
+    )
     bexpr = SF.pmod(SF.xxhash64(*key_cols), SF.lit(n_buckets)).cast("int")
     part = part.withColumn("bucket", bexpr).persist()
     if base.version is not None and base.bucket_map is None:
@@ -820,6 +829,26 @@ def run_incremental_neardup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # pin the hash family + signature shape (advisor r10): resuming an
+        # 'xx' store with hasher='md5' mixes BIGINT and md5-string bucket
+        # schemas across batch directories -- cross-batch candidate joins
+        # silently miss pairs or the multi-batch read fails opaquely.  The
+        # n/num_perm/bands knobs are pinned too: a mismatch puts old and
+        # new batches in incomparable signature spaces with no error.
+        from odp_dynamic_data_pipeline_spark.streaming.kvstore import (
+            ensure_store_config,
+        )
+
+        ensure_store_config(
+            spark, store_path,
+            {
+                "family": "neardup",
+                "hasher": hasher,
+                "n": n,
+                "num_perm": num_perm,
+                "bands": bands,
+            },
+        )
         if hasher == "md5":
             from odp_dynamic_data_pipeline_spark.operators.dedup import (
                 md5_hashed_shingles,
@@ -1637,9 +1666,26 @@ def apply_incremental_sessions_batch(
         return  # empty batch: state and output unchanged
     batch_min, batch_max = int(lim["mn"]), int(lim["mx"])
 
-    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import (
+        ManifestStore,
+        ensure_store_config,
+    )
 
     store = ManifestStore(spark, store_path, n_extras=2)
+    # pin layout + semantics knobs: an n_buckets/group_col mismatch
+    # rehashes state into invisible buckets; a gap/cap mismatch changes
+    # session boundaries mid-store.  Both corrupt silently -- fail loudly.
+    ensure_store_config(
+        spark, store_path,
+        {
+            "family": "sessions",
+            "group_col": group_col,
+            "ts_col": ts_col,
+            "gap_s": gap_s,
+            "cap_s": cap_s,
+            "n_buckets": n_buckets,
+        },
+    )
     # retry rule lives in base_for_batch: a post-flip retry rebuilds from
     # the recorded parent map/high-water mark, never from its own output
     base = store.base_for_batch(batch_id)
@@ -1919,9 +1965,27 @@ def apply_incremental_upsert_batch(
         .drop("__rn")
     )
 
-    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import (
+        ManifestStore,
+        ensure_store_config,
+    )
 
     store = ManifestStore(spark, store_path, n_extras=2)
+    # pin the layout knobs (advisor r10 medium finding): the manifest
+    # records neither key_cols nor n_buckets, so a later fold or a
+    # maintenance op called with different values would rehash keys into
+    # different buckets -- duplicate keys on read, deleted keys
+    # resurrecting, no error anywhere.  CONFIG makes the mismatch loud.
+    ensure_store_config(
+        spark, store_path,
+        {
+            "family": "upsert",
+            "key_cols": list(key_cols),
+            "seq_cols": list(seq_cols),
+            "n_buckets": n_buckets,
+            "delete_col": delete_col,
+        },
+    )
     base = store.base_for_batch(batch_id)
 
     bexpr = SF.pmod(SF.xxhash64(*key_cols), SF.lit(n_buckets)).cast("int")
@@ -2019,12 +2083,24 @@ def expire_upsert_tombstones(
     number of tombstones expired."""
     from pyspark.sql import functions as SF
 
-    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import (
+        ManifestStore,
+        validate_store_config,
+    )
 
     store = ManifestStore(spark, store_path, n_extras=2)
     m = store.read_manifest()
     if m is None:
         return 0
+    # advisor r10 medium finding: these knobs must equal the values the
+    # folds used -- a mismatch rehashes keys into different buckets and
+    # corrupts silently.  Validate against the CONFIG the folds pinned
+    # (pre-guard stores have no CONFIG; the caller's values are trusted,
+    # matching the old behavior).
+    validate_store_config(
+        spark, store_path,
+        {"key_cols": list(key_cols), "n_buckets": n_buckets, "delete_col": delete_col},
+    )
     bexpr = SF.pmod(SF.xxhash64(*key_cols), SF.lit(n_buckets)).cast("int")
     state = store.read_current().withColumn("bucket", bexpr)
     is_del = SF.coalesce(SF.col(delete_col), SF.lit(False))
@@ -2036,8 +2112,14 @@ def expire_upsert_tombstones(
         return 0
     keep = state.where(SF.col("bucket").isin(tomb_buckets)).where(~is_del).persist()
     survivor_buckets = {r["bucket"] for r in keep.select("bucket").distinct().collect()}
-    cur_num = int(m.current.split("_")[0][1:])
-    target = store.fresh_version(cur_num)
+    # maintenance flips get the reserved v{B}m{k} namespace (advisor r10):
+    # reusing v{B}_r{k} would make a later replay of batch B match
+    # base_for_batch's retry rule and rebuild from the PRE-expiry parent,
+    # silently resurrecting the tombstones.  With v{B}m{k} the replay
+    # folds on top of the expired state -- safe because upsert max-by-seq
+    # is idempotent (see fresh_maintenance_version's contract note).
+    cur_num = store.version_batch_id(m.current)
+    target = store.fresh_maintenance_version(cur_num)
     # an all-tombstone rewrite still writes the (empty) version directory
     # so the manifest's current pointer always names an existing path
     (
@@ -2118,11 +2200,20 @@ def apply_incremental_cc_batch(
     from pyspark.sql import functions as SF
 
     from odp_dynamic_data_pipeline_spark.operators.dedup import connected_components
-    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import (
+        ManifestStore,
+        ensure_store_config,
+    )
 
     spark = edges_df.sparkSession
     if edges_df.isEmpty():
         return
+    # pin n_buckets: a mismatched later fold would hash nodes into other
+    # buckets and miss their stored labels (advisor r10 guard, shared
+    # with the upsert/agg/sessions families)
+    ensure_store_config(
+        spark, f"{store_path}/labels", {"family": "cc", "n_buckets": n_buckets}
+    )
     e = edges_df.select(SF.col(src_col).alias("src"), SF.col(dst_col).alias("dst"))
     nodes = (
         e.select(SF.col("src").alias("node"))
@@ -2303,11 +2394,18 @@ def run_incremental_cc(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     n_buckets: int = 64,
+    auto_compact_chain: int | None = 10_000,
 ):
     """Streaming incremental connected components over an edge stream:
     foreachBatch drives apply_incremental_cc_batch.  Edge order and batch
     boundaries never matter (CC is commutative), so arbitrary splits
-    replay to the one-shot batch labeling."""
+    replay to the one-shot batch labeling.
+
+    ``auto_compact_chain``: after the AvailableNow drain terminates (a
+    natural between-lifecycles maintenance point -- no fold is in
+    flight), fold the remap chain into the labels if it exceeds this many
+    entries (None disables).  Keeps the manifest-resident chain bounded
+    without any operator having to remember compact_incremental_cc."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         apply_incremental_cc_batch(
@@ -2322,6 +2420,11 @@ def run_incremental_cc(
         .start()
     )
     q.awaitTermination()
+    if auto_compact_chain is not None:
+        maybe_compact_incremental_cc(
+            stream.sparkSession, store_path,
+            max_chain=auto_compact_chain, n_buckets=n_buckets,
+        )
     return q
 
 
@@ -2369,12 +2472,19 @@ def compact_incremental_cc(spark, store_path: str, *, n_buckets: int = 64) -> in
     from pyspark.sql import functions as SF
     from pyspark.sql.types import StructField, StructType
 
-    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import (
+        ManifestStore,
+        validate_store_config,
+    )
 
     store = ManifestStore(spark, f"{store_path}/labels", n_extras=2)
     m = store.read_manifest()
     if m is None:
         return 0
+    # same mismatch class as expire_upsert_tombstones: the rewrite below
+    # re-buckets every node by n_buckets, so a wrong value scatters the
+    # labels where future folds cannot find them
+    validate_store_config(spark, f"{store_path}/labels", {"n_buckets": n_buckets})
     chain = dict(m.extras[0]) if m.extras and m.extras[0] else {}
     if not chain:
         return 0
@@ -2392,8 +2502,13 @@ def compact_incremental_cc(spark, store_path: str, *, n_buckets: int = 64) -> in
         .persist()
     )
     touched = sorted(r["bucket"] for r in resolved.select("bucket").distinct().collect())
-    cur_num = int(m.current.split("_")[0][1:])
-    target = store.fresh_version(cur_num)
+    # reserved maintenance namespace (see expire_upsert_tombstones /
+    # kvstore.fresh_maintenance_version): a v{B}_r{k} name here would make
+    # a later replay of batch B rebuild from the pre-compaction parent,
+    # resurrecting the folded chain.  CC merges are idempotent, so the
+    # replay-on-top semantics of v{B}m{k} are correct.
+    cur_num = store.version_batch_id(m.current)
+    target = store.fresh_maintenance_version(cur_num)
     (
         resolved.repartition(max(1, len(touched)), SF.col("bucket"))
         .write.partitionBy("bucket")
@@ -2403,6 +2518,35 @@ def compact_incremental_cc(spark, store_path: str, *, n_buckets: int = 64) -> in
     new_map = {str(k): target for k in touched}
     store.write_manifest(target, m.current, new_map, m.cur_map, [None, m.extras[0]])
     return len(chain)
+
+
+def maybe_compact_incremental_cc(
+    spark, store_path: str, *, max_chain: int = 10_000, n_buckets: int = 64
+) -> int:
+    """Chain-length-triggered compaction: fold the remap chain into the
+    label store only once it exceeds ``max_chain`` entries, else no-op.
+    This is the AUTOMATIC maintenance policy (r10 verdict item 5): the
+    chain is bounded metadata (one entry per merge event ever) but grows
+    without bound across lifecycles unless compacted; wiring this at the
+    natural maintenance points (end of an AvailableNow drain, the hourly
+    rehearsal's maintenance step) bounds it at max_chain + one batch's
+    merges without paying the full label rewrite every batch.  Returns
+    the number of entries folded (0 = below threshold).
+
+    Default 10k: the chain rides the MANIFEST (parsed on every fold and
+    read) and is broadcast on every read -- at ~32 B/entry that is a
+    ~320 KB manifest line and a trivially broadcastable map, while a full
+    label rewrite is store-size-driven; compacting far below that wastes
+    rewrites, far above it bloats every manifest parse."""
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+
+    m = ManifestStore(spark, f"{store_path}/labels", n_extras=2).read_manifest()
+    if m is None:
+        return 0
+    chain = m.extras[0] if m.extras and m.extras[0] else []
+    if len(chain) <= max_chain:
+        return 0
+    return compact_incremental_cc(spark, store_path, n_buckets=n_buckets)
 
 
 def vacuum_incremental_kv(spark, store_path: str) -> list[str]:

@@ -46,8 +46,12 @@ from pyspark.sql import functions as F  # noqa: E402
 # embeddings (r6 bench ranking) -- the dedup graph family, LSH, IVF-PQ,
 # semantic dedup, exact-Jaccard join, and the streaming near-dup twin
 DEFAULT_QUERIES = [
-    "semantic_dedup_clusters",
-    "semantic_dedup_scaled",  # k ~ sqrt(N): the scale path (r10)
+    # semantic dedup: ONLY the scale path (k ~ sqrt(N), exponent 0.67) is
+    # in the default set as of r11 -- the fixed-k=8 teaching variant
+    # `semantic_dedup_clusters` is by-construction super-linear (exponent
+    # 1.03, 133.8 s at 30x; its docstring says so) and measuring it every
+    # round re-buys a known number; pass it explicitly to re-measure.
+    "semantic_dedup_scaled",
     "dedup_clusters",
     "dedup_clusters_star",
     "similarity_ivfpq_topk",
