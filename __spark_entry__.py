@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL per query (omitted for xxhash64-based
-    operators, which no other engine can replicate -> rows-only check)."""
+    """DuckDB-equivalent ANSI SQL per query.  Complete as of r11: the
+    xxhash64-based operators are replayed by generated DuckDB XXH64 SQL
+    (queries/xxh64_sql.py), so no registered query is rows-only."""
     return dict(ORACLE_SQL)

@@ -15,6 +15,7 @@ from odp_dynamic_data_pipeline_spark.operators import multimodal as mm
 from odp_dynamic_data_pipeline_spark.operators import similarity as sim
 from odp_dynamic_data_pipeline_spark.operators import text as tx
 from odp_dynamic_data_pipeline_spark.queries import register
+from odp_dynamic_data_pipeline_spark.queries import xxh64_sql as _xx
 from odp_dynamic_data_pipeline_spark.sources.catalog import load_table
 
 
@@ -681,20 +682,30 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- non-SQL-expressible (xxhash64-based): driver records rows-only checks ---
+# --- xxhash64 production paths: oracle-gated as of r11 via the generated
+# DuckDB XXH64 replay (queries/xxh64_sql.py) -- previously rows-only ---
 
 
-@register("dedup_minhash_lsh")
+@register("dedup_minhash_lsh", _xx.minhash_xx_pairs_sql(200_000))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with exact-Jaccard verification
-    (32 perms, 8 bands) -- the sub-quadratic scale path for text dedup."""
+    (32 perms, 8 bands) -- the sub-quadratic scale path for text dedup.
+    Oracle-gated since r11: the DuckDB oracle implements XXH64 itself as
+    generated SQL (xxh64_sql.py, verified Spark == Python-spec == DuckDB)
+    and replays the ENTIRE pipeline -- chained 3-token shingle hashing,
+    the 32 permutation remixes (literal seeds constant-folded), 8 band
+    buckets, the banded candidate join, and exact-Jaccard verification --
+    value-for-value, closing the last rows-only gap in the registry."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(docs, "doc_id", threshold_e6=200_000).orderBy("id_a", "id_b")
 
 
-@register("dedup_simhash")
+@register("dedup_simhash", _xx.simhash_xx_sql(63))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """63-bit SimHash per document (near-dup = small hamming distance)."""
+    """63-bit SimHash per document (near-dup = small hamming distance).
+    Oracle-gated since r11 via the generated DuckDB XXH64 replay (see
+    dedup_minhash_lsh): per-token xxhash64, 63 signed bit-sums, fingerprint
+    assembly -- bit-exact."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash(docs, "doc_id")
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from odp_dynamic_data_pipeline_spark.operators import dedup as dd
 from odp_dynamic_data_pipeline_spark.operators import similarity as sim
 from odp_dynamic_data_pipeline_spark.queries import register
+from odp_dynamic_data_pipeline_spark.queries import xxh64_sql as _xx
 from odp_dynamic_data_pipeline_spark.queries.llm import (
     MINHASH_MD5_ORACLE,
     _SIMHASH60_SIG_SQL,
@@ -2490,24 +2491,36 @@ def incremental_neardup_md5_stream(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("incremental_neardup_stream")  # xxhash64 family: rows-only by design
+_NEARDUP_XX_STREAM_ORACLE = f"""
+WITH pairs AS ({_xx.minhash_xx_pairs_sql(200_000)})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_stream,
+       CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       CAST(COUNT(*) AS BIGINT) AS n_jaccard_equal
+FROM pairs
+"""
+
+
+@register("incremental_neardup_stream", _NEARDUP_XX_STREAM_ORACLE)
 def incremental_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING near-duplicate detection (streaming.stream.
     run_incremental_neardup): MinHash+LSH as stateful ingest -- per
     micro-batch, bucket collisions against the accreted LSH store +
     batch-internal pairs, verified by exact Jaccard over stored shingle
-    hashes.  Like its batch twin dedup_minhash_lsh, the xxhash64 banding
-    is not replayable by another engine (rows-only driver check; the md5
-    twin dedup_minhash_md5 carries the hash gate for the banding
-    algebra).  The result here is therefore SELF-verifying data: the
-    one-row report compares the streaming pair set against the batch
-    minhash_lsh_pairs run on the same corpus -- n_stream, n_batch,
-    n_common, and n_jaccard_equal must all be equal (a single
-    AvailableNow batch sees no store history, so stream == batch exactly;
-    asserted as a hard equality in tests/test_incremental_dedup.py at
-    sf0.001).  Cross-batch store semantics (new-vs-historical pairs,
-    retry idempotence, store compaction) are pinned by the crafted-batch
-    tests in the same file."""
+    hashes.  The one-row report compares the streaming pair set against
+    the batch minhash_lsh_pairs run on the same corpus -- n_stream,
+    n_batch, n_common, and n_jaccard_equal must all be equal.
+
+    ORACLE-GATED since r11 (previously rows-only): the DuckDB oracle
+    replays the full xxhash64 MinHash+LSH pipeline itself (generated
+    XXH64 SQL, queries/xxh64_sql.py) and emits its true pair count N
+    four times -- so the driver's hash gate now binds all four counts to
+    the INDEPENDENT ground truth, not merely to each other: stream set ==
+    batch set == DuckDB's replay, with per-pair jaccard values gated by
+    the dedup_minhash_lsh oracle.  Cross-batch store semantics
+    (new-vs-historical pairs, retry idempotence, store compaction) are
+    pinned by the crafted-batch tests in
+    tests/test_incremental_dedup.py."""
     from odp_dynamic_data_pipeline_spark.queries.core import (
         _replay_stream,
         _stream_shuffle,

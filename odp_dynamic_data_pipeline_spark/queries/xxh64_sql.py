@@ -219,8 +219,17 @@ def HASH_INT(x: str, seed: str) -> str:
 
 def HASH_STR(s: str, seed: str) -> str:
     """XXH64 over the UTF-8 bytes of string expr ``s`` with seed expr
-    ``seed`` (both SQL text).  Returns a HUGEINT expr in [0, 2^64)."""
+    ``seed`` (both SQL text).  Returns a HUGEINT expr in [0, 2^64).
 
+    The seed is LET-bound FIRST: the body references it five times (four
+    stripe-accumulator inits + the short-string base), and when hashes
+    chain (``xxhash64(t1, t2, t3)`` feeds each hash as the next seed) an
+    unbound seed would re-evaluate the whole upstream hash per reference
+    -- a ~25x blowup measured at the 3-token shingle chain."""
+    return LET(seed, lambda sd: _hash_str_body(s, sd))
+
+
+def _hash_str_body(s: str, seed: str) -> str:
     def with_bytes(hx, n):
         bytes_ = (
             f"list_transform(range(0, {n}), __bi ->"
@@ -377,14 +386,152 @@ def xxhash64_str_chain(str_exprs: list[str], seed: int = 42) -> str:
     return U2S(h)
 
 
+def K1(x_signed: str) -> str:
+    """``rotl31(x*P2)*P1`` -- HASH_LONG's seed-INDEPENDENT first mix,
+    exposed so a fan-out of remixes of one value over many seeds (the 32
+    minhash permutations) computes it once per value instead of once per
+    (value, seed): ~40% of HASH_LONG's work hoisted out of the 32-way
+    expansion.  Input signed BIGINT SQL; output HUGEINT in [0, 2^64)."""
+    return MUL(ROTL(MUL(S2U(x_signed), str(P2)), 31), str(P1))
+
+
+def hash_long_from_k1(k1_expr: str, seed_u64: int) -> str:
+    """Finish ``xxhash64(<literal prefix>, x)`` given K1(x) and the
+    Python-folded literal-prefix seed.  Returns signed BIGINT SQL."""
+    h1 = XOR(f"{(seed_u64 + P5 + 8) % M64}::HUGEINT", k1_expr)
+    h2 = ADD(MUL(ROTL(h1, 27), str(P1)), str(P4))
+    return U2S(FMIX(h2))
+
+
 def xxhash64_longs_from_seed(long_exprs: list[str], seed_u64: int) -> str:
     """``xxhash64(<folded literal prefix>, x1, x2, ...)`` where the
     literal prefix (e.g. a permutation index or band id, an INT literal)
     is pre-folded in Python to ``seed_u64`` via py_hash_int/py_hash_long
     -- constant folding the oracle SQL, exactly what Catalyst does to
     the literal on the Spark side.  ``long_exprs`` are signed BIGINT
-    SQL exprs; returns signed BIGINT SQL."""
+    SQL exprs; returns signed BIGINT SQL.
+
+    DEPTH CAP: nesting more than ~2 hash steps in ONE expression exceeds
+    DuckDB 1.0's binder/lambda recursion limits (128 levels; also an
+    internal 'transient lambda reference' assertion) -- longer chains
+    must be staged across CTE/subquery columns, one step per stage, as
+    minhash_xx_pairs_sql's hc/bx CTEs do."""
     h = f"{seed_u64}::HUGEINT"
     for x in long_exprs:
         h = HASH_LONG(S2U(x), h)
     return U2S(h)
+
+
+def minhash_xx_pairs_sql(
+    threshold_e6: int, *, n: int = 3, num_perm: int = 32, bands: int = 8
+) -> str:
+    """DuckDB replay of the ENTIRE xxhash64 MinHash+LSH pipeline
+    (operators.dedup hashed_shingles_direct -> minhash_signatures ->
+    band buckets -> candidate join -> exact-Jaccard verify), returning
+    (id_a, id_b, inter, uni, jaccard_e6) -- value-identical to
+    minhash_lsh_pairs.  Shared by the dedup_minhash_lsh batch oracle and
+    the incremental_neardup_stream report oracle (the streaming pair set
+    equals the batch pair set for any batch split, so one replay serves
+    both)."""
+    rows_per_band = num_perm // bands
+    # the n-token chain is flattened across CTE stages (one HASH_STR per
+    # stage, the previous stage's hash column as seed): nesting the three
+    # hashes in ONE expression exceeds DuckDB's 128-level binder
+    # recursion cap -- each single HASH_STR stays well under it
+    chain_ctes = []
+    seed_expr = "42::HUGEINT"
+    for j in range(n):
+        prev = "sh" if j == 0 else f"hc{j - 1}"
+        keep = "doc_id, t, i," if j < n - 1 else "doc_id,"
+        expr = HASH_STR(f"t[i + {j}]", seed_expr)
+        if j == n - 1:
+            expr = U2S(expr)
+        chain_ctes.append(f"hc{j} AS (SELECT {keep} {expr} AS c{j} FROM {prev})")
+        seed_expr = f"c{j}"
+    chain_sql = ",\n".join(chain_ctes)
+    shingle_col = f"c{n - 1}"
+    # mh_k = min over shingle hashes h of xxhash64(k::INT, h): the k
+    # prefix folds to py_hash_int(k, 42) and h's seed-independent first
+    # mix (K1) is computed once per hash, not once per (hash, k)
+    mins = ",\n         ".join(
+        f"min({hash_long_from_k1('k1', py_hash_int(k, 42))}) AS m{k}"
+        for k in range(num_perm)
+    )
+    # band buckets: xxhash64(b, mh_{rb*b} .. mh_{rb*b+rb-1}) -- the
+    # rows_per_band-long chain is ALSO flattened across CTE stages (one
+    # HASH_LONG per stage), same binder-depth cap as the shingle chain
+    band_ctes = []
+    prev_cte = "sig"
+    for step in range(rows_per_band):
+        cols = []
+        for b in range(bands):
+            m = f"m{b * rows_per_band + step}"
+            if step == 0:
+                e = HASH_LONG(S2U(m), f"{py_hash_int(b, 42)}::HUGEINT")
+            else:
+                e = HASH_LONG(S2U(m), f"bb{b}_{step - 1}")
+            if step == rows_per_band - 1:
+                e = U2S(e)
+            cols.append(f"{e} AS bb{b}_{step}")
+        carry = (
+            "doc_id, " + ", ".join(f"m{i}" for i in range(num_perm))
+            if step < rows_per_band - 1
+            else "doc_id"
+        )
+        band_ctes.append(f"bx{step} AS (SELECT {carry}, {', '.join(cols)} FROM {prev_cte})")
+        prev_cte = f"bx{step}"
+    band_chain_sql = ",\n".join(band_ctes)
+    band_exprs = ", ".join(f"bb{b}_{rows_per_band - 1}" for b in range(bands))
+    band_idx = ", ".join(str(b) for b in range(bands))
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+sh AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS i
+       FROM toks WHERE len(t) >= {n}),
+{chain_sql},
+hd AS (SELECT DISTINCT doc_id, {shingle_col} AS h FROM hc{n - 1}),
+hk AS (SELECT doc_id, h, {K1("h")} AS k1 FROM hd),
+sig AS (SELECT doc_id,
+         {mins}
+  FROM hk GROUP BY doc_id),
+{band_chain_sql},
+bands AS (
+  SELECT doc_id, unnest([{band_exprs}]) AS bucket,
+         unnest([{band_idx}]) AS band
+  FROM {prev_cte}),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM hd GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM cand c JOIN hd a ON a.doc_id = c.id_a JOIN hd b ON b.doc_id = c.id_b AND b.h = a.h
+  GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b, inter, uni, jaccard_e6 FROM (
+  SELECT c.id_a, c.id_b, COALESCE(i.ni, 0) AS inter,
+         sa.sz + sb.sz - COALESCE(i.ni, 0) AS uni,
+         (1000000 * COALESCE(i.ni, 0)) // (sa.sz + sb.sz - COALESCE(i.ni, 0)) AS jaccard_e6
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+) WHERE jaccard_e6 >= {threshold_e6}"""
+
+
+def simhash_xx_sql(bits: int = 63) -> str:
+    """DuckDB replay of operators.dedup.simhash (xxhash64 token hashes,
+    ``bits``-bit fingerprint): bit b of Spark's SIGNED hash equals bit b
+    of the unsigned value for b < 63, so the bit test is a u64
+    divide-and-mod.  Returns (doc_id, simhash)."""
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents),
+h AS (SELECT doc_id, {HASH_STR("tok", "42::HUGEINT")} AS hu FROM toks),
+bits AS (
+  SELECT doc_id, b.b,
+         SUM(CASE WHEN (hu // ((1::UBIGINT << b.b)::HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(generate_series(0, {bits - 1})) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id"""

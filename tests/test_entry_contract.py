@@ -30,16 +30,12 @@ def test_queries_cover_registry_exactly_once():
     o = e.oracle_sql()
     assert set(o) == set(ORACLE_SQL)
     assert set(o) <= set(q)
-    # the deliberate rows-only set stays exactly the xxhash64 perf paths,
-    # EACH with a hash-gated md5 twin of the same algebra (dedup_minhash_md5,
-    # dedup_simhash_md5, incremental_neardup_md5_stream); similarity_lsh_topk
-    # left this set in r10 -- its hyperplane sign matrix is a plan literal,
-    # so the oracle replays it directly
-    assert set(q) - set(o) == {
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "incremental_neardup_stream",
-    }
+    # r11: the rows-only set is EMPTY -- the last three members (the
+    # xxhash64 perf paths dedup_minhash_lsh, dedup_simhash,
+    # incremental_neardup_stream) gained full DuckDB oracles via the
+    # generated XXH64 SQL replay (queries/xxh64_sql.py).  Every
+    # registered query now carries a hash-exact oracle.
+    assert set(q) - set(o) == set()
 
 
 def test_rotation_frontloads_uncovered_queries():
