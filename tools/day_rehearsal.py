@@ -354,7 +354,17 @@ def cc_matches_batch(spark, data_dir: str, stores: str, hours: list[str]) -> boo
         .unionByName(edges.select(F.col("id_b").alias("node")))
         .distinct()
     )
-    batch = connected_components(nodes, edges, id_col="node")
+    # the bridge design chains one merge per hour, so this graph is a
+    # PATH of diameter ~2*hours -- min-label propagation needs that many
+    # rounds (the operator's default 20-round budget fits dedup-style
+    # clique unions, not this worst-case chain; it converged for <=8h
+    # smokes and split components at 24h, which is exactly what its
+    # RuntimeWarning warns about).  strict=True: a non-converged run
+    # must fail the receipt loudly, not report a bogus mismatch.
+    batch = connected_components(
+        nodes, edges, id_col="node",
+        max_iterations=4 * len(hours) + 8, strict=True,
+    )
     inc = read_incremental_cc(spark, f"{stores}/cc", id_col="node")
     mismatches = (
         batch.join(inc.withColumnRenamed("component", "inc_comp"), "node", "full")
