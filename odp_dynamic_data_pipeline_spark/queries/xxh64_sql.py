@@ -437,26 +437,33 @@ def minhash_xx_pairs_sql(
     # the n-token chain is flattened across CTE stages (one HASH_STR per
     # stage, the previous stage's hash column as seed): nesting the three
     # hashes in ONE expression exceeds DuckDB's 128-level binder
-    # recursion cap -- each single HASH_STR stays well under it
+    # recursion cap -- each single HASH_STR stays well under it.  The
+    # chain runs over DISTINCT n-gram tuples (tri), not positions: the
+    # generated XXH64 is ~200us/eval, and a corpus has far fewer distinct
+    # shingles than shingle positions (sf0.1: 27k vs 260k -- a ~10x cut
+    # on the oracle's dominant stage; never worse, since distinct <= all)
+    wcols = ", ".join(f"w{j}" for j in range(n))
     chain_ctes = []
     seed_expr = "42::HUGEINT"
     for j in range(n):
-        prev = "sh" if j == 0 else f"hc{j - 1}"
-        keep = "doc_id, t, i," if j < n - 1 else "doc_id,"
-        expr = HASH_STR(f"t[i + {j}]", seed_expr)
+        prev = "tri" if j == 0 else f"hc{j - 1}"
+        expr = HASH_STR(f"w{j}", seed_expr)
         if j == n - 1:
             expr = U2S(expr)
-        chain_ctes.append(f"hc{j} AS (SELECT {keep} {expr} AS c{j} FROM {prev})")
+        chain_ctes.append(f"hc{j} AS (SELECT {wcols}, {expr} AS c{j} FROM {prev})")
         seed_expr = f"c{j}"
     chain_sql = ",\n".join(chain_ctes)
     shingle_col = f"c{n - 1}"
     # mh_k = min over shingle hashes h of xxhash64(k::INT, h): the k
-    # prefix folds to py_hash_int(k, 42) and h's seed-independent first
-    # mix (K1) is computed once per hash, not once per (hash, k)
-    mins = ",\n         ".join(
-        f"min({hash_long_from_k1('k1', py_hash_int(k, 42))}) AS m{k}"
+    # prefix folds to py_hash_int(k, 42), h's seed-independent first mix
+    # (K1) is computed once per hash, and the whole remix fan-out runs
+    # over DISTINCT hash values (hu/rem), joined back to (doc, h) rows
+    # for the per-doc minima -- the same distinct-vs-positions cut
+    remix = ",\n        ".join(
+        f"{hash_long_from_k1('k1', py_hash_int(k, 42))} AS r{k}"
         for k in range(num_perm)
     )
+    mins = ",\n         ".join(f"min(r{k}) AS m{k}" for k in range(num_perm))
     # band buckets: xxhash64(b, mh_{rb*b} .. mh_{rb*b+rb-1}) -- the
     # rows_per_band-long chain is ALSO flattened across CTE stages (one
     # HASH_LONG per stage), same binder-depth cap as the shingle chain
@@ -483,16 +490,24 @@ def minhash_xx_pairs_sql(
     band_chain_sql = ",\n".join(band_ctes)
     band_exprs = ", ".join(f"bb{b}_{rows_per_band - 1}" for b in range(bands))
     band_idx = ", ".join(str(b) for b in range(bands))
+    wsel = ", ".join(f"t[i + {j}] AS w{j}" for j in range(n))
     return f"""
 WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
-sh AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS i
-       FROM toks WHERE len(t) >= {n}),
+sh AS (SELECT doc_id, {wsel}
+       FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS i
+             FROM toks WHERE len(t) >= {n})),
+tri AS (SELECT DISTINCT {wcols} FROM sh),
 {chain_sql},
-hd AS (SELECT DISTINCT doc_id, {shingle_col} AS h FROM hc{n - 1}),
-hk AS (SELECT doc_id, h, {K1("h")} AS k1 FROM hd),
+hd AS (SELECT DISTINCT sh.doc_id, hc.{shingle_col} AS h
+       FROM sh JOIN hc{n - 1} hc USING ({wcols})),
+hu AS (SELECT DISTINCT h FROM hd),
+hk AS (SELECT h, {K1("h")} AS k1 FROM hu),
+rem AS (SELECT h,
+        {remix}
+  FROM hk),
 sig AS (SELECT doc_id,
          {mins}
-  FROM hk GROUP BY doc_id),
+  FROM hd JOIN rem USING (h) GROUP BY doc_id),
 {band_chain_sql},
 bands AS (
   SELECT doc_id, unnest([{band_exprs}]) AS bucket,
