@@ -3674,6 +3674,93 @@ def cdc_upsert_deletes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_upsert_expiry_replay_stream",
+    """
+SELECT user_id, ts_us, event_id, value_cents FROM (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id IS NOT NULL
+) WHERE rn = 1 AND event_type <> 'purchase'
+""",
+)
+def cdc_upsert_expiry_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert with tombstone expiry AND a post-maintenance REPLAY ==
+    batch latest-live-row-per-key, driver-verified: after the streaming
+    fold and the retention compaction (expire_upsert_tombstones, which
+    flips to a reserved ``v{B}m{k}`` maintenance version), the full
+    event set is RE-FOLDED under the same batch id B -- the post-flip
+    retry scenario the advisor's r10 finding targeted.  The maintenance
+    namespace makes base_for_batch resolve that replay to the EXPIRED
+    state (a ``v{B}_r{k}`` name would have matched the retry rule and
+    rebuilt from the pre-expiry parent, resurrecting every tombstone);
+    max-by-seq re-folding is idempotent, the re-inserted delete winners
+    are filtered at read, and a second expiry reclaims them again.  One
+    oracle hash-gates winner election, expiry, maintenance-replay, and
+    re-expiry idempotence together (r11)."""
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ManifestStore
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        apply_incremental_upsert_batch,
+        expire_upsert_tombstones,
+        read_incremental_upsert,
+        run_incremental_upsert,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.col("event_type") == "purchase").alias("__del"),
+            _cents("value").alias("value_cents"),
+        )
+        .repartition(4)
+    )
+    tmp = _stream_tmpdir("cdc_upsert_expiry_replay")
+    src = f"{tmp}/in"
+    ev.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    with _stream_shuffle(spark):
+        run_incremental_upsert(
+            stream,
+            f"{tmp}/store",
+            checkpoint=f"{tmp}/ckpt",
+            key_cols=["user_id"],
+            seq_cols=["ts", "event_id"],
+            n_buckets=32,
+            delete_col="__del",
+        )
+        expire_upsert_tombstones(
+            spark, f"{tmp}/store", key_cols=["user_id"], delete_col="__del", n_buckets=32
+        )
+        m = ManifestStore(spark, f"{tmp}/store", n_extras=2)
+        last_bid = m.version_batch_id(m.read_manifest().current)
+        # superset replay under the maintenance flip's own batch id: the
+        # most adversarial retry (every row already folded, every expired
+        # tombstone re-arriving)
+        apply_incremental_upsert_batch(
+            ev, last_bid, f"{tmp}/store",
+            key_cols=["user_id"], seq_cols=["ts", "event_id"], n_buckets=32,
+            delete_col="__del",
+        )
+        expire_upsert_tombstones(
+            spark, f"{tmp}/store", key_cols=["user_id"], delete_col="__del", n_buckets=32
+        )
+    return read_incremental_upsert(spark, f"{tmp}/store", delete_col="__del").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.col("value_cents").cast("long").alias("value_cents"),
+    )
+
+
+@register(
     "winsorized_value_stats",
     """
 WITH x AS (

@@ -1782,6 +1782,52 @@ def incremental_clusters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "component")
 
 
+@register("incremental_clusters_compacted_stream", DEDUP_CLUSTERS_ORACLE)
+def incremental_clusters_compacted_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC with the MAINTENANCE path exercised mid-stream ==
+    one-shot batch CC, driver-verified against the same recursive-CTE
+    oracle as dedup_clusters / incremental_clusters_stream: the same
+    near-dup edge drops fold batch-by-batch, but after EVERY fold the
+    chain auto-compaction trigger runs at threshold 0
+    (maybe_compact_incremental_cc -- any merge chain folds into the
+    labels immediately, the most adversarial compaction cadence), and the
+    final batch is REPLAYED after its compaction flip -- the post-flip
+    retry the reserved ``v{B}m{k}`` maintenance namespace exists for:
+    the replay must fold idempotently ON TOP of the compacted state,
+    never rebuild from the pre-compaction parent (which would resurrect
+    the folded chain).  One oracle hash-gates lazy-union folding, chain
+    compaction, and maintenance-replay semantics together (r11; advisor
+    r10 maintenance-namespace finding made driver-checkable)."""
+    from odp_dynamic_data_pipeline_spark.queries.core import (
+        _stream_shuffle,
+        _stream_tmpdir,
+    )
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        apply_incremental_cc_batch,
+        maybe_compact_incremental_cc,
+        read_incremental_cc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = _jaccard_edges(docs).select("id_a", "id_b")
+    tmp = _stream_tmpdir("inc_clusters_compact")
+    store = f"{tmp}/store"
+    drops = [
+        edges.where(F.pmod(F.xxhash64("id_a"), F.lit(2)) == d) for d in (0, 1)
+    ]
+    with _stream_shuffle(spark):
+        for bid, drop in enumerate(drops):
+            apply_incremental_cc_batch(drop, bid, store, n_buckets=32)
+            maybe_compact_incremental_cc(spark, store, max_chain=0, n_buckets=32)
+        # post-compaction replay of the final batch (same batch id):
+        # base_for_batch must resolve to the compacted state, and the
+        # re-fold is a no-op merge-wise (CC is idempotent)
+        apply_incremental_cc_batch(drops[-1], len(drops) - 1, store, n_buckets=32)
+    return read_incremental_cc(
+        spark, store, universe=docs.select("doc_id"), id_col="doc_id"
+    ).select("doc_id", "component")
+
+
 def _jaccard_edges(docs: DataFrame) -> DataFrame:
     """Exact 3-gram Jaccard >= 0.3 near-dup edges -- the shared input of
     both connected-components queries (dedup_clusters and its

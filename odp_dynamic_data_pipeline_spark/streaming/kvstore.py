@@ -113,7 +113,7 @@ def write_sidecar(spark, path: str, body: str) -> None:
 
 def ensure_store_config(spark, store_path: str, config: dict) -> dict:
     """Pin a store's layout-determining knobs (key columns, n_buckets,
-    hasher family, gap/cap, ...) in ``{store}/CONFIG`` at first fold and
+    hasher family, gap/cap, ...) in ``{store}/_CONFIG`` at first fold and
     FAIL LOUDLY on any later mismatch.
 
     Why: these knobs are caller parameters on every fold, but the store
@@ -128,10 +128,16 @@ def ensure_store_config(spark, store_path: str, config: dict) -> dict:
 
     Returns the pinned config.  Missing CONFIG on an existing store
     (created before this guard) is adopted: the current call's values
-    are written and later calls validate against them."""
+    are written and later calls validate against them.
+
+    The sidecar is named ``_CONFIG``: several batch-keyed stores (the
+    dedup fingerprint store) are read as WHOLE parquet directories, and
+    Hadoop's path filter hides underscore-prefixed files from such scans
+    (the _SUCCESS convention) -- a bare name would break the read with a
+    cannot-read-footer error."""
     existing = read_store_config(spark, store_path)
     if existing is None:
-        write_sidecar(spark, f"{store_path}/CONFIG", json.dumps(config, sort_keys=True))
+        write_sidecar(spark, f"{store_path}/_CONFIG", json.dumps(config, sort_keys=True))
         return config
     mismatched = {
         k: (existing.get(k), v) for k, v in config.items() if existing.get(k) != v
@@ -149,7 +155,7 @@ def ensure_store_config(spark, store_path: str, config: dict) -> dict:
 
 def read_store_config(spark, store_path: str) -> dict | None:
     """Read ``{store}/CONFIG`` (see ensure_store_config), or None."""
-    body = read_sidecar(spark, f"{store_path}/CONFIG")
+    body = read_sidecar(spark, f"{store_path}/_CONFIG")
     return json.loads(body) if body else None
 
 

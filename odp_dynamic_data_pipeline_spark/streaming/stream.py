@@ -508,6 +508,18 @@ def run_incremental_dedup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # pin the fingerprint source/layout (advisor r10 guard class): a
+        # resume with a different text_col produces incomparable
+        # fingerprints -- duplicates silently pass the anti-join
+        from odp_dynamic_data_pipeline_spark.streaming.kvstore import (
+            ensure_store_config,
+        )
+
+        ensure_store_config(
+            spark, store_path,
+            {"family": "dedup", "text_col": text_col, "fp_col": fp_col,
+             "order_col": order_col},
+        )
         fp = fingerprint(batch_df, text_col, out_col=fp_col)
         if order_col:
             from pyspark.sql import Window
@@ -521,7 +533,21 @@ def run_incremental_dedup(
         else:
             fp = fp.dropDuplicates([fp_col])
         fp = fp.persist()
-        if _path_exists(spark, store_path):
+        # probe for DATA partitions, not bare existence: the _CONFIG
+        # sidecar creates the store directory before the first batch
+        # writes any parquet, and reading a data-less directory fails
+        # schema inference
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create(store_path), conf
+        )
+        root = jvm.org.apache.hadoop.fs.Path(store_path)
+        has_data = fs.exists(root) and any(
+            s.getPath().getName().startswith("batch_id=")
+            for s in fs.listStatus(root)
+        )
+        if has_data:
             # exclude this batch's own partition: a retry must not see the
             # failed attempt's fingerprints and drop the whole batch.
             # Broadcast direction matters at scale: broadcast the BATCH's
@@ -1121,6 +1147,18 @@ def run_incremental_hamming(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # pin the band layout (the docstring's pre-r8 compatibility note,
+        # made structural): bits/max_dist determine band widths, and a
+        # mismatched resume silently misses cross-batch pairs
+        from odp_dynamic_data_pipeline_spark.streaming.kvstore import (
+            ensure_store_config,
+        )
+
+        ensure_store_config(
+            spark, store_path,
+            {"family": "hamming", "code_col": code_col, "bits": bits,
+             "max_dist": max_dist, "bands_layout": "balanced-r8"},
+        )
         bands = hamming_bands(
             batch_df.select(id_col, code_col),
             id_col=id_col,
@@ -1302,6 +1340,18 @@ def run_incremental_spans(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # pin the window-hash layout: a resume with different min_tokens
+        # (or text source) puts old and new batches in incomparable
+        # window-hash spaces -- cross-batch span counts silently wrong
+        from odp_dynamic_data_pipeline_spark.streaming.kvstore import (
+            ensure_store_config,
+        )
+
+        ensure_store_config(
+            spark, store_path,
+            {"family": "spans", "text_col": text_col,
+             "min_tokens": min_tokens, "min_count": min_count},
+        )
         win = token_windows(
             batch_df.select(id_col, text_col), text_col,
             min_tokens=min_tokens, id_col=id_col,
@@ -1420,6 +1470,17 @@ def run_incremental_ivf(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # pin the index layout: the centroid table is trained by the first
+        # batch, so a mismatched nlist/vec_col on resume would assign new
+        # vectors against a differently-shaped coarse quantizer
+        from odp_dynamic_data_pipeline_spark.streaming.kvstore import (
+            ensure_store_config,
+        )
+
+        ensure_store_config(
+            spark, store_path,
+            {"family": "ivf", "vec_col": vec_col, "nlist": nlist},
+        )
         q = (
             quantized(batch_df.select(id_col, vec_col), vec_col)
             .select(id_col, "qvec", "qnorm")
@@ -1562,6 +1623,16 @@ def run_incremental_kmv(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # pin the sketch shape: merging sketches built with a different k
+        # or source column yields silently wrong distinct estimates
+        from odp_dynamic_data_pipeline_spark.streaming.kvstore import (
+            ensure_store_config,
+        )
+
+        ensure_store_config(
+            spark, store_path,
+            {"family": "kmv", "col": col, "k": k, "group_cols": groups},
+        )
         batch_sk = kmv_sketch(batch_df, col, k=k, group_cols=groups).persist()
         rows = batch_sk.select(*groups, SF.explode("sketch").alias("h"))
         rows.write.mode("overwrite").parquet(f"{store_path}/mins/batch_id={batch_id}")

@@ -268,6 +268,64 @@ def test_cc_compaction_namespace_and_config_guard(spark, tmp_path):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1)}
 
 
+def _one_file_stream(spark, df, path):
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(df.schema).parquet(path)
+
+
+def test_batch_keyed_store_families_pin_layout_knobs(spark, tmp_path):
+    """The five batch-keyed stores (dedup fingerprints, hamming bands,
+    span window-hashes, IVF vectors+centroids, KMV sketches) pin their
+    layout knobs like the manifest families: a resume with a different
+    hash/band/sketch shape must refuse loudly instead of silently mixing
+    incomparable batch directories."""
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        run_incremental_dedup,
+        run_incremental_hamming,
+        run_incremental_ivf,
+        run_incremental_kmv,
+        run_incremental_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j", "alt text one"),
+         (2, "a b c d e f g h i j", "alt text two")],
+        "doc_id long, text string, text2 string",
+    )
+    codes = spark.createDataFrame([(1, 7), (2, 11)], "doc_id long, simhash60 long")
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    evs = spark.createDataFrame([("u1",), ("u2",)], "v string")
+
+    cases = [
+        ("dedup", run_incremental_dedup, docs,
+         {"text_col": "text"}, {"text_col": "text2"}),
+        ("hamming", run_incremental_hamming, codes,
+         {"bits": 60, "max_dist": 3}, {"bits": 60, "max_dist": 2}),
+        ("spans", run_incremental_spans, docs.drop("text2"),
+         {"min_tokens": 8}, {"min_tokens": 4}),
+        ("ivf", run_incremental_ivf, vecs,
+         {"nlist": 2}, {"nlist": 3}),
+        ("kmv", run_incremental_kmv, evs,
+         {"col": "v", "k": 8}, {"col": "v", "k": 4}),
+    ]
+    for name, runner, df, ok_kw, bad_kw in cases:
+        base = tmp_path / name
+        src = str(base / "in")
+        runner(
+            _one_file_stream(spark, df, src), str(base / "store"), str(base / "out"),
+            checkpoint=str(base / "ck1"), **ok_kw,
+        )
+        cfg = read_store_config(spark, str(base / "store"))
+        assert cfg and cfg["family"] == name, (name, cfg)
+        with pytest.raises(Exception, match="different layout"):
+            runner(
+                _one_file_stream(spark, df, src), str(base / "store"),
+                str(base / "out"), checkpoint=str(base / "ck2"), **bad_kw,
+            )
+
+
 def test_neardup_hasher_family_pinned(spark, tmp_path):
     from odp_dynamic_data_pipeline_spark.streaming.stream import (
         run_incremental_neardup,
