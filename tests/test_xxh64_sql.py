@@ -124,6 +124,36 @@ def test_spark_matches_python_reference(spark):
     assert row["g"] == xx.py_xxhash64([""])
 
 
+def test_spark_vs_duckdb_on_real_corpus_tokens(spark, duck):
+    """Engine-to-engine over a REAL data column (no literals): Spark's
+    xxhash64 per distinct token of the sf0.001 corpus equals the
+    generated DuckDB SQL over the same parquet -- the exact shape the
+    simhash/minhash oracles rely on, hash-set-compared end to end."""
+    duck.sql(
+        "CREATE OR REPLACE VIEW documents AS"
+        " SELECT * FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    du = {
+        (t, h)
+        for t, h in duck.sql(
+            "WITH toks AS (SELECT DISTINCT unnest(regexp_extract_all(text,"
+            " '\\S+')) AS tok FROM documents)"
+            f" SELECT tok, {xx.U2S(xx.HASH_STR('tok', '42::HUGEINT'))} FROM toks"
+        ).fetchall()
+    }
+    from odp_dynamic_data_pipeline_spark.sources.catalog import load_table
+
+    sp = {
+        (r["tok"], r["h"])
+        for r in load_table(spark, "/root/testdata/sf0.001", "documents")
+        .selectExpr(r"explode(regexp_extract_all(text, r'\S+', 0)) AS tok")
+        .distinct()
+        .selectExpr("tok", "xxhash64(tok) AS h")
+        .collect()
+    }
+    assert sp == du and len(sp) > 0
+
+
 def test_minhash_pairs_oracle_runs_and_simhash_matches_spark(spark, duck):
     """End-to-end on real sf0.001 documents: the generated simhash oracle
     equals the Spark query bit-for-bit, and the minhash pairs oracle
