@@ -153,6 +153,34 @@ def test_expire_uses_maintenance_namespace_and_replay_does_not_revert(spark, tmp
     assert n2 <= 1  # re-expiry after replay is clean and idempotent
 
 
+def test_expire_retry_after_partial_maintenance_write(spark, tmp_path):
+    """A maintenance op that crashed AFTER creating its v{B}m1 directory
+    but BEFORE the manifest flip must be re-runnable: the fresh version
+    election skips to v{B}m2 (never writes into the partial directory),
+    and the manifest still flips to a fully-written version."""
+    import os
+
+    store = str(tmp_path / "cdc")
+    apply_incremental_upsert_batch(
+        _upsert_batch(spark, [("a", 1, "x", False), ("b", 2, "y", True)]),
+        0, store, key_cols=["k"], seq_cols=["seq"], n_buckets=4,
+        delete_col="is_del",
+    )
+    # simulate the crashed first maintenance attempt: partial directory,
+    # no flip
+    os.makedirs(f"{store}/v0m1", exist_ok=True)
+    with open(f"{store}/v0m1/part-partial.parquet", "w") as f:
+        f.write("garbage, not parquet")
+    n = expire_upsert_tombstones(
+        spark, store, key_cols=["k"], delete_col="is_del", n_buckets=4
+    )
+    assert n == 1
+    m = ManifestStore(spark, store, n_extras=2).read_manifest()
+    assert m.current == "v0m2", m.current  # skipped the partial v0m1
+    got = {r["k"] for r in read_incremental_upsert(spark, store).collect()}
+    assert got == {"a"}
+
+
 def test_read_current_empty_bucket_map_returns_typed_empty(spark, tmp_path):
     """Expiring EVERY key's bucket leaves a manifest with an empty bucket
     map; read_current must come back empty with the store schema."""
