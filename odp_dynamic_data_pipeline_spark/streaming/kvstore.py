@@ -134,10 +134,27 @@ def ensure_store_config(spark, store_path: str, config: dict) -> dict:
     dedup fingerprint store) are read as WHOLE parquet directories, and
     Hadoop's path filter hides underscore-prefixed files from such scans
     (the _SUCCESS convention) -- a bare name would break the read with a
-    cannot-read-footer error."""
+    cannot-read-footer error.
+
+    Concurrency: stores assume a SINGLE WRITER per store directory (the
+    manifest flip protocol already requires this -- two concurrent folds
+    would race the MANIFEST rename too).  The first-fold pin below still
+    guards against the remaining TOCTOU window: after writing, it
+    re-reads the sidecar and fails loudly if another writer's config won
+    the overwrite-rename, so two racing first folds can never BOTH
+    proceed with divergent layouts."""
     existing = read_store_config(spark, store_path)
     if existing is None:
-        write_sidecar(spark, f"{store_path}/_CONFIG", json.dumps(config, sort_keys=True))
+        body = json.dumps(config, sort_keys=True)
+        write_sidecar(spark, f"{store_path}/_CONFIG", body)
+        won = read_sidecar(spark, f"{store_path}/_CONFIG")
+        if won != body:
+            raise ValueError(
+                f"store at {store_path!r}: concurrent first-fold race on"
+                f" _CONFIG -- this writer pinned {body} but the sidecar now"
+                f" reads {won!r}. Stores are single-writer; one of the two"
+                " racing folds must be aborted."
+            )
         return config
     mismatched = {
         k: (existing.get(k), v) for k, v in config.items() if existing.get(k) != v
@@ -154,7 +171,7 @@ def ensure_store_config(spark, store_path: str, config: dict) -> dict:
 
 
 def read_store_config(spark, store_path: str) -> dict | None:
-    """Read ``{store}/CONFIG`` (see ensure_store_config), or None."""
+    """Read ``{store}/_CONFIG`` (see ensure_store_config), or None."""
     body = read_sidecar(spark, f"{store_path}/_CONFIG")
     return json.loads(body) if body else None
 

@@ -2492,10 +2492,25 @@ def run_incremental_cc(
     )
     q.awaitTermination()
     if auto_compact_chain is not None:
-        maybe_compact_incremental_cc(
-            stream.sparkSession, store_path,
-            max_chain=auto_compact_chain, n_buckets=n_buckets,
-        )
+        # Maintenance is best-effort: the drain above already committed, so
+        # a compaction failure (e.g. a pinned-_CONFIG mismatch) must not
+        # turn a successful ingest into a caller-visible error.  The chain
+        # just stays long until the next maintenance window; correctness is
+        # unaffected (reads resolve through the uncompacted chain).
+        try:
+            maybe_compact_incremental_cc(
+                stream.sparkSession, store_path,
+                max_chain=auto_compact_chain, n_buckets=n_buckets,
+            )
+        except Exception as exc:  # noqa: BLE001 -- deliberate log-and-continue
+            import warnings
+
+            warnings.warn(
+                f"post-drain CC chain auto-compaction on {store_path!r}"
+                f" failed ({exc}); the drain itself committed -- compact"
+                " manually via maybe_compact_incremental_cc.",
+                stacklevel=2,
+            )
     return q
 
 

@@ -83,20 +83,34 @@ def fresh_jvm_receipts(repo: str) -> dict[str, float]:
     strongest evidence that a shared-session warm reading is JVM pressure,
     not a plan change."""
     doc = _load(os.path.join(repo, "STREAM_BENCH_LOCAL.json"))
-    out: dict[str, float] = {}
+    # plain entries carry stream_bench's 2-rep 'warm'; suffixed
+    # adjudication entries ('{name}__5rep_r11' etc.) carry a multi-rep
+    # post-JIT 'floor' -- the stronger receipt (2 reps never reach the
+    # floor on this container for JIT-heavy plans).  Floors are keyed by
+    # the round in the suffix and only the MOST RECENT round's floor is
+    # used: a global min across history would let one fast old receipt
+    # permanently lower the bar and mask later genuine regressions.
+    warms: dict[str, float] = {}
+    floors: dict[str, tuple[int, float]] = {}  # base -> (round, floor)
     for name, row in ((doc or {}).get("queries") or {}).items():
         if not isinstance(row, dict):
             continue
-        # plain entries carry stream_bench's 2-rep 'warm'; suffixed
-        # adjudication entries ('{name}__5rep_r11' etc.) carry a multi-rep
-        # post-JIT 'floor' -- the stronger receipt (2 reps never reach the
-        # floor on this container for JIT-heavy plans).  Keep the MIN per
-        # base name.
         base = name.split("__", 1)[0]
-        for key in ("warm", "floor"):
-            v = row.get(key)
-            if isinstance(v, (int, float)) and v >= 0:
-                out[base] = min(out.get(base, float("inf")), float(v))
+        w = row.get("warm")
+        if isinstance(w, (int, float)) and w >= 0:
+            warms[base] = min(warms.get(base, float("inf")), float(w))
+        f = row.get("floor")
+        if isinstance(f, (int, float)) and f >= 0:
+            m = re.search(r"_r(\d+)$", name)
+            rnd = int(m.group(1)) if m else -1
+            prev = floors.get(base)
+            if prev is None or rnd > prev[0] or (rnd == prev[0] and f < prev[1]):
+                floors[base] = (rnd, float(f))
+    out: dict[str, float] = dict(warms)
+    for base, (_, f) in floors.items():
+        # min with the (unversioned, refreshed-on-rerun) warm probe; older
+        # rounds' floors were already dropped above.
+        out[base] = min(out.get(base, float("inf")), f)
     return out
 
 
