@@ -144,11 +144,16 @@ def main() -> None:
         "n_queries": len(timings),
     }
     line = json.dumps(result)
-    # NOTE: the result JSON is printed as the VERY LAST line of this run
+    # NOTE: a JSON result is printed as the VERY LAST line of this run
     # (see end of main) -- the driver parses the tail of the console
-    # output, and anything printed after the map (r10 lesson: the drift
+    # output, and anything printed after it (r10 lesson: the drift
     # gate's stderr) displaces it out of the tail-capture window, leaving
-    # BENCH_r{N}.json with parsed=null.
+    # BENCH_r{N}.json with parsed=null.  r11 lesson: even as the last
+    # line, the FULL 326-query map is ~14 KB and overflows the driver's
+    # 2,000-char tail window, clipping the head of the JSON and leaving
+    # parsed=null anyway.  So the console line is a COMPACT summary
+    # (headline metric + aggregates + the slowest queries that fit),
+    # with the full per-query map persisted to BENCH_LOCAL*.json files.
     # full artifact to a file as well: the driver records the console tail,
     # which truncates once the query map outgrows the tail window
     out_path = os.environ.get(
@@ -166,6 +171,7 @@ def main() -> None:
     # highest recorded driver bench artifact.  Stamped ONLY for sf0.1 runs
     # (the driver's benchmark scale) -- a small-sf smoke run must not
     # clobber the round's comparable artifact.
+    stamped_path = None
     if abs(sf - 0.1) < 1e-9:
         import glob
         import re
@@ -190,6 +196,7 @@ def main() -> None:
         try:
             with open(stamped, "w") as f:
                 f.write(line + "\n")
+            stamped_path = stamped
         except OSError as e:
             print(f"bench: could not write {stamped}: {e!r}", file=sys.stderr)
         # Drift gate on the map just written, BY CONTRACT (VERDICT r9
@@ -224,10 +231,32 @@ def main() -> None:
             print(f"bench: drift gate failed to run: {e!r}", file=sys.stderr)
     spark.stop()
     # LAST line of the run, by contract: the driver's BENCH_r{N}.json
-    # parses the console tail for this JSON map.
+    # parses the console tail for this JSON object.  Build a compact
+    # summary guaranteed to fit the 2,000-char tail window: all the
+    # aggregate fields, plus as many of the slowest per-query timings as
+    # fit in the remaining budget (the slow tail is what round-over-round
+    # comparison needs most; the full map is in the files above).
+    compact = {k: v for k, v in result.items() if k not in ("queries", "queries_warm")}
+    compact["full_map"] = os.path.basename(stamped_path or out_path)
+    compact["queries_note"] = "slowest-first subset; full map in full_map file"
+    slowest = sorted(
+        ((n, t) for n, t in timings.items() if t >= 0),
+        key=lambda kv: -kv[1],
+    )
+    budget = 1900 - len(json.dumps(compact)) - len('"queries": {}')
+    subset: dict[str, float] = {}
+    for n, t in slowest:
+        entry_len = len(json.dumps({n: t})) + 2
+        if budget - entry_len < 0:
+            break
+        budget -= entry_len
+        subset[n] = t
+    compact["queries"] = subset
+    compact_line = json.dumps(compact)
+    assert len(compact_line) <= 1950, len(compact_line)
     sys.stdout.flush()
     sys.stderr.flush()
-    print(line, flush=True)
+    print(compact_line, flush=True)
 
 
 if __name__ == "__main__":
