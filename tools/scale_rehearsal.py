@@ -201,10 +201,13 @@ def main() -> None:
         return doc
 
     results: dict[str, dict] = {}
-    # explicit query names MERGE into an existing artifact (the
-    # stream_bench contract) -- a targeted re-measure must not drop the
-    # other queries' recorded exponents
-    if sys.argv[2:] and os.path.exists(out_path):
+    # ALWAYS merge into an existing artifact -- a run only overwrites the
+    # rows it re-measures.  (r11 lesson: the default-set run used to start
+    # from {} and wholesale-rewrote the file, silently dropping the
+    # day_rehearsal_24h and store_growth_* receipts that SCALE.md and the
+    # NOTES cite; tests/test_receipt_citations.py now pins that every
+    # cited receipt exists in the committed JSON.)
+    if os.path.exists(out_path):
         try:
             with open(out_path) as f:
                 results = json.load(f).get("queries", {})
