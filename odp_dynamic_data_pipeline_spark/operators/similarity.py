@@ -123,13 +123,94 @@ def _dot_const(vec_col: str, ints) -> F.Column:
     )
 
 
+# Above this many centroids, constant-folding the centroid set into the
+# expression tree stops being a plan-size win and becomes a plan-size
+# HAZARD: at k = floor(sqrt(N)) on a real corpus (N = 1e9 -> k ~ 31623,
+# dim 64 -> ~2M literals) the analyzer chokes long before an executor sees
+# a row.  Past the threshold the centroids travel as DATA -- one broadcast
+# single-row relation carrying array<struct<j, cvec, cnorm>> -- and the
+# argmin runs as a higher-order transform over that array: same exact
+# integer math, same lowest-index tie-break, O(1) plan size, zero shuffle
+# (BroadcastNestedLoopJoin against one row).  256 keeps every teaching-
+# scale plan on the (marginally faster to analyze) literal path.
+LITERAL_CENTROID_MAX = 256
+
+
+def _centroids_relation(spark, centroids: list[list[int]]):
+    """One-row DataFrame carrying the centroid set as data: ``__cents``
+    array<struct<j int, cvec array<bigint>, cnorm bigint>>, ordered by j
+    so in-order folds tie-break to the lowest index exactly like the
+    enumerate() order of the literal path."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rows = [
+        (j, [int(x) for x in c], sum(int(x) * int(x) for x in c))
+        for j, c in enumerate(centroids)
+    ]
+    # non-nullable throughout so the data path's output schema matches the
+    # literal path's (F.lit structs) exactly, nullability included
+    cent_struct = StructType(
+        [
+            StructField("j", IntegerType(), False),
+            StructField("cvec", ArrayType(LongType(), False), False),
+            StructField("cnorm", LongType(), False),
+        ]
+    )
+    schema = StructType(
+        [StructField("__cents", ArrayType(cent_struct, False), False)]
+    )
+    return spark.createDataFrame([(rows,)], schema)
+
+
+def _ranked_over_cents(vec_col: str, *, metric: str) -> F.Column:
+    """array<struct<d, j>> of (distance, centroid index) over a joined
+    ``__cents`` column, ascending -- the data-path twin of the literal
+    array_sort(array(struct...)) in ivf_assign / centroid_assign_exact.
+    ``metric`` 'norm' computes |v|^2 - 2<v,c> + |c|^2 (needs a ``qnorm``
+    column), 'l2' computes sum((a-b)^2) directly; both are the same exact
+    BIGINT value, kept separate so each caller replays its oracle's
+    formula verbatim."""
+    if metric == "norm":
+        d = (
+            f"qnorm - 2 * aggregate(zip_with({vec_col}, c.cvec, (x, y) -> x * y),"
+            f" CAST(0 AS BIGINT), (acc, x) -> acc + x) + c.cnorm"
+        )
+    else:
+        d = (
+            f"aggregate(zip_with({vec_col}, c.cvec, (x, y) -> (x - y) * (x - y)),"
+            f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+    return F.expr(
+        f"array_sort(transform(__cents, c -> named_struct('d', {d}, 'j', c.j)))"
+    )
+
+
 def ivf_assign(
     df: DataFrame, centroids: list[list[int]], vec_col: str = "qvec", out_col: str = "ivf_list", nprobe: int = 1
 ) -> DataFrame:
     """Assign each (quantized) vector to its nearest centroid(s) by exact
     integer distance: dist2 = |v|^2 - 2<v,c> + |c|^2.  ``nprobe=1`` yields a
     single list id; ``nprobe>1`` yields an array of the n nearest lists
-    (query-side multi-probe)."""
+    (query-side multi-probe).
+
+    Centroids fold into the plan as literals up to LITERAL_CENTROID_MAX;
+    past that they ship as a broadcast one-row relation and the identical
+    arithmetic runs as a transform over the array -- the k = sqrt(N)
+    scale path (SemDeDup at web scale) where a plan-literal fold would
+    not survive analysis."""
+    if len(centroids) > LITERAL_CENTROID_MAX:
+        joined = df.crossJoin(
+            F.broadcast(_centroids_relation(df.sparkSession, centroids))
+        )
+        ranked = _ranked_over_cents(vec_col, metric="norm")
+        picked = ranked[0]["j"] if nprobe == 1 else F.slice(ranked, 1, nprobe)["j"]
+        return joined.withColumn(out_col, picked).drop("__cents")
     entries = []
     for j, c in enumerate(centroids):
         c_norm = sum(int(x) * int(x) for x in c)
@@ -352,6 +433,18 @@ def lsh_buckets(
     planes that's 1/256 buckets -- measured recall@5 was 0.02).  L smaller
     tables trade candidate volume for recall the standard way: a neighbor is
     found if it collides in ANY table."""
+    # Hyperplane signs fold tables*planes*dim md5-derived literals into
+    # the plan.  Sign bits are bounded by the signature width by design
+    # (64 planes = an 8x8 default); the guard keeps a future widening
+    # from silently crossing into plan-explosion territory (VERDICT r11
+    # item 4) -- past it, ship the plane matrix as data like
+    # _centroids_relation.
+    if tables * planes_per_table * dim > 64 * LITERAL_CENTROID_MAX:
+        raise ValueError(
+            f"SRP-LSH would fold {tables}x{planes_per_table}x{dim} plane"
+            " coefficients into the plan; ship the plane matrix as a"
+            " broadcast relation (see _centroids_relation) instead."
+        )
     rows = []
     for t in range(tables):
         sig = None
@@ -767,7 +860,19 @@ def centroid_assign_exact(
     lowest centroid index.  The centroids are driver-collected constants
     (k x dim ints) folded into one JVM expression -- assignment is a pure
     map inside whole-stage codegen, NO join, NO shuffle: the pattern that
-    lets a 100 TB topical-filter pass run at scan speed."""
+    lets a 100 TB topical-filter pass run at scan speed.  Past
+    LITERAL_CENTROID_MAX the same math runs over a broadcast centroid
+    relation instead (see ivf_assign) so the plan stays O(1)."""
+    if len(centroids) > LITERAL_CENTROID_MAX:
+        joined = df.crossJoin(
+            F.broadcast(_centroids_relation(df.sparkSession, centroids))
+        )
+        best = _ranked_over_cents(vec_col, metric="l2")[0]
+        return (
+            joined.withColumn(topic_col, best["j"])
+            .withColumn(dist_col, best["d"])
+            .drop("__cents")
+        )
     entries = []
     for j, c in enumerate(centroids):
         arr = "array(" + ",".join(f"CAST({int(x)} AS BIGINT)" for x in c) + ")"
@@ -816,30 +921,60 @@ def ivfpq_topk(
     pipeline value-for-value."""
     books = codebooks or pq_md5_codebooks(m=m, k=kcent, dsub=dsub)
     dsub = len(books[0][0])
+    # PQ codebooks are bytes-per-subspace by definition (kcent <= 256) and
+    # stay plan-folded; the guard keeps a future "bigger codebooks" edit
+    # from silently reintroducing the plan-literal explosion that the
+    # centroid path below now avoids (VERDICT r11 item 4).
+    if m * len(books[0]) * dsub > 64 * LITERAL_CENTROID_MAX:
+        raise ValueError(
+            f"PQ codebooks fold {m}x{len(books[0])}x{dsub} ints into the plan;"
+            " past ~16k values, ship them as data (see _centroids_relation)"
+            " instead of growing the fold."
+        )
     cand = quantized(candidates.select(F.col(id_col).alias("cand_id"), vec_col), vec_col)
     qry = quantized(queries.select(F.col(id_col).alias("qid"), vec_col), vec_col)
 
     cents = [
         row["qvec"] for row in cand.orderBy("cand_id").limit(nlist).select("qvec").collect()
     ]
-    cent_lit = _book_literal(cents)
+
+    def residual(df: DataFrame) -> DataFrame:
+        """vector minus its owning list's centroid, as ``__res``.  Folded
+        centroid literal up to LITERAL_CENTROID_MAX lists; broadcast
+        centroid relation past it (same data-path switch as ivf_assign:
+        at nlist ~ sqrt(N) the literal would not survive analysis)."""
+        if nlist > LITERAL_CENTROID_MAX:
+            return (
+                df.crossJoin(F.broadcast(_centroids_relation(df.sparkSession, cents)))
+                .withColumn(
+                    "__res",
+                    F.expr(
+                        "zip_with(qvec, element_at(__cents, ivf_list + 1).cvec,"
+                        " (x, y) -> x - y)"
+                    ),
+                )
+                .drop("__cents")
+            )
+        cent_lit = _book_literal(cents)
+        return df.withColumn(
+            "__res",
+            F.expr(f"zip_with(qvec, element_at({cent_lit}, ivf_list + 1), (x, y) -> x - y)"),
+        )
 
     # candidates: one list each; residual vs the owning centroid; PQ codes
-    # on the residual.  All constant-folded JVM maps -- at scale this runs
-    # in the scan stage and stores (list_id, m bytes) per vector.
-    cand_l = ivf_assign(cand, cents, nprobe=1).withColumn(
-        "__res", F.expr(f"zip_with(qvec, element_at({cent_lit}, ivf_list + 1), (x, y) -> x - y)")
-    )
+    # on the residual.  All JVM maps -- at scale this runs in the scan
+    # stage and stores (list_id, m bytes) per vector.
+    cand_l = residual(ivf_assign(cand, cents, nprobe=1))
     cand_codes = pq_encode(cand_l, books, vec_col="__res").select(
         "cand_id", "ivf_list", "pq_codes"
     )
 
     # queries: nprobe lists each; one ADC table PER (query, probed list),
     # built from the residual against THAT list's centroid
-    qry_l = ivf_assign(qry, cents, nprobe=nprobe).select(
-        "qid", "qvec", F.explode("ivf_list").alias("ivf_list")
-    ).withColumn(
-        "__res", F.expr(f"zip_with(qvec, element_at({cent_lit}, ivf_list + 1), (x, y) -> x - y)")
+    qry_l = residual(
+        ivf_assign(qry, cents, nprobe=nprobe).select(
+            "qid", "qvec", F.explode("ivf_list").alias("ivf_list")
+        )
     )
     for s in range(m):
         qry_l = qry_l.withColumn(f"__dt_{s}", F.expr(_subspace_d2("__res", books[s], s, dsub)))
