@@ -192,7 +192,12 @@ def _ranked_over_cents(vec_col: str, *, metric: str) -> F.Column:
 
 
 def ivf_assign(
-    df: DataFrame, centroids: list[list[int]], vec_col: str = "qvec", out_col: str = "ivf_list", nprobe: int = 1
+    df: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str = "qvec",
+    out_col: str = "ivf_list",
+    nprobe: int = 1,
+    centroid_path: str = "auto",
 ) -> DataFrame:
     """Assign each (quantized) vector to its nearest centroid(s) by exact
     integer distance: dist2 = |v|^2 - 2<v,c> + |c|^2.  ``nprobe=1`` yields a
@@ -203,8 +208,15 @@ def ivf_assign(
     past that they ship as a broadcast one-row relation and the identical
     arithmetic runs as a transform over the array -- the k = sqrt(N)
     scale path (SemDeDup at web scale) where a plan-literal fold would
-    not survive analysis."""
-    if len(centroids) > LITERAL_CENTROID_MAX:
+    not survive analysis.  ``centroid_path``: 'auto' switches on the
+    threshold, 'literal' / 'data' force a path (the 'data' force is how
+    semantic_dedup_scaled_bcast keeps the scale path hash-gated at test
+    corpus sizes where auto would pick the literal path)."""
+    use_data = (
+        centroid_path == "data"
+        or (centroid_path == "auto" and len(centroids) > LITERAL_CENTROID_MAX)
+    )
+    if use_data:
         joined = df.crossJoin(
             F.broadcast(_centroids_relation(df.sparkSession, centroids))
         )
@@ -277,6 +289,7 @@ def kmeans_quantizer(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 3,
+    centroid_path: str = "auto",
 ) -> tuple[list[list[int]], DataFrame]:
     """Deterministic mini k-means over quantized vectors -- the trained
     coarse quantizer for ivf_topk (which defaults to seed-only centroids).
@@ -303,7 +316,7 @@ def kmeans_quantizer(
     dim = len(cents[0])
     assigned = None
     for _ in range(iters):
-        assigned = ivf_assign(cand, cents, nprobe=1)
+        assigned = ivf_assign(cand, cents, nprobe=1, centroid_path=centroid_path)
         stats = (
             assigned.select("ivf_list", F.posexplode("qvec").alias("pos", "v"))
             .groupBy("ivf_list", "pos")
@@ -338,6 +351,7 @@ def semantic_dedup(
     k: int = 8,
     iters: int = 3,
     threshold: float = 0.2,
+    centroid_path: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding space
     with the trained coarse quantizer (:func:`kmeans_quantizer`), then mark
@@ -360,7 +374,9 @@ def semantic_dedup(
 
     Returns one row per input vector: (id_col, cluster_id, is_dup).
     """
-    _, assigned = kmeans_quantizer(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    _, assigned = kmeans_quantizer(
+        df, id_col=id_col, vec_col=vec_col, k=k, iters=iters, centroid_path=centroid_path
+    )
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         "ivf_list",
