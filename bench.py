@@ -130,6 +130,20 @@ def main() -> None:
     # twins into one mean misattributes that floor to data work
     batch_ok = [t for n, t in timings.items() if t >= 0 and "stream" not in n]
     stream_ok = [t for n, t in timings.items() if t >= 0 and "stream" in n]
+    # gating-cadence queries run maintenance adversarially ON PURPOSE
+    # (threshold-0 compaction, double expiry + superset replay) -- their
+    # seconds measure the correctness gate, not production cost, so the
+    # ex-gating aggregates are the round-over-round comparables (each has
+    # a production-cadence twin in the registry; see queries/__init__.py)
+    from odp_dynamic_data_pipeline_spark.queries import GATING_CADENCE
+
+    gating = sorted(n for n in timings if n in GATING_CADENCE)
+    ok_ex = [t for n, t in timings.items() if t >= 0 and n not in GATING_CADENCE]
+    stream_ex = [
+        t
+        for n, t in timings.items()
+        if t >= 0 and "stream" in n and n not in GATING_CADENCE
+    ]
     result = {
         "metric": "mean_query_wall_sec",
         "value": mean,
@@ -142,6 +156,9 @@ def main() -> None:
         "n_stream": len(stream_ok),
         "sf": sf,
         "n_queries": len(timings),
+        "gating_cadence": gating,
+        "total_sec_ex_gating": round(sum(ok_ex), 3),
+        "mean_stream_sec_ex_gating": round(sum(stream_ex) / max(len(stream_ex), 1), 3),
     }
     line = json.dumps(result)
     # NOTE: a JSON result is printed as the VERY LAST line of this run

@@ -18,15 +18,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
+# correctness-GATE queries that deliberately run maintenance at an
+# adversarial teaching cadence (threshold-0 compaction, double expiry +
+# superset replay) -- their wall time measures the gate, not production
+# cost.  bench.py annotates them in every map and publishes ex-gating
+# aggregates; tools/bench_drift.py labels their flags accordingly.  Each
+# has a production-cadence twin in the registry (default thresholds):
+# cdc_upsert_expiry_replay_stream -> cdc_upsert_deletes_stream (one
+# retention expiry), incremental_clusters_compacted_stream ->
+# incremental_clusters_stream (auto-compaction at the 10k default).
+GATING_CADENCE: set[str] = set()
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, *, gating_cadence: bool = False):
     """Decorator: add a (spark_fn, oracle_sql) pair to the registry."""
 
     def deco(fn):
         SPARK_QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle
+        if gating_cadence:
+            GATING_CADENCE.add(name)
         return fn
 
     return deco
@@ -38,4 +50,4 @@ from odp_dynamic_data_pipeline_spark.queries import llm as _llm  # noqa: E402,F4
 from odp_dynamic_data_pipeline_spark.queries import relational2 as _relational2  # noqa: E402,F401
 from odp_dynamic_data_pipeline_spark.queries import surfaces as _surfaces  # noqa: E402,F401
 
-__all__ = ["SPARK_QUERIES", "ORACLE_SQL", "register"]
+__all__ = ["SPARK_QUERIES", "ORACLE_SQL", "GATING_CADENCE", "register"]

@@ -1806,7 +1806,9 @@ def incremental_clusters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "component")
 
 
-@register("incremental_clusters_compacted_stream", DEDUP_CLUSTERS_ORACLE)
+@register(
+    "incremental_clusters_compacted_stream", DEDUP_CLUSTERS_ORACLE, gating_cadence=True
+)
 def incremental_clusters_compacted_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CC with the MAINTENANCE path exercised mid-stream ==
     one-shot batch CC, driver-verified against the same recursive-CTE

@@ -163,6 +163,11 @@ def main(argv: list[str]) -> int:
     siblings = sibling_colds(repo, cur_path, opts.get("--siblings"))
 
     warm = cur.get("queries_warm") or {}
+    # gating-cadence annotation (written by bench.py from the registry):
+    # these queries time a correctness gate's deliberately adversarial
+    # maintenance cadence, so a drift there is adjudicated against the
+    # gate's own floor, never read as a production perf regression
+    gating = set(cur.get("gating_cadence") or [])
     flags: list[str] = []
     notes: list[str] = []
     n_compared = 0
@@ -174,6 +179,8 @@ def main(argv: list[str]) -> int:
         if t <= b * ratio or (t - b) <= floor:
             continue
         line = f"{name}: cold {t:.2f}s vs best prior {b:.2f}s ({src}) = {t / max(b, 1e-9):.1f}x"
+        if name in gating:
+            line += " [gating-cadence: correctness gate, not production cost]"
         sib = siblings.get(name)
         if "stream" in name:
             notes.append(f"[stream-floor] {line}")
@@ -212,6 +219,8 @@ def main(argv: list[str]) -> int:
             f"{name}: warm {t:.2f}s vs best prior warm {b:.2f}s ({src})"
             f" = {t / max(b, 1e-9):.1f}x{inv}"
         )
+        if name in gating:
+            line += " [gating-cadence: correctness gate, not production cost]"
         if "stream" in name:
             notes.append(f"[stream-floor] {line}")
         elif name in receipts and receipts[name] <= b * warm_ratio:
