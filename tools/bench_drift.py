@@ -114,6 +114,37 @@ def fresh_jvm_receipts(repo: str) -> dict[str, float]:
     return out
 
 
+FAMILY_SUBSTRINGS = [
+    # order matters: first match wins ("neardup" before "dedup")
+    ("neardup", "neardup"),
+    ("dedup", "dedup"),
+    ("agg", "agg"),
+    ("upsert", "upsert"),
+    ("cdc", "upsert"),
+    ("session", "sessions"),
+    ("clusters", "cc"),
+    ("_cc", "cc"),
+]
+
+
+def stream_cost_splits(repo: str) -> dict[str, dict]:
+    """family -> fixed/marginal drain-cost receipt rows written by
+    tools/stream_cost_split.py into STREAM_BENCH_LOCAL.json."""
+    doc = _load(os.path.join(repo, "STREAM_BENCH_LOCAL.json"))
+    out: dict[str, dict] = {}
+    for name, row in ((doc or {}).get("queries") or {}).items():
+        if name.startswith("stream_cost_split__") and isinstance(row, dict):
+            out[name.split("__", 1)[1]] = row
+    return out
+
+
+def _family_of(query_name: str) -> str | None:
+    for sub, fam in FAMILY_SUBSTRINGS:
+        if sub in query_name:
+            return fam
+    return None
+
+
 def sibling_colds(
     repo: str, cur_path: str, explicit: str | None
 ) -> dict[str, tuple[float, str]]:
@@ -168,6 +199,7 @@ def main(argv: list[str]) -> int:
     # maintenance cadence, so a drift there is adjudicated against the
     # gate's own floor, never read as a production perf regression
     gating = set(cur.get("gating_cadence") or [])
+    splits = stream_cost_splits(repo)
     flags: list[str] = []
     notes: list[str] = []
     n_compared = 0
@@ -183,7 +215,23 @@ def main(argv: list[str]) -> int:
             line += " [gating-cadence: correctness gate, not production cost]"
         sib = siblings.get(name)
         if "stream" in name:
-            notes.append(f"[stream-floor] {line}")
+            # receipt-backed stream floor (VERDICT r11 item 5): subtract
+            # the family's measured fixed drain cost from BOTH sides; a
+            # regression that survives that subtraction is a real one and
+            # FLAGS (the old behavior downgraded every *_stream drift)
+            split = splits.get(_family_of(name) or "")
+            if split and isinstance(split.get("fixed_s"), (int, float)):
+                fixed = float(split["fixed_s"])
+                adj_t, adj_b = t - fixed, max(b - fixed, 0.05)
+                if adj_t > adj_b * ratio and (adj_t - adj_b) > floor:
+                    flags.append(f"[STREAM-DRIFT, ex-fixed {fixed:.1f}s] {line}")
+                else:
+                    notes.append(
+                        f"[stream-floor fixed={fixed:.1f}s"
+                        f" +{split.get('marginal_per_batch_s', 0):.2f}s/batch] {line}"
+                    )
+            else:
+                notes.append(f"[stream-floor] {line}")
         elif name in warm and 0 <= warm[name] <= b * ratio:
             notes.append(f"[jit-noise, warm {warm[name]:.2f}s] {line}")
         elif sib is not None and (sib[0] <= b * ratio or (sib[0] - b) <= floor):
@@ -222,7 +270,16 @@ def main(argv: list[str]) -> int:
         if name in gating:
             line += " [gating-cadence: correctness gate, not production cost]"
         if "stream" in name:
-            notes.append(f"[stream-floor] {line}")
+            split = splits.get(_family_of(name) or "")
+            if split and isinstance(split.get("fixed_s"), (int, float)):
+                fixed = float(split["fixed_s"])
+                adj_t, adj_b = t - fixed, max(b - fixed, 0.05)
+                if adj_t > adj_b * warm_ratio and (adj_t - adj_b) > warm_floor:
+                    flags.append(f"[STREAM-WARM-DRIFT, ex-fixed {fixed:.1f}s] {line}")
+                else:
+                    notes.append(f"[stream-floor fixed={fixed:.1f}s] {line}")
+            else:
+                notes.append(f"[stream-floor] {line}")
         elif name in receipts and receipts[name] <= b * warm_ratio:
             notes.append(f"[fresh-jvm-ok, {receipts[name]:.2f}s isolated] {line}")
         else:
