@@ -935,18 +935,22 @@ def ivfpq_topk(
     md5-derived engine-portable literals, assignment/argmin ties break to
     the lowest index -- so an external engine can replay the entire
     pipeline value-for-value."""
-    books = codebooks or pq_md5_codebooks(m=m, k=kcent, dsub=dsub)
-    dsub = len(books[0][0])
     # PQ codebooks are bytes-per-subspace by definition (kcent <= 256) and
     # stay plan-folded; the guard keeps a future "bigger codebooks" edit
     # from silently reintroducing the plan-literal explosion that the
-    # centroid path below now avoids (VERDICT r11 item 4).
-    if m * len(books[0]) * dsub > 64 * LITERAL_CENTROID_MAX:
+    # centroid path below now avoids (VERDICT r11 item 4).  Checked
+    # BEFORE generating default codebooks -- the md5 derivation itself is
+    # m*k*dsub driver work.
+    n_book_k = len(codebooks[0]) if codebooks else kcent
+    n_book_d = len(codebooks[0][0]) if codebooks else dsub
+    if m * n_book_k * n_book_d > 64 * LITERAL_CENTROID_MAX:
         raise ValueError(
-            f"PQ codebooks fold {m}x{len(books[0])}x{dsub} ints into the plan;"
+            f"PQ codebooks fold {m}x{n_book_k}x{n_book_d} ints into the plan;"
             " past ~16k values, ship them as data (see _centroids_relation)"
             " instead of growing the fold."
         )
+    books = codebooks or pq_md5_codebooks(m=m, k=kcent, dsub=dsub)
+    dsub = len(books[0][0])
     cand = quantized(candidates.select(F.col(id_col).alias("cand_id"), vec_col), vec_col)
     qry = quantized(queries.select(F.col(id_col).alias("qid"), vec_col), vec_col)
 
