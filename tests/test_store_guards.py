@@ -240,6 +240,32 @@ def test_ensure_config_adopts_preexisting_store(spark, tmp_path):
         ensure_store_config(spark, store, {"family": "agg", "n_buckets": 16})
 
 
+def test_ensure_config_first_fold_race_detected(spark, tmp_path, monkeypatch):
+    """r11 advisor TOCTOU: two concurrent first folds could both see no
+    _CONFIG and pin divergent layouts.  The writer now re-reads the
+    sidecar after its write and fails loudly if another writer's config
+    won the overwrite-rename."""
+    from odp_dynamic_data_pipeline_spark.streaming import kvstore as kv
+
+    store = str(tmp_path / "raced")
+    real_write = kv.write_sidecar
+
+    def racing_write(spark_, path, body):
+        real_write(spark_, path, body)
+        # the other writer's rename lands right after ours
+        real_write(spark_, path, '{"family": "agg", "n_buckets": 64}')
+
+    monkeypatch.setattr(kv, "write_sidecar", racing_write)
+    with pytest.raises(ValueError, match="concurrent first-fold race"):
+        ensure_store_config(spark, store, {"family": "agg", "n_buckets": 8})
+    monkeypatch.undo()
+    # the surviving config is the racer's; a retry with the LOSER's knobs
+    # now fails the ordinary mismatch path, never silently mixes layouts
+    with pytest.raises(ValueError, match="different layout"):
+        ensure_store_config(spark, store, {"family": "agg", "n_buckets": 8})
+    assert ensure_store_config(spark, store, {"family": "agg", "n_buckets": 64})
+
+
 def _edges(spark, pairs):
     return spark.createDataFrame(pairs, "id_a long, id_b long")
 
