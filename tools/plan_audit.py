@@ -42,6 +42,10 @@ PANDAS_BY_DESIGN = {
 }
 # queries where a cartesian against a broadcast side is the algorithm
 BROADCAST_NLJ_BY_DESIGN = {
+    "semantic_dedup_scaled_bcast", # broadcast ONE-ROW centroid relation
+                                   # (the k~sqrt(N) data path: BNLJ against
+                                   # a single row IS the design; similarity
+                                   # .py::_centroids_relation)
     "range_join_value_tiers",      # 3-row tier bounds table
     "kmv_overlap_matrix",          # group-pair cross product of the DISTINCT
                                    # group list (G rows, G=5 event types);
