@@ -270,6 +270,14 @@ def main(argv: list[str]) -> int:
         if name in gating:
             line += " [gating-cadence: correctness gate, not production cost]"
         if "stream" in name:
+            # an isolated fresh-JVM receipt exonerates a stream warm just
+            # like a batch warm (shared-session pressure hits both); the
+            # same absolute floor as the flag condition applies
+            if name in receipts and (
+                receipts[name] <= b * warm_ratio or (receipts[name] - b) <= warm_floor
+            ):
+                notes.append(f"[fresh-jvm-ok, {receipts[name]:.2f}s isolated] {line}")
+                continue
             split = splits.get(_family_of(name) or "")
             if split and isinstance(split.get("fixed_s"), (int, float)):
                 fixed = float(split["fixed_s"])
@@ -280,7 +288,9 @@ def main(argv: list[str]) -> int:
                     notes.append(f"[stream-floor fixed={fixed:.1f}s] {line}")
             else:
                 notes.append(f"[stream-floor] {line}")
-        elif name in receipts and receipts[name] <= b * warm_ratio:
+        elif name in receipts and (
+            receipts[name] <= b * warm_ratio or (receipts[name] - b) <= warm_floor
+        ):
             notes.append(f"[fresh-jvm-ok, {receipts[name]:.2f}s isolated] {line}")
         else:
             flags.append(f"[WARM-DRIFT] {line}")
