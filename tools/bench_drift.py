@@ -200,6 +200,7 @@ def main(argv: list[str]) -> int:
     # gate's own floor, never read as a production perf regression
     gating = set(cur.get("gating_cadence") or [])
     splits = stream_cost_splits(repo)
+    receipts = fresh_jvm_receipts(repo)
     flags: list[str] = []
     notes: list[str] = []
     n_compared = 0
@@ -218,11 +219,29 @@ def main(argv: list[str]) -> int:
             # receipt-backed stream floor (VERDICT r11 item 5): subtract
             # the family's measured fixed drain cost from BOTH sides; a
             # regression that survives that subtraction is a real one and
-            # FLAGS (the old behavior downgraded every *_stream drift)
+            # FLAGS (the old behavior downgraded every *_stream drift).
+            # Same-round siblings and isolated fresh-JVM receipts
+            # exonerate first, like the batch path.
+            if sib is not None and (sib[0] <= b * ratio or (sib[0] - b) <= floor):
+                notes.append(f"[sibling-ok, {sib[0]:.2f}s in {sib[1]}] {line}")
+                continue
+            if name in receipts and (
+                receipts[name] <= b * ratio or (receipts[name] - b) <= floor
+            ):
+                notes.append(f"[fresh-jvm-ok, {receipts[name]:.2f}s isolated] {line}")
+                continue
             split = splits.get(_family_of(name) or "")
-            if split and isinstance(split.get("fixed_s"), (int, float)):
+            # the ex-fixed comparison is only meaningful when the prior
+            # reading is itself decomposable (b clearly above the fixed
+            # cost) -- a historical cold below today's fixed cost predates
+            # the current machinery and would hair-trigger on adj_b~0
+            if (
+                split
+                and isinstance(split.get("fixed_s"), (int, float))
+                and b > float(split["fixed_s"]) + floor
+            ):
                 fixed = float(split["fixed_s"])
-                adj_t, adj_b = t - fixed, max(b - fixed, 0.05)
+                adj_t, adj_b = t - fixed, b - fixed
                 if adj_t > adj_b * ratio and (adj_t - adj_b) > floor:
                     flags.append(f"[STREAM-DRIFT, ex-fixed {fixed:.1f}s] {line}")
                 else:
@@ -250,7 +269,6 @@ def main(argv: list[str]) -> int:
     warm_ratio = float(opts.get("--warm-ratio", "1.4"))
     warm_floor = float(opts.get("--warm-floor", "0.7"))
     prior_warm = best_prior(repo, cur_path, "queries_warm")
-    receipts = fresh_jvm_receipts(repo)
     cold = cur.get("queries") or {}
     n_warm = 0
     for name, t in warm.items():
@@ -279,9 +297,14 @@ def main(argv: list[str]) -> int:
                 notes.append(f"[fresh-jvm-ok, {receipts[name]:.2f}s isolated] {line}")
                 continue
             split = splits.get(_family_of(name) or "")
-            if split and isinstance(split.get("fixed_s"), (int, float)):
+            # decomposability condition: see the cold branch
+            if (
+                split
+                and isinstance(split.get("fixed_s"), (int, float))
+                and b > float(split["fixed_s"]) + warm_floor
+            ):
                 fixed = float(split["fixed_s"])
-                adj_t, adj_b = t - fixed, max(b - fixed, 0.05)
+                adj_t, adj_b = t - fixed, b - fixed
                 if adj_t > adj_b * warm_ratio and (adj_t - adj_b) > warm_floor:
                     flags.append(f"[STREAM-WARM-DRIFT, ex-fixed {fixed:.1f}s] {line}")
                 else:
