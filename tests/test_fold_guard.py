@@ -153,6 +153,62 @@ def test_design_parameters_within_fold_budget(family, n_values):
     assert n_values <= 64 * sim.LITERAL_CENTROID_MAX, family
 
 
+def test_two_level_assignment_matches_reference(spark, vecs):
+    """assign_two_level == a pure-Python replay of the documented
+    algorithm (first-g supers, nearest-super grouping, within-group
+    exact argmin, ties to the lowest index twice), including a forced
+    duplicate-centroid tie."""
+    import math
+
+    random.seed(11)
+    cents = [
+        [random.randint(-5_000_000, 5_000_000) for _ in range(DIM)] for _ in range(20)
+    ]
+    cents[7] = list(cents[3])  # exact tie
+    q = sim.quantized(vecs, "embedding")
+    got = {
+        r["vec_id"]: (r["topic"], r["d2"])
+        for r in sim.assign_two_level(q, cents).select("vec_id", "topic", "d2").collect()
+    }
+
+    def d2(a, b):
+        return sum((int(x) - int(y)) ** 2 for x, y in zip(a, b))
+
+    k, g = len(cents), math.ceil(math.sqrt(len(cents)))
+    supers = cents[:g]
+    grp: dict[int, list[int]] = {}
+    for j, c in enumerate(cents):
+        s = min(range(g), key=lambda s: (d2(c, supers[s]), s))
+        grp.setdefault(s, []).append(j)
+    for vid, emb in [(r["vec_id"], r["embedding"]) for r in vecs.collect()]:
+        qv = [round(x * 1_000_000) for x in emb]
+        s = min(range(g), key=lambda s: (d2(qv, supers[s]), s))
+        j = min(grp[s], key=lambda j: (d2(qv, cents[j]), j))
+        assert got[vid] == (j, d2(qv, cents[j])), vid
+
+
+def test_two_level_plan_is_bounded_and_join_based(spark):
+    """At k=1000 the two-level plan folds only g=32 super literals;
+    stage B reaches executors as a broadcast hash join on the super id,
+    and the analyzed plan stays small."""
+    random.seed(17)
+    big = [[random.randint(-5_000_000, 5_000_000) for _ in range(16)] for _ in range(1000)]
+    rows = [(i, [float(random.randint(-5, 5)) for _ in range(16)]) for i in range(50)]
+    df = sim.quantized(
+        spark.createDataFrame(rows, "vec_id int, embedding array<double>"), "embedding"
+    )
+    t0 = time.time()
+    out = sim.assign_two_level(df, big)
+    _ = out.schema
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert time.time() - t0 < 30
+    assert len(plan) < 200_000, len(plan)
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in physical
+    got = out.select("topic").distinct().collect()
+    assert all(0 <= r[0] < 1000 for r in got)
+
+
 def test_dsir_ships_model_as_broadcast_join(spark):
     """dsir_select's per-bucket LLR model must reach executors as a
     broadcast relation (data), not a plan literal: the optimized plan
