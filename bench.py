@@ -135,7 +135,7 @@ def main() -> None:
     # seconds measure the correctness gate, not production cost, so the
     # ex-gating aggregates are the round-over-round comparables (each has
     # a production-cadence twin in the registry; see queries/__init__.py)
-    from odp_dynamic_data_pipeline_spark.queries import GATING_CADENCE
+    from odp_dynamic_data_pipeline_spark.queries import GATING_CADENCE, STORE_FAMILY
 
     gating = sorted(n for n in timings if n in GATING_CADENCE)
     ok_ex = [t for n, t in timings.items() if t >= 0 and n not in GATING_CADENCE]
@@ -158,7 +158,17 @@ def main() -> None:
         "n_queries": len(timings),
         "gating_cadence": gating,
         "total_sec_ex_gating": round(sum(ok_ex), 3),
-        "mean_stream_sec_ex_gating": round(sum(stream_ex) / max(len(stream_ex), 1), 3),
+        # None (not 0.0) when every stream timing is gating-tagged or
+        # errored -- a 0.0 here would be indistinguishable from a genuine
+        # near-zero mean in round-over-round comparison (r12 advisor)
+        "mean_stream_sec_ex_gating": (
+            round(sum(stream_ex) / len(stream_ex), 3) if stream_ex else None
+        ),
+        # explicit kvstore store-family tags for the drift gate's
+        # fixed-drain-cost subtraction (replaces substring matching)
+        "stream_families": {
+            n: STORE_FAMILY[n] for n in sorted(timings) if n in STORE_FAMILY
+        },
     }
     line = json.dumps(result)
     # NOTE: a JSON result is printed as the VERY LAST line of this run
@@ -253,7 +263,11 @@ def main() -> None:
     # aggregate fields, plus as many of the slowest per-query timings as
     # fit in the remaining budget (the slow tail is what round-over-round
     # comparison needs most; the full map is in the files above).
-    compact = {k: v for k, v in result.items() if k not in ("queries", "queries_warm")}
+    compact = {
+        k: v
+        for k, v in result.items()
+        if k not in ("queries", "queries_warm", "stream_families")
+    }
     compact["full_map"] = os.path.basename(stamped_path or out_path)
     compact["queries_note"] = "slowest-first subset; full map in full_map file"
     slowest = sorted(

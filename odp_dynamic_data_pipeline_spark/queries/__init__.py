@@ -29,6 +29,32 @@ ORACLE_SQL: dict[str, str] = {}
 # incremental_clusters_stream (auto-compaction at the 10k default).
 GATING_CADENCE: set[str] = set()
 
+# Explicit stream-query -> kvstore store-family table (r12 advisor: the
+# old substring heuristic in tools/bench_drift.py silently picked the
+# wrong family's fixed drain cost for names where a substring appears
+# incidentally -- e.g. session_gap_windows_stream uses NATIVE
+# session_window, not the kvstore sessions protocol).  Keys must be
+# registered queries; values must be families with a measured
+# stream_cost_split__{family} receipt (tools/stream_cost_split.py).
+# Queries absent here either use native Spark streaming state or a
+# runner whose fixed drain cost has no measured split -- the drift gate
+# then applies no fixed-cost subtraction (the conservative default).
+STORE_FAMILY: dict[str, str] = {
+    "incremental_agg_stream": "agg",
+    "incremental_agg_bucketed_stream": "agg",
+    "incremental_postings_stream": "agg",
+    "incremental_topk_stream": "agg",
+    "incremental_dedup_stream": "dedup",
+    "incremental_neardup_stream": "neardup",
+    "incremental_neardup_md5_stream": "neardup",
+    "cdc_upsert_stream": "upsert",
+    "cdc_upsert_deletes_stream": "upsert",
+    "cdc_upsert_expiry_replay_stream": "upsert",
+    "session_cap_windows_stream": "sessions",
+    "incremental_clusters_stream": "cc",
+    "incremental_clusters_compacted_stream": "cc",
+}
+
 
 def register(name: str, oracle: str | None = None, *, gating_cadence: bool = False):
     """Decorator: add a (spark_fn, oracle_sql) pair to the registry."""
@@ -50,4 +76,10 @@ from odp_dynamic_data_pipeline_spark.queries import llm as _llm  # noqa: E402,F4
 from odp_dynamic_data_pipeline_spark.queries import relational2 as _relational2  # noqa: E402,F401
 from odp_dynamic_data_pipeline_spark.queries import surfaces as _surfaces  # noqa: E402,F401
 
-__all__ = ["SPARK_QUERIES", "ORACLE_SQL", "GATING_CADENCE", "register"]
+__all__ = [
+    "SPARK_QUERIES",
+    "ORACLE_SQL",
+    "GATING_CADENCE",
+    "STORE_FAMILY",
+    "register",
+]

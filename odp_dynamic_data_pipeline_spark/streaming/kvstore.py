@@ -111,6 +111,48 @@ def write_sidecar(spark, path: str, body: str) -> None:
     fc.rename(tmp, dst, opts)
 
 
+def write_sidecar_exclusive(spark, path: str, body: str) -> bool:
+    """Write a sidecar with CREATE-EXCLUSIVE semantics: exactly one of N
+    racing writers wins.  Returns True if this writer's rename created the
+    file, False if the destination already existed (someone else won; the
+    caller must re-read and reconcile).
+
+    Two differences from :func:`write_sidecar` close the first-fold TOCTOU
+    race it was used for: (a) each writer stages to a UNIQUE tmp path
+    (uuid suffix), so racing writers can never clobber each other's
+    staged bytes before the rename; (b) the rename uses
+    ``Options.Rename.NONE`` (no overwrite), so HDFS/local FileContext
+    raises ``FileAlreadyExistsException`` for every writer but the first
+    -- the exclusive-create step the advisor asked for."""
+    import uuid
+
+    jvm, conf, fs = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.tmp.{uuid.uuid4().hex}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(body.encode()))
+    finally:
+        out.close()
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        jvm.java.net.URI.create(path), conf
+    )
+    gw = spark.sparkContext._gateway
+    opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.NONE
+    from py4j.protocol import Py4JJavaError
+
+    try:
+        fc.rename(tmp, dst, opts)
+    except Py4JJavaError as e:
+        cls = e.java_exception.getClass().getName()
+        if "AlreadyExists" not in cls:
+            raise
+        fs.delete(tmp, False)
+        return False
+    return True
+
+
 def ensure_store_config(spark, store_path: str, config: dict) -> dict:
     """Pin a store's layout-determining knobs (key columns, n_buckets,
     hasher family, gap/cap, ...) in ``{store}/_CONFIG`` at first fold and
@@ -138,24 +180,27 @@ def ensure_store_config(spark, store_path: str, config: dict) -> dict:
 
     Concurrency: stores assume a SINGLE WRITER per store directory (the
     manifest flip protocol already requires this -- two concurrent folds
-    would race the MANIFEST rename too).  The first-fold pin below still
-    guards against the remaining TOCTOU window: after writing, it
-    re-reads the sidecar and fails loudly if another writer's config won
-    the overwrite-rename, so two racing first folds can never BOTH
-    proceed with divergent layouts."""
+    would race the MANIFEST rename too).  The first-fold pin enforces
+    this with exclusive-create semantics (write_sidecar_exclusive:
+    unique tmp + no-overwrite rename), so exactly ONE racing first fold
+    creates _CONFIG; every loser re-reads the winner's sidecar and
+    either adopts it (identical config) or aborts loudly (divergent
+    config) -- two racing first folds can never BOTH proceed with
+    divergent layouts."""
     existing = read_store_config(spark, store_path)
     if existing is None:
         body = json.dumps(config, sort_keys=True)
-        write_sidecar(spark, f"{store_path}/_CONFIG", body)
-        won = read_sidecar(spark, f"{store_path}/_CONFIG")
-        if won != body:
+        if write_sidecar_exclusive(spark, f"{store_path}/_CONFIG", body):
+            return config
+        # Lost the exclusive create: another writer pinned first.  Fall
+        # through to the mismatch check against the winner's config.
+        existing = read_store_config(spark, store_path)
+        if existing is None:  # winner vanished (deleted store?) -- bail
             raise ValueError(
-                f"store at {store_path!r}: concurrent first-fold race on"
-                f" _CONFIG -- this writer pinned {body} but the sidecar now"
-                f" reads {won!r}. Stores are single-writer; one of the two"
-                " racing folds must be aborted."
+                f"store at {store_path!r}: lost the first-fold _CONFIG"
+                " race but the winning sidecar is unreadable; aborting"
+                " rather than guessing the layout."
             )
-        return config
     mismatched = {
         k: (existing.get(k), v) for k, v in config.items() if existing.get(k) != v
     }

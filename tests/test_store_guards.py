@@ -240,30 +240,65 @@ def test_ensure_config_adopts_preexisting_store(spark, tmp_path):
         ensure_store_config(spark, store, {"family": "agg", "n_buckets": 16})
 
 
+def test_sidecar_exclusive_create_single_winner(spark, tmp_path):
+    """r12 advisor: the first-fold pin must use exclusive-create semantics
+    (unique tmp + no-overwrite rename) so exactly one of N racing writers
+    wins -- the overwrite-rename version only DETECTED races that landed
+    inside the write-to-re-read window."""
+    from odp_dynamic_data_pipeline_spark.streaming import kvstore as kv
+
+    path = str(tmp_path / "store" / "_CONFIG")
+    assert kv.write_sidecar_exclusive(spark, path, "alpha") is True
+    # every later writer loses and the winner's bytes survive untouched
+    assert kv.write_sidecar_exclusive(spark, path, "beta") is False
+    assert kv.read_sidecar(spark, path) == "alpha"
+    # losers' staged tmp files are cleaned up, not left to confuse scans
+    leftovers = [p.name for p in (tmp_path / "store").iterdir()
+                 if ".tmp." in p.name]
+    assert leftovers == []
+
+
 def test_ensure_config_first_fold_race_detected(spark, tmp_path, monkeypatch):
-    """r11 advisor TOCTOU: two concurrent first folds could both see no
-    _CONFIG and pin divergent layouts.  The writer now re-reads the
-    sidecar after its write and fails loudly if another writer's config
-    won the overwrite-rename."""
+    """r11/r12 advisor TOCTOU: two concurrent first folds could both see
+    no _CONFIG and pin divergent layouts.  With exclusive create, the
+    loser of the rename race reconciles against the winner's sidecar:
+    identical config is adopted, divergent config aborts loudly."""
     from odp_dynamic_data_pipeline_spark.streaming import kvstore as kv
 
     store = str(tmp_path / "raced")
-    real_write = kv.write_sidecar
+    real_excl = kv.write_sidecar_exclusive
 
-    def racing_write(spark_, path, body):
-        real_write(spark_, path, body)
-        # the other writer's rename lands right after ours
-        real_write(spark_, path, '{"family": "agg", "n_buckets": 64}')
+    def racing_excl(spark_, path, body):
+        # the other writer's exclusive create lands just before ours
+        real_excl(spark_, path, '{"family": "agg", "n_buckets": 64}')
+        return real_excl(spark_, path, body)
 
-    monkeypatch.setattr(kv, "write_sidecar", racing_write)
-    with pytest.raises(ValueError, match="concurrent first-fold race"):
+    monkeypatch.setattr(kv, "write_sidecar_exclusive", racing_excl)
+    with pytest.raises(ValueError, match="different layout"):
         ensure_store_config(spark, store, {"family": "agg", "n_buckets": 8})
     monkeypatch.undo()
-    # the surviving config is the racer's; a retry with the LOSER's knobs
-    # now fails the ordinary mismatch path, never silently mixes layouts
+    # the surviving config is the winner's; a retry with the LOSER's knobs
+    # still fails the ordinary mismatch path, never silently mixes layouts
     with pytest.raises(ValueError, match="different layout"):
         ensure_store_config(spark, store, {"family": "agg", "n_buckets": 8})
     assert ensure_store_config(spark, store, {"family": "agg", "n_buckets": 64})
+
+
+def test_ensure_config_race_with_identical_config_adopts(spark, tmp_path, monkeypatch):
+    """A lost first-fold race with an IDENTICAL config is benign: the
+    loser adopts the winner's pin instead of aborting."""
+    from odp_dynamic_data_pipeline_spark.streaming import kvstore as kv
+
+    store = str(tmp_path / "raced_same")
+    real_excl = kv.write_sidecar_exclusive
+
+    def racing_excl(spark_, path, body):
+        real_excl(spark_, path, body)  # winner pinned the same config
+        return real_excl(spark_, path, body)
+
+    monkeypatch.setattr(kv, "write_sidecar_exclusive", racing_excl)
+    pinned = ensure_store_config(spark, store, {"family": "agg", "n_buckets": 8})
+    assert pinned == {"family": "agg", "n_buckets": 8}
 
 
 def _edges(spark, pairs):
