@@ -69,10 +69,15 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "
 def hashed_shingles(df: DataFrame, id_col: str, shingle_col: str = "shingles", out_col: str = "hsh") -> DataFrame:
     """Hash each shingle string to a bigint ONCE; every later stage (minhash
     permutations, intersect/union verification) works on the bigint array --
-    string hashing is the dominant cost and must not repeat per permutation."""
-    return df.select(
+    string hashing is the dominant cost and must not repeat per permutation.
+
+    The empty-doc filter tests the INPUT array, not ``size(out_col)``: a
+    pushed-down predicate on the output column inlines the hash transform
+    (and everything below it) into the scan filter, evaluating the
+    pipeline twice per row (see md5_hashed_shingles)."""
+    return df.filter(F.size(shingle_col) > 0).select(
         F.col(id_col), F.expr(f"transform({shingle_col}, s -> xxhash64(s))").alias(out_col)
-    ).filter(F.size(out_col) > 0)
+    )
 
 
 def hashed_shingles_direct(
@@ -158,12 +163,32 @@ def md5_hashed_shingles(
     h = int(md5(shingle)[:15 hex]) mod p.  The md5-mode analogue of
     hashed_shingles_direct -- slower (one md5 per shingle string) but
     replayable by any engine, which puts everything downstream of it
-    behind the DuckDB oracle gate."""
-    sh = shingles(df.select(id_col, text_col), text_col, n=n, out_col="__sh")
-    return sh.select(
-        F.col(id_col),
-        F.expr(f"array_distinct(transform(__sh, s -> {_MD5_SHINGLE_HASH}))").alias(out_col),
-    ).filter(F.size(out_col) > 0)
+    behind the DuckDB oracle gate.
+
+    Same single-projection shape as hashed_shingles_direct, for the same
+    reason (r13): a trailing ``filter(size(out_col) > 0)`` is pushed into
+    the parquet scan with the WHOLE tokenize->shingle->md5 pipeline
+    inlined as the predicate -- every row pays the pipeline twice, and
+    the pushed copy runs below the parallelizing exchange (single-task on
+    a one-file input).  Filtering on the token count instead keeps the
+    pushed predicate one cheap regex; hash-then-distinct equals
+    distinct-strings-then-hash because md5 is deterministic (collision
+    exposure identical to every other hashed-key stage here)."""
+    from odp_dynamic_data_pipeline_spark.operators.partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
+    shingle = f"array_join(slice(__toks, i, {n}), ' ')"
+    return (
+        df.withColumn("__toks", F.expr(f"regexp_extract_all({text_col}, r'\\S+', 0)"))
+        .where(F.expr(f"size(__toks) >= {n}"))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(__toks) - {n - 1}),"
+                f" i -> {_MD5_SHINGLE_HASH.replace('md5(s)', f'md5({shingle})')}))"
+            ).alias(out_col),
+        )
+    )
 
 
 def md5_minhash_signatures(

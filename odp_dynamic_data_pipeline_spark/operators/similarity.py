@@ -37,7 +37,16 @@ def quantized(df: DataFrame, vec_col: str = "embedding", out_col: str = "qvec") 
     # partition and would run all per-vector arithmetic on one core
     df = ensure_min_parallelism(df)
     df = df.withColumn(out_col, F.expr(QUANT.format(col=vec_col)))
-    return df.withColumn("qnorm", F.expr(NORM.format(a=out_col)))
+    # qnorm is coalesce-wrapped to be NON-NULLABLE: a downstream filter
+    # that implies qnorm IS NOT NULL (any cosine threshold does) would
+    # otherwise be inferred and pushed into the embeddings scan with the
+    # whole quantize+norm pipeline inlined as the predicate -- the
+    # arithmetic evaluated twice per row (r13 plan audit,
+    # embedding_neardup_by_label).  A null embedding still yields a null
+    # qvec, so every dot/cosine against it stays null exactly as before.
+    return df.withColumn(
+        "qnorm", F.coalesce(F.expr(NORM.format(a=out_col)), F.lit(0).cast("bigint"))
+    )
 
 
 def cosine_topk(
@@ -218,12 +227,26 @@ def ivf_assign(
         centroid_path == "data"
         or (centroid_path == "auto" and len(centroids) > LITERAL_CENTROID_MAX)
     )
+    # The scalar (nprobe=1) assignment is wrapped in coalesce(expr, -1) to
+    # make the output column NON-NULLABLE (the getItem/getField chain is
+    # nullable even though it never actually yields null for a non-empty
+    # centroid set).  Without this, using the assignment as an inner-join
+    # key makes InferFiltersFromConstraints add IsNotNull(<assignment>),
+    # which predicate-pushdown inlines into the vector table's parquet
+    # scan -- the ENTIRE quantize + k-distance argmin pipeline evaluated
+    # a second time as a scan filter, below the parallelizing exchange
+    # (r13 plan audit caught it in ivf/ivfpq topk and two-level assign).
+    # coalesce never fires; values are bit-identical.
     if use_data:
         joined = df.crossJoin(
             F.broadcast(_centroids_relation(df.sparkSession, centroids))
         )
         ranked = _ranked_over_cents(vec_col, metric="norm")
-        picked = ranked[0]["j"] if nprobe == 1 else F.slice(ranked, 1, nprobe)["j"]
+        picked = (
+            F.coalesce(ranked[0]["j"], F.lit(-1))
+            if nprobe == 1
+            else F.slice(ranked, 1, nprobe)["j"]
+        )
         return joined.withColumn(out_col, picked).drop("__cents")
     entries = []
     for j, c in enumerate(centroids):
@@ -232,7 +255,7 @@ def ivf_assign(
         entries.append(F.struct(dist2.alias("d"), F.lit(j).alias("j")))
     ranked = F.array_sort(F.array(*entries))
     if nprobe == 1:
-        return df.withColumn(out_col, ranked[0]["j"])
+        return df.withColumn(out_col, F.coalesce(ranked[0]["j"], F.lit(-1)))
     return df.withColumn(out_col, F.slice(ranked, 1, nprobe)["j"])
 
 
