@@ -120,7 +120,10 @@ def markov_removal_attribution(trans: DataFrame, iters: int = 8) -> DataFrame:
         (c, b, r, e, (1_000_000 * e) // tot if tot > 0 else 0)
         for c, b, r, e in eff
     ]
-    return trans.sparkSession.createDataFrame(
+    from odp_dynamic_data_pipeline_spark.functions.localrel import local_relation
+
+    return local_relation(
+        trans.sparkSession,
         out_rows,
         "channel string, base_conv_e9 long, removed_conv_e9 long,"
         " removal_effect_e6 long, attribution_share_e6 long",

@@ -104,7 +104,9 @@ def retrieval_eval(
         for t in ts
         if t in dfs
     ]
-    qt = spark.createDataFrame(qt_rows, "query_id string, __t string, idf_fp long")
+    from odp_dynamic_data_pipeline_spark.functions.localrel import local_relation
+
+    qt = local_relation(spark, qt_rows, "query_id string, __t string, idf_fp long")
 
     # per-(query, doc): BM25 score + graded gain, one broadcast join
     qd = (
@@ -125,7 +127,9 @@ def retrieval_eval(
     )
     qd = qd.persist()
 
-    disc = spark.createDataFrame(ndcg_discounts_fp20(k), "rank long, disc_fp long")
+    from odp_dynamic_data_pipeline_spark.functions.localrel import local_relation
+
+    disc = local_relation(spark, ndcg_discounts_fp20(k), "rank long, disc_fp long")
 
     # retrieved run: per-query top-k by (score desc, id) -- WindowGroupLimit
     w_run = Window.partitionBy("query_id").orderBy(

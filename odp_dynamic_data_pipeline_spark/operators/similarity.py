@@ -176,7 +176,17 @@ def _centroids_relation(spark, centroids: list[list[int]]):
     schema = StructType(
         [StructField("__cents", ArrayType(cent_struct, False), False)]
     )
-    return spark.createDataFrame([(rows,)], schema)
+    # through pandas/Arrow, NOT a plain local list: a list-backed relation
+    # scans via a pickled Python RDD, and every job touching it pays a
+    # multi-second Python-worker round trip (measured ~5-8 s per execution
+    # on local[32] -- r13; the Arrow path builds a JVM LocalRelation with
+    # identical values and nullability)
+    try:
+        import pandas as pd
+
+        return spark.createDataFrame(pd.DataFrame({"__cents": [rows]}), schema)
+    except Exception:  # pandas/Arrow unavailable -- correct but slower
+        return spark.createDataFrame([(rows,)], schema)
 
 
 def _ranked_over_cents(vec_col: str, *, metric: str) -> F.Column:
@@ -315,7 +325,8 @@ def kmeans_quantizer(
     k: int = 8,
     iters: int = 3,
     centroid_path: str = "auto",
-) -> tuple[list[list[int]], DataFrame]:
+    assign: bool = True,
+) -> tuple[list[list[int]], DataFrame | None]:
     """Deterministic mini k-means over quantized vectors -- the trained
     coarse quantizer for ivf_topk (which defaults to seed-only centroids).
 
@@ -332,7 +343,10 @@ def kmeans_quantizer(
     returned assignment is materialized via localCheckpoint first so its
     lineage no longer references the unpersisted cache.
 
-    Returns (centroids, assignment DataFrame with 'ivf_list' column).
+    Returns (centroids, assignment DataFrame with 'ivf_list' column);
+    ``assign=False`` skips the final assignment materialization (its
+    localCheckpoint is a full extra pass) and returns (centroids, None)
+    -- the train-offline shape run_incremental_semdedup feeds on.
     """
     cand = quantized(df.select(F.col(id_col).alias("__id"), vec_col), vec_col).persist()
     # one seed collect serves both the centroids and the dim probe (a
@@ -363,6 +377,9 @@ def kmeans_quantizer(
                 vec[r["pos"]] = -((-s) // n) if s < 0 else s // n
             new[cl] = vec
         cents = new
+    if not assign:
+        cand.unpersist()
+        return cents, None
     result = assigned.withColumnRenamed("__id", id_col).localCheckpoint(eager=True)
     cand.unpersist()
     return cents, result
@@ -997,9 +1014,22 @@ def assign_two_level(
         ]
     )
     spark = df.sparkSession
-    members_rel = spark.createDataFrame(
-        [(s, groups[s]) for s in range(g) if groups[s]], rel_schema
-    )
+    member_rows = [(s, groups[s]) for s in range(g) if groups[s]]
+    # pandas/Arrow for the same reason as _centroids_relation: a plain
+    # local-list relation executes as a pickled Python RDD and costs a
+    # multi-second Python-worker round trip per job that scans it
+    try:
+        import pandas as pd
+
+        members_rel = spark.createDataFrame(
+            pd.DataFrame(
+                {"__sup": [r[0] for r in member_rows],
+                 "__members": [r[1] for r in member_rows]}
+            ),
+            rel_schema,
+        )
+    except Exception:
+        members_rel = spark.createDataFrame(member_rows, rel_schema)
 
     staged = ivf_assign(df, supers, vec_col=vec_col, out_col="__sup", nprobe=1)
     joined = staged.join(F.broadcast(members_rel), "__sup")
@@ -1240,7 +1270,9 @@ def kcenter_coreset(
             .withColumn("mind2", F.least(F.col("mind2"), _d2_const("qvec", pick["qvec"])))
             .localCheckpoint(eager=True)
         )
-    return df.sparkSession.createDataFrame(chosen, out_schema)
+    from odp_dynamic_data_pipeline_spark.functions.localrel import local_relation
+
+    return local_relation(df.sparkSession, chosen, out_schema)
 
 
 def _pyd2(a: list[int], b: list[int]) -> int:
@@ -1354,4 +1386,6 @@ def kcenter_coreset_batched(
             .withColumn("mind2", upd)
             .localCheckpoint(eager=True)
         )
-    return df.sparkSession.createDataFrame(chosen, out_schema)
+    from odp_dynamic_data_pipeline_spark.functions.localrel import local_relation
+
+    return local_relation(df.sparkSession, chosen, out_schema)

@@ -889,7 +889,9 @@ def dsir_select(
     llr = [
         (r["__b"], ilog2_fp20(r["tb"] + 1) - ilog2_fp20(r["rb"] + 1) + off) for r in rows
     ]
-    llr_df = docs.sparkSession.createDataFrame(llr, "__b bigint, llr_fp bigint")
+    from odp_dynamic_data_pipeline_spark.functions.localrel import local_relation
+
+    llr_df = local_relation(docs.sparkSession, llr, "__b bigint, llr_fp bigint")
     docb = hist.where(~F.col("__is_t")).select(id_col, "__b", "__c")
     scored = (
         docb.join(F.broadcast(llr_df), "__b")
@@ -1038,7 +1040,9 @@ def bm25_scores(
         for t in terms
         if t in dfs
     ]
-    idf_df = df.sparkSession.createDataFrame(idf, "__t string, idf_fp long")
+    from odp_dynamic_data_pipeline_spark.functions.localrel import local_relation
+
+    idf_df = local_relation(df.sparkSession, idf, "__t string, idf_fp long")
     scored = (
         tf.join(F.broadcast(idf_df), "__t")
         .join(dl, id_col)

@@ -877,6 +877,88 @@ def semantic_dedup_scaled_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(emb, k=k, iters=3, threshold=0.2, centroid_path="data")
 
 
+@register(
+    "incremental_semdedup_stream",
+    _semdedup_oracle(k=_K_SQRT_SQL, iters=1, threshold=0.2),
+)
+def incremental_semdedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SemDeDup (streaming.stream.run_incremental_semdedup):
+    embeddings replayed as TWO id-ordered micro-batches against a FROZEN
+    coarse quantizer; per batch, cluster-blocked candidate pairs against
+    the accreted vector store + the batch itself, exact integer cosine,
+    keep-first by lowest id.  The union of emitted batches is checked
+    row-for-row against the SAME unrolled-Lloyd DuckDB oracle family as
+    semantic_dedup_scaled (k = floor(sqrt(N)), the scale-path cluster
+    count) -- stream == batch == oracle.
+
+    The frozen codebook is the SEED centroid set (first k vectors by id,
+    the ivf_topk seeding idiom; oracle assign_1 uses cents_0 = seeds):
+    Lloyd training itself is already triple-gated by the batch semdedup
+    queries, so the stream twin spends its budget gating what is NEW here
+    -- the cross-batch store protocol and election.  Deployment shape:
+    codebook trained/frozen offline, ingest only assigns against it.
+    Drops are id-ordered (low half first, file mtimes pinned
+    so the file source replays them in order) because keep-first
+    elections are id-ordered -- the runner's high-water-mark guard
+    raises on out-of-order ids rather than silently diverging."""
+    import os as _os
+    import glob as _glob
+
+    from odp_dynamic_data_pipeline_spark.queries.core import (
+        _stream_shuffle,
+        _stream_tmpdir,
+    )
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        run_incremental_semdedup,
+    )
+
+    import math as _math
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # scale-path cluster count (see semantic_dedup_scaled): k ~ sqrt(N)
+    # keeps within-cluster candidate pairs bounded as the corpus grows
+    k = int(_math.floor(_math.sqrt(emb.count())))
+    # broadcast-centroid assignment everywhere: at k ~ sqrt(N) the literal
+    # path folds k x dim ints into every assignment plan; the data path is
+    # the shape that survives real corpus sizes and is fold-guard gated.
+    # iters=0 = seeds only (assign_1 in the oracle assigns vs cents_0)
+    cents, _ = sim.kmeans_quantizer(
+        emb, k=k, iters=0, assign=False, centroid_path="data"
+    )
+    tmp = _stream_tmpdir("inc_semdedup_stream")
+    src = f"{tmp}/in"
+    rng = emb.agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")).first()
+    mid = (int(rng["lo"]) + int(rng["hi"])) // 2
+    (
+        emb.withColumn("drop", (F.col("vec_id") > F.lit(mid)).cast("int"))
+        .coalesce(1)
+        .write.partitionBy("drop")
+        .mode("overwrite")
+        .parquet(src)
+    )
+    # the file source orders files by modification time: pin drop=0 older
+    # so the low-id half is ALWAYS the first micro-batch
+    for i, d in enumerate(("drop=0", "drop=1")):
+        for p in _glob.glob(f"{src}/{d}/*.parquet"):
+            _os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/drop=*")
+    )
+    with _stream_shuffle(spark):
+        run_incremental_semdedup(
+            stream,
+            f"{tmp}/store",
+            f"{tmp}/out",
+            checkpoint=f"{tmp}/ckpt",
+            centroids=cents,
+            threshold=0.2,
+            centroid_path="data",
+        )
+    return spark.read.parquet(f"{tmp}/out").select("vec_id", "cluster_id", "is_dup")
+
+
 def _kcenter_oracle(k: int = 8) -> str:
     """Unrolled farthest-point-traversal replay: per round, a positional
     UNNEST zip computes the exact squared quantized distance to the new

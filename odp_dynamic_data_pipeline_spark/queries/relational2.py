@@ -606,7 +606,10 @@ def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ensure_min_parallelism(
         load_table(spark, sf_dir, "events").select(_cents("value").alias("v_cents"))
     )
-    tiers = load_table(spark, sf_dir, "events").sparkSession.createDataFrame(
+    from odp_dynamic_data_pipeline_spark.functions.localrel import local_relation
+
+    tiers = local_relation(
+        load_table(spark, sf_dir, "events").sparkSession,
         [("low", 0, 10000), ("mid", 10000, 25000), ("high", 25000, 50100)],
         "tier string, lo_c long, hi_c long",
     )

@@ -3213,7 +3213,9 @@ def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFram
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", old)
-    return spark.createDataFrame(rows, df.schema)
+    from odp_dynamic_data_pipeline_spark.functions.localrel import local_relation
+
+    return local_relation(spark, rows, df.schema)
 
 
 def _link_prediction_oracle() -> str:

@@ -997,6 +997,236 @@ def run_incremental_neardup(
     return q
 
 
+def apply_incremental_semdedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    out_path: str,
+    *,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.2,
+    centroid_path: str = "auto",
+) -> None:
+    """One micro-batch fold of :func:`run_incremental_semdedup` -- module
+    level so retry idempotency and the id-monotonicity guard are directly
+    testable without checkpoint surgery (same split as
+    apply_incremental_agg_batch)."""
+    import hashlib
+    import json as _json
+
+    from pyspark.sql import functions as SF
+
+    from odp_dynamic_data_pipeline_spark.operators.similarity import (
+        DOT,
+        ivf_assign,
+        quantized,
+    )
+    from odp_dynamic_data_pipeline_spark.streaming.kvstore import ensure_store_config
+
+    spark = batch_df.sparkSession
+    # pin the layout-determining knobs: a different centroid set, k,
+    # threshold, or hash of the centroid VALUES silently changes every
+    # later election (vectors assigned to different clusters never meet
+    # their witnesses) -- same guard class as the neardup hasher pin.
+    cent_md5 = hashlib.md5(
+        _json.dumps([[int(x) for x in c] for c in centroids]).encode()
+    ).hexdigest()
+    ensure_store_config(
+        spark,
+        store_path,
+        {
+            "family": "semdedup",
+            "k": len(centroids),
+            "threshold_e6": int(round(threshold * 1_000_000)),
+            "centroid_md5": cent_md5,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+    )
+
+    def _path_exists(path: str) -> bool:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI.create(path), conf)
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+
+    asg = (
+        ivf_assign(
+            quantized(batch_df.select(id_col, vec_col), vec_col),
+            centroids,
+            nprobe=1,
+            centroid_path=centroid_path,
+        )
+        .select(id_col, SF.col("ivf_list").cast("int").alias("__list"), "qvec", "qnorm")
+        .persist()
+    )
+    # bounded collect license: one row, two scalars (the batch's id range)
+    rng = asg.select(
+        SF.min(id_col).alias("lo"), SF.max(id_col).alias("hi")
+    ).first()
+    if rng["lo"] is None:  # empty batch: nothing to elect, nothing to store
+        asg.unpersist()
+        return
+    # id-monotonicity guard: the keep-first election is exact vs the batch
+    # run only when ids never arrive below the stored high-water mark (a
+    # lower-id late arrival would need to RETRO-mark an already-emitted
+    # row).  meta is a tiny batch-keyed table (one row per batch), so the
+    # check reads a handful of rows, never the vector store.
+    meta_path = f"{store_path}/meta"
+    if _path_exists(meta_path):
+        hwm = (
+            spark.read.parquet(meta_path)
+            .where(SF.col("batch_id") != SF.lit(batch_id))
+            .agg(SF.max("max_id"))
+            .first()[0]
+        )
+        if hwm is not None and rng["lo"] <= hwm:
+            raise ValueError(
+                f"incremental semdedup at {store_path!r}: batch {batch_id}"
+                f" min id {rng['lo']} <= stored high-water mark {hwm}."
+                " Keep-first elections are id-ordered; feed id-monotone"
+                " drops (or re-run the batch dedup over the full corpus)."
+            )
+    # touched-cluster pruning: the store side is filtered to the clusters
+    # this batch actually landed in BEFORE any join -- per-batch store IO
+    # is bounded by the touched clusters' sizes, never the store size.
+    # bounded collect license: <= len(centroids) ints.
+    touched = [r["__list"] for r in asg.select("__list").distinct().collect()]
+    dot = SF.expr(DOT.format(a="qa", b="qb"))
+    cosine = dot.cast("double") / SF.sqrt(
+        SF.col("na").cast("double") * SF.col("nb").cast("double")
+    )
+    newer = asg.select(
+        SF.col(id_col).alias("id_b"),
+        SF.col("__list").alias("__l"),
+        SF.col("qvec").alias("qb"),
+        SF.col("qnorm").alias("nb"),
+    )
+    pairs = (
+        asg.select(
+            SF.col(id_col).alias("id_a"),
+            SF.col("__list").alias("__l"),
+            SF.col("qvec").alias("qa"),
+            SF.col("qnorm").alias("na"),
+        )
+        .join(newer, "__l")
+        .where(SF.col("id_a") < SF.col("id_b"))
+    )
+    vec_path = f"{store_path}/vectors"
+    if _path_exists(vec_path):
+        stored = (
+            spark.read.parquet(vec_path)
+            .where(SF.col("batch_id") != SF.lit(batch_id))
+            .where(SF.col("__list").isin(touched))
+            .select(
+                SF.col(id_col).alias("id_a"),
+                SF.col("__list").alias("__l"),
+                SF.col("qvec").alias("qa"),
+                SF.col("qnorm").alias("na"),
+            )
+        )
+        # the HWM guard makes every stored id lower than every batch id,
+        # but the predicate stays: correctness must not depend on it
+        pairs = pairs.unionByName(
+            stored.join(newer, "__l").where(SF.col("id_a") < SF.col("id_b"))
+        )
+    dup_ids = (
+        pairs.select("id_b", cosine.alias("__cos"))
+        .where(SF.col("__cos") >= SF.lit(threshold))
+        .select(SF.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dup", SF.lit(1))
+    )
+    out = (
+        asg.select(id_col, SF.col("__list").alias("cluster_id"))
+        .join(dup_ids, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            SF.coalesce("__dup", SF.lit(0)).cast("int").alias("is_dup"),
+        )
+    )
+    out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+    # the store keeps ALL seen vectors, not only keepers: the election is
+    # non-chained (a duplicate still witnesses later duplicates), exactly
+    # the batch operator's semantics
+    asg.write.mode("overwrite").parquet(f"{vec_path}/batch_id={batch_id}")
+    # JVM-built one-row relation: a local-list createDataFrame executes as
+    # a pickled Python RDD and costs a multi-second Python-worker round
+    # trip PER BATCH (measured ~5 s on local[32], r13)
+    spark.range(1).select(
+        SF.lit(int(rng["lo"])).alias("min_id"), SF.lit(int(rng["hi"])).alias("max_id")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{meta_path}/batch_id={batch_id}")
+    asg.unpersist()
+
+
+def run_incremental_semdedup(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    *,
+    checkpoint: str,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.2,
+    centroid_path: str = "auto",
+):
+    """Streaming SemDeDup: maintain the semantic-duplicate election of
+    operators.similarity.semantic_dedup across micro-batches against a
+    PRE-TRAINED coarse quantizer (``centroids`` -- the deployment shape:
+    k-means is trained offline on a sample, ingest assigns against the
+    frozen codebook, like run_incremental_neardup freezes its hash
+    family).  Per batch: quantize + nearest-centroid assignment (map-side,
+    no shuffle; broadcast data path past LITERAL_CENTROID_MAX), candidate
+    pairs from the cluster blocking key against BOTH the historical
+    vector store (pruned to the batch's touched clusters) and the batch
+    itself, exact integer cosine against ``threshold``, keep-first by
+    lowest id.  Emits one row per batch vector (id, cluster_id, is_dup);
+    the union over batches equals the one-shot batch operator row for row
+    (driver-gated vs the same DuckDB oracle).
+
+    Store layout (batch-keyed for idempotent retries, same discipline as
+    run_incremental_neardup; compact with compact_incremental_store):
+      {store_path}/vectors/batch_id=N -- (id, __list, qvec, qnorm), ALL
+                                         seen vectors (non-chained
+                                         election needs duplicate
+                                         witnesses too)
+      {store_path}/meta/batch_id=N    -- one (min_id, max_id) row: the
+                                         id high-water mark guard
+    Output: {out_path}/batch_id=N     -- (id, cluster_id, is_dup)
+
+    Scale shape: assignment is O(k) per vector map-side (O(2*sqrt(k))
+    via assign_two_level upstream if needed); per-batch store IO is
+    bounded by touched clusters; at k ~ sqrt(N) expected cluster size is
+    sqrt(N), so cross-batch candidate pairs stay batch-driven -- never
+    all-pairs, never a full-store shuffle."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_incremental_semdedup_batch(
+            batch_df,
+            batch_id,
+            store_path,
+            out_path,
+            centroids=centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            centroid_path=centroid_path,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def compact_incremental_store(spark, store_path: str) -> int:
     """Maintenance compaction for the batch-keyed dedup stores
     (run_incremental_dedup's fingerprint store, run_incremental_neardup's
@@ -1496,7 +1726,12 @@ def run_incremental_ivf(
                 r.qvec
                 for r in q.orderBy(id_col).limit(nlist).select("qvec").collect()
             ]
-            spark.createDataFrame(
+            from odp_dynamic_data_pipeline_spark.functions.localrel import (
+                local_relation,
+            )
+
+            local_relation(
+                spark,
                 [(j, list(c)) for j, c in enumerate(cents)],
                 "j int, qvec array<bigint>",
             ).write.mode("overwrite").parquet(cpath)
@@ -2306,7 +2541,12 @@ def apply_incremental_cc_batch(
     ctype = e.schema["src"].dataType
     if prev is not None:
         if chain:
-            cmap = spark.createDataFrame(
+            from odp_dynamic_data_pipeline_spark.functions.localrel import (
+                local_relation,
+            )
+
+            cmap = local_relation(
+                spark,
                 [(k, v) for k, v in chain.items()],
                 StructType(
                     [StructField("old_comp", ctype), StructField("new_comp", ctype)]
