@@ -18,8 +18,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from odp_dynamic_data_pipeline_spark.queries import SPARK_QUERIES  # noqa: E402
 from odp_dynamic_data_pipeline_spark.session import get_spark  # noqa: E402
 
-# every registered query is a headline query; order: cheap scans first
+# every registered query is a headline query; order: cheap scans first.
+# SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts the run (harness smoke
+# tests / single-query probes); round artifacts always use the full set.
 BENCH_QUERIES = list(SPARK_QUERIES)
+_only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+if _only:
+    wanted = [n.strip() for n in _only.split(",") if n.strip()]
+    unknown = [n for n in wanted if n not in SPARK_QUERIES]
+    if unknown:
+        raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY: unknown queries {unknown}")
+    BENCH_QUERIES = wanted
 
 
 def main() -> None:
@@ -93,7 +102,15 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - missing optional table
             pass
 
+    # Warm probes run INLINE, immediately after each slow cold run (r12
+    # VERDICT item 2): the old separate end-of-session warm pass ran under
+    # 500+ s of accumulated JVM pressure and produced warm>cold inversions
+    # that cost a round of adjudication receipts.  Inline, the warm number
+    # answers exactly the question it exists for -- "was the cold number
+    # per-query codegen/JIT?" -- under the SAME session state as its cold.
+    warm_threshold = float(os.environ.get("SPARK_GRAFT_WARM_THRESHOLD_SEC", "2.0"))
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = SPARK_QUERIES[name]
         t0 = time.time()
@@ -103,18 +120,16 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"bench error in {name}: {e!r}", file=sys.stderr)
-    # second, warm-timed pass for the slow outliers only: a first run pays
-    # per-query whole-stage-codegen JIT (measured 1-5 s of pure compile on
-    # this container), so "slow" on pass one is ambiguous.  The warm number
-    # separates compile noise from genuinely expensive plans at bounded
-    # extra cost (only queries over the threshold re-run).
-    warm_threshold = float(os.environ.get("SPARK_GRAFT_WARM_THRESHOLD_SEC", "2.0"))
-    warm: dict[str, float] = {}
-    for name, t in timings.items():
-        if t >= warm_threshold:
+            continue
+        # warm re-run for slow outliers only: a first run pays per-query
+        # whole-stage-codegen JIT (measured 1-5 s of pure compile on this
+        # container), so "slow" on pass one is ambiguous; the warm number
+        # separates compile noise from genuinely expensive plans at
+        # bounded extra cost
+        if timings[name] >= warm_threshold:
             t0 = time.time()
             try:
-                SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 warm[name] = round(time.time() - t0, 3)
             except Exception:  # noqa: BLE001
                 warm[name] = -1.0
@@ -199,7 +214,8 @@ def main() -> None:
     # (the driver's benchmark scale) -- a small-sf smoke run must not
     # clobber the round's comparable artifact.
     stamped_path = None
-    if abs(sf - 0.1) < 1e-9:
+    # never stamp a partial (BENCH_ONLY) run as a round artifact
+    if abs(sf - 0.1) < 1e-9 and not _only:
         import glob
         import re
 
