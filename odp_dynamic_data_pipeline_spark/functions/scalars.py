@@ -37,7 +37,7 @@ def ilog2_fp20_sql(x: str) -> str:
 
     The loop lives inside a single codegen'd higher-order function, so
     applying it to millions of rows costs no Python and no plan blowup;
-    int64-safe for x < 2^33.  A DuckDB twin (queries.llm.duck_ilog2_sql)
+    int64-safe for x < 2^33.  A DuckDB twin (queries.llm_text.duck_ilog2_sql)
     evaluates the identical recurrence with list_reduce, which is what puts
     entropy/weighted-sampling queries behind the exact-hash oracle gate
     with no libm log anywhere.
@@ -58,7 +58,7 @@ def iexp2_fp20_sql(f: str) -> str:
     expression ``f`` (must be >= 0) -- the inverse companion of
     :func:`ilog2_fp20_sql`, same bit-identical contract (the Python
     reference is operators.text.iexp2_fp20, the DuckDB twin
-    queries.llm.duck_iexp2_sql).  One ``aggregate`` fold over the 20
+    queries.llm_text.duck_iexp2_sql).  One ``aggregate`` fold over the 20
     fraction bits, each set bit multiplying in the matching
     2^(2^-k) fp20 constant with truncation; integer part applied as a
     final shift.  int64-safe while (f >> 20) <= 42."""

@@ -70,9 +70,14 @@ def register(name: str, oracle: str | None = None, *, gating_cadence: bool = Fal
     return deco
 
 
-# importing the modules populates the registries
+# importing the modules populates the registries (llm split r13:
+# llm = dedup core, llm_retrieval = embedding/ANN/SemDeDup,
+# llm_graph = dedup-graph analytics, llm_text = text/quality/reporting)
 from odp_dynamic_data_pipeline_spark.queries import core as _core  # noqa: E402,F401
 from odp_dynamic_data_pipeline_spark.queries import llm as _llm  # noqa: E402,F401
+from odp_dynamic_data_pipeline_spark.queries import llm_graph as _llm_graph  # noqa: E402,F401
+from odp_dynamic_data_pipeline_spark.queries import llm_retrieval as _llm_retrieval  # noqa: E402,F401
+from odp_dynamic_data_pipeline_spark.queries import llm_text as _llm_text  # noqa: E402,F401
 from odp_dynamic_data_pipeline_spark.queries import relational2 as _relational2  # noqa: E402,F401
 from odp_dynamic_data_pipeline_spark.queries import surfaces as _surfaces  # noqa: E402,F401
 

@@ -1,10 +1,13 @@
-"""LLM-training-data pipeline queries: dedup, similarity search, text
-analysis, multimodal plumbing -- over the documents/embeddings testdata.
+"""LLM-training-data DEDUP queries: exact, MinHash/SimHash/LSH, span-level
+ExactSubstr, winnowing, containment, threshold sweeps, plus the SQL
+frontends and curation pipelines built on them.  Sibling domains split
+out in r13: llm_retrieval (embedding/ANN/SemDeDup), llm_graph (dedup
+graph analytics), llm_text (text analysis/quality/reporting/multimodal).
 
-Non-SQL-expressible operators (xxhash64-based MinHash/SimHash/LSH) register
-without an oracle; the driver records a rows-only check for those.
+Non-SQL-expressible operators (xxhash64-based MinHash/SimHash/LSH)
+register without an oracle; the driver records a rows-only check for
+those.
 """
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -41,82 +44,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "token_count_stats",
-    """
-WITH t AS (SELECT doc_id, n_chars, regexp_extract_all(text, '\\S+') AS toks FROM documents)
-SELECT doc_id,
-       n_chars,
-       CAST(len(toks) AS INTEGER) AS n_tokens,
-       CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique_tokens,
-       COALESCE(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT), 0) AS sum_token_len
-FROM t
-""",
-)
-def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace tokenizer, JVM regexp -- no Python)."""
-    docs = tx.token_stats(load_table(spark, sf_dir, "documents"))
-    return docs.select("doc_id", "n_chars", "n_tokens", "n_unique_tokens", "sum_token_len")
-
-
-@register(
-    "quality_score",
-    """
-WITH t AS (SELECT doc_id, n_chars, regexp_extract_all(text, '\\S+') AS toks FROM documents)
-SELECT doc_id,
-       CAST(len(toks) AS INTEGER) AS n_tokens,
-       CAST(len(list_filter(toks, x -> list_contains(['the','and','of','a','to'], x))) AS INTEGER) AS n_stopwords,
-       (1000000 * CAST(len(list_distinct(toks)) AS BIGINT)) // CAST(len(toks) AS BIGINT) AS unique_ratio_e6,
-       (1000000 * CAST(len(list_filter(toks, x -> list_contains(['the','and','of','a','to'], x))) AS BIGINT))
-         // CAST(len(toks) AS BIGINT) AS stopword_ratio_e6
-FROM t WHERE len(toks) > 0
-""",
-)
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document quality features: token counts, stopword/unique ratios as
-    exact integer parts-per-million."""
-    docs = tx.quality_features(load_table(spark, sf_dir, "documents")).where(F.col("n_tokens") > 0)
-    return docs.select(
-        "doc_id",
-        "n_tokens",
-        "n_stopwords",
-        F.expr("(1000000 * CAST(n_unique_tokens AS BIGINT)) div CAST(n_tokens AS BIGINT)").alias(
-            "unique_ratio_e6"
-        ),
-        F.expr("(1000000 * CAST(n_stopwords AS BIGINT)) div CAST(n_tokens AS BIGINT)").alias(
-            "stopword_ratio_e6"
-        ),
-    )
-
-
-@register(
-    "lang_id_pred",
-    """
-WITH t AS (SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS toks FROM documents),
-s AS (
-  SELECT doc_id, lang,
-    len(list_filter(toks, x -> list_contains(['the','and','of','a','to'], x))) AS s_en,
-    len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
-    len(list_filter(toks, x -> list_contains(['el','los','que','de','y'], x))) AS s_es,
-    len(list_filter(toks, x -> list_contains(['der','und','die','das','ein'], x))) AS s_de,
-    len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS s_zh
-  FROM t
-)
-SELECT doc_id, lang,
-  CASE WHEN s_en >= greatest(s_fr, s_es, s_de, s_zh) THEN 'en'
-       WHEN s_fr >= greatest(s_es, s_de, s_zh) THEN 'fr'
-       WHEN s_es >= greatest(s_de, s_zh) THEN 'es'
-       WHEN s_de >= s_zh THEN 'de'
-       ELSE 'zh' END AS pred_lang
-FROM s
-""",
-)
-def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-profile language ID (earliest language attaining the max
-    score wins -- matches operators.text.language_id's fold)."""
-    docs = tx.language_id(load_table(spark, sf_dir, "documents"))
-    return docs.select("doc_id", "lang", "pred_lang")
-
 
 @register(
     "doc_fingerprint",
@@ -133,6 +60,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "fingerprint", F.octet_length("text").cast("long").alias("payload_bytes")
     )
+
 
 
 @register(
@@ -198,81 +126,6 @@ def ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_TOPK_ORACLE = """
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
-  FROM embeddings
-),
-norms AS (
-  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
-  FROM (SELECT vec_id, UNNEST(q) AS v FROM e) GROUP BY vec_id
-),
-pairs AS (
-  SELECT qe.vec_id AS qid, ce.vec_id AS cand_id, UNNEST(qe.q) AS qv, UNNEST(ce.q) AS cv
-  FROM e qe, e ce
-  WHERE qe.vec_id < 10 AND ce.vec_id <> qe.vec_id
-),
-dots AS (SELECT qid, cand_id, CAST(SUM(qv * cv) AS BIGINT) AS dot FROM pairs GROUP BY qid, cand_id),
-scored AS (
-  SELECT d.qid, d.cand_id,
-         CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
-  FROM dots d
-  JOIN norms nq ON nq.vec_id = d.qid
-  JOIN norms nc ON nc.vec_id = d.cand_id
-)
-SELECT qid, cand_id, rank, cosine FROM (
-  SELECT qid, cand_id, cosine,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cand_id) AS rank
-  FROM scored
-) WHERE rank <= 5
-"""
-
-
-@register("embedding_cosine_topk", EMB_TOPK_ORACLE)
-def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact cosine top-5 for the first 10 query vectors.
-    Quantized to integer micro-units so both engines agree bitwise; dot
-    products via zip_with/aggregate stay JVM-side."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return sim.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
-
-
-@register(
-    "embedding_neardup_by_label",
-    """
-WITH e AS (
-  SELECT vec_id, label, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
-  FROM embeddings
-),
-norms AS (
-  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
-  FROM (SELECT vec_id, UNNEST(q) AS v FROM e) GROUP BY vec_id
-),
-pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, UNNEST(a.q) AS av, UNNEST(b.q) AS bv
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-),
-dots AS (SELECT id_a, id_b, CAST(SUM(av * bv) AS BIGINT) AS dot FROM pairs GROUP BY id_a, id_b)
-SELECT d.id_a, d.id_b,
-       CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
-FROM dots d
-JOIN norms na ON na.vec_id = d.id_a
-JOIN norms nb ON nb.vec_id = d.id_b
-WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.18
-""",
-)
-def embedding_neardup_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup with label blocking (the blocking key cuts
-    the pair space by ~|labels|x -- the same role LSH buckets play when no
-    natural key exists)."""
-    emb = sim.quantized(load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"))
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("qvec").alias("qa"), F.col("qnorm").alias("na"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("qvec").alias("qb"), F.col("qnorm").alias("nb"))
-    pairs = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
-    dot = F.expr(sim.DOT.format(a="qa", b="qb"))
-    cosine = dot.cast("double") / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
-    return pairs.select("id_a", "id_b", cosine.alias("cosine")).where(F.col("cosine") >= 0.18)
-
 
 @register(
     "dedup_keep_best",
@@ -296,39 +149,6 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars")
     )
 
-
-@register(
-    "label_centroids",
-    """
-WITH q AS (
-  SELECT label,
-         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS e
-  FROM embeddings
-), flat AS (
-  SELECT label, UNNEST(e) AS v, UNNEST(generate_series(1, len(e))) AS pos FROM q
-)
-SELECT label, CAST(pos AS INTEGER) AS pos,
-       CAST(SUM(v) AS BIGINT) AS sum_e6,
-       COUNT(*) AS n,
-       CAST(SUM(v) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid
-FROM flat GROUP BY label, pos
-""",
-)
-def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid of the embedding space via positional explode +
-    exact integer sums -- the reduce step of a k-means/IVF coarse quantizer,
-    expressed as one shuffle on (label, position)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "label", F.expr(sim.QUANT.format(col="embedding")).alias("e")
-    )
-    flat = emb.select("label", F.posexplode("e").alias("pos0", "v")).select(
-        "label", (F.col("pos0") + 1).cast("int").alias("pos"), "v"
-    )
-    return flat.groupBy("label", "pos").agg(
-        F.sum("v").alias("sum_e6"),
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("v").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0)).alias("centroid"),
-    )
 
 
 @register(
@@ -367,6 +187,7 @@ from odp_dynamic_data_pipeline_spark.operators.dedup import (  # noqa: E402
     MINHASH_P,
 )
 
+
 MINHASH_MD5_ORACLE = """
 WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS s
@@ -401,6 +222,7 @@ GROUP BY a.doc_id, b.doc_id
 )
 
 
+
 LSH_PRECISION_ORACLE = (
     MINHASH_MD5_ORACLE.replace(
         "SELECT a.doc_id AS id_a", ", cand AS (\nSELECT a.doc_id AS id_a", 1
@@ -421,6 +243,7 @@ JOIN sizes sa ON sa.doc_id = c.id_a
 JOIN sizes sb ON sb.doc_id = c.id_b
 """
 )
+
 
 
 @register("lsh_precision_report", LSH_PRECISION_ORACLE)
@@ -468,6 +291,7 @@ def lsh_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register("dedup_minhash_md5", MINHASH_MD5_ORACLE)
 def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banding with one md5 per shingle plus an arithmetic
@@ -513,6 +337,7 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 SPLIT_LEAKAGE_ORACLE = (
     MINHASH_MD5_ORACLE[: MINHASH_MD5_ORACLE.index("SELECT a.doc_id AS id_a")]
     + """, split AS (
@@ -533,6 +358,7 @@ SELECT test_id, COUNT(*) AS n_train_neardups
 FROM cand GROUP BY test_id
 """
 )
+
 
 
 @register("split_leakage_report", SPLIT_LEAKAGE_ORACLE)
@@ -587,6 +413,7 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "dedup_simhash_md5",
     """
@@ -610,6 +437,7 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation legs); the oracle reconstructs them via an explicit bit
     cross join -- equal results, very different physical plans."""
     return _simhash60_md5(load_table(spark, sf_dir, "documents"))
+
 
 
 def _simhash60_md5(docs: DataFrame) -> DataFrame:
@@ -641,6 +469,7 @@ def _simhash60_md5(docs: DataFrame) -> DataFrame:
     )
 
 
+
 _SIMHASH60_SIG_SQL = """
 toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents),
 h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
@@ -655,6 +484,7 @@ sig AS (
   FROM bits GROUP BY doc_id
 )
 """
+
 
 
 @register(
@@ -686,6 +516,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB XXH64 replay (queries/xxh64_sql.py) -- previously rows-only ---
 
 
+
 @register("dedup_minhash_lsh", _xx.minhash_xx_pairs_sql(200_000))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with exact-Jaccard verification
@@ -700,6 +531,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(docs, "doc_id", threshold_e6=200_000).orderBy("id_a", "id_b")
 
 
+
 @register("dedup_simhash", _xx.simhash_xx_sql(63))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit SimHash per document (near-dup = small hamming distance).
@@ -709,817 +541,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash(docs, "doc_id")
 
-
-def _kmeans_cte(k: int | str = 8, iters: int = 3) -> str:
-    """Unrolled-Lloyd DuckDB CTE prefix: the iteration count is a fixed
-    hyperparameter, so the loop unrolls into ``iters`` chained CTE blocks
-    (assign -> per-(cluster, pos) integer-mean update with empty clusters
-    keeping their centroid) -- replaying operators.similarity.
-    kmeans_quantizer value-for-value with no recursion.  Exposes
-    ``assign_{iters}`` (vec_id, lst), plus ``e`` (quantized vectors) and
-    ``norms`` for downstream tails.
-
-    ``k`` may be an int literal or a SQL scalar expression string (e.g. a
-    ``(SELECT ...)`` subquery) -- the seed CTE's LIMIT accepts both, which
-    is how the corpus-scaled k ~ sqrt(N) variant stays oracle-replayable."""
-    head = f"""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
-  FROM embeddings
-),
-ee AS (
-  SELECT vec_id, UNNEST(q) AS v, UNNEST(generate_series(0, len(q) - 1)) AS pos FROM e
-),
-norms AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm FROM ee GROUP BY vec_id),
-seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
-         FROM e ORDER BY vec_id LIMIT {k}),
-cents_0 AS (
-  SELECT s.j, ee.pos, ee.v AS cv FROM seed s JOIN ee ON ee.vec_id = s.vec_id
-)"""
-    blocks = []
-    for i in range(1, iters + 1):
-        p = i - 1
-        blocks.append(f""",
-cnorm_{p} AS (SELECT j, CAST(SUM(cv * cv) AS BIGINT) AS cnrm FROM cents_{p} GROUP BY j),
-dot_{i} AS (
-  SELECT ee.vec_id, c.j, CAST(SUM(ee.v * c.cv) AS BIGINT) AS dot
-  FROM ee JOIN cents_{p} c ON c.pos = ee.pos
-  GROUP BY ee.vec_id, c.j
-),
-assign_{i} AS (
-  SELECT vec_id, j AS lst FROM (
-    SELECT d.vec_id, d.j,
-           ROW_NUMBER() OVER (PARTITION BY d.vec_id
-                              ORDER BY n.nrm - 2 * d.dot + c.cnrm, d.j) AS rk
-    FROM dot_{i} d
-    JOIN norms n ON n.vec_id = d.vec_id
-    JOIN cnorm_{p} c ON c.j = d.j
-  ) WHERE rk = 1
-),
-cstats_{i} AS (
-  SELECT a.lst AS j, ee.pos, CAST(SUM(ee.v) AS BIGINT) // COUNT(*) AS m
-  FROM assign_{i} a JOIN ee ON ee.vec_id = a.vec_id
-  GROUP BY a.lst, ee.pos
-),
-cents_{i} AS (
-  SELECT p.j, p.pos, COALESCE(s.m, p.cv) AS cv
-  FROM cents_{p} p LEFT JOIN cstats_{i} s ON s.j = p.j AND s.pos = p.pos
-)""")
-    return head + "".join(blocks)
-
-
-def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
-    tail = f"""
-SELECT CAST(lst AS INTEGER) AS ivf_list, COUNT(*) AS n_vectors
-FROM assign_{iters} GROUP BY lst ORDER BY ivf_list
-"""
-    return _kmeans_cte(k, iters) + tail
-
-
-def _semdedup_oracle(k: int = 8, iters: int = 3, threshold: float = 0.2) -> str:
-    """SemDeDup oracle: the unrolled-Lloyd CTE prefix feeds a
-    within-cluster pairwise cosine tail (cluster = blocking key, exactly
-    like the Spark side's equi-join on the quantizer's list id)."""
-    tail = f""",
-cpairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM assign_{iters} a JOIN assign_{iters} b
-    ON a.lst = b.lst AND a.vec_id < b.vec_id
-),
-pv AS (
-  SELECT p.id_a, p.id_b, UNNEST(ea.q) AS av, UNNEST(eb.q) AS bv
-  FROM cpairs p
-  JOIN e ea ON ea.vec_id = p.id_a
-  JOIN e eb ON eb.vec_id = p.id_b
-),
-dots AS (SELECT id_a, id_b, CAST(SUM(av * bv) AS BIGINT) AS dot FROM pv GROUP BY id_a, id_b),
-dup AS (
-  SELECT DISTINCT d.id_b AS vec_id
-  FROM dots d
-  JOIN norms na ON na.vec_id = d.id_a
-  JOIN norms nb ON nb.vec_id = d.id_b
-  WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= {threshold!r}
-)
-SELECT a.vec_id, CAST(a.lst AS INTEGER) AS cluster_id,
-       CAST(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_dup
-FROM assign_{iters} a LEFT JOIN dup ON dup.vec_id = a.vec_id
-"""
-    return _kmeans_cte(k, iters) + tail
-
-
-@register("semantic_dedup_clusters", _semdedup_oracle(k=8, iters=3, threshold=0.2))
-def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (cluster-then-threshold semantic dedup,
-    operators.similarity.semantic_dedup): train the coarse quantizer, block
-    candidate pairs by cluster id, mark any vector whose cosine to a
-    lower-id cluster-mate reaches 0.2 as a semantic duplicate.  The whole
-    chain -- Lloyd training, assignment, pairwise cosine, keep-first policy
-    -- is deterministic integer math, so the DuckDB oracle replays it
-    value-for-value.
-
-    TEACHING VARIANT: k is FIXED at 8, so within-cluster candidate pairs
-    grow ~quadratically with the corpus (measured rehearsal exponent 1.03
-    at 30x, SCALE_REHEARSAL.json).  The PRODUCTION path is
-    :func:`semantic_dedup_scaled` (k = floor(sqrt(N)), exponent 0.67) --
-    fixed-k exists to pin the algebra against a small, human-checkable
-    oracle, not to run at scale."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return sim.semantic_dedup(emb, k=8, iters=3, threshold=0.2)
-
-
-# k as a SQL scalar: floor(sqrt(N)) over the same corpus the seeds come
-# from -- both engines take IEEE-double sqrt of the exact count, so the
-# cluster count is bit-identical (Python math.sqrt and DuckDB sqrt are
-# the same libm-class double op on an exact integer input)
-_K_SQRT_SQL = "(SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) FROM e)"
-
-
-@register("semantic_dedup_scaled", _semdedup_oracle(k=_K_SQRT_SQL, iters=3, threshold=0.2))
-def semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup at the SCALE-PATH cluster count k = floor(sqrt(N)) -- the
-    r8 mitigation (SCALE_MITIGATIONS.json: exponent 1.03 -> 0.64 at fixed
-    k=8 vs sqrt-N) promoted to a first-class hash-gated query: with k ~
-    sqrt(N) the expected within-cluster pair count is O(N^1.5 / N) per
-    cluster and the candidate volume stays bounded as the corpus grows,
-    which is how SemDeDup is actually run on web-scale corpora (Abbas et
-    al. 2023 use ~sqrt-scale cluster counts for the same reason).  N is
-    one bounded driver scalar (a count); the oracle computes the SAME k
-    inside SQL with a LIMIT subquery, so training, assignment, and the
-    keep-first dedup all replay value-for-value at ANY corpus size."""
-    import math
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    k = int(math.floor(math.sqrt(emb.count())))
-    return sim.semantic_dedup(emb, k=k, iters=3, threshold=0.2)
-
-
-@register(
-    "semantic_dedup_scaled_bcast",
-    _semdedup_oracle(k=_K_SQRT_SQL, iters=3, threshold=0.2),
-)
-def semantic_dedup_scaled_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """semantic_dedup_scaled with the BROADCAST-CENTROID assignment path
-    FORCED (operators.similarity.ivf_assign centroid_path='data'): the
-    k ~ sqrt(N) plan a real corpus takes, where folding k x dim centroid
-    ints into the expression tree would not survive analysis (r11's one
-    `weak` mark).  Centroids travel as a one-row broadcast relation and
-    the argmin is a higher-order transform -- identical exact integer
-    math, identical lowest-index tie-break, O(1) plan size.  At test
-    corpus sizes auto-switching would pick the literal path (k < 256),
-    so this twin pins the scale path under the driver's hash gate with
-    the SAME DuckDB oracle (the oracle replays arithmetic, not plan
-    shape); tests/test_fold_guard.py additionally proves path equality
-    and bounded k=1000 analysis."""
-    import math
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    k = int(math.floor(math.sqrt(emb.count())))
-    return sim.semantic_dedup(emb, k=k, iters=3, threshold=0.2, centroid_path="data")
-
-
-@register(
-    "incremental_semdedup_stream",
-    _semdedup_oracle(k=_K_SQRT_SQL, iters=1, threshold=0.2),
-)
-def incremental_semdedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING SemDeDup (streaming.stream.run_incremental_semdedup):
-    embeddings replayed as TWO id-ordered micro-batches against a FROZEN
-    coarse quantizer; per batch, cluster-blocked candidate pairs against
-    the accreted vector store + the batch itself, exact integer cosine,
-    keep-first by lowest id.  The union of emitted batches is checked
-    row-for-row against the SAME unrolled-Lloyd DuckDB oracle family as
-    semantic_dedup_scaled (k = floor(sqrt(N)), the scale-path cluster
-    count) -- stream == batch == oracle.
-
-    The frozen codebook is the SEED centroid set (first k vectors by id,
-    the ivf_topk seeding idiom; oracle assign_1 uses cents_0 = seeds):
-    Lloyd training itself is already triple-gated by the batch semdedup
-    queries, so the stream twin spends its budget gating what is NEW here
-    -- the cross-batch store protocol and election.  Deployment shape:
-    codebook trained/frozen offline, ingest only assigns against it.
-    Drops are id-ordered (low half first, file mtimes pinned
-    so the file source replays them in order) because keep-first
-    elections are id-ordered -- the runner's high-water-mark guard
-    raises on out-of-order ids rather than silently diverging."""
-    import os as _os
-    import glob as _glob
-
-    from odp_dynamic_data_pipeline_spark.queries.core import (
-        _stream_shuffle,
-        _stream_tmpdir,
-    )
-    from odp_dynamic_data_pipeline_spark.streaming.stream import (
-        run_incremental_semdedup,
-    )
-
-    import math as _math
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # scale-path cluster count (see semantic_dedup_scaled): k ~ sqrt(N)
-    # keeps within-cluster candidate pairs bounded as the corpus grows
-    k = int(_math.floor(_math.sqrt(emb.count())))
-    # broadcast-centroid assignment everywhere: at k ~ sqrt(N) the literal
-    # path folds k x dim ints into every assignment plan; the data path is
-    # the shape that survives real corpus sizes and is fold-guard gated.
-    # iters=0 = seeds only (assign_1 in the oracle assigns vs cents_0)
-    cents, _ = sim.kmeans_quantizer(
-        emb, k=k, iters=0, assign=False, centroid_path="data"
-    )
-    tmp = _stream_tmpdir("inc_semdedup_stream")
-    src = f"{tmp}/in"
-    rng = emb.agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")).first()
-    mid = (int(rng["lo"]) + int(rng["hi"])) // 2
-    (
-        emb.withColumn("drop", (F.col("vec_id") > F.lit(mid)).cast("int"))
-        .coalesce(1)
-        .write.partitionBy("drop")
-        .mode("overwrite")
-        .parquet(src)
-    )
-    # the file source orders files by modification time: pin drop=0 older
-    # so the low-id half is ALWAYS the first micro-batch
-    for i, d in enumerate(("drop=0", "drop=1")):
-        for p in _glob.glob(f"{src}/{d}/*.parquet"):
-            _os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
-    stream = (
-        spark.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/drop=*")
-    )
-    with _stream_shuffle(spark):
-        run_incremental_semdedup(
-            stream,
-            f"{tmp}/store",
-            f"{tmp}/out",
-            checkpoint=f"{tmp}/ckpt",
-            centroids=cents,
-            threshold=0.2,
-            centroid_path="data",
-        )
-    return spark.read.parquet(f"{tmp}/out").select("vec_id", "cluster_id", "is_dup")
-
-
-def _kcenter_oracle(k: int = 8) -> str:
-    """Unrolled farthest-point-traversal replay: per round, a positional
-    UNNEST zip computes the exact squared quantized distance to the new
-    center and LEAST folds it into the running min (the unrolled-Lloyd
-    pattern of _kmeans_oracle)."""
-    ctes = [
-        """e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
-  FROM embeddings
-)""",
-        "c1 AS (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 1)",
-        """pv1 AS (SELECT v.vec_id, UNNEST(v.q) AS av, UNNEST(c.q) AS bv
-  FROM e v CROSS JOIN c1 c WHERE v.vec_id <> c.vec_id)""",
-        "rem1 AS (SELECT vec_id, CAST(SUM((av - bv) * (av - bv)) AS BIGINT) AS mind2 FROM pv1 GROUP BY vec_id)",
-    ]
-    for t in range(2, k + 1):
-        ctes.append(
-            f"pick{t} AS (SELECT r.vec_id, e.q, r.mind2 FROM rem{t - 1} r"
-            f" JOIN e USING (vec_id) ORDER BY r.mind2 DESC, r.vec_id LIMIT 1)"
-        )
-        if t < k:
-            ctes.append(
-                f"""pv{t} AS (SELECT r.vec_id, r.mind2, UNNEST(e.q) AS av, UNNEST(p.q) AS bv
-  FROM rem{t - 1} r JOIN e USING (vec_id) CROSS JOIN pick{t} p WHERE r.vec_id <> p.vec_id)"""
-            )
-            ctes.append(
-                f"rem{t} AS (SELECT vec_id, LEAST(MAX(mind2),"
-                f" CAST(SUM((av - bv) * (av - bv)) AS BIGINT)) AS mind2"
-                f" FROM pv{t} GROUP BY vec_id)"
-            )
-    tail = "SELECT CAST(1 AS INTEGER) AS sel_order, vec_id, CAST(0 AS BIGINT) AS d2 FROM c1"
-    for t in range(2, k + 1):
-        tail += f"\nUNION ALL SELECT CAST({t} AS INTEGER), vec_id, mind2 FROM pick{t}"
-    return "WITH " + ",\n".join(ctes) + "\n" + tail
-
-
-@register("kcenter_coreset_trace", _kcenter_oracle(8))
-def kcenter_coreset_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy k-center coreset selection (operators.similarity.
-    kcenter_coreset, Gonzalez farthest-point 2-approximation): the
-    DIVERSITY-pruning pick next to SemDeDup's redundancy removal and
-    DSIR's target reweighting -- 8 maximally-covering exemplar vectors,
-    each round one distributed least/argmax pass with the new center
-    folded to a JVM constant and a single-row TakeOrdered collect.  The
-    returned trace (selection order + distance-to-selected-set) is the
-    elbow curve for choosing k; the DuckDB oracle replays all 8 unrolled
-    rounds value-for-value."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return sim.kcenter_coreset(emb, k=8)
-
-
-@register("kmeans_ivf_lists", _kmeans_oracle(k=8, iters=3))
-def kmeans_ivf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained coarse quantizer: 3 Lloyd iterations over quantized
-    embeddings, then the per-cluster membership census.  Deterministic
-    (seeded centroids, lowest-id tie-breaks, exact integer means), so the
-    unrolled-Lloyd DuckDB oracle verifies the whole training loop."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    _, assigned = sim.kmeans_quantizer(emb, k=8, iters=3)
-    return (
-        assigned.groupBy(F.col("ivf_list").cast("int").alias("ivf_list"))
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .orderBy("ivf_list")
-    )
-
-
-IVF_TOPK_ORACLE = """
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
-  FROM embeddings
-),
-norms AS (
-  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
-  FROM (SELECT vec_id, UNNEST(q) AS v FROM e) GROUP BY vec_id
-),
-cents AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS j, e.q AS cq, n.nrm AS cnrm
-  FROM e JOIN norms n ON n.vec_id = e.vec_id
-  ORDER BY e.vec_id LIMIT 8
-),
-vc AS (
-  SELECT e.vec_id, c.j, UNNEST(e.q) AS v, UNNEST(c.cq) AS cv FROM e, cents c
-),
-vcd AS (SELECT vec_id, j, CAST(SUM(v * cv) AS BIGINT) AS dot FROM vc GROUP BY vec_id, j),
-dist AS (
-  SELECT d.vec_id, d.j, n.nrm - 2 * d.dot + c.cnrm AS d2
-  FROM vcd d JOIN norms n ON n.vec_id = d.vec_id JOIN cents c ON c.j = d.j
-),
-cand_assign AS (
-  SELECT vec_id, j AS lst FROM (
-    SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk FROM dist
-  ) WHERE rk = 1
-),
-qry_assign AS (
-  SELECT vec_id, j AS lst FROM (
-    SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk
-    FROM dist WHERE vec_id < 10
-  ) WHERE rk <= 2
-),
-pairs AS (
-  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cand_id
-  FROM qry_assign q JOIN cand_assign c ON c.lst = q.lst
-  WHERE c.vec_id <> q.vec_id
-),
-pv AS (
-  SELECT p.qid, p.cand_id, UNNEST(qe.q) AS qv, UNNEST(ce.q) AS cv
-  FROM pairs p JOIN e qe ON qe.vec_id = p.qid JOIN e ce ON ce.vec_id = p.cand_id
-),
-dots AS (SELECT qid, cand_id, CAST(SUM(qv * cv) AS BIGINT) AS dot FROM pv GROUP BY qid, cand_id),
-scored AS (
-  SELECT d.qid, d.cand_id,
-         CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
-  FROM dots d JOIN norms nq ON nq.vec_id = d.qid JOIN norms nc ON nc.vec_id = d.cand_id
-)
-SELECT qid, cand_id, rank, cosine FROM (
-  SELECT qid, cand_id, cosine,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cand_id) AS rank
-  FROM scored
-) WHERE rank <= 5
-"""
-
-
-@register("similarity_ivf_topk", IVF_TOPK_ORACLE)
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (deterministically seeded coarse
-    quantizer; assignment is a shuffle-free JVM map, probing an equi-join).
-    Fully deterministic -- seed centroids are the first nlist vectors by id,
-    assignment ties break to the lowest list id -- so the DuckDB oracle
-    replays the ENTIRE two-stage ANN (assign -> probe -> exact re-rank)
-    value-for-value, not just a rows-only check."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return sim.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, nlist=8, nprobe=2)
-
-
-def _lsh_topk_oracle(tables: int = 8, planes: int = 4, dim: int = 64, k: int = 5) -> str:
-    """Value-for-value DuckDB replay of the WHOLE SRP-LSH pipeline.
-
-    The production hyperplanes are sign vectors derived from
-    xxhash64(plane, j) -- but operators.similarity folds them in as plan
-    LITERALS (the matrix is a constant), so the oracle embeds the SAME
-    +/-1 literals via the Python xxhash64 replication and never needs the
-    hash: bucket_t = sum_p [dot(q, s_{t,p}) > 0] * 2^p, candidates = the
-    (table, bucket) equi-join, then the exact integer-quantized cosine
-    re-rank shared with the IVF/PQ oracles.  This closes the last ANN
-    rows-only gap: the xxhash64 perf path itself is now hash-gated."""
-    from odp_dynamic_data_pipeline_spark.functions.xxh import xxhash64_ints
-
-    def signs(plane: int) -> str:
-        return (
-            "["
-            + ",".join(
-                "1" if xxhash64_ints(plane, j) % 2 == 0 else "-1" for j in range(dim)
-            )
-            + "]::BIGINT[]"
-        )
-
-    per_table = []
-    for t in range(tables):
-        terms = " + ".join(
-            f"(CASE WHEN list_dot_product(q, {signs(t * planes + p)}) > 0"
-            f" THEN {2 ** p} ELSE 0 END)"
-            for p in range(planes)
-        )
-        per_table.append(f"  SELECT vec_id, {t} AS tb, {terms} AS bk FROM e")
-    buckets = "\n  UNION ALL\n".join(per_table)
-    return f"""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
-  FROM embeddings
-),
-norms AS (
-  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
-  FROM (SELECT vec_id, UNNEST(q) AS v FROM e) GROUP BY vec_id
-),
-buckets AS (
-{buckets}
-),
-pairs AS (
-  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cand_id
-  FROM buckets q JOIN buckets c ON c.tb = q.tb AND c.bk = q.bk
-  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
-),
-pv AS (
-  SELECT p.qid, p.cand_id, UNNEST(qe.q) AS qv, UNNEST(ce.q) AS cv
-  FROM pairs p JOIN e qe ON qe.vec_id = p.qid JOIN e ce ON ce.vec_id = p.cand_id
-),
-dots AS (SELECT qid, cand_id, CAST(SUM(qv * cv) AS BIGINT) AS dot FROM pv GROUP BY qid, cand_id),
-scored AS (
-  SELECT d.qid, d.cand_id,
-         CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
-  FROM dots d JOIN norms nq ON nq.vec_id = d.qid JOIN norms nc ON nc.vec_id = d.cand_id
-)
-SELECT qid, cand_id, rank, cosine FROM (
-  SELECT qid, cand_id, cosine,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cand_id) AS rank
-  FROM scored
-) WHERE rank <= {k}
-"""
-
-
-@register("similarity_lsh_topk", _lsh_topk_oracle())
-def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH-bucketed approximate top-k (scale path for
-    similarity search: equi-join on bucket replaces the cross join).
-    Full value-for-value oracle: the hyperplane sign matrix is a plan
-    literal, so DuckDB replays bucketing + candidate join + exact
-    re-rank exactly (see _lsh_topk_oracle)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return sim.lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
-
-
-@register(
-    "multimodal_meta",
-    """
-SELECT doc_id,
-       octet_length(encode(text)) AS payload_bytes,
-       md5(text) AS payload_md5,
-       (octet_length(encode(text)) + 255) // 256 AS n_chunks
-FROM documents
-""",
-)
-def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary-column plumbing: opaque payload + typed metadata;
-    byte lengths and chunk counts computed without decoding."""
-    docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        F.octet_length("text").cast("long").alias("payload_bytes"),
-        F.md5("text").alias("payload_md5"),
-        F.expr("(CAST(octet_length(text) AS BIGINT) + 255) div 256").alias("n_chunks"),
-    )
-
-
-@register(
-    "bpe_token_count",
-    """
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text,
-         '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS INTEGER)
-         AS n_bpe_pretokens
-FROM documents
-""",
-)
-def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish pre-tokenizer count (GPT-2-style split regex: contractions,
-    letter runs, digit runs, punctuation runs, whitespace) -- the unit a
-    training-data token budget is estimated in.  Same regex semantics in
-    Java (Spark) and RE2 (DuckDB)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pat = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
-    return docs.select(
-        "doc_id", F.expr(f"CAST(regexp_count(text, r\"{pat}\") AS INT)").alias("n_bpe_pretokens")
-    )
-
-
-@register(
-    "multimodal_frame_sample",
-    """
-WITH d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
-c AS (SELECT doc_id, nb,
-             unnest(generate_series(0, (nb + 255) // 256 - 1, 4)) AS fi
-      FROM d)
-SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
-       LEAST(256, nb - fi * 256) AS frame_bytes
-FROM c
-""",
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling fan-out (one payload -> many frame rows via
-    mapInPandas); the oracle reconstructs chunk geometry arithmetically, so
-    the Arrow-batched fan-out itself is correctness-gated."""
-    docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
-    frames = mm.frame_sample(docs)
-    return frames.select(
-        "doc_id", "frame_idx", F.length("frame").cast("long").alias("frame_bytes")
-    )
-
-
-@register(
-    "multimodal_features",
-    """
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
-       CAST(list_sum(list_transform(range(1, CAST(length(text) AS BIGINT) + 1),
-                                    i -> ord(substr(text, CAST(i AS INT), 1))))
-            % 2147483648 AS BIGINT) AS feat_checksum
-FROM documents
-""",
-)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads (decode
-    stubbed; deterministic byte-sum checksum exercises the real batch
-    path).  Oracle recomputes the checksum from character codes -- valid
-    because the synthetic payload is ASCII (utf-8 bytes == char ords)."""
-    docs = mm.attach_payload(load_table(spark, sf_dir, "documents"))
-    return mm.extract_features(docs)
-
-
-def _resize_oracle() -> str:
-    """DuckDB replay of resize_image over the SYNTHETIC payload: the PPM
-    raster is a closed form of doc_id (pixel p = (p * (doc_id%251+1)) % 256,
-    operators.multimodal.attach_synth_media), so the whole
-    encode -> header-parse -> box-mean -> integer-mean chain reduces to
-    arithmetic on (doc_id, output-pixel index).  o in [0, 24) encodes
-    (oy = o//12, ox = (o%12)//3, ch = o%3); each output pixel is the
-    floor-mean of its 2x2 input box."""
-
-    def px(r: str, c: str, ch: str) -> str:
-        return f"((({r}) * 24 + ({c}) * 3 + ({ch})) * k) % 256"
-
-    term = " + ".join(
-        px(f"(o // 12) * 2 + {dr}", f"((o % 12) // 3) * 2 + {dc}", "o % 3")
-        for dr in (0, 1)
-        for dc in (0, 1)
-    )
-    return f"""
-WITH ids AS (
-  SELECT doc_id, doc_id % 251 + 1 AS k FROM documents
-  WHERE doc_id < 200 AND doc_id % 2 = 1
-)
-SELECT doc_id,
-       CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
-       CAST(4 AS INTEGER) AS out_w, CAST(2 AS INTEGER) AS out_h,
-       CAST((1000000 * CAST(list_sum(list_transform(range(0, 24),
-              o -> ({term}) // 4)) AS BIGINT)) // (255 * 4 * 2 * 3) AS BIGINT)
-         AS mean_level_e6
-FROM ids
-ORDER BY doc_id
-"""
-
-
-@register("multimodal_resize", _resize_oracle())
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize stage (operators.multimodal.resize_image): synthesize
-    real PPM payloads for the image-typed docs, box-mean downsample 8x4 ->
-    4x2, return exact integer per-doc features.  The synthetic raster is a
-    closed form of doc_id, so the DuckDB oracle replays the full
-    synthesize -> decode -> box-mean chain as integer arithmetic (it was
-    rows-only until r5); the numpy value-asserts in
-    tests/test_multimodal_decode.py stay as the independent reference."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
-        (F.col("doc_id") < 200) & (F.col("doc_id") % 2 == 1)  # odd ids = images
-    )
-    media = mm.attach_synth_media(docs)
-    return (
-        mm.resize_image(media, out_w=4, out_h=2)
-        .select("doc_id", "width", "height", "out_w", "out_h", "mean_level_e6")
-        .orderBy("doc_id")
-    )
-
-
-REAL_DECODE_ORACLE = """
-WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
-img AS (
-  SELECT doc_id,
-         list_transform(range(0, 96),
-           p -> CAST((p * (doc_id % 251 + 1)) % 256 AS DOUBLE) / 255.0) AS x
-  FROM ids WHERE doc_id % 2 = 1
-),
-imgf AS (
-  SELECT doc_id, CAST(32 AS BIGINT) AS n_samples,
-         sqrt(list_sum(list_transform(x, v -> v * v)) / 96.0) AS rms,
-         list_sum(x) / 96.0 AS mean_level
-  FROM img
-),
-aud AS (
-  SELECT doc_id,
-         list_transform(range(0, 400),
-           n -> trunc(0.5 * sin(2 * pi() * (200.0 + CAST(doc_id % 20 AS DOUBLE) * 50.0)
-                                * (CAST(n AS DOUBLE) / 8000.0)) * 32767.0) / 32768.0) AS x
-  FROM ids WHERE doc_id % 2 = 0
-),
-audf AS (
-  SELECT doc_id, CAST(400 AS BIGINT) AS n_samples,
-         sqrt(list_sum(list_transform(x, v -> v * v)) / 400.0) AS rms,
-         list_sum(x) / 400.0 AS mean_level
-  FROM aud
-),
-feats AS (
-  SELECT 'image' AS media_type, n_samples, rms, mean_level FROM imgf
-  UNION ALL
-  SELECT 'audio', n_samples, rms, mean_level FROM audf
-)
-SELECT media_type, COUNT(*) AS n_docs,
-       CAST(SUM(n_samples) AS BIGINT) AS total_samples,
-       ROUND(AVG(rms), 4) AS avg_rms,
-       ROUND(AVG(mean_level), 4) AS avg_mean_level
-FROM feats GROUP BY media_type ORDER BY media_type
-"""
-
-
-@register("multimodal_real_decode", REAL_DECODE_ORACLE)
-def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode (operators.multimodal._decode_payload): synthesize
-    actual WAV PCM16 / PPM P6 payloads per document, decode them pure-numpy
-    in mapInPandas, aggregate per media type.
-
-    Oracle-gated since r5: the synthetic payloads are closed forms of
-    doc_id, so DuckDB replays synth -> RIFF/PPM decode -> feature math as
-    arithmetic -- PCM16 samples are trunc(0.5*sin(theta)*32767)/32768
-    (dyadic-exact partial sums, so summation order cannot bite) and image
-    levels are ((p*k)%256)/255.  The only cross-engine float risk is a
-    last-ulp sin() difference flipping a trunc boundary, absorbed by the
-    round(.,4) on the per-type averages; the numpy value-asserts in
-    tests/test_multimodal_decode.py remain the independent reference."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
-        F.col("doc_id") < 200  # deterministic subset, not an unordered LIMIT
-    )
-    media = mm.attach_synth_media(docs)
-    feats = mm.extract_features(media, fake=False)
-    return (
-        feats.groupBy("media_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_samples").cast("long").alias("total_samples"),
-            F.round(F.avg("rms"), 4).alias("avg_rms"),
-            F.round(F.avg("mean_level"), 4).alias("avg_mean_level"),
-        )
-        .orderBy("media_type")
-    )
-
-
-@register(
-    "doc_chunks",
-    """
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
-),
-st AS (
-  SELECT doc_id, t,
-         UNNEST(generate_series(1, least(greatest(len(t) - 64 + 48, 1), greatest(len(t), 1)), 48)) AS i
-  FROM toks
-)
-SELECT doc_id, (i - 1) // 48 AS chunk_id,
-       array_to_string(list_slice(t, i, i + 63), ' ') AS chunk_text,
-       CAST(len(list_slice(t, i, i + 63)) AS INT) AS n_chunk_tokens
-FROM st
-""",
-)
-def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking (64-token windows, stride 48) --
-    the shard-preparation step before tokenization in an LLM data
-    pipeline.  Map-only: sequence + slice array arithmetic, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    out = tx.chunk_documents(docs, chunk_tokens=64, stride=48)
-    return out.select(
-        "doc_id", "chunk_id", "chunk_text", F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens")
-    )
-
-
-@register(
-    "pii_scrub_fingerprint",
-    """
-WITH s AS (
-  SELECT doc_id,
-         regexp_replace(
-           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-           '\\+?[0-9][0-9() .-]{7,}[0-9]', '[PHONE]', 'g') AS scrubbed
-  FROM documents
-)
-SELECT doc_id, md5(scrubbed) AS scrub_md5,
-       CAST(octet_length(encode(scrubbed)) AS BIGINT) AS scrub_bytes
-FROM s
-""",
-)
-def pii_scrub_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction pass (emails/phone-shaped digit runs -> placeholders)
-    verified cross-engine by fingerprinting the scrubbed text.  JVM
-    regexp_replace, map-only."""
-    docs = tx.scrub_pii(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        F.md5("scrubbed").alias("scrub_md5"),
-        F.octet_length("scrubbed").cast("long").alias("scrub_bytes"),
-    )
-
-
-@register(
-    "tfidf_top_terms",
-    """
-WITH tok AS (
-  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-  FROM documents
-),
-tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
-df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
-n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
-scored AS (
-  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
-         (tf.tf * 1000000 * n.n) // df.df AS score_e6
-  FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN n
-),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, tok) AS rk
-  FROM scored
-)
-SELECT doc_id, tok, tf, df, score_e6
-FROM ranked WHERE rk <= 5 AND doc_id < 100
-""",
-)
-def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Log-free TF-IDF surrogate (tf * N / df as an exact scaled integer --
-    ln() is not bitwise-portable across engines) with top-5 terms per
-    document.  Corpus statistics (df, N) computed over the FULL corpus;
-    output restricted to doc_id < 100."""
-    tok = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("tok"))
-    )
-    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n = tok.agg(F.countDistinct("doc_id").alias("n"))
-    scored = (
-        tf.join(df_, "tok")
-        .crossJoin(F.broadcast(n))
-        .select("doc_id", "tok", "tf", "df",
-                F.expr("(tf * 1000000 * n) div df").alias("score_e6"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score_e6").desc(), "tok")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where((F.col("rk") <= 5) & (F.col("doc_id") < 100))
-        .select("doc_id", "tok", "tf", "df", "score_e6")
-    )
-
-
-@register(
-    "repetition_quality",
-    """
-WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
-grams AS (
-  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS gram
-  FROM (SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS i FROM toks)
-),
-per AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram)
-SELECT doc_id,
-       CAST(SUM(c) AS BIGINT) AS n_2grams,
-       COUNT(*) AS distinct_2grams,
-       MAX(c) AS top_2gram_count,
-       CAST((1000000 * MAX(c)) // SUM(c) AS BIGINT) AS top_2gram_frac_e6
-FROM per GROUP BY doc_id
-""",
-)
-def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition-based quality features (Gopher filter family): per
-    document, total / distinct 2-gram counts and the share of the single
-    most-repeated 2-gram.  High top-2-gram fraction flags boilerplate and
-    degenerate repetition.  One shuffle keyed (doc_id, gram), partial map-
-    side aggregation collapses repeats before it."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    per = (
-        tx.repetition_grams(docs, "text", n=2)
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    return per.groupBy("doc_id").agg(
-        F.sum("c").alias("n_2grams"),
-        F.count(F.lit(1)).alias("distinct_2grams"),
-        F.max("c").alias("top_2gram_count"),
-        F.expr("(1000000 * max(c)) div sum(c)").alias("top_2gram_frac_e6"),
-    )
 
 
 @register(
@@ -1548,6 +569,7 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     return dd.contamination_check(corpus, bench, n=8)
+
 
 
 @register(
@@ -1588,56 +610,6 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dd.duplicate_spans(docs, window=8)
 
-
-def _pagerank_oracle(iters: int = 5) -> str:
-    """Unrolled fixed-point PageRank replay over the md5-minhash candidate
-    graph: the MINHASH_MD5_ORACLE prefix produces the pair list, then one
-    CTE per iteration applies base + (85 * sum(r div deg)) div 100 in
-    integer arithmetic -- bit-identical to operators.dedup.pagerank."""
-    prefix = MINHASH_MD5_ORACLE[: MINHASH_MD5_ORACLE.index("SELECT a.doc_id AS id_a")]
-    body = prefix + """, pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-),
-sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs),
-deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
-nn AS (SELECT COUNT(*) AS n FROM deg),
-r0 AS (SELECT src AS nid, 1000000000 // nn.n AS r FROM deg CROSS JOIN nn)"""
-    for k in range(1, iters + 1):
-        body += f""",
-r{k} AS (
-  SELECT d.src AS nid,
-         (15 * CAST(1000000000 AS BIGINT)) // (100 * nn.n)
-         + (85 * COALESCE(s.s, CAST(0 AS BIGINT))) // 100 AS r
-  FROM deg d CROSS JOIN nn
-  LEFT JOIN (
-    SELECT e.dst, SUM(r.r // dg.deg) AS s
-    FROM sym e JOIN r{k - 1} r ON r.nid = e.src JOIN deg dg ON dg.src = e.src
-    GROUP BY e.dst
-  ) s ON s.dst = d.src
-)"""
-    body += f"""
-SELECT nid AS doc_id, CAST(r AS BIGINT) AS rank_e9 FROM r{iters}
-"""
-    return body
-
-
-@register("dedup_graph_pagerank", _pagerank_oracle(iters=5))
-def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Authority scoring of the near-duplicate graph
-    (operators.dedup.pagerank): 5 fixed-point PageRank iterations over the
-    md5-minhash candidate pairs -- the canonical-copy signal a curation
-    pipeline uses to pick which duplicate anchors a cluster.  Integer
-    truncating arithmetic end to end, so the DuckDB oracle replays every
-    iteration bit-exactly (the third oracle-gated iterative family, after
-    min-label CC and Lloyd k-means)."""
-    edges = dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b")
-    ranks = dd.pagerank(edges, iters=5)
-    return ranks.select(
-        F.col("nid").alias("doc_id"), F.col("rank").alias("rank_e9")
-    )
 
 
 @register(
@@ -1681,6 +653,7 @@ def pyds_synthetic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(split(text, ' '))").cast("long").alias("n_tokens"),
         F.md5("text").alias("text_md5"),
     )
+
 
 
 @register(
@@ -1732,383 +705,6 @@ def exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dd.scrub_duplicate_spans(docs, window=8)
 
-
-@register(
-    "stratified_sample_langs",
-    """
-SELECT doc_id, lang, source, n_chars
-FROM documents
-WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
-      CASE lang WHEN 'en' THEN '4' WHEN 'fr' THEN '8' WHEN 'es' THEN '8'
-                WHEN 'de' THEN 'c' WHEN 'zh' THEN 'g' ELSE '0' END
-""",
-)
-def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus mixture re-weighting (operators.text.stratified_sample):
-    deterministic per-language keep rates (en 4/16, fr/es 8/16, de 12/16,
-    zh 16/16) via an md5 hex gate on the stable id -- a pure map-side
-    filter reproducible on any engine; no rand(), no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    out = tx.stratified_sample(
-        docs, "lang", {"en": 4, "fr": 8, "es": 8, "de": 12, "zh": 16}
-    )
-    return out.select("doc_id", "lang", "source", "n_chars")
-
-
-DEDUP_CLUSTERS_ORACLE = """
-WITH RECURSIVE toks AS (
-  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS s
-  FROM (SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks)
-),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id),
-edges AS (
-  SELECT id_a, id_b
-  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-  WHERE (1000000 * inter) // (sa.sz + sb.sz - inter) >= 300000
-),
-sym AS (SELECT id_a AS src, id_b AS dst FROM edges
-        UNION ALL SELECT id_b, id_a FROM edges),
-cc AS (
-  SELECT doc_id AS nid, doc_id AS comp FROM documents
-  UNION
-  SELECT s.dst, cc.comp FROM cc JOIN sym s ON s.src = cc.nid
-)
-SELECT nid AS doc_id, MIN(comp) AS component
-FROM cc GROUP BY nid
-"""
-
-
-CONTAMINATION_SPREAD_ORACLE = DEDUP_CLUSTERS_ORACLE[
-    : DEDUP_CLUSTERS_ORACLE.index("cc AS (")
-] + """seeds AS (SELECT doc_id FROM documents WHERE source = 'src0'),
-walk AS (
-  SELECT doc_id AS nid, 0 AS hops FROM seeds
-  UNION
-  SELECT s.dst, walk.hops + 1 FROM walk JOIN sym s ON s.src = walk.nid
-  WHERE walk.hops < 4
-)
-SELECT nid AS doc_id, CAST(MIN(hops) AS INTEGER) AS hops
-FROM walk GROUP BY nid
-"""
-
-
-@register("contamination_spread_hops", CONTAMINATION_SPREAD_ORACLE)
-def contamination_spread_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRANSITIVE contamination over the near-dup graph (operators.dedup.
-    bfs_hops): seed every document from the tainted source ('src0', the
-    benchmark-derived slice), expand <= 4 hops along the exact 3-gram
-    Jaccard >= 0.3 edges (same edge set as dedup_clusters), label each
-    reached document with its MINIMUM hop count.  contamination_check
-    flags direct n-gram overlap; this closes the loophole where a
-    paraphrased near-dup of a contaminated document slips through --
-    the decontamination radius every eval-hygiene pipeline needs.  The
-    DuckDB oracle replays the walk with a bounded recursive CTE."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    edges = _jaccard_edges(docs.select("doc_id", "text"))
-    seeds = docs.where(F.col("source") == "src0").select("doc_id")
-    return dd.bfs_hops(seeds, edges, id_col="doc_id", max_hops=4)
-
-
-@register("dedup_clusters", DEDUP_CLUSTERS_ORACLE)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate CLUSTERS: exact 3-gram Jaccard >= 0.3 pairs as edges,
-    connected components by iterative min-label propagation (operators.
-    dedup.connected_components).  Pairs alone cannot drive dedup at scale
-    -- transitive groups pick one keeper per component.  The DuckDB oracle
-    walks the same graph with a recursive CTE."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # explode is already duplicate-free (array_distinct inside the direct
-    # hasher); n-gram hashes are computed straight from the token columns
-    # (no shingle strings), and the 8-byte keys shuffle/compare ~2x cheaper
-    # than strings with identical counts (collision odds ~n^2/2^64)
-    # Unpersisted by choice: sizes + both join sides re-run the shingle
-    # hashing (3 map-side passes).  Measured at sf0.1 the persist cost more
-    # than the recompute (cache write + read of the 4x-wider exploded
-    # stream vs 3 cheap source scans + hash CPU); at warehouse scale the
-    # same trade usually still favors recompute, but a deployment that
-    # feeds MANY consumers from one shingle table should materialize it
-    # once (write the hashed-shingle table, as the PQ path stores codes).
-    edges = _jaccard_edges(docs)
-    return dd.connected_components(docs.select("doc_id"), edges, id_col="doc_id")
-
-
-@register("incremental_clusters_stream", DEDUP_CLUSTERS_ORACLE)
-def incremental_clusters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL connected components == one-shot batch CC,
-    driver-verified against the SAME recursive-CTE oracle as
-    dedup_clusters: the exact-Jaccard near-dup edges stream in two
-    arbitrary drops (CC is commutative -- any split replays identically)
-    through streaming.run_incremental_cc's lazy-union protocol: the
-    label store only inserts new nodes, component merges append to a
-    tiny remap chain instead of rewriting member rows, and the read
-    resolves labels through the driver-closed chain.  This keeps
-    cluster-keeper decisions CURRENT per arriving corpus drop -- the
-    maintained-view face of the dedup-graph family, per-batch cost
-    batch-driven (touched buckets + a contracted merge graph with one
-    node per touched component)."""
-    from odp_dynamic_data_pipeline_spark.queries.core import (
-        _stream_shuffle,
-        _stream_tmpdir,
-    )
-    from odp_dynamic_data_pipeline_spark.streaming.stream import (
-        read_incremental_cc,
-        run_incremental_cc,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    edges = _jaccard_edges(docs).select("id_a", "id_b")
-    tmp = _stream_tmpdir("inc_clusters_stream")
-    src = f"{tmp}/in"
-    # one pass writes both drops (partitionBy on the split key; coalesce(1)
-    # leaves exactly one file per drop for maxFilesPerTrigger=1)
-    (
-        edges.withColumn("drop", F.pmod(F.xxhash64("id_a"), F.lit(2)))
-        .coalesce(1)
-        .write.partitionBy("drop")
-        .mode("overwrite")
-        .parquet(src)
-    )
-    stream = (
-        spark.readStream.schema(edges.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/drop=*")
-    )
-    with _stream_shuffle(spark):
-        run_incremental_cc(
-            stream, f"{tmp}/store", checkpoint=f"{tmp}/ckpt", n_buckets=32
-        )
-    return read_incremental_cc(
-        spark, f"{tmp}/store", universe=docs.select("doc_id"), id_col="doc_id"
-    ).select("doc_id", "component")
-
-
-@register(
-    "incremental_clusters_compacted_stream", DEDUP_CLUSTERS_ORACLE, gating_cadence=True
-)
-def incremental_clusters_compacted_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental CC with the MAINTENANCE path exercised mid-stream ==
-    one-shot batch CC, driver-verified against the same recursive-CTE
-    oracle as dedup_clusters / incremental_clusters_stream: the same
-    near-dup edge drops fold batch-by-batch, but after EVERY fold the
-    chain auto-compaction trigger runs at threshold 0
-    (maybe_compact_incremental_cc -- any merge chain folds into the
-    labels immediately, the most adversarial compaction cadence), and the
-    final batch is REPLAYED after its compaction flip -- the post-flip
-    retry the reserved ``v{B}m{k}`` maintenance namespace exists for:
-    the replay must fold idempotently ON TOP of the compacted state,
-    never rebuild from the pre-compaction parent (which would resurrect
-    the folded chain).  One oracle hash-gates lazy-union folding, chain
-    compaction, and maintenance-replay semantics together (r11; advisor
-    r10 maintenance-namespace finding made driver-checkable)."""
-    from odp_dynamic_data_pipeline_spark.queries.core import (
-        _stream_shuffle,
-        _stream_tmpdir,
-    )
-    from odp_dynamic_data_pipeline_spark.streaming.stream import (
-        apply_incremental_cc_batch,
-        maybe_compact_incremental_cc,
-        read_incremental_cc,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    edges = _jaccard_edges(docs).select("id_a", "id_b")
-    tmp = _stream_tmpdir("inc_clusters_compact")
-    store = f"{tmp}/store"
-    drops = [
-        edges.where(F.pmod(F.xxhash64("id_a"), F.lit(2)) == d) for d in (0, 1)
-    ]
-    with _stream_shuffle(spark):
-        for bid, drop in enumerate(drops):
-            apply_incremental_cc_batch(drop, bid, store, n_buckets=32)
-            maybe_compact_incremental_cc(spark, store, max_chain=0, n_buckets=32)
-        # post-compaction replay of the final batch (same batch id):
-        # base_for_batch must resolve to the compacted state, and the
-        # re-fold is a no-op merge-wise (CC is idempotent)
-        apply_incremental_cc_batch(drops[-1], len(drops) - 1, store, n_buckets=32)
-    return read_incremental_cc(
-        spark, store, universe=docs.select("doc_id"), id_col="doc_id"
-    ).select("doc_id", "component")
-
-
-def _jaccard_edges(docs: DataFrame) -> DataFrame:
-    """Exact 3-gram Jaccard >= 0.3 near-dup edges -- the shared input of
-    both connected-components queries (dedup_clusters and its
-    large-star/small-star twin)."""
-    sh = dd.hashed_shingles_direct(docs, "doc_id", "text").select(
-        "doc_id", F.explode("hsh").alias("s")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "s")
-    # shuffled-HASH join for the shingle self-join: both sides shuffle
-    # either way, but hashing skips the two 8-byte-key sorts a sort-merge
-    # pays (measured 1.8s -> 1.1s warm at sf0.1).  Per-partition build
-    # memory is bounded by spark.sql.shuffle.partitions, the same dial that
-    # bounds every shuffle here; common-shingle skew hits SMJ and SHJ alike
-    # and is capped upstream by the per-doc distinct.
-    b = sh.select(F.col("doc_id").alias("id_b"), "s").hint("shuffle_hash")
-    inter = (
-        a.join(b, "s")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb")), "id_b")
-        .where(F.expr("(1000000 * inter) div (sza + szb - inter)") >= 300000)
-        .select("id_a", "id_b")
-    )
-
-
-@register("dedup_clusters_star", DEDUP_CLUSTERS_ORACLE)
-def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate clusters by ALTERNATING LARGE-STAR/SMALL-STAR
-    (operators.dedup.connected_components_star; Kiveris et al., SoCC
-    2014) over the same exact-Jaccard edge set as dedup_clusters -- the
-    O(log n)-round alternative to min-label propagation, which pays one
-    shuffle per HOP of component diameter.  Near-dup graphs are usually
-    clique unions (diameter ~2) where min-label wins on constant factors,
-    but template-drift CHAINS (v1~v2~...~vN, consecutive similarity only)
-    give propagation O(N) rounds while star-contraction stays
-    logarithmic; an engine at 100 TB needs both, and the outputs are
-    bit-identical -- same recursive-CTE oracle, and the registry hash
-    gate proves algorithm equivalence cross-engine every round."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    edges = _jaccard_edges(docs)
-    return dd.connected_components_star(docs.select("doc_id"), edges, id_col="doc_id")
-
-
-@register(
-    "embedding_quantize_int8",
-    """
-WITH q AS (
-  SELECT vec_id,
-         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
-         embedding
-  FROM embeddings
-),
-c AS (
-  SELECT vec_id, scale,
-         CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
-              ELSE list_transform(embedding,
-                     x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS INT)) END AS codes
-  FROM q
-)
-SELECT vec_id, scale,
-       md5(array_to_string(codes, ',')) AS codes_md5,
-       CAST(list_sum(list_transform(codes, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS codes_l2,
-       CAST(len(list_filter(codes, x -> abs(x) = 127)) AS BIGINT) AS n_sat
-FROM c
-""",
-)
-def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Int8 vector compression (operators.similarity.quantize_int8),
-    verified cross-engine by fingerprinting the code arrays (md5) plus
-    exact integer invariants (L2 of codes, saturation count).  Map-only:
-    no shuffle, no Python."""
-    e = sim.quantize_int8(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    return e.select(
-        "vec_id",
-        "scale",
-        F.md5(F.array_join("codes", ",")).alias("codes_md5"),
-        F.expr(
-            "aggregate(transform(codes, x -> CAST(x AS BIGINT) * x), CAST(0 AS BIGINT), (a, x) -> a + x)"
-        ).alias("codes_l2"),
-        F.expr("CAST(size(filter(codes, x -> abs(x) = 127)) AS BIGINT)").alias("n_sat"),
-    )
-
-
-def _pq_topk_oracle(*, m: int = 8, k: int = 16, dsub: int = 8, shortlist: int = 64, topk: int = 5, q_max: int = 20) -> str:
-    """DuckDB replay of the ENTIRE pq_topk pipeline with md5-derived
-    codebooks: encode (per-subspace argmin), per-query ADC tables, approx
-    distance via code lookups, shortlist cut, exact cosine re-rank.  The
-    codebooks are the same literals the Spark side folds into codegen
-    (operators.similarity.pq_md5_codebooks), so every stage is integer-exact
-    on both engines."""
-    books = sim.pq_md5_codebooks(m=m, k=k, dsub=dsub)
-    cb_rows = ",\n         ".join(
-        f"({s}, {j}, [{', '.join(str(x) for x in books[s][j])}])"
-        for s in range(m)
-        for j in range(k)
-    )
-    return f"""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
-  FROM embeddings
-),
-norms AS (
-  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
-  FROM (SELECT vec_id, UNNEST(q) AS v FROM e) GROUP BY vec_id
-),
-cb AS (
-  SELECT * FROM (VALUES {cb_rows}) AS t(s, j, cq)
-),
-sub AS (
-  SELECT e.vec_id, cb.s, cb.j,
-         UNNEST(list_slice(e.q, cb.s * {dsub} + 1, (cb.s + 1) * {dsub})) AS v,
-         UNNEST(cb.cq) AS cv
-  FROM e, cb
-),
-d2 AS (
-  SELECT vec_id, s, j, CAST(SUM((v - cv) * (v - cv)) AS BIGINT) AS dist
-  FROM sub GROUP BY vec_id, s, j
-),
-codes AS (
-  SELECT vec_id, s, j AS code FROM (
-    SELECT vec_id, s, j, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rk
-    FROM d2
-  ) WHERE rk = 1
-),
-approx AS (
-  SELECT qd.vec_id AS qid, c.vec_id AS cand_id, SUM(qd.dist) AS approx_d2
-  FROM codes c JOIN d2 qd ON qd.s = c.s AND qd.j = c.code
-  WHERE qd.vec_id < {q_max} AND c.vec_id <> qd.vec_id
-  GROUP BY qid, cand_id
-),
-short AS (
-  SELECT qid, cand_id FROM (
-    SELECT qid, cand_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_d2, cand_id) AS rk
-    FROM approx
-  ) WHERE rk <= {shortlist}
-),
-pv AS (
-  SELECT p.qid, p.cand_id, UNNEST(qe.q) AS qv, UNNEST(ce.q) AS cv
-  FROM short p JOIN e qe ON qe.vec_id = p.qid JOIN e ce ON ce.vec_id = p.cand_id
-),
-dots AS (SELECT qid, cand_id, CAST(SUM(qv * cv) AS BIGINT) AS dot FROM pv GROUP BY qid, cand_id),
-scored AS (
-  SELECT d.qid, d.cand_id,
-         CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
-  FROM dots d JOIN norms nq ON nq.vec_id = d.qid JOIN norms nc ON nc.vec_id = d.cand_id
-)
-SELECT qid, cand_id, rank, cosine FROM (
-  SELECT qid, cand_id, cosine,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cand_id) AS rank
-  FROM scored
-) WHERE rank <= {topk}
-"""
-
-
-@register("similarity_pq_topk", _pq_topk_oracle())
-def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (operators.similarity.pq_topk): md5-derived
-    engine-portable codebooks, constant-folded encode (map-only), ADC
-    scoring via per-pair table lookups, percentile-cutoff partial top-k,
-    exact re-rank of the shortlist.  The DuckDB oracle replays every stage
-    value-for-value (codebooks are shared literals), so the full ADC
-    pipeline sits behind the hash gate; the sample-TRAINED codebook path
-    (pq_train) stays covered by the recall floors in
-    tests/test_similarity.py and the Lloyd-replay oracle of
-    kmeans_ivf_lists."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 20)
-    return sim.pq_topk(emb, q, k=5, shortlist=64, codebooks=sim.pq_md5_codebooks())
 
 
 @register(
@@ -2175,207 +771,6 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_audio_segments",
-    """
-WITH p AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
-s AS (
-  SELECT doc_id,
-         UNNEST(generate_series(1, greatest(CAST(ceil((octet_length(encode(text)) - 8000) / 6000.0) AS INT) + 1, 1))) AS i,
-         text
-  FROM p
-)
-SELECT doc_id, (i - 1) AS seg_idx,
-       CAST((i - 1) * 750 AS BIGINT) AS seg_start_ms,
-       md5(substring(text, (i - 1) * 6000 + 1, 8000)) AS seg_md5,
-       CAST(octet_length(encode(substring(text, (i - 1) * 6000 + 1, 8000))) AS INT) AS seg_len
-FROM s
-""",
-)
-def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio segmentation plumbing (operators.multimodal.audio_segments)
-    verified by fingerprinting each byte window -- the synthetic payload is
-    the text's utf-8 bytes, so DuckDB reproduces the windows with encode +
-    substring arithmetic."""
-    docs = mm.attach_payload(
-        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    )
-    seg = mm.audio_segments(docs)
-    return seg.select(
-        "doc_id", "seg_idx", "seg_start_ms",
-        F.md5(F.col("seg_bytes").cast("string")).alias("seg_md5"),
-        "seg_len",
-    )
-
-
-CMS_ORACLE = """
-WITH tok AS (
-  SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents
-),
-rows_d AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
-counters AS (
-  SELECT d, ('0x' || substr(md5(d || ':' || t), 1, 8))::BIGINT % 1024 AS bucket,
-         COUNT(*) AS c
-  FROM tok CROSS JOIN rows_d
-  GROUP BY d, bucket
-),
-exact AS (
-  SELECT t, COUNT(*) AS exact_n FROM tok GROUP BY t
-  ORDER BY exact_n DESC, t LIMIT 20
-),
-probes AS (
-  SELECT e.t, e.exact_n, r.d,
-         ('0x' || substr(md5(r.d || ':' || e.t), 1, 8))::BIGINT % 1024 AS bucket
-  FROM exact e CROSS JOIN rows_d r
-)
-SELECT p.t AS token, p.exact_n, MIN(c.c) AS cms_estimate
-FROM probes p JOIN counters c ON c.d = p.d AND c.bucket = p.bucket
-GROUP BY p.t, p.exact_n
-"""
-
-
-@register("cms_token_counts", CMS_ORACLE)
-def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch (Cormode/Muthukrishnan 2005) as DataFrame ops:
-    depth-4 x width-1024 counter grid keyed by md5-derived bucket ids, so
-    the sketch itself -- not just its API -- is bit-identical on any engine.
-    Estimate = min over the token's 4 counters (always >= exact count;
-    collisions only inflate).  The sketch is ONE groupBy of fixed 4096-row
-    cardinality regardless of corpus size -- the O(1)-memory frequency
-    table a 100 TB token stream needs; probing the top-20 exact tokens
-    exposes the estimate-vs-exact gap the judge can read off the result."""
-    tok = load_table(spark, sf_dir, "documents").select(
-        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("t")
-    )
-    # one token shuffle feeds BOTH sides: the counters are sums of the
-    # weighted vocabulary (identical numbers to hashing every occurrence --
-    # the sketch update is additive), and the exact top-20 probe reuses the
-    # same table.  In a pure-streaming deployment the counters come
-    # straight from the occurrence stream and this exact table never exists.
-    tok_counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("exact_n")).persist()
-    depths = F.array(*[F.lit(d) for d in range(4)])
-    keyed = tok_counts.select("t", "exact_n", F.explode(depths).alias("d")).withColumn(
-        "bucket",
-        F.expr("CAST(conv(substr(md5(concat(d, ':', t)), 1, 8), 16, 10) AS BIGINT) % 1024"),
-    )
-    counters = keyed.groupBy("d", "bucket").agg(F.sum("exact_n").alias("c"))
-    exact = tok_counts.orderBy(F.col("exact_n").desc(), "t").limit(20)
-    probes = exact.select("t", "exact_n", F.explode(depths).alias("d")).withColumn(
-        "bucket",
-        F.expr("CAST(conv(substr(md5(concat(d, ':', t)), 1, 8), 16, 10) AS BIGINT) % 1024"),
-    )
-    out = (
-        probes.join(counters, ["d", "bucket"])
-        .groupBy(F.col("t").alias("token"), "exact_n")
-        .agg(F.min("c").alias("cms_estimate"))
-        # 20-row result: materialize eagerly so the shared vocab cache can
-        # be released before returning (same lifecycle as minhash_lsh_pairs)
-        .localCheckpoint(eager=True)
-    )
-    tok_counts.unpersist()
-    return out
-
-
-@register(
-    "pack_sequences_manifest",
-    """
-WITH toks AS (
-  SELECT lang, doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
-  FROM documents
-),
-o AS (
-  SELECT lang, doc_id, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens AS global_offset
-  FROM toks
-)
-SELECT lang, doc_id, n_tokens, CAST(global_offset AS BIGINT) AS global_offset,
-       CAST(global_offset // 256 AS BIGINT) AS seq_id,
-       CAST(global_offset % 256 AS BIGINT) AS seq_offset,
-       CAST((global_offset % 256 + n_tokens + 255) // 256 AS BIGINT) AS n_seqs_spanned
-FROM o
-""",
-)
-def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-cut training-sequence packing (operators.text.
-    pack_sequences): documents laid end to end per language and cut every
-    256 tokens; emits the placement manifest a distributed tokenizer
-    consumes.  One window cumsum per language partition -- no global sort."""
-    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "text")
-    return tx.pack_sequences(docs, seq_tokens=256)
-
-
-@register(
-    "boilerplate_scrub_stats",
-    """
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
-),
-blocks AS (
-  SELECT * FROM (
-    SELECT doc_id, CAST((i - 1) // 4 AS INT) AS block_idx,
-           array_to_string(list_slice(t, i, i + 3), ' ') AS block
-    FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 4)) AS i
-          FROM toks))
-  WHERE block <> ''
-),
-freq AS (
-  SELECT md5(block) AS bh, COUNT(DISTINCT doc_id) AS block_df FROM blocks GROUP BY 1
-),
-tagged AS (
-  SELECT b.doc_id, b.block_idx, b.block, f.block_df
-  FROM blocks b JOIN freq f ON md5(b.block) = f.bh
-)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_blocks,
-       CAST(SUM(CASE WHEN block_df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-       md5(COALESCE(string_agg(CASE WHEN block_df < 3 THEN block END, ' '
-                               ORDER BY block_idx), '')) AS clean_md5
-FROM tagged GROUP BY doc_id
-""",
-)
-def boilerplate_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-internal repeated-block scrub (operators.text.
-    boilerplate_scrub): 4-token blocks occurring in >= 3 distinct documents
-    are boilerplate and removed; result keyed by the md5 of the cleaned
-    text so the full reassembly (order-correct re-join) is hash-gated."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    out = tx.boilerplate_scrub(docs, block_tokens=4, min_docs=3)
-    return out.select(
-        "doc_id",
-        F.col("n_blocks").cast("long").alias("n_blocks"),
-        F.col("n_dropped").cast("long").alias("n_dropped"),
-        F.md5("clean_text").alias("clean_md5"),
-    )
-
-
-@register(
-    "token_surprisal_scores",
-    """
-WITH toks AS (
-  SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS tok FROM documents
-),
-freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
-total AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM freq),
-scored AS (
-  SELECT t.doc_id, length(format('{:b}', n // tf)) AS bits
-  FROM toks t JOIN freq f ON f.tok = t.tok, total
-)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
-       (1000 * CAST(SUM(bits) AS BIGINT)) // COUNT(*) AS mean_surprisal_e3
-FROM scored GROUP BY doc_id
-""",
-)
-def token_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram surprisal quality score (operators.text.unigram_surprisal):
-    integer bits(N/tf) per token summed per document -- the perplexity
-    proxy that stays bit-identical across engines because it counts
-    binary digits instead of calling log()."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return tx.unigram_surprisal(docs)
-
 
 @register(
     "shared_span_stats",
@@ -2404,34 +799,6 @@ def shared_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.shared_span_stats(docs, span_tokens=8)
 
-
-@register(
-    "corpus_mixture_weights",
-    """
-WITH counts AS (
-  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY lang
-),
-w AS (
-  SELECT lang, n_docs, n_tokens,
-         CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT) AS weight_e3
-  FROM counts
-),
-t AS (SELECT CAST(SUM(weight_e3) AS BIGINT) AS w_total, CAST(SUM(n_docs) AS BIGINT) AS d_total FROM w)
-SELECT lang, n_docs, n_tokens, weight_e3,
-       (1000000 * weight_e3) // w_total AS share_e6,
-       ((1000000 * weight_e3) // w_total) * d_total // n_docs AS oversample_e6
-FROM w, t
-""",
-)
-def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-resampled corpus mixture weights
-    (operators.text.mixture_weights, alpha = 0.5): sqrt-scaled per-language
-    sampling shares, integer-exact across engines (floor(sqrt(n*1e6))
-    milli-weights, bigint normalization -- no pow(), no double sums)."""
-    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
-    return tx.mixture_weights(docs, group_col="lang")
 
 
 @register(
@@ -2497,6 +864,7 @@ def sql_frontend_tlb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
     "sql_frontend_dedup",
     r"""
@@ -2531,6 +899,7 @@ def sql_frontend_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY f.source
         """
     )
+
 
 
 @register(
@@ -2576,501 +945,6 @@ def sql_frontend_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tokenizer_fertility_report",
-    r"""
-SELECT lang,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
-       CAST(SUM(len(regexp_extract_all(text,
-         '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))) AS BIGINT)
-         AS bpe_pretokens,
-       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
-       (1000 * CAST(SUM(len(regexp_extract_all(text,
-         '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))) AS BIGINT))
-         // greatest(CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT), 1) AS fertility_e3,
-       (1000 * CAST(SUM(octet_length(encode(text))) AS BIGINT))
-         // greatest(CAST(SUM(len(regexp_extract_all(text,
-         '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))) AS BIGINT), 1)
-         AS bytes_per_pretoken_e3
-FROM documents GROUP BY lang
-""",
-)
-def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Subword fertility per language: BPE-style pre-tokens per whitespace
-    word and bytes per pre-token -- the report that shows which languages a
-    tokenizer will fragment (fertility >> 1000) and where the byte budget
-    goes.  Map-only feature extraction, one rollup shuffle on lang."""
-    pat = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
-    docs = load_table(spark, sf_dir, "documents").select(
-        "lang",
-        F.expr(r"size(regexp_extract_all(text, r'\S+', 0))").alias("ws"),
-        F.expr(f'CAST(regexp_count(text, r"{pat}") AS BIGINT)').alias("bpe"),
-        F.expr("CAST(octet_length(text) AS BIGINT)").alias("nb"),
-    )
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.col("ws").cast("decimal(38,0)")).cast("long").alias("ws_tokens"),
-        F.sum(F.col("bpe").cast("decimal(38,0)")).cast("long").alias("bpe_pretokens"),
-        F.sum(F.col("nb").cast("decimal(38,0)")).cast("long").alias("n_bytes"),
-        F.expr(
-            "(1000 * cast(sum(cast(bpe as decimal(38,0))) as bigint))"
-            " div greatest(cast(sum(cast(ws as decimal(38,0))) as bigint), 1)"
-        ).alias("fertility_e3"),
-        F.expr(
-            "(1000 * cast(sum(cast(nb as decimal(38,0))) as bigint))"
-            " div greatest(cast(sum(cast(bpe as decimal(38,0))) as bigint), 1)"
-        ).alias("bytes_per_pretoken_e3"),
-    )
-
-
-@register(
-    "packing_efficiency_report",
-    r"""
-WITH t AS (
-  SELECT lang, CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
-  FROM documents GROUP BY lang
-)
-SELECT lang, total_tokens,
-       (total_tokens + 255) // 256 AS n_seqs,
-       ((total_tokens + 255) // 256) * 256 - total_tokens AS pad_tokens,
-       (1000000 * (((total_tokens + 255) // 256) * 256 - total_tokens))
-         // greatest(((total_tokens + 255) // 256) * 256, 1) AS pad_ppm
-FROM t
-""",
-)
-def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Padding waste of the concat-and-cut packing (pack_sequences at
-    L=256): per language, how many sequences the token supply fills and
-    what fraction of the final shard is padding -- the efficiency number a
-    packing strategy is judged by.  Pure arithmetic on one per-lang
-    aggregate."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "lang", F.expr(r"size(regexp_extract_all(text, r'\S+', 0))").alias("nt")
-    )
-    t = docs.groupBy("lang").agg(
-        F.sum(F.col("nt").cast("decimal(38,0)")).cast("long").alias("total_tokens")
-    )
-    return t.select(
-        "lang",
-        "total_tokens",
-        F.expr("(total_tokens + 255) div 256").alias("n_seqs"),
-        F.expr("((total_tokens + 255) div 256) * 256 - total_tokens").alias("pad_tokens"),
-        F.expr(
-            "(1000000 * (((total_tokens + 255) div 256) * 256 - total_tokens))"
-            " div greatest(((total_tokens + 255) div 256) * 256, 1)"
-        ).alias("pad_ppm"),
-    )
-
-
-@register(
-    "event_rate_anomalies",
-    """
-WITH c AS (
-  SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2
-),
-m AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM c GROUP BY 1),
-d AS (SELECT c.event_type, c.hour_epoch, c.n, m.med, abs(c.n - m.med) AS dev
-      FROM c JOIN m USING (event_type)),
-md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
-SELECT d.event_type, d.hour_epoch, d.n, d.med, md.mad
-FROM d JOIN md USING (event_type)
-WHERE d.dev > 3 * md.mad AND md.mad > 0
-""",
-)
-def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingest-rate anomaly detection, median/MAD style (robust to the
-    outliers it is hunting, unlike mean/stddev): hours whose event count
-    deviates from the event-type's median hourly rate by more than 3x the
-    median absolute deviation -- the monitor that catches a stuck producer
-    or a replay storm in the telemetry feed the reference ingests.
-
-    Two exact percentiles over the (type, hour) count table -- percentile()
-    buckets by VALUE, and the count table is |types| x |hours| however big
-    the raw stream; the stream itself is touched by exactly one counting
-    shuffle."""
-    ev = load_table(spark, sf_dir, "events")
-    c = (
-        ev.withColumn("hour_epoch", F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
-        .groupBy("event_type", "hour_epoch")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    m = c.groupBy("event_type").agg(F.expr("percentile(n, 0.5)").alias("med"))
-    d = c.join(m, "event_type").withColumn("dev", F.abs(F.col("n") - F.col("med")))
-    md = d.groupBy("event_type").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
-    return (
-        d.join(md, "event_type")
-        .where((F.col("dev") > 3 * F.col("mad")) & (F.col("mad") > 0))
-        .select("event_type", "hour_epoch", "n", "med", "mad")
-    )
-
-
-@register(
-    "embedding_split_drift",
-    r"""
-WITH h AS (
-  SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv,
-         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS half
-  FROM embeddings
-),
-n AS (SELECT label, half, COUNT(*) AS n FROM h GROUP BY label, half),
-dims AS (SELECT label, half, i, qv[i] AS v
-         FROM (SELECT label, half, qv, UNNEST(generate_series(1, len(qv))) AS i FROM h)),
-s AS (SELECT label, half, i, CAST(SUM(v) AS BIGINT) AS s FROM dims GROUP BY label, half, i),
-m AS (SELECT s.label, s.i, s.half, s.s // n.n AS m, n.n AS n FROM s JOIN n USING (label, half)),
-j AS (SELECT a.label, a.i, a.m AS ma, b.m AS mb, a.n AS n_a, b.n AS n_b
-      FROM m a JOIN m b ON a.label = b.label AND a.i = b.i AND a.half = 0 AND b.half = 1)
-SELECT CAST(label AS BIGINT) AS label,
-       CAST(MAX(n_a) AS BIGINT) AS n_a,
-       CAST(MAX(n_b) AS BIGINT) AS n_b,
-       CAST(SUM((ma - mb) * (ma - mb)) AS BIGINT) AS drift_d2
-FROM j GROUP BY label
-""",
-)
-def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-pipeline stability check: split each label's vectors into
-    two deterministic halves (md5 parity of vec_id -- retry- and
-    engine-stable, no rand()), compare the per-half centroids, and report
-    the squared L2 distance between them in integer micro-units.  A healthy
-    embedding pipeline shows near-zero drift between random halves; a large
-    drift_d2 for one label flags batch effects (encoder version skew,
-    truncation changes) before those vectors poison a dedup or retrieval
-    pass.
-
-    Per-dim sums aggregate exploded (label, half, dim) keys -- partial
-    map-side combine collapses the 64x fan-out before the shuffle; the
-    half-vs-half join runs on |labels| x 64 rows.  Centroid components are
-    truncating integer divisions, identical in both engines."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    h = emb.select(
-        "label",
-        F.expr(
-            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
-        ).alias("qv"),
-        F.expr(
-            "CAST(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) AS BIGINT) % 2"
-        ).alias("half"),
-    )
-    n = h.groupBy("label", "half").agg(F.count(F.lit(1)).alias("n"))
-    dims = h.select("label", "half", F.posexplode("qv").alias("i", "v"))
-    s = dims.groupBy("label", "half", "i").agg(
-        F.sum(F.col("v").cast("decimal(38,0)")).cast("long").alias("s")
-    )
-    m = s.join(n, ["label", "half"]).select(
-        "label", "i", "half", F.expr("s div n").alias("m"), "n"
-    )
-    a = m.where(F.col("half") == 0).select(
-        "label", "i", F.col("m").alias("ma"), F.col("n").alias("n_a")
-    )
-    b = m.where(F.col("half") == 1).select(
-        "label", "i", F.col("m").alias("mb"), F.col("n").alias("n_b")
-    )
-    return (
-        a.join(b, ["label", "i"])
-        .groupBy(F.col("label").cast("long").alias("label"))
-        .agg(
-            F.max("n_a").cast("long").alias("n_a"),
-            F.max("n_b").cast("long").alias("n_b"),
-            F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
-            .cast("long")
-            .alias("drift_d2"),
-        )
-    )
-
-
-@register(
-    "dataset_card_report",
-    r"""
-WITH d AS (
-  SELECT doc_id, lang, source,
-         len(regexp_extract_all(text, '\S+')) AS n_tokens,
-         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-  FROM documents
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
-       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
-       (1000 * CAST(SUM(n_tokens) AS BIGINT)) // greatest(COUNT(*), 1) AS mean_tokens_e3,
-       quantile_cont(n_tokens, 0.5) AS p50_tokens,
-       (1000000 * (COUNT(*) - COUNT(DISTINCT fp))) // greatest(COUNT(*), 1) AS dup_rate_e6,
-       (1000000 * CAST(SUM(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS BIGINT))
-         // greatest(COUNT(*), 1) AS short_docs_ppm
-FROM d
-""",
-)
-def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row dataset card: corpus size, language/source diversity, token
-    supply, exact-duplicate rate, median document length, short-doc share
-    -- the summary table a dataset release ships (Gebru et al., Datasheets
-    for Datasets).
-
-    One corpus pass: per-doc stats are map-only, the rollup is a single
-    global aggregate.  The exact median stays scalable because
-    percentile() buckets by VALUE (distinct doc lengths, bounded by the
-    longest document), not by row count; the three distinct-counts ride
-    Spark's Expand rewrite on one-row-per-doc inputs."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
-    d = docs.select(
-        "lang",
-        "source",
-        F.expr(r"size(regexp_extract_all(text, r'\S+', 0))").alias("n_tokens"),
-        F.md5(
-            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-        ).alias("fp"),
-    )
-    return d.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.count_distinct("lang").cast("long").alias("n_langs"),
-        F.count_distinct("source").cast("long").alias("n_sources"),
-        F.sum(F.col("n_tokens").cast("decimal(38,0)")).cast("long").alias("n_tokens_total"),
-        F.expr(
-            "(1000 * cast(sum(cast(n_tokens as decimal(38,0))) as bigint))"
-            " div greatest(count(1), 1)"
-        ).alias("mean_tokens_e3"),
-        F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
-        F.expr(
-            "(1000000 * (count(1) - count(DISTINCT fp))) div greatest(count(1), 1)"
-        ).alias("dup_rate_e6"),
-        F.expr(
-            "(1000000 * cast(sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) as bigint))"
-            " div greatest(count(1), 1)"
-        ).alias("short_docs_ppm"),
-    )
-
-
-@register(
-    "length_curriculum_buckets",
-    r"""
-WITH d AS (
-  SELECT lang, doc_id, n_chars, len(regexp_extract_all(text, '\S+')) AS n_tokens,
-         NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
-  FROM documents
-)
-SELECT lang, CAST(decile AS BIGINT) AS decile,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
-       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
-       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
-FROM d GROUP BY lang, decile
-""",
-)
-def length_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length-curriculum manifest: per-language document deciles by length
-    (shortest first), with the char range and token supply of each bucket
-    -- the table a curriculum sampler walks to serve short documents in
-    early training steps.
-
-    NTILE over a (lang)-partitioned ordering: the sort is per-language
-    partition, never global, so the plan scales with the widest language,
-    not the corpus."""
-    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars", "text")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    d = docs.select(
-        "lang",
-        "n_chars",
-        F.expr(r"size(regexp_extract_all(text, r'\S+', 0))").alias("n_tokens"),
-        F.ntile(10).over(w).alias("decile"),
-    )
-    return d.groupBy("lang", F.col("decile").cast("long").alias("decile")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.min("n_chars").cast("long").alias("min_chars"),
-        F.max("n_chars").cast("long").alias("max_chars"),
-        F.sum("n_tokens").cast("long").alias("sum_tokens"),
-    )
-
-
-@register(
-    "filter_ablation_report",
-    r"""
-WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
-base AS (
-  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq FROM toks
-),
-grams AS (
-  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS gram
-  FROM (SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS i FROM toks)
-),
-per AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram),
-rep AS (SELECT doc_id, (1000000 * MAX(c)) // SUM(c) AS top2_e6 FROM per GROUP BY doc_id),
-flags AS (
-  SELECT b.doc_id,
-         CASE WHEN b.n_tokens < 20 THEN 1 ELSE 0 END
-       + CASE WHEN COALESCE(r.top2_e6, 0) >= 200000 THEN 2 ELSE 0 END
-       + CASE WHEN 1000000 * b.n_uniq < 300000 * b.n_tokens THEN 4 ELSE 0 END AS mask
-  FROM base b LEFT JOIN rep r USING (doc_id)
-)
-SELECT CAST(mask AS BIGINT) AS mask,
-       CAST(mask % 2 AS BIGINT) AS r_short,
-       CAST((mask // 2) % 2 AS BIGINT) AS r_repetitive,
-       CAST((mask // 4) % 2 AS BIGINT) AS r_low_diversity,
-       CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM flags GROUP BY mask
-""",
-)
-def filter_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filter-rule ablation: every document tagged with the bitmask of the
-    quality rules it fails (short / repetitive / low lexical diversity),
-    rolled up to counts per failure combination -- the report that shows
-    which rules overlap, which reject uniquely (mask = a single bit), and
-    what a rule's removal would re-admit, WITHOUT re-running the corpus
-    per ablation arm.
-
-    The token-stat legs are map-only; the repetition leg reuses the one
-    (doc_id, gram) shuffle; the rollup groups on an 8-value key."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = docs.select(
-        "doc_id",
-        F.expr(r"size(regexp_extract_all(text, r'\S+', 0))").alias("n_tokens"),
-        F.expr(r"size(array_distinct(regexp_extract_all(text, r'\S+', 0)))").alias("n_uniq"),
-    )
-    per = (
-        tx.repetition_grams(docs, "text", n=2)
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    rep = per.groupBy("doc_id").agg(F.expr("(1000000 * max(c)) div sum(c)").alias("top2_e6"))
-    flags = base.join(rep, "doc_id", "left").select(
-        (
-            F.when(F.col("n_tokens") < 20, 1).otherwise(0)
-            + F.when(F.coalesce(F.col("top2_e6"), F.lit(0)) >= 200000, 2).otherwise(0)
-            + F.when(
-                F.lit(1000000) * F.col("n_uniq") < F.lit(300000) * F.col("n_tokens"), 4
-            ).otherwise(0)
-        ).alias("mask")
-    )
-    return flags.groupBy("mask").agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
-        F.col("mask").cast("long").alias("mask"),
-        F.expr("CAST(mask % 2 AS BIGINT)").alias("r_short"),
-        F.expr("CAST((mask div 2) % 2 AS BIGINT)").alias("r_repetitive"),
-        F.expr("CAST((mask div 4) % 2 AS BIGINT)").alias("r_low_diversity"),
-        "n_docs",
-    )
-
-
-@register(
-    "quality_signal_correlation",
-    r"""
-WITH toks AS (
-  SELECT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS tok FROM documents
-),
-freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
-total AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM freq),
-scored AS (
-  SELECT t.doc_id, length(format('{:b}', n // tf)) AS bits
-  FROM toks t JOIN freq f ON f.tok = t.tok, total
-),
-sx AS (SELECT doc_id, (1000 * CAST(SUM(bits) AS BIGINT)) // COUNT(*) AS x
-       FROM scored GROUP BY doc_id),
-tarr AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
-grams AS (
-  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS gram
-  FROM (SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS i FROM tarr)
-),
-per AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram),
-sy AS (SELECT doc_id, (1000000 * MAX(c)) // SUM(c) AS y FROM per GROUP BY doc_id),
-j AS (SELECT CAST(sx.x AS BIGINT) AS x, CAST(sy.y AS BIGINT) AS y FROM sx JOIN sy USING (doc_id)),
-a AS (
-  SELECT COUNT(*) AS n,
-         CAST(SUM(x) AS BIGINT) AS sx1, CAST(SUM(y) AS BIGINT) AS sy1,
-         CAST(SUM(x * y) AS BIGINT) AS sxy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
-  FROM j
-)
-SELECT CAST(n AS BIGINT) AS n_docs,
-       (sx1 // n) AS mean_surprisal_e3,
-       (sy1 // n) AS mean_top2gram_e6,
-       ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE)))
-         / (sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)))
-            * sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)) - (CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)))) AS pearson
-FROM a
-""",
-)
-def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Do the quality filters agree?  Exact-moment Pearson correlation
-    between per-doc unigram surprisal (mean_surprisal_e3) and Gopher-style
-    repetition (top-2-gram fraction ppm) -- the calibration report that
-    decides whether two filters are redundant or complementary before
-    spending a 100 TB pass on both.
-
-    All five moments are exact integer sums (decimal accumulators); the
-    only doubles are the final deterministic IEEE expression -- the
-    stats_moments discipline applied across two signal pipelines joined
-    per document."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    x = tx.unigram_surprisal(docs).select("doc_id", F.col("mean_surprisal_e3").alias("x"))
-    per = (
-        tx.repetition_grams(docs, "text", n=2)
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    y = per.groupBy("doc_id").agg(
-        F.expr("(1000000 * max(c)) div sum(c)").alias("y")
-    )
-    j = x.join(y, "doc_id").select("x", "y")
-    a = j.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("x").cast("decimal(38,0)")).cast("long").alias("sx1"),
-        F.sum(F.col("y").cast("decimal(38,0)")).cast("long").alias("sy1"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).cast("long").alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).cast("long").alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).cast("long").alias("syy"),
-    )
-    return a.select(
-        F.col("n").cast("long").alias("n_docs"),
-        F.expr("sx1 div n").alias("mean_surprisal_e3"),
-        F.expr("sy1 div n").alias("mean_top2gram_e6"),
-        F.expr(
-            "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE)))"
-            " / (sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)))"
-            " * sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)) - (CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))))"
-        ).alias("pearson"),
-    )
-
-
-@register(
-    "token_budget_allocation",
-    r"""
-WITH counts AS (
-  SELECT lang, CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY lang
-),
-w AS (
-  SELECT lang, n_tokens,
-         CAST(floor(sqrt(CAST(n_tokens * 1000000 AS DOUBLE))) AS BIGINT) AS weight_e3
-  FROM counts
-),
-t AS (SELECT CAST(SUM(weight_e3) AS BIGINT) AS w_total FROM w),
-based AS (
-  SELECT lang, n_tokens, weight_e3,
-         CAST((10000000 * CAST(weight_e3 AS HUGEINT)) // greatest(w_total, 1) AS BIGINT) AS base_tokens,
-         CAST((10000000 * CAST(weight_e3 AS HUGEINT)) % greatest(w_total, 1) AS BIGINT) AS rem
-  FROM w, t
-),
-lt AS (SELECT 10000000 - CAST(SUM(base_tokens) AS BIGINT) AS leftover FROM based),
-rk AS (
-  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rnk FROM based
-)
-SELECT lang, n_tokens, weight_e3,
-       CAST(base_tokens + CASE WHEN rnk <= leftover AND rem > 0 THEN 1 ELSE 0 END
-            AS BIGINT) AS quota_tokens,
-       CAST((1000 * (base_tokens + CASE WHEN rnk <= leftover AND rem > 0 THEN 1 ELSE 0 END))
-            // greatest(n_tokens, 1) AS BIGINT) AS epochs_e3
-FROM rk, lt
-""",
-)
-def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamilton largest-remainder split of a 10M-token training budget
-    across languages (operators.text.allocate_token_budget): temperature
-    alpha = 0.5 weights, quota-exact (quotas sum to the budget to the
-    token), deterministic tie-break -- the allocation table a shard
-    planner consumes."""
-    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
-    return tx.allocate_token_budget(docs, group_col="lang", budget=10_000_000)
-
 
 @register(
     "span_novelty_scores",
@@ -3097,270 +971,6 @@ def span_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.span_novelty(docs, span_tokens=8)
 
-
-@register(
-    "bpe_top_merges",
-    r"""
-WITH toks AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents),
-wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY w),
-ex AS (SELECT w, f, UNNEST(generate_series(1, length(w) - 1)) AS i
-       FROM wf WHERE length(w) >= 2),
-pc AS (SELECT substr(w, i, 2) AS pair, CAST(SUM(f) AS BIGINT) AS pair_count
-       FROM ex GROUP BY substr(w, i, 2)),
-rk AS (SELECT pair, pair_count,
-              CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS BIGINT) AS rank
-       FROM pc)
-SELECT pair, pair_count, rank FROM rk WHERE rank <= 20
-""",
-)
-def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One tokenizer-training (BPE) merge step on the engine
-    (operators.text.bpe_merge_step): top-20 adjacent character pairs
-    weighted by word frequency.  Pair expansion runs over the DISTINCT
-    vocabulary; top-k is TakeOrderedAndProject, not a global sort."""
-    docs = load_table(spark, sf_dir, "documents").select("text")
-    return tx.bpe_merge_step(docs, top_k=20)
-
-
-@register(
-    "shard_manifest",
-    """
-WITH k AS (SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS kk FROM documents),
-s AS (SELECT doc_id, kk, ('0x' || substr(kk, 1, 8))::BIGINT % 16 AS shard FROM k)
-SELECT doc_id, shard,
-       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY kk, doc_id) AS BIGINT) AS pos
-FROM s
-""",
-)
-def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global training shuffle
-    (operators.text.shard_assignment): seeded md5 sort key -> (shard, pos)
-    manifest, reproducible on any engine.  One hash-partition shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return tx.shard_assignment(docs, seed=42, n_shards=16)
-
-
-@register(
-    "zipf_head_coverage",
-    r"""
-WITH tok AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents),
-tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
-tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM tf),
-rk AS (SELECT token, n,
-              CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
-              CAST(SUM(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
-       FROM tf)
-SELECT rank, token, n, cum_n, (1000000 * cum_n) // n_total AS coverage_e6
-FROM rk, tot WHERE rank <= 100
-""",
-)
-def zipf_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipf head of the corpus vocabulary with cumulative coverage
-    (operators.text.zipf_coverage): rank/frequency plus the fraction of all
-    corpus tokens covered through rank r.  TakeOrderedAndProject head +
-    broadcast corpus-constant total."""
-    docs = load_table(spark, sf_dir, "documents").select("text")
-    return tx.zipf_coverage(docs, top_k=100)
-
-
-@register(
-    "model_quality_score",
-    r"""
-WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t FROM documents),
-sc AS (SELECT doc_id,
-              CAST(COUNT(*) AS BIGINT) AS n_tokens,
-              CAST(SUM(('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000) AS BIGINT) AS score_sum
-       FROM toks GROUP BY doc_id)
-SELECT doc_id, n_tokens, score_sum,
-       (1000000 * score_sum) // n_tokens AS score_e6,
-       score_sum > 0 AS keep
-FROM sc
-""",
-)
-def model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hashed bag-of-words linear quality filter
-    (operators.text.hashed_linear_score): fastText-shaped scoring where
-    each token hashes to a weight bin; md5-derived weights keep it
-    oracle-verifiable.  Map-only, zero shuffles, whole-stage codegen."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return tx.hashed_linear_score(docs, buckets=2001)
-
-
-@register(
-    "topic_doc_assignment",
-    """
-WITH q AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS e
-  FROM embeddings
-),
-flat AS (SELECT vec_id, UNNEST(e) AS v, UNNEST(generate_series(1, len(e))) AS pos FROM q),
-lq AS (
-  SELECT label,
-         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS e
-  FROM embeddings
-),
-lf AS (SELECT label, UNNEST(e) AS v, UNNEST(generate_series(1, len(e))) AS pos FROM lq),
-cent AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS c FROM lf GROUP BY label, pos),
-d AS (
-  SELECT f.vec_id, c.label, CAST(SUM((f.v - c.c) * (f.v - c.c)) AS BIGINT) AS d2
-  FROM flat f JOIN cent c USING (pos) GROUP BY f.vec_id, c.label
-),
-best AS (
-  SELECT vec_id, label, d2,
-         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
-  FROM d
-)
-SELECT doc.doc_id, doc.lang, CAST(b.label AS INTEGER) AS topic, b.d2
-FROM best b JOIN documents doc ON doc.doc_id = b.vec_id
-WHERE b.rn = 1
-""",
-)
-def topic_doc_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Topical curation: assign every document to its nearest label
-    centroid in embedding space (operators.similarity.centroid_assign_exact)
-    and carry the exact integer distance -- the join-the-modalities pass a
-    topic-balanced 100 TB mixture needs (documents <-> embeddings by id).
-
-    Centroid training is one (label, pos) aggregation collected to k x dim
-    driver constants (truncating integer means, engine-portable);
-    assignment is then a zero-shuffle JVM map over the embedding scan, and
-    the only corpus-scale shuffle is the id equi-join to documents."""
-    emb = sim.quantized(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    )
-    stats = (
-        emb.select("label", F.posexplode("qvec").alias("pos0", "v"))
-        .groupBy("label", "pos0")
-        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    by_label: dict[int, dict[int, int]] = {}
-    for r in stats:
-        s, n = int(r["s"]), int(r["n"])
-        # truncate toward zero like Spark div / DuckDB // (Python // floors)
-        by_label.setdefault(int(r["label"]), {})[int(r["pos0"])] = (
-            -((-s) // n) if s < 0 else s // n
-        )
-    labels = sorted(by_label)
-    cents = [[by_label[l][p] for p in sorted(by_label[l])] for l in labels]
-    label_arr = F.array(*[F.lit(int(l)) for l in labels])
-    assigned = sim.centroid_assign_exact(emb, cents).select(
-        F.col("vec_id").alias("doc_id"),
-        # centroid index -> label value (robust to non-contiguous labels)
-        F.element_at(label_arr, F.col("topic") + 1).cast("int").alias("topic"),
-        "d2",
-    )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return docs.join(assigned, "doc_id").select("doc_id", "lang", "topic", "d2")
-
-
-@register(
-    "topic_assign_two_level",
-    """
-WITH e AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
-  FROM embeddings
-),
-kk AS (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS k FROM e),
-cents AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, q
-  FROM e ORDER BY vec_id LIMIT (SELECT k FROM kk)
-),
-sup AS (SELECT j AS s, q FROM cents WHERE j < (SELECT CAST(ceil(sqrt(k)) AS BIGINT) FROM kk)),
-cgp AS (SELECT c.j, s.s, UNNEST(c.q) AS cv, UNNEST(s.q) AS sv FROM cents c CROSS JOIN sup s),
-cgd AS (SELECT j, s, CAST(SUM((cv - sv) * (cv - sv)) AS BIGINT) AS d2 FROM cgp GROUP BY j, s),
-cgrp AS (
-  SELECT j, s FROM (
-    SELECT j, s, ROW_NUMBER() OVER (PARTITION BY j ORDER BY d2, s) AS rk FROM cgd
-  ) WHERE rk = 1
-),
-psp AS (SELECT e.vec_id, s.s, UNNEST(e.q) AS pv, UNNEST(s.q) AS sv FROM e CROSS JOIN sup s),
-psd AS (SELECT vec_id, s, CAST(SUM((pv - sv) * (pv - sv)) AS BIGINT) AS d2 FROM psp GROUP BY vec_id, s),
-pgrp AS (
-  SELECT vec_id, s FROM (
-    SELECT vec_id, s, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, s) AS rk FROM psd
-  ) WHERE rk = 1
-),
-pm AS (
-  SELECT p.vec_id, c.j, e.q AS pq, c.q AS cq
-  FROM pgrp p JOIN cgrp cg ON cg.s = p.s JOIN cents c ON c.j = cg.j
-  JOIN e ON e.vec_id = p.vec_id
-),
-pmu AS (SELECT vec_id, j, UNNEST(pq) AS pv, UNNEST(cq) AS cv FROM pm),
-pmd AS (SELECT vec_id, j, CAST(SUM((pv - cv) * (pv - cv)) AS BIGINT) AS d2 FROM pmu GROUP BY vec_id, j)
-SELECT vec_id, CAST(j AS INTEGER) AS topic, d2 FROM (
-  SELECT vec_id, j, d2, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk FROM pmd
-) WHERE rk = 1
-""",
-)
-def topic_assign_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-level (super-centroid -> within-group exact) assignment at the
-    scale-path cluster count k = floor(sqrt(N)) -- the COMPUTE-scaling
-    complement of semantic_dedup_scaled_bcast's plan fix: O(2*sqrt(k))
-    distances per point instead of O(k) (~70x fewer at k = 31623;
-    operators.similarity.assign_two_level).  Deterministic at every
-    stage (first-g supers by index, exact integer d2, ties to the lowest
-    index twice), so the DuckDB oracle replays the approximate
-    assignment value-for-value -- stage A is a bounded literal fold or
-    the broadcast data path, stage B a single BroadcastHashJoin on the
-    super id, no shuffle of the embedding scan."""
-    import math
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = sim.quantized(emb, "embedding")
-    k = int(math.floor(math.sqrt(emb.count())))
-    cents = [r["qvec"] for r in q.orderBy("vec_id").limit(k).select("qvec").collect()]
-    return sim.assign_two_level(q, cents).select(
-        "vec_id", F.col("topic").cast("int").alias("topic"), "d2"
-    )
-
-
-@register(
-    "source_overlap_matrix",
-    r"""
-WITH toks AS (SELECT source, regexp_extract_all(text, '\S+') AS t FROM documents),
-st AS (SELECT source, t, UNNEST(generate_series(1, len(t) - 7)) AS i
-       FROM toks WHERE len(t) >= 8),
-sp AS (SELECT DISTINCT source, md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
-       FROM st)
-SELECT a.source AS source_a, b.source AS source_b,
-       COUNT(*) AS n_shared_spans
-FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
-GROUP BY a.source, b.source
-""",
-)
-def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source content overlap: for every source pair, how many
-    distinct 8-token span fingerprints both contain -- the diagnostic that
-    decides which crawl snapshots/feeds are redundant before ingesting
-    them.  Span level (not whole-document) so partial mirroring shows up.
-    The self-join runs on the DISTINCT (source, span-hash) table; the
-    corpus-sized explode collapses in the map-side distinct first."""
-    docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    w = 8
-    sp = (
-        docs.withColumn("__toks", tx.tokens("text"))
-        .where(F.expr(f"size(__toks) >= {w}"))
-        .withColumn(
-            "__spans",
-            F.expr(
-                f"transform(sequence(1, size(__toks) - {w - 1}),"
-                f" i -> md5(array_join(slice(__toks, i, {w}), ' ')))"
-            ),
-        )
-        .select("source", F.explode("__spans").alias("h"))
-        .distinct()
-    )
-    a = sp.select(F.col("source").alias("source_a"), "h")
-    b = sp.select(F.col("source").alias("source_b"), "h")
-    return (
-        a.join(b, "h")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
-    )
 
 
 @register(
@@ -3392,95 +1002,6 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_rate_e6"),
     )
 
-
-@register(
-    "join_key_skew_report",
-    """
-WITH k AS (SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey),
-tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total, COUNT(*) AS n_keys FROM k),
-top AS (SELECT key, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank
-        FROM k)
-SELECT rank, key, n,
-       (1000000 * n * n_keys) // n_total AS skew_x_e6
-FROM top, tot WHERE rank <= 20
-""",
-)
-def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-key skew diagnostic: top-20 heaviest keys with their load
-    relative to the mean key (skew_x_e6 = n/mean * 1e6) -- the report that
-    decides whether a join needs salting or AQE skew handling BEFORE it
-    runs at 100 TB.  TakeOrderedAndProject head + broadcast single-row
-    totals; never materializes the full key histogram to the driver."""
-    k = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy(F.col("o_custkey").alias("key"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    tot = k.agg(
-        F.sum(F.col("n").cast("decimal(38,0)")).cast("long").alias("n_total"),
-        F.count(F.lit(1)).alias("n_keys"),
-    )
-    top = k.orderBy(F.desc("n"), "key").limit(20)
-    w = Window.orderBy(F.desc("n"), "key")
-    ranked = top.select(
-        F.row_number().over(w).cast("long").alias("rank"), "key", "n"
-    )
-    return ranked.crossJoin(F.broadcast(tot)).select(
-        "rank",
-        "key",
-        "n",
-        F.expr("(1000000 * n * n_keys) div n_total").alias("skew_x_e6"),
-    )
-
-
-@register(
-    "training_mixture_manifest",
-    r"""
-WITH base AS (
-  SELECT doc_id, lang,
-         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
-         len(regexp_extract_all(text, '\S+')) AS n_tokens
-  FROM documents
-),
-q AS (SELECT * FROM base WHERE n_tokens >= 20),
-keep AS (
-  SELECT * FROM q QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint)
-),
-samp AS (
-  SELECT doc_id, lang FROM keep
-  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
-        CASE lang WHEN 'en' THEN '8' WHEN 'fr' THEN 'c' ELSE 'g' END
-),
-k AS (SELECT doc_id, lang, md5('7:' || CAST(doc_id AS VARCHAR)) AS kk FROM samp),
-s AS (SELECT doc_id, lang, kk, ('0x' || substr(kk, 1, 8))::BIGINT % 8 AS shard FROM k)
-SELECT doc_id, lang, shard,
-       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY kk, doc_id) AS BIGINT) AS pos
-FROM s
-""",
-)
-def training_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-mixture build, stage two of the curation story
-    (corpus_curation_pipeline ends at token budgets; this ends at the
-    actual training order): quality gate -> exact-dedup keeper ->
-    deterministic stratified mixture (en 8/16, fr 12/16, rest kept) ->
-    seeded global shuffle into an 8-shard manifest with in-shard positions.
-
-    One fused plan, two shuffles total (fingerprint keeper window, shard
-    position window); every gate is a deterministic md5 rule, so the same
-    manifest falls out on any engine, cluster layout, or retry."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    base = tx.fingerprint(docs).withColumn("__n", F.size(tx.tokens("text")))
-    q = base.where(F.col("__n") >= 20)
-    w = Window.partitionBy("fingerprint")
-    keep = (
-        q.withColumn("__keeper", F.min("doc_id").over(w))
-        .where(F.col("doc_id") == F.col("__keeper"))
-        .select("doc_id", "lang")
-    )
-    samp = tx.stratified_sample(
-        keep, "lang", {"en": 8, "fr": 12}, default_16ths=16
-    )
-    return tx.shard_assignment(samp, seed=7, n_shards=8, extra_cols=("lang",))
 
 
 @register(
@@ -3533,617 +1054,6 @@ def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "hard_negative_mining",
-    """
-WITH e AS (
-  SELECT vec_id, label, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
-  FROM embeddings
-),
-norms AS (
-  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
-  FROM (SELECT vec_id, UNNEST(q) AS v FROM e) GROUP BY vec_id
-),
-pairs AS (
-  SELECT qe.vec_id AS qid, ce.vec_id AS cand_id, CAST(ce.label AS BIGINT) AS cand_label,
-         UNNEST(qe.q) AS qv, UNNEST(ce.q) AS cv
-  FROM e qe, e ce
-  WHERE qe.vec_id < 10 AND ce.label <> qe.label
-),
-dots AS (SELECT qid, cand_id, cand_label, CAST(SUM(qv * cv) AS BIGINT) AS dot
-         FROM pairs GROUP BY qid, cand_id, cand_label),
-scored AS (
-  SELECT d.qid, d.cand_id, d.cand_label,
-         CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
-  FROM dots d
-  JOIN norms nq ON nq.vec_id = d.qid
-  JOIN norms nc ON nc.vec_id = d.cand_id
-)
-SELECT qid, cand_id, cand_label, rank, cosine FROM (
-  SELECT qid, cand_id, cand_label, cosine,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cand_id) AS rank
-  FROM scored
-) WHERE rank <= 5
-""",
-)
-def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contrastive hard negatives (operators.similarity.hard_negatives):
-    per query vector, the 5 most-similar DIFFERENT-label candidates --
-    exact integer-cosine baseline the ANN-backed production path is
-    measured against."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = sim.hard_negatives(emb, emb.where(F.col("vec_id") < 10), k=5)
-    return out.withColumn("cand_label", F.col("cand_label").cast("long"))
-
-
-@register(
-    "oov_rate_report",
-    r"""
-WITH tok AS (
-  SELECT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS token FROM documents
-),
-cnt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
-vocab AS (SELECT token FROM cnt ORDER BY n DESC, token LIMIT 1000)
-SELECT t.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-       (1000000 * CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT))
-         // COUNT(*) AS oov_ppm
-FROM tok t LEFT JOIN vocab v USING (token)
-GROUP BY t.doc_id
-""",
-)
-def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-vocabulary coverage: per-document out-of-vocabulary rate
-    against the corpus's own top-1000 token vocabulary -- the report that
-    sizes a tokenizer (or flags a corpus slice the tokenizer will shred
-    into bytes) before training starts.
-
-    The vocabulary is a TakeOrdered head (1000 rows however big the
-    corpus) broadcast back over the token stream: one shuffle to count
-    tokens, a map-side hash anti-probe for the OOV flag, one shuffle for
-    the per-doc rollup."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = docs.select("doc_id", F.explode(tx.tokens("text")).alias("token"))
-    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    vocab = cnt.orderBy(F.desc("n"), "token").limit(1000).select("token", F.lit(1).alias("__v"))
-    return (
-        tok.join(F.broadcast(vocab), "token", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
-            F.expr(
-                "(1000000 * cast(sum(CASE WHEN __v IS NULL THEN 1 ELSE 0 END) as decimal(38,0)))"
-                " div count(1)"
-            ).alias("oov_ppm"),
-        )
-    )
-
-
-@register(
-    "embedding_random_projection",
-    r"""
-WITH q AS (
-  SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
-  FROM embeddings
-),
-p AS (
-  SELECT vec_id, label,
-         list_transform(generate_series(0, 15), j ->
-           list_sum(list_transform(generate_series(1, len(qv)), i ->
-             qv[i] * (2 * (('0x' || substr(md5((i - 1) || '_' || j), 1, 1))::BIGINT % 2) - 1)))) AS proj
-  FROM q
-)
-SELECT vec_id, CAST(label AS BIGINT) AS label,
-       md5(array_to_string(proj, ',')) AS proj_md5,
-       CAST(list_sum(list_transform(proj, x -> x * x)) AS BIGINT) AS proj_l2
-FROM p
-""",
-)
-def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic JL dimensionality reduction (operators.similarity.
-    random_projection): 64 -> 16 dims through a Rademacher matrix derived
-    from md5 parities, verified cross-engine by fingerprinting the exact
-    integer projection (md5 of the array + its L2).  Map-only, no shuffle --
-    the pre-pass that shrinks every downstream ANN / clustering shuffle 4x."""
-    e = sim.random_projection(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"),
-        out_dim=16,
-        scale=10000,
-        in_dim=64,
-    )
-    return e.select(
-        "vec_id",
-        F.col("label").cast("long").alias("label"),
-        F.md5(F.array_join("proj", ",")).alias("proj_md5"),
-        F.expr(
-            "aggregate(transform(proj, x -> x * x), CAST(0 AS BIGINT), (a, x) -> a + x)"
-        ).alias("proj_l2"),
-    )
-
-
-@register(
-    "token_drift_by_source",
-    r"""
-WITH tok AS (
-  SELECT source, UNNEST(regexp_extract_all(text, '\S+')) AS token FROM documents
-),
-st AS (SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token),
-s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot_s FROM st GROUP BY source),
-g AS (SELECT token, CAST(SUM(n) AS BIGINT) AS n_g FROM st GROUP BY token),
-gt AS (SELECT CAST(SUM(tot_s) AS BIGINT) AS tot_g FROM s),
-d AS (
-  SELECT st.source,
-         ABS((1000000 * CAST(st.n AS HUGEINT)) // CAST(s.tot_s AS HUGEINT)
-           - (1000000 * CAST(g.n_g AS HUGEINT)) // CAST(gt.tot_g AS HUGEINT)) AS diff_e6
-  FROM st JOIN s USING (source) JOIN g USING (token), gt
-)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens_distinct,
-       CAST(SUM(diff_e6) AS BIGINT) AS drift_l1_e6,
-       CAST(MAX(diff_e6) AS BIGINT) AS max_token_drift_e6
-FROM d GROUP BY source
-""",
-)
-def token_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source token-frequency drift vs the whole corpus: L1 distance
-    between the source's unigram distribution and the global one, in
-    integer ppm over the source's own vocabulary -- the report that flags
-    a crawl snapshot whose language mix silently shifted before it
-    contaminates the training mixture.
-
-    Every branch (per-source totals, global token counts, grand total)
-    hangs off the SAME (source, token) partial aggregate, so Catalyst's
-    ReuseExchange materializes the tokenize+count shuffle once; the
-    per-source and grand totals are broadcast back.  Ratios are integer
-    ppm (decimal(38,0) div / HUGEINT //) so Spark and DuckDB agree
-    bit-for-bit at any count magnitude."""
-    docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    st = (
-        docs.select("source", F.explode(tx.tokens("text")).alias("token"))
-        .groupBy("source", "token")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    s = st.groupBy("source").agg(
-        F.sum(F.col("n").cast("decimal(38,0)")).cast("long").alias("tot_s")
-    )
-    gt = s.agg(F.sum(F.col("tot_s").cast("decimal(38,0)")).cast("long").alias("tot_g"))
-    g = st.groupBy("token").agg(
-        F.sum(F.col("n").cast("decimal(38,0)")).cast("long").alias("n_g")
-    )
-    d = (
-        st.join(F.broadcast(s), "source")
-        .join(g, "token")
-        .crossJoin(F.broadcast(gt))
-        .select(
-            "source",
-            F.expr(
-                "abs((1000000 * cast(n as decimal(38,0))) div tot_s"
-                " - (1000000 * cast(n_g as decimal(38,0))) div tot_g)"
-            ).alias("diff_e6"),
-        )
-    )
-    return d.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens_distinct"),
-        F.sum(F.col("diff_e6").cast("decimal(38,0)")).cast("long").alias("drift_l1_e6"),
-        F.max("diff_e6").cast("long").alias("max_token_drift_e6"),
-    )
-
-
-@register(
-    "bigram_surprisal_scores",
-    r"""
-WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
-bi AS (
-  SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
-  FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 1)) AS i
-        FROM toks WHERE len(t) >= 2)
-),
-c2 AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS n2 FROM bi GROUP BY prev, cur),
-c1 AS (SELECT prev, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY prev),
-scored AS (
-  SELECT bi.doc_id, length(format('{:b}', n1 // n2)) AS bits
-  FROM bi JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
-)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
-       (1000 * CAST(SUM(bits) AS BIGINT)) // COUNT(*) AS mean_surprisal_e3
-FROM scored GROUP BY doc_id
-""",
-)
-def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram-LM surprisal (operators.text.bigram_surprisal): integer
-    bits(c(prev)/c(prev,cur)) summed per document -- the order-sensitive
-    perplexity proxy that flags shuffled/stuffed text unigram stats miss."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return tx.bigram_surprisal(docs)
-
-
-@register(
-    "dsir_importance_resample",
-    r"""
-WITH RECURSIVE
-docs0 AS (
-  SELECT doc_id, (source = 'src18') AS is_t,
-         regexp_extract_all(lower(text), '\S+') AS t
-  FROM documents
-),
-uni AS (SELECT doc_id, is_t, UNNEST(t) AS f FROM docs0),
-bi AS (
-  SELECT doc_id, is_t, t[i] || '_' || t[i + 1] AS f
-  FROM (SELECT doc_id, is_t, t, UNNEST(generate_series(1, len(t) - 1)) AS i
-        FROM docs0 WHERE len(t) >= 2)
-),
-feats AS (
-  SELECT doc_id, is_t, ('0x' || substr(md5(f), 1, 15))::BIGINT % 512 AS b
-  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
-),
-model AS (
-  SELECT b,
-         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tb,
-         CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS rb
-  FROM feats GROUP BY b
-),
-tot AS (SELECT CAST(SUM(tb) AS BIGINT) AS tt, CAST(SUM(rb) AS BIGINT) AS rt FROM model),
-vals AS (
-  SELECT b, 't' AS w, tb + 1 AS x FROM model
-  UNION ALL SELECT b, 'r' AS w, rb + 1 AS x FROM model
-  UNION ALL SELECT -1, 'T', tt + 512 FROM tot
-  UNION ALL SELECT -1, 'R', rt + 512 FROM tot
-),
-lg(b, w, it, e, m, frac) AS (
-  SELECT b, w, 0, length(format('{:b}', x)) - 1,
-         (x << 30) >> (length(format('{:b}', x)) - 1), CAST(0 AS BIGINT)
-  FROM vals
-  UNION ALL
-  SELECT b, w, it + 1, e,
-         CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
-              THEN ((m * m) >> 30) >> 1 ELSE (m * m) >> 30 END,
-         frac * 2 + CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
-                         THEN 1 ELSE 0 END
-  FROM lg WHERE it < 20
-),
-lfp AS (SELECT b, w, (e << 20) + frac AS v FROM lg WHERE it = 20),
-llr AS (
-  SELECT tv.b,
-         tv.v - rv.v
-         + (SELECT v FROM lfp WHERE w = 'R') - (SELECT v FROM lfp WHERE w = 'T')
-           AS llr_fp
-  FROM (SELECT b, v FROM lfp WHERE w = 't') tv
-  JOIN (SELECT b, v FROM lfp WHERE w = 'r') rv USING (b)
-),
-docb AS (
-  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
-  FROM feats WHERE NOT is_t GROUP BY doc_id, b
-)
-SELECT doc_id,
-       CAST(SUM(c * llr_fp) AS BIGINT) AS weight_fp20,
-       CAST(SUM(c) AS BIGINT) AS n_features
-FROM docb JOIN llr USING (b)
-GROUP BY doc_id
-ORDER BY weight_fp20 DESC, doc_id
-LIMIT 100
-""",
-)
-def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR data selection (operators.text.dsir_select; Xie et al. 2023):
-    hashed unigram+bigram importance weights -- target domain = source
-    'src18' -- scored over the raw pool, deterministic top-100.  The
-    importance model is a <=512-row driver constant; the oracle replays the
-    exact integer fixed-point-log2 recurrence as a recursive CTE, so the
-    weights match bit-for-bit with no libm log anywhere."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    return tx.dsir_select(docs, "source = 'src18'", buckets=512, k=100)
-
-
-def _ivfpq_topk_oracle(
-    *,
-    nlist: int = 8,
-    nprobe: int = 2,
-    m: int = 8,
-    kcent: int = 16,
-    dsub: int = 8,
-    shortlist: int = 64,
-    topk: int = 5,
-    q_max: int = 10,
-) -> str:
-    """DuckDB replay of the ENTIRE ivfpq_topk pipeline: coarse assignment
-    (exact integer distances, first-nlist seed centroids), per-list
-    residuals, residual PQ encode with the shared md5 codebooks, per-(query,
-    probed-list) ADC tables, probed-list-only approx scoring, shortlist
-    cut, exact cosine re-rank.  Same literals as the Spark side, so every
-    stage is integer-exact on both engines."""
-    books = sim.pq_md5_codebooks(m=m, k=kcent, dsub=dsub)
-    cb_rows = ",\n         ".join(
-        f"({s}, {j}, [{', '.join(str(x) for x in books[s][j])}])"
-        for s in range(m)
-        for j in range(kcent)
-    )
-    dim = m * dsub
-    return f"""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
-  FROM embeddings
-),
-norms AS (
-  SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
-  FROM (SELECT vec_id, UNNEST(q) AS v FROM e) GROUP BY vec_id
-),
-cents AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS j, e.q AS cq, n.nrm AS cnrm
-  FROM e JOIN norms n ON n.vec_id = e.vec_id
-  ORDER BY e.vec_id LIMIT {nlist}
-),
-cb AS (SELECT * FROM (VALUES {cb_rows}) AS t(s, j, cq)),
-vc AS (SELECT e.vec_id, c.j, UNNEST(e.q) AS v, UNNEST(c.cq) AS cv FROM e, cents c),
-vcd AS (SELECT vec_id, j, CAST(SUM(v * cv) AS BIGINT) AS dot FROM vc GROUP BY vec_id, j),
-dist AS (
-  SELECT d.vec_id, d.j, n.nrm - 2 * d.dot + c.cnrm AS d2
-  FROM vcd d JOIN norms n ON n.vec_id = d.vec_id JOIN cents c ON c.j = d.j
-),
-cand_assign AS (
-  SELECT vec_id, j AS lst FROM (
-    SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk FROM dist
-  ) WHERE rk = 1
-),
-qry_assign AS (
-  SELECT vec_id, j AS lst FROM (
-    SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk
-    FROM dist WHERE vec_id < {q_max}
-  ) WHERE rk <= {nprobe}
-),
-cres AS (
-  SELECT a.vec_id, a.lst, i,
-         e.q[i] - c.cq[i] AS rv,
-         (i - 1) // {dsub} AS s, ((i - 1) % {dsub}) + 1 AS d
-  FROM (SELECT vec_id, lst, UNNEST(generate_series(1, {dim})) AS i FROM cand_assign) a
-  JOIN e ON e.vec_id = a.vec_id JOIN cents c ON c.j = a.lst
-),
-cd2 AS (
-  SELECT r.vec_id, r.s, cb.j,
-         CAST(SUM((r.rv - cb.cq[r.d]) * (r.rv - cb.cq[r.d])) AS BIGINT) AS dist
-  FROM cres r JOIN cb ON cb.s = r.s
-  GROUP BY r.vec_id, r.s, cb.j
-),
-codes AS (
-  SELECT vec_id, s, j AS code FROM (
-    SELECT vec_id, s, j, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rk
-    FROM cd2
-  ) WHERE rk = 1
-),
-qres AS (
-  SELECT a.vec_id, a.lst, i,
-         e.q[i] - c.cq[i] AS rv,
-         (i - 1) // {dsub} AS s, ((i - 1) % {dsub}) + 1 AS d
-  FROM (SELECT vec_id, lst, UNNEST(generate_series(1, {dim})) AS i FROM qry_assign) a
-  JOIN e ON e.vec_id = a.vec_id JOIN cents c ON c.j = a.lst
-),
-qdt AS (
-  SELECT r.vec_id AS qid, r.lst, r.s, cb.j,
-         CAST(SUM((r.rv - cb.cq[r.d]) * (r.rv - cb.cq[r.d])) AS BIGINT) AS dist
-  FROM qres r JOIN cb ON cb.s = r.s
-  GROUP BY r.vec_id, r.lst, r.s, cb.j
-),
-approx AS (
-  SELECT qd.qid, c.vec_id AS cand_id, CAST(SUM(qd.dist) AS BIGINT) AS approx_d2
-  FROM codes c
-  JOIN cand_assign ca ON ca.vec_id = c.vec_id
-  JOIN qdt qd ON qd.lst = ca.lst AND qd.s = c.s AND qd.j = c.code
-  WHERE c.vec_id <> qd.qid
-  GROUP BY qd.qid, c.vec_id
-),
-short AS (
-  SELECT qid, cand_id FROM (
-    SELECT qid, cand_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_d2, cand_id) AS rk
-    FROM approx
-  ) WHERE rk <= {shortlist}
-),
-pv AS (
-  SELECT p.qid, p.cand_id, UNNEST(qe.q) AS qv, UNNEST(ce.q) AS cv
-  FROM short p JOIN e qe ON qe.vec_id = p.qid JOIN e ce ON ce.vec_id = p.cand_id
-),
-dots AS (SELECT qid, cand_id, CAST(SUM(qv * cv) AS BIGINT) AS dot FROM pv GROUP BY qid, cand_id),
-scored AS (
-  SELECT d.qid, d.cand_id,
-         CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
-  FROM dots d JOIN norms nq ON nq.vec_id = d.qid JOIN norms nc ON nc.vec_id = d.cand_id
-)
-SELECT qid, cand_id, rank, cosine FROM (
-  SELECT qid, cand_id, cosine,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cand_id) AS rank
-  FROM scored
-) WHERE rank <= {topk}
-"""
-
-
-@register("similarity_ivfpq_topk", _ivfpq_topk_oracle())
-def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ composed ANN (operators.similarity.ivfpq_topk): coarse-list
-    pruning by equi-join + residual PQ-ADC scoring + exact re-rank -- the
-    FAISS IndexIVFPQ architecture as DataFrame ops, with no cross join in
-    the plan.  Coarse centroids are first-nlist driver constants and the
-    codebooks are the shared md5 literals, so the DuckDB oracle replays
-    assignment, residuals, encode, ADC, shortlist, and re-rank
-    value-for-value."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return sim.ivfpq_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
-
-
-@register(
-    "classifier_auc_report",
-    r"""
-WITH t AS (
-  SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks
-  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0
-),
-sc AS (
-  SELECT source,
-         (1000000 * CAST(len(list_filter(toks, x -> list_contains(['the','and','of','a','to'], x))) AS BIGINT))
-           // CAST(len(toks) AS BIGINT) >= 30000 AS lab,
-         (1000000 * CAST(list_sum(list_transform(toks,
-             x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 2001 - 1000)) AS BIGINT))
-           // CAST(len(toks) AS BIGINT) AS model_e6,
-         (1000000 * CAST(len(list_distinct(toks)) AS BIGINT))
-           // CAST(len(toks) AS BIGINT) AS uniq_e6
-  FROM t
-),
-rm AS (
-  SELECT source, lab,
-         2 * rank() OVER (PARTITION BY source ORDER BY model_e6)
-           + COUNT(*) OVER (PARTITION BY source, model_e6) - 1 AS r2
-  FROM sc
-),
-am AS (
-  SELECT source,
-         CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-         CAST(SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
-         CAST(SUM(CASE WHEN lab THEN r2 ELSE 0 END) AS BIGINT) AS r2s
-  FROM rm GROUP BY source
-),
-ru AS (
-  SELECT source, lab,
-         2 * rank() OVER (PARTITION BY source ORDER BY uniq_e6)
-           + COUNT(*) OVER (PARTITION BY source, uniq_e6) - 1 AS r2
-  FROM sc
-),
-au AS (
-  SELECT source,
-         CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-         CAST(SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
-         CAST(SUM(CASE WHEN lab THEN r2 ELSE 0 END) AS BIGINT) AS r2s
-  FROM ru GROUP BY source
-)
-SELECT am.source, am.n_pos, am.n_neg,
-       (1000000 * (am.r2s - am.n_pos * (am.n_pos + 1))) // (2 * am.n_pos * am.n_neg) AS auc_model_e6,
-       (1000000 * (au.r2s - au.n_pos * (au.n_pos + 1))) // (2 * au.n_pos * au.n_neg) AS auc_unique_e6
-FROM am JOIN au USING (source)
-WHERE am.n_pos > 0 AND am.n_neg > 0
-""",
-)
-def classifier_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based filter evaluation (operators.quality_checks.binary_auc):
-    exact tie-aware ROC-AUC per source, via the Mann-Whitney rank-sum
-    identity in pure integer arithmetic -- no threshold sweep.  Two scores
-    are evaluated against the rule-gate label (stopword ratio >= 3%): the
-    hashed linear model's mean token weight and the unique-token ratio.
-    This is the eval loop that decides whether a cheap classifier can
-    replace a heuristic gate before a 100 TB filtering pass."""
-    from odp_dynamic_data_pipeline_spark.operators.quality_checks import binary_auc
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    qf = tx.quality_features(docs).where(F.col("n_tokens") > 0)
-    scored = qf.select(
-        "source",
-        (
-            F.expr("(1000000 * CAST(n_stopwords AS BIGINT)) div CAST(n_tokens AS BIGINT)")
-            >= 30000
-        ).alias("lab"),
-        F.expr(
-            "(1000000 * aggregate(transform(tokens,"
-            " t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000),"
-            " CAST(0 AS BIGINT), (a, x) -> a + x)) div CAST(n_tokens AS BIGINT)"
-        ).alias("model_e6"),
-        F.expr(
-            "(1000000 * CAST(n_unique_tokens AS BIGINT)) div CAST(n_tokens AS BIGINT)"
-        ).alias("uniq_e6"),
-    )
-    auc_m = binary_auc(scored, "source", "model_e6", "lab", out_col="auc_model_e6")
-    auc_u = binary_auc(scored, "source", "uniq_e6", "lab", out_col="auc_unique_e6")
-    return auc_m.join(auc_u.select("source", "auc_unique_e6"), "source")
-
-
-def duck_ilog2_sql(x: str) -> str:
-    """DuckDB twin of functions.scalars.ilog2_fp20_sql: the identical
-    square-and-extract-bit fixed-point log2 recurrence as a list_reduce
-    fold (init element prepended, 20 dummy elements drive the 20 rounds).
-    Bit-identical to the Spark expression and to ilog2_fp20."""
-    e = f"(length(format('{{:b}}', {x})) - 1)"
-    xb = f"CAST({x} AS BIGINT)"
-    return (
-        f"((CAST({e} AS BIGINT) << 20) + list_reduce("
-        f"list_concat([struct_pack(m := ({xb} << 30) >> {e}, f := CAST(0 AS BIGINT))],"
-        " list_transform(range(20), i -> struct_pack(m := CAST(0 AS BIGINT), f := CAST(0 AS BIGINT)))),"
-        " (acc, e2) -> CASE WHEN ((acc.m * acc.m) >> 30) >= 2147483648"
-        " THEN struct_pack(m := ((acc.m * acc.m) >> 30) >> 1, f := acc.f * 2 + 1)"
-        " ELSE struct_pack(m := (acc.m * acc.m) >> 30, f := acc.f * 2) END).f)"
-    )
-
-
-def _char_entropy_oracle() -> str:
-    lg_c = duck_ilog2_sql("c")
-    lg_n = duck_ilog2_sql("n_chars")
-    return f"""
-WITH chars AS (
-  SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents
-),
-counts AS (
-  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
-  FROM chars WHERE ch <> '' GROUP BY doc_id, ch
-),
-per AS (
-  SELECT doc_id,
-         CAST(SUM(c) AS BIGINT) AS n_chars,
-         CAST(COUNT(*) AS BIGINT) AS alphabet_size,
-         CAST(SUM(c * (0 - {lg_c})) AS BIGINT) AS hc
-  FROM counts GROUP BY doc_id
-)
-SELECT doc_id, n_chars, alphabet_size,
-       CAST(n_chars * {lg_n} + hc AS BIGINT) AS h2_fp,
-       (1000000 * (n_chars * {lg_n} + hc)) // (n_chars << 20) AS mean_entropy_e6
-FROM per
-"""
-
-
-@register("char_entropy_scores", _char_entropy_oracle())
-def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT Shannon character entropy per document
-    (operators.text.char_entropy): the information-density filter signal,
-    computed entirely in fixed-point integer arithmetic via the
-    square-and-extract-bit log2 fold -- no libm, so the DuckDB oracle
-    reproduces every micro-bit.  Per-doc work after the char groupBy is
-    alphabet-sized, not text-sized."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return tx.char_entropy(docs)
-
-
-def _weighted_sample_oracle(k: int = 20) -> str:
-    u = (
-        "(('0x' || substr(md5('ws' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)"
-    )
-    lg_u = duck_ilog2_sql(u)
-    return rf"""
-WITH t AS (
-  SELECT lang, doc_id,
-         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS weight
-  FROM documents
-),
-keyed AS (
-  SELECT lang, doc_id, weight,
-         (((CAST(32 AS BIGINT) << 20) - {lg_u}) * 10000000000) // weight AS es_key
-  FROM t WHERE weight >= 1
-)
-SELECT lang, doc_id, weight, es_key, rank FROM (
-  SELECT lang, doc_id, weight, es_key,
-         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rank
-  FROM keyed
-) WHERE rank <= {k}
-"""
-
-
-@register("weighted_sample_langs", _weighted_sample_oracle())
-def weighted_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted sampling without replacement per language
-    (operators.text.weighted_sample; Efraimidis & Spirakis 2006), weights =
-    token counts: rank by -log2(u)/w via the exact fixed-point log2 and an
-    integer ratio key -- no pow/log/floats, so both engines draw the SAME
-    sample.  The engine-portable form of weighted corpus subsampling."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    stats = tx.token_stats(docs).select("lang", "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
-    return tx.weighted_sample(stats, "lang", "n_tokens", k=20)
-
 
 @register(
     "jaccard_prefix_join",
@@ -4177,6 +1087,7 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilistic MinHash-LSH family."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dd.jaccard_join(docs, n=8, tau_e6=300_000)
+
 
 
 @register(
@@ -4217,246 +1128,6 @@ def containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     needles = docs.where(F.expr(r"size(regexp_extract_all(text, r'\S+', 0)) <= 32"))
     return dd.containment_join(needles, docs, n=8, tau_e6=800_000)
 
-
-def _bm25_oracle(terms: list[str], k: int = 10) -> str:
-    """BM25 oracle: idf log2 via the recursive-CTE fixed-point recurrence
-    (the dsir-oracle pattern -- DuckDB's list_reduce fold mis-evaluates
-    row-dependent init elements for some source vector layouts, erroring
-    loudly on VALUES-sourced rows, so the per-term idf table uses the
-    recursion instead)."""
-    terms_sql = ", ".join(f"'{t}'" for t in terms)
-    return f"""
-WITH RECURSIVE tok AS (
-  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
-  FROM documents
-),
-dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
-stats AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl FROM dl
-),
-tf AS (
-  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM tok WHERE t IN ({terms_sql}) GROUP BY doc_id, t
-),
-dfs AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY t),
-vals AS (
-  SELECT dfs.t, 'num' AS w, CAST(2 * stats.n - 2 * dfs.df + 1 AS BIGINT) AS x FROM dfs, stats
-  UNION ALL
-  SELECT dfs.t, 'den', CAST(2 * dfs.df + 1 AS BIGINT) FROM dfs, stats
-),
-lgr(t, w, it, e, m, frac) AS (
-  SELECT t, w, 0, length(format('{{:b}}', x)) - 1,
-         (x << 30) >> (length(format('{{:b}}', x)) - 1), CAST(0 AS BIGINT)
-  FROM vals
-  UNION ALL
-  SELECT t, w, it + 1, e,
-         CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
-              THEN ((m * m) >> 30) >> 1 ELSE (m * m) >> 30 END,
-         frac * 2 + CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
-                         THEN 1 ELSE 0 END
-  FROM lgr WHERE it < 20
-),
-lfp AS (SELECT t, w, (CAST(e AS BIGINT) << 20) + frac AS v FROM lgr WHERE it = 20),
-idf AS (
-  SELECT nv.t, nv.v - dv.v AS idf_fp
-  FROM (SELECT t, v FROM lfp WHERE w = 'num') nv
-  JOIN (SELECT t, v FROM lfp WHERE w = 'den') dv USING (t)
-),
-scored AS (
-  SELECT tf.doc_id,
-         CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
-         CAST(SUM(idf.idf_fp * ((1000000 * (44 * tf.tf * stats.avgdl))
-              // (20 * tf.tf * stats.avgdl + 6 * stats.avgdl + 18 * dl.dl))) AS BIGINT) AS score_fp
-  FROM tf
-  JOIN idf ON idf.t = tf.t
-  JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN stats
-  GROUP BY tf.doc_id
-)
-SELECT doc_id, n_hit_terms, score_fp FROM scored
-ORDER BY score_fp DESC, doc_id LIMIT {{k}}
-""".replace("{k}", str(k))
-
-
-@register("bm25_retrieval", _bm25_oracle(["hash", "join", "fast", "dup"]))
-def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-integer BM25 lexical retrieval (operators.text.bm25_scores)
-    for the query terms [hash, join, fast, dup]: Robertson idf through the
-    fixed-point log2 recurrence on bounded driver constants, integer
-    tf-saturation rational, top-10 by (score, doc_id).  The DuckDB oracle
-    replays idf with the list_reduce log2 twin, so ranking AND scores are
-    bit-identical -- the lexical half of a retrieval stack next to the
-    ANN family."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return tx.bm25_scores(docs, ["hash", "join", "fast", "dup"], k=10)
-
-
-def _triangles_oracle() -> str:
-    """Triangle/clustering replay over the same md5-minhash candidate pairs
-    as the PageRank oracle: id-ordered two-join enumeration, exact integer
-    clustering coefficient."""
-    prefix = MINHASH_MD5_ORACLE[: MINHASH_MD5_ORACLE.index("SELECT a.doc_id AS id_a")]
-    return prefix + """, pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-),
-tris AS (
-  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
-  FROM pairs e1
-  JOIN pairs e2 ON e2.id_a = e1.id_b
-  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
-),
-per_node AS (
-  SELECT nid, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
-    SELECT a AS nid FROM tris
-    UNION ALL SELECT b FROM tris
-    UNION ALL SELECT c FROM tris
-  ) GROUP BY nid
-),
-deg AS (
-  SELECT nid, CAST(COUNT(*) AS BIGINT) AS deg FROM (
-    SELECT id_a AS nid FROM pairs UNION ALL SELECT id_b FROM pairs
-  ) GROUP BY nid
-)
-SELECT d.nid, d.deg,
-       CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
-       CAST(CASE WHEN d.deg >= 2
-                 THEN (1000000 * 2 * COALESCE(p.n_triangles, 0)) // (d.deg * (d.deg - 1))
-                 ELSE 0 END AS BIGINT) AS clustering_e6
-FROM deg d LEFT JOIN per_node p ON p.nid = d.nid
-"""
-
-
-@register("dedup_graph_triangles", _triangles_oracle())
-def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counts + local clustering over the near-duplicate candidate
-    graph (operators.dedup.triangle_counts): distinguishes boilerplate
-    cliques (clustering ~1) from template hub-spoke patterns (~0) -- the
-    fourth oracle-gated graph metric on the shared md5-minhash pair list
-    (after CC, PageRank, and the cluster oracle)."""
-    # the pair list is referenced five times inside triangle_counts (three
-    # join legs + degree); materialize it once instead of re-running the
-    # full minhash pipeline per reference
-    edges = (
-        dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b").localCheckpoint(eager=False)
-    )
-    return dd.triangle_counts(edges)
-
-
-def _entropy_sampling_oracle() -> str:
-    u = (
-        "(('0x' || substr(md5('ws' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)"
-    )
-    lg_u = duck_ilog2_sql(u)
-    return rf"""
-WITH ent AS ({_char_entropy_oracle()}),
-t AS (
-  SELECT doc_id, lang,
-         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS weight
-  FROM documents
-),
-gated AS (
-  SELECT t.lang, t.doc_id, t.weight
-  FROM t JOIN ent e ON e.doc_id = t.doc_id
-  WHERE e.mean_entropy_e6 >= 4050000 AND t.weight >= 1
-),
-keyed AS (
-  SELECT lang, doc_id, weight,
-         (((CAST(32 AS BIGINT) << 20) - {lg_u}) * 10000000000) // weight AS es_key
-  FROM gated
-)
-SELECT lang, doc_id, weight, es_key, rank FROM (
-  SELECT lang, doc_id, weight, es_key,
-         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rank
-  FROM keyed
-) WHERE rank <= 10
-"""
-
-
-@register("entropy_sampling_pipeline", _entropy_sampling_oracle())
-def entropy_sampling_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SHIPPED declarative pipeline end-to-end: loads
-    pipelines/corpus_curation_pipeline.yaml and runs its entropy_sample
-    stage -- token-count column, exact char-entropy join-gate
-    (>= 4.05 bits/char), Efraimidis-Spirakis weighted sample per language
-    -- proving the round-5 operators are first-class in the YAML dialect,
-    not just the Python API.  The oracle composes the entropy and
-    sampling replays over the gate."""
-    from odp_dynamic_data_pipeline_spark.plans.pipeline import load_pipeline
-
-    pipe = load_pipeline("pipelines/corpus_curation_pipeline.yaml")
-    outputs, _ = pipe.compile(spark, path_vars={"sf": sf_dir})
-    out = outputs["entropy_sample"]
-    return out.select("lang", "doc_id", F.col("weight"), "es_key", "rank")
-
-
-@register(
-    "chi2_independence_lang_source",
-    """
-WITH o AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
-r AS (SELECT lang, COUNT(*) AS r FROM documents GROUP BY lang),
-c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
-n AS (SELECT COUNT(*) AS n FROM documents),
-cells AS (
-  SELECT r.lang, c.source, r.r, c.c, n.n, COALESCE(o.o, 0) AS o
-  FROM r CROSS JOIN c CROSS JOIN n
-  LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
-),
-contrib AS (
-  SELECT lang, r,
-         CAST(((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
-               * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * 1048576)
-              // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS fp
-  FROM cells
-)
-SELECT lang, MAX(r) AS n_lang, COUNT(*) AS n_sources,
-       CAST(SUM(fp) AS BIGINT) AS chi2_contrib_fp20
-FROM contrib GROUP BY lang
-""",
-)
-def chi2_independence_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson chi-squared independence test of lang x source (is the
-    language mix uniform across corpus sources?) in EXACT fixed-point
-    arithmetic: each cell's (O - E)^2 / E is computed as the integer
-    ((O*N - r*c)^2 << 20) div (N*r*c) -- multiplying through by N so
-    expected counts never become non-exact rationals, truncating integer
-    division identically in both engines (DECIMAL(38,0) div == HUGEINT //),
-    so the statistic is an order-independent integer SUM, hash-exact.
-
-    Zero cells are real chi-squared terms (E > 0 even when O = 0), so the
-    cell universe is the cross of the lang and source marginal tables --
-    two tiny broadcast aggregates (L x S rows, never data x data), with
-    observed counts left-joined on top.  Scale shape: three partial-agg
-    passes over documents + an L*S-row driver-sized lattice; at 100 TB the
-    only full-data work is the map-side-combined GROUP BYs.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
-    r = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("r"))
-    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
-    n = docs.agg(F.count(F.lit(1)).alias("n"))
-    cells = (
-        r.crossJoin(F.broadcast(c))
-        .crossJoin(F.broadcast(n))
-        .join(o, ["lang", "source"], "left")
-        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
-    )
-    # promote BEFORE multiplying: o*n and r*c in raw int64 overflow once the
-    # corpus passes ~3e9 rows, which is squarely inside the 100 TB framing
-    d38 = "(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
-    fp = F.expr(
-        f"CAST(({d38} * {d38} * 1048576) div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"
-    )
-    return (
-        cells.withColumn("fp", fp)
-        .groupBy("lang")
-        .agg(
-            F.max("r").alias("n_lang"),
-            F.count(F.lit(1)).alias("n_sources"),
-            F.sum("fp").alias("chi2_contrib_fp20"),
-        )
-    )
 
 
 @register(
@@ -4503,703 +1174,6 @@ def udtf_lateral_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
 
-
-@register(
-    "cohens_kappa_filters",
-    """
-WITH r AS (
-  SELECT lang,
-         CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
-         CASE WHEN len(regexp_extract_all(text, '\\S+')) >= 40 THEN 1 ELSE 0 END AS b
-  FROM documents
-),
-m AS (
-  SELECT lang, COUNT(*) AS n,
-         SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
-         SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00,
-         SUM(a) AS a1, SUM(b) AS b1
-  FROM r GROUP BY lang
-)
-SELECT lang, CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS both_keep,
-       CAST(n00 AS BIGINT) AS both_drop,
-       CAST((CAST(n AS HUGEINT) * (n11 + n00) - (CAST(a1 AS HUGEINT) * b1 + CAST(n - a1 AS HUGEINT) * (n - b1))) * 1000000
-            // nullif(CAST(n AS HUGEINT) * n - (CAST(a1 AS HUGEINT) * b1 + CAST(n - a1 AS HUGEINT) * (n - b1)), 0)
-            AS BIGINT) AS kappa_e6
-FROM m
-""",
-)
-def cohens_kappa_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohen's kappa agreement between two document-quality raters (a
-    char-length filter vs a token-count filter), per language -- the
-    standard chance-corrected statistic for validating a cheap filter
-    against a reference filter before switching a corpus pipeline over.
-
-    kappa = (p_o - p_e)/(1 - p_e) evaluated as ONE exact integer fixed-point
-    expression by multiplying through by N^2: numerator N*(n11+n00) -
-    (a1*b1 + a0*b0), denominator N^2 - (a1*b1 + a0*b0), truncating e6
-    division identical in both engines.  All inputs are plain conditional
-    counts (map-side combined), so at 100 TB this is one pass + a
-    5-group agg."""
-    docs = load_table(spark, sf_dir, "documents")
-    r = docs.select(
-        "lang",
-        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("a"),
-        F.when(F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")) >= 40, 1)
-        .otherwise(0)
-        .alias("b"),
-    )
-    m = r.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)).alias("n11"),
-        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0)).alias("n00"),
-        F.sum("a").alias("a1"),
-        F.sum("b").alias("b1"),
-    )
-    d = "DECIMAL(38,0)"
-    pe = f"(CAST(a1 AS {d}) * b1 + CAST(n - a1 AS {d}) * (n - b1))"
-    # kappa is undefined when chance agreement is total (both raters
-    # unanimous: pe == N^2) -- emit NULL for that group, never abort
-    kappa = F.expr(
-        f"CAST(((CAST(n AS {d}) * (n11 + n00) - {pe}) * 1000000)"
-        f" div nullif(CAST(n AS {d}) * n - {pe}, 0) AS BIGINT)"
-    )
-    return m.select(
-        "lang",
-        F.col("n").cast("long").alias("n"),
-        F.col("n11").cast("long").alias("both_keep"),
-        F.col("n00").cast("long").alias("both_drop"),
-        kappa.alias("kappa_e6"),
-    )
-
-
-def arrow_embedding_norm_batches(batches):
-    """mapInArrow kernel for ``mapinarrow_embedding_norms``: per-vector
-    integer norm features over raw Arrow buffers.  Module-level (not a
-    closure) so unit tests can feed it crafted batches -- empty lists,
-    trailing-empty lists, and SLICED ListArrays are all exercised in
-    tests/test_udfs.py."""
-    import numpy as np
-    import pyarrow as pa
-
-    for batch in batches:
-        # zero-copy: read the ListArray's flat values + offsets buffers
-        # directly into numpy and reduce per-list with reduceat -- one
-        # vectorized pass, no per-row Python, no pandas/pydict boxing
-        col = batch.column("embedding")
-        lists = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        if isinstance(lists, pa.LargeListArray | pa.ListArray):
-            flat = lists.flatten()
-            offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        else:  # pragma: no cover - fixed-size list fallback
-            flat = lists.flatten()
-            step = lists.type.list_size
-            offs = np.arange(0, (len(lists) + 1) * step, step, dtype=np.int64)
-        t = np.floor(flat.to_numpy(zero_copy_only=False).astype(np.float64) * 1_000_000).astype(
-            np.int64
-        )
-        # offsets of a SLICED ListArray still index the parent's values
-        # buffer while flatten() returns only the slice's values, so
-        # rebase to the slice start before using them as flat indices
-        starts = offs[:-1] - offs[0]
-        empty = offs[1:] == offs[:-1]
-        # reduceat quirks: an empty list at position i yields
-        # t[starts[i]] (the next list's head), and a TRAILING empty list
-        # puts len(t) in starts, which raises IndexError -- clamp first,
-        # then zero the empty positions after the reduction
-        safe = np.minimum(starts, max(len(t) - 1, 0))
-        norm = np.add.reduceat(t * t, safe) if len(t) else np.zeros(len(safe), np.int64)
-        csum = np.add.reduceat(t, safe) if len(t) else np.zeros(len(safe), np.int64)
-        norm[empty] = 0
-        csum[empty] = 0
-        yield pa.record_batch(
-            [
-                batch.column("vec_id"),
-                batch.column("label"),
-                pa.array(norm, pa.int64()),
-                pa.array(csum, pa.int64()),
-            ],
-            names=["vec_id", "label", "norm_sq_e12", "component_sum_e6"],
-        )
-
-
-@register(
-    "mapinarrow_embedding_norms",
-    """
-WITH q AS (
-  SELECT vec_id, label,
-         list_transform(embedding,
-                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS t
-  FROM embeddings
-)
-SELECT vec_id, label,
-       CAST(list_sum(list_transform(t, y -> y * y)) AS BIGINT) AS norm_sq_e12,
-       CAST(list_sum(t) AS BIGINT) AS component_sum_e6
-FROM q
-""",
-)
-def mapinarrow_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``mapInArrow`` surface: per-vector integer norm features computed on
-    raw pyarrow RecordBatches -- the zero-copy sibling of mapInPandas (no
-    pandas materialization, the Arrow buffers feed numpy directly), which
-    is the right Python hook for numeric kernels over array columns.
-
-    Determinism contract: float32 components are promoted to float64 and
-    FLOORED at e6 (both IEEE ops bit-identical across engines -- floor has
-    no round-half ambiguity, unlike rint vs ROUND), after which everything
-    is int64.  The oracle replays the identical promote-floor-square
-    pipeline in SQL list functions.  Per-batch work is vectorized numpy
-    over Arrow buffers; at 100 TB this is a map-only stage, no shuffle."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return emb.mapInArrow(
-        arrow_embedding_norm_batches,
-        "vec_id bigint, label int, norm_sq_e12 bigint, component_sum_e6 bigint",
-    )
-
-
-@register(
-    "calibration_curve_report",
-    r"""
-WITH t AS (
-  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
-  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0
-),
-sc AS (
-  SELECT doc_id,
-         (1000000 * CAST(len(list_filter(toks, x -> list_contains(['the','and','of','a','to'], x))) AS BIGINT))
-           // CAST(len(toks) AS BIGINT) AS score_e6,
-         (1000000 * CAST(len(list_distinct(toks)) AS BIGINT))
-           // CAST(len(toks) AS BIGINT) >= 500000 AS lab
-  FROM t
-),
-b AS (SELECT score_e6 * 10 // 1000001 AS bin, score_e6, lab FROM sc)
-SELECT bin, COUNT(*) AS n,
-       CAST(SUM(score_e6) // COUNT(*) AS BIGINT) AS mean_score_e6,
-       CAST(1000000 * SUM(CASE WHEN lab THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS pos_rate_e6,
-       CAST(abs(SUM(score_e6) // COUNT(*) - 1000000 * SUM(CASE WHEN lab THEN 1 ELSE 0 END) // COUNT(*)) AS BIGINT) AS gap_e6
-FROM b GROUP BY bin
-""",
-)
-def calibration_curve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reliability (calibration) curve for a document-quality scorer: bin
-    predictions into deciles, compare each bin's mean predicted score to
-    its empirical positive rate -- the companion diagnostic to ROC-AUC
-    (classifier_auc_report ranks; THIS checks whether the scores mean what
-    they say, which is what sampling-by-score assumes).  Scorer = stopword
-    ratio, reference label = token-uniqueness threshold, both e6 integer
-    ratios with truncating division; bin = score*10 div 1000001 keeps the
-    perfect-score edge in decile 9.  Map-side expression work + one
-    10-group agg: flat at any corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.expr(r"regexp_extract_all(text, '\\S+', 0)")
-    t = docs.select(F.col("doc_id"), toks.alias("toks")).where(F.size("toks") > 0)
-    stop = "array('the','and','of','a','to')"
-    sc = t.select(
-        F.expr(
-            f"(1000000 * CAST(size(filter(toks, x -> array_contains({stop}, x))) AS BIGINT))"
-            " div CAST(size(toks) AS BIGINT)"
-        ).alias("score_e6"),
-        (
-            F.expr("(1000000 * CAST(size(array_distinct(toks)) AS BIGINT))"
-                   " div CAST(size(toks) AS BIGINT)")
-            >= 500000
-        ).alias("lab"),
-    )
-    b = sc.select(F.expr("score_e6 * 10 div 1000001").alias("bin"), "score_e6", "lab")
-    return b.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("CAST(SUM(score_e6) div COUNT(*) AS BIGINT)").alias("mean_score_e6"),
-        F.expr(
-            "CAST(1000000 * SUM(CASE WHEN lab THEN 1 ELSE 0 END) div COUNT(*) AS BIGINT)"
-        ).alias("pos_rate_e6"),
-        F.expr(
-            "CAST(abs(SUM(score_e6) div COUNT(*) -"
-            " 1000000 * SUM(CASE WHEN lab THEN 1 ELSE 0 END) div COUNT(*)) AS BIGINT)"
-        ).alias("gap_e6"),
-    )
-
-
-@register(
-    "dataset_snapshot_diff",
-    """
-WITH a AS (SELECT doc_id, md5(text) AS fp FROM documents),
-b AS (
-  SELECT doc_id,
-         md5(CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END) AS fp
-  FROM documents WHERE doc_id % 17 <> 0
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, md5(text || ' v2') AS fp
-  FROM documents WHERE doc_id % 11 = 0
-)
-SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
-       CASE WHEN a.doc_id IS NULL THEN 'added'
-            WHEN b.doc_id IS NULL THEN 'removed'
-            ELSE 'changed' END AS status,
-       a.fp AS old_fp, b.fp AS new_fp
-FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
-WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.fp <> b.fp
-""",
-)
-def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dataset release diff: content-hash comparison of two corpus
-    snapshots into added / removed / changed manifests -- the audit
-    artifact between training-data versions (what changed since v1 is the
-    first question any data card answers).  Snapshot B is derived
-    deterministically from A (drops, edits, additions), both sides reduce
-    to (id, md5 fingerprint) BEFORE the full outer join, so the shuffle
-    carries 40-byte rows, never document text; unchanged rows are filtered
-    post-join.  At 100 TB this is the standard manifest-diff shape: one
-    equi-join of two fingerprint tables."""
-    docs = load_table(spark, sf_dir, "documents")
-    a = docs.select("doc_id", F.md5("text").alias("fp"))
-    b = (
-        docs.where(F.col("doc_id") % 17 != 0)
-        .select(
-            "doc_id",
-            F.md5(
-                F.when(F.col("doc_id") % 13 == 0, F.upper("text")).otherwise(F.col("text"))
-            ).alias("fp"),
-        )
-        .unionByName(
-            docs.where(F.col("doc_id") % 11 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
-                F.md5(F.concat(F.col("text"), F.lit(" v2"))).alias("fp"),
-            )
-        )
-    )
-    j = a.alias("a").join(b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
-    return j.select(
-        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
-        F.when(F.col("a.doc_id").isNull(), "added")
-        .when(F.col("b.doc_id").isNull(), "removed")
-        .otherwise("changed")
-        .alias("status"),
-        F.col("a.fp").alias("old_fp"),
-        F.col("b.fp").alias("new_fp"),
-    ).where(
-        F.col("a.doc_id").isNull()
-        | F.col("b.doc_id").isNull()
-        | (F.col("a.fp") != F.col("b.fp"))
-    )
-
-
-@register(
-    "quantile_normalize_scores",
-    """
-WITH x AS (SELECT doc_id, source, n_chars AS v FROM documents),
-s AS (
-  SELECT doc_id, source, v,
-         row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r,
-         COUNT(*) OVER (PARTITION BY source) AS ns
-  FROM x
-),
-g AS (SELECT v AS gv, row_number() OVER (ORDER BY v, doc_id) AS p FROM x),
-n AS (SELECT COUNT(*) AS ng FROM x)
-SELECT s.doc_id, s.source, s.v, g.gv AS norm_v
-FROM s CROSS JOIN n
-JOIN g ON g.p = (s.r - 1) * n.ng // s.ns + 1
-""",
-)
-def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile normalization across sources: map each source's score
-    distribution onto the GLOBAL distribution (a doc at its source's p-th
-    quantile gets the global p-th-quantile value), removing per-source
-    scale drift before cross-source comparisons or mixing -- the
-    genomics-borrowed trick that makes heterogeneous quality scores
-    commensurable.  Rank-based and exact: per-source ranks are partitioned
-    windows; the GLOBAL rank table comes from the distributed two-pass
-    `global_rank` operator (never a one-task sort); the lookup is an
-    equi-join on the integer position floor((r-1)*ng/ns)+1.  Shuffles
-    carry (id, rank) pairs only."""
-    from odp_dynamic_data_pipeline_spark.operators.partitioning import global_rank
-
-    x = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.col("n_chars").alias("v")
-    )
-    ws = Window.partitionBy("source").orderBy("v", "doc_id")
-    s = x.select(
-        "doc_id",
-        "source",
-        "v",
-        F.row_number().over(ws).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("ns"),
-    )
-    g = global_rank(x.select("v", "doc_id"), ["v", "doc_id"], rank_col="p").select(
-        F.col("v").alias("gv"), "p"
-    )
-    # corpus size = max global rank: read from the already-checkpointed rank
-    # table instead of a second full scan of the source
-    ng = g.agg(F.max("p")).first()[0] or 1  # empty-corpus guard, keeps plan analyzable
-    s = s.withColumn("p", F.expr(f"(r - 1) * {ng} div ns + 1"))
-    return s.join(g, "p").select("doc_id", "source", "v", F.col("gv").alias("norm_v"))
-
-
-@register(
-    "categorical_index_langs",
-    """
-WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
-idx AS (
-  SELECT lang, cnt, row_number() OVER (ORDER BY cnt DESC, lang) - 1 AS lang_idx
-  FROM c
-)
-SELECT d.doc_id, d.lang, i.lang_idx, i.cnt AS lang_freq
-FROM documents d JOIN idx i ON d.lang = i.lang
-""",
-)
-def categorical_index_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Categorical string indexing (the StringIndexer ML-prep primitive):
-    assign contiguous integer ids to language values by descending
-    frequency with a deterministic alphabetical tiebreak, then encode
-    every document -- id 0 = most frequent, the layout embedding tables
-    assume.  The vocabulary is a tiny aggregate (one row per distinct
-    value) so its ordering window is K-bounded, and the encode is a
-    broadcast join back onto the corpus: one shuffle for the vocab count,
-    zero for the encode, at any corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
-    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
-    idx = c.select(
-        "lang",
-        F.col("cnt").alias("lang_freq"),
-        (F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("lang"))) - 1).alias(
-            "lang_idx"
-        ),
-    )
-    return docs.select("doc_id", "lang").join(F.broadcast(idx), "lang").select(
-        "doc_id", "lang", "lang_idx", "lang_freq"
-    )
-
-
-@register(
-    "k_anonymity_report",
-    """
-WITH q AS (
-  SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*) AS grp_size
-  FROM documents GROUP BY lang, source, len_bucket
-)
-SELECT lang, source, len_bucket, grp_size,
-       grp_size < 5 AS violates_k5
-FROM q WHERE grp_size < 20
-""",
-)
-def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit over quasi-identifiers (lang, source, length
-    bucket): every equivalence class smaller than the reporting floor,
-    flagged when it breaks k=5 -- the pre-release privacy check that
-    catches "this combination of harmless attributes identifies one
-    document/user".  Pure conditional aggregation (map-side combined);
-    the small-group filter makes the output the violation manifest, not
-    the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    q = docs.groupBy(
-        "lang", "source", F.expr("n_chars div 100").alias("len_bucket")
-    ).agg(F.count(F.lit(1)).alias("grp_size"))
-    return q.where(F.col("grp_size") < 20).withColumn(
-        "violates_k5", F.col("grp_size") < 5
-    )
-
-
-def _dp_h32(tag: str) -> str:
-    """Spark SQL: 32-bit uniform in [1, 2^32] from md5 of the group key."""
-    return (
-        f"CAST(conv(substr(md5(concat(lang, '|', source, '|{tag}')), 1, 15), 16, 10) AS BIGINT)"
-        " % 4294967296 + 1"
-    )
-
-
-def _dp_h32_duck(tag: str) -> str:
-    return (
-        f"('0x' || substr(md5(lang || '|' || source || '|{tag}'), 1, 15))::BIGINT"
-        " % 4294967296 + 1"
-    )
-
-
-@register(
-    "dp_noisy_counts",
-    f"""
-WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source),
-h AS (
-  SELECT lang, source, n,
-         {_dp_h32_duck('u1')} AS h1,
-         {_dp_h32_duck('u2')} AS h2
-  FROM c
-),
-l AS (
-  SELECT lang, source, n,
-         {duck_ilog2_sql('h1')} AS l1,
-         {duck_ilog2_sql('h2')} AS l2
-  FROM h
-)
-SELECT lang, source, n AS true_count,
-       CAST(((l2 - l1) * 726817) // 1048576 AS BIGINT) AS noise_fp20,
-       CAST((n * 1048576) + ((l2 - l1) * 726817) // 1048576 AS BIGINT) AS noisy_count_fp20
-FROM l
-""",
-)
-def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private count release (Laplace mechanism, eps = 1,
-    sensitivity 1): per-(lang, source) counts plus Laplace(1) noise built
-    as the difference of two exponentials, Exp = -ln(U), with U drawn from
-    the md5 hash of the group key -- SEEDED noise so the release is
-    reproducible and the oracle can replay it exactly (a production
-    release would draw U from a CSPRNG; the mechanism shape is identical).
-    ln is the repo's exact fixed-point log2 recurrence (no libm):
-    ln U = (ilog2_fp20(h) - 32<<20) * ln2, and the ln2 factor 726817/2^20
-    with div-truncation is shared by both engines, so the noisy counts are
-    hash-exact integers.  Group-key work only -- the mechanism costs one
-    expression per RELEASED row, nothing per document."""
-    from odp_dynamic_data_pipeline_spark.functions.scalars import ilog2_fp20_sql
-
-    docs = load_table(spark, sf_dir, "documents")
-    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
-    h = c.selectExpr(
-        "lang", "source", "n", f"{_dp_h32('u1')} AS h1", f"{_dp_h32('u2')} AS h2"
-    )
-    lg = h.selectExpr(
-        "lang",
-        "source",
-        "n",
-        f"{ilog2_fp20_sql('h1')} AS l1",
-        f"{ilog2_fp20_sql('h2')} AS l2",
-    )
-    return lg.selectExpr(
-        "lang",
-        "source",
-        "n AS true_count",
-        "CAST(((l2 - l1) * 726817) div 1048576 AS BIGINT) AS noise_fp20",
-        "CAST((n * 1048576) + ((l2 - l1) * 726817) div 1048576 AS BIGINT) AS noisy_count_fp20",
-    )
-
-
-@register(
-    "inverted_index_postings",
-    r"""
-WITH t AS (
-  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
-  FROM documents
-),
-df AS (SELECT term, COUNT(*) AS doc_freq FROM t GROUP BY term),
-rare AS (SELECT term, doc_freq FROM df ORDER BY doc_freq, term LIMIT 10)
-SELECT t.term, MAX(rare.doc_freq) AS doc_freq,
-       array_to_string(list(t.doc_id ORDER BY t.doc_id), ',') AS postings
-FROM t JOIN rare ON t.term = rare.term
-GROUP BY t.term
-""",
-)
-def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index build (the retrieval-side data structure BM25 and
-    sparse search assume): per term, document frequency plus the SORTED
-    posting list of containing documents.  Postings are grouped per term
-    -- one shuffle keyed by term, sort_array inside the agg buffer keeps
-    ordering deterministic without an ordered window -- and the rarest-K
-    vocabulary cut bounds list size before collect (an uncapped posting
-    list for a stopword is the classic index-build OOM; production shards
-    those terms into blocks).  Cut to the low-df tail here so
-    the result is a verifiable artifact, not a corpus dump; postings
-    serialize to a csv string so the driver hash sees a scalar column."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", F.explode(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("term")
-    ).distinct()
-    df_tab = t.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    # 10 rarest terms, deterministic tiebreak: TakeOrderedAndProject over the
-    # vocab aggregate (K rows to the driver-side heap, no global window)
-    band = df_tab.orderBy("doc_freq", "term").limit(10)
-    return (
-        t.join(F.broadcast(band), "term")
-        .groupBy("term")
-        .agg(
-            F.max("doc_freq").alias("doc_freq"),
-            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings"),
-        )
-    )
-
-
-def _ahash_oracle() -> str:
-    def px(r: str, c: str, ch: int) -> str:
-        return f"((({r}) * 24 + ({c}) * 3 + {ch}) * k) % 256"
-
-    def gray(r: str, c: str) -> str:
-        return "(" + " + ".join(px(r, c, ch) for ch in range(3)) + ") // 3"
-
-    cell = (
-        "("
-        + " + ".join(
-            gray(f"(o // 4) * 2 + {dr}", f"(o % 4) * 2 + {dc}")
-            for dr in (0, 1)
-            for dc in (0, 1)
-        )
-        + ") // 4"
-    )
-    return f"""
-WITH ids AS (
-  SELECT doc_id, doc_id % 251 + 1 AS k FROM documents
-  WHERE doc_id < 200 AND doc_id % 2 = 1
-),
-cells AS (
-  SELECT doc_id, o, CAST({cell} AS BIGINT) AS cell
-  FROM ids CROSS JOIN (SELECT unnest(range(0, 8)) AS o)
-),
-m AS (
-  SELECT doc_id, CAST(SUM(cell) AS BIGINT) // 8 AS mean_cell FROM cells GROUP BY doc_id
-),
-sig AS (
-  SELECT cells.doc_id,
-         CAST(SUM(CASE WHEN cell > mean_cell THEN 1 << o ELSE 0 END) AS BIGINT) AS ahash
-  FROM cells JOIN m ON cells.doc_id = m.doc_id
-  GROUP BY cells.doc_id
-)
-SELECT ahash, COUNT(*) AS n_images,
-       array_to_string(list(doc_id ORDER BY doc_id), ',') AS members
-FROM sig GROUP BY ahash
-"""
-
-
-@register("multimodal_ahash_dedup", _ahash_oracle())
-def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image NEAR-DUP detection via perceptual average-hash: real PPM
-    payloads -> grayscale -> cell grid -> packed 8-bit aHash signature
-    (operators.multimodal.ahash_image, Arrow-batched), then duplicate
-    classes = GROUP BY signature -- pixel work happens exactly once per
-    image and dedup is an 8-byte-key aggregation, the only shape that
-    survives a 100 TB media corpus.  The synthetic raster is a closed form
-    of doc_id, so the oracle replays decode -> gray -> box-mean ->
-    threshold -> bit-pack entirely in SQL: the real-bytes Python path and
-    the analytic form must agree bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
-        (F.col("doc_id") < 200) & (F.col("doc_id") % 2 == 1)
-    )
-    media = mm.attach_synth_media(docs)
-    sig = mm.ahash_image(media)
-    return sig.groupBy("ahash").agg(
-        F.count(F.lit(1)).alias("n_images"),
-        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("members"),
-    )
-
-
-def _degree_powerlaw_oracle() -> str:
-    """Log-log degree fit oracle.  log2 uses the RECURSIVE-CTE fixed-point
-    recurrence (the bm25/dsir pattern): DuckDB's list_reduce fold
-    mis-evaluates row-dependent init elements for some vector layouts
-    (loud int64-overflow error on this histogram at sf0.1), so the fold
-    form duck_ilog2_sql cannot be used here."""
-    prefix = MINHASH_MD5_ORACLE[: MINHASH_MD5_ORACLE.index("SELECT a.doc_id AS id_a")]
-    prefix = prefix.replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
-    return (
-        prefix
-        + """, pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-),
-deg AS (
-  SELECT nid, CAST(COUNT(*) AS BIGINT) AS deg FROM (
-    SELECT id_a AS nid FROM pairs UNION ALL SELECT id_b FROM pairs
-  ) GROUP BY nid
-),
-hist AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY deg),
-vals AS (
-  SELECT deg AS kk, 'x' AS w, deg AS x FROM hist
-  UNION ALL
-  SELECT deg, 'y', n_nodes FROM hist
-),
-lgr(kk, w, it, e, m, frac) AS (
-  SELECT kk, w, 0, length(format('{:b}', x)) - 1,
-         (x << 30) >> (length(format('{:b}', x)) - 1), CAST(0 AS BIGINT)
-  FROM vals
-  UNION ALL
-  SELECT kk, w, it + 1, e,
-         CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
-              THEN ((m * m) >> 30) >> 1 ELSE (m * m) >> 30 END,
-         frac * 2 + CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
-                         THEN 1 ELSE 0 END
-  FROM lgr WHERE it < 20
-),
-lfp AS (SELECT kk, w, (CAST(e AS BIGINT) << 20) + frac AS v FROM lgr WHERE it = 20),
-logs AS (
-  SELECT h.deg, h.n_nodes, lx.v AS ld_fp20, ly.v AS ln_fp20
-  FROM hist h
-  JOIN (SELECT kk, v FROM lfp WHERE w = 'x') lx ON lx.kk = h.deg
-  JOIN (SELECT kk, v FROM lfp WHERE w = 'y') ly ON ly.kk = h.deg
-),
-mom AS (
-  SELECT COUNT(*) AS k,
-         CAST(SUM(ld_fp20) AS HUGEINT) AS sx, CAST(SUM(ln_fp20) AS HUGEINT) AS sy,
-         CAST(SUM(CAST(ld_fp20 AS HUGEINT) * ln_fp20) AS HUGEINT) AS sxy,
-         CAST(SUM(CAST(ld_fp20 AS HUGEINT) * ld_fp20) AS HUGEINT) AS sxx
-  FROM logs
-)
-SELECT logs.deg, logs.n_nodes, logs.ld_fp20, logs.ln_fp20,
-       (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / nullif(CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
-         AS powerlaw_slope
-FROM logs CROSS JOIN mom
-"""
-    )
-
-
-@register("degree_powerlaw_fit", _degree_powerlaw_oracle())
-def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree-distribution diagnostics for the near-dup candidate graph:
-    the degree histogram plus a log-log OLS slope (the power-law exponent
-    estimate) -- the number that says whether dedup candidates concentrate
-    on a few hub documents (boilerplate/templates) and therefore whether
-    the pair join needs skew handling.  log2 is the repo's exact
-    fixed-point recurrence (no libm), so every histogram row and both log
-    columns are hash-exact integers; only the final closed-form slope is
-    a double, shaped identically in both engines (nullif-guarded for the
-    degenerate one-point histogram).  The moments table is one broadcast
-    row over an already-tiny histogram."""
-    from odp_dynamic_data_pipeline_spark.functions.scalars import ilog2_fp20_sql
-
-    edges = dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b")
-    deg = (
-        edges.selectExpr("id_a AS nid")
-        .unionAll(edges.selectExpr("id_b AS nid"))
-        .groupBy("nid")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
-    logs = hist.selectExpr(
-        "deg",
-        "n_nodes",
-        f"{ilog2_fp20_sql('deg')} AS ld_fp20",
-        f"{ilog2_fp20_sql('n_nodes')} AS ln_fp20",
-    )
-    d = "DECIMAL(38,0)"
-    mom = logs.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum("ld_fp20").alias("sx"),
-        F.sum("ln_fp20").alias("sy"),
-        F.sum(F.expr(f"CAST(ld_fp20 AS {d}) * ln_fp20")).alias("sxy"),
-        F.sum(F.expr(f"CAST(ld_fp20 AS {d}) * ld_fp20")).alias("sxx"),
-    )
-    out = logs.crossJoin(F.broadcast(mom))
-    k, sx, sy, sxy, sxx = (F.col(x).cast("double") for x in ("k", "sx", "sy", "sxy", "sxx"))
-    return out.select(
-        "deg",
-        "n_nodes",
-        "ld_fp20",
-        "ln_fp20",
-        ((k * sxy - sx * sy) / F.expr("nullif(CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)"
-                                      " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0D)")).alias(
-            "powerlaw_slope"
-        ),
-    )
-
-
-def duck_iexp2_sql(f: str) -> str:
-    """DuckDB twin of functions.scalars.iexp2_fp20_sql: identical fp20
-    exp2 fold as a list_reduce over the same 2^(2^-k) constants."""
-    from odp_dynamic_data_pipeline_spark.operators.text import EXP2_FP20_CONSTS
-
-    consts = "[" + ", ".join(str(c) for c in EXP2_FP20_CONSTS) + "]"
-    frac = f"((CAST({f} AS BIGINT)) & 1048575)"
-    return (
-        f"(list_reduce(list_concat([CAST(1048576 AS BIGINT)],"
-        f" list_transform(range(1, 21), k -> CAST(k AS BIGINT))),"
-        f" (acc, k) -> CASE WHEN (({frac} >> (20 - CAST(k AS INT))) & 1) = 1"
-        f" THEN (acc * ({consts})[CAST(k AS INT)]) >> 20 ELSE acc END)"
-        f" << (CAST({f} AS BIGINT) >> 20))"
-    )
 
 
 @register(
@@ -5249,6 +1223,7 @@ def occurrence_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval merge verbatim."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.occurrence_duplicate_spans(docs, "text", min_tokens=8, min_count=2)
+
 
 
 @register(
@@ -5314,6 +1289,7 @@ def occurrence_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.scrub_occurrence_spans(docs, "text", min_tokens=8, min_count=2)
 
 
+
 @register(
     "decontamination_spans",
     """
@@ -5367,72 +1343,6 @@ def decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.cross_duplicate_spans(corpus, bench, min_tokens=8)
 
 
-def _ppr_oracle(iters: int = 4) -> str:
-    """Unrolled personalized-PageRank replay over the md5-minhash pair
-    graph with restart mass on the src0 seed documents -- bit-identical
-    integer arithmetic to operators.dedup.personalized_pagerank (same
-    contract as _pagerank_oracle, plus the seed-gated restart term)."""
-    prefix = MINHASH_MD5_ORACLE[: MINHASH_MD5_ORACLE.index("SELECT a.doc_id AS id_a")]
-    body = prefix + """, pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-),
-sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs),
-deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
-sd AS (SELECT DISTINCT doc_id AS nid FROM documents WHERE source = 'src0'),
-ns AS (SELECT COUNT(*) AS n FROM sd),
-fl AS (
-  SELECT u.nid, (sd.nid IS NOT NULL) AS is_seed
-  FROM (SELECT src AS nid FROM deg UNION SELECT nid FROM sd) u
-  LEFT JOIN sd ON sd.nid = u.nid
-),
-r0 AS (SELECT fl.nid,
-              CASE WHEN is_seed THEN CAST(1000000000 AS BIGINT) // ns.n
-                   ELSE CAST(0 AS BIGINT) END AS r
-       FROM fl CROSS JOIN ns)"""
-    for k in range(1, iters + 1):
-        body += f""",
-r{k} AS (
-  SELECT fl.nid,
-         CASE WHEN fl.is_seed THEN (15 * CAST(1000000000 AS BIGINT)) // (100 * ns.n)
-              ELSE CAST(0 AS BIGINT) END
-         + (85 * COALESCE(s.s, CAST(0 AS BIGINT))) // 100 AS r
-  FROM fl CROSS JOIN ns
-  LEFT JOIN (
-    SELECT e.dst, SUM(r.r // dg.deg) AS s
-    FROM sym e JOIN r{k - 1} r ON r.nid = e.src JOIN deg dg ON dg.src = e.src
-    GROUP BY e.dst
-  ) s ON s.dst = fl.nid
-)"""
-    body += f"""
-SELECT nid AS doc_id, CAST(r AS BIGINT) AS ppr_e9 FROM r{iters}
-"""
-    return body
-
-
-@register("contamination_ppr", _ppr_oracle(iters=4))
-def contamination_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CONTAMINATION INFLUENCE via personalized PageRank
-    (operators.dedup.personalized_pagerank): restart mass on the
-    benchmark-tainted src0 documents, walked 4 fixed-point rounds over the
-    md5-minhash near-dup graph.  `contamination_spread_hops` answers how
-    FAR the blast radius reaches (min hops); this answers how MUCH walk
-    mass each document absorbs -- decaying with distance, splitting across
-    branches, and accumulating through multiple paths, which is the
-    ranking a triage queue wants (review the highest-mass documents
-    first).  Exact integer fixed-point e9 arithmetic; the oracle unrolls
-    all rounds with the seed-gated restart term."""
-    edges = dedup_minhash_md5(spark, sf_dir).select("id_a", "id_b")
-    seeds = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.col("source") == "src0")
-        .select(F.col("doc_id").alias("id"))
-    )
-    out = dd.personalized_pagerank(edges, seeds, iters=4)
-    return out.select(F.col("nid").alias("doc_id"), F.col("rank").alias("ppr_e9"))
-
 
 def _threshold_sweep_oracle(taus=(300_000, 500_000, 700_000)) -> str:
     """Scored 8-gram Jaccard pairs once (the jaccard_prefix_join brute
@@ -5483,6 +1393,7 @@ row{t} AS (
   FROM sz{t})""")
         selects.append(f"SELECT * FROM row{t}")
     return head + "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
 
 
 @register("dedup_threshold_sweep", _threshold_sweep_oracle())
@@ -5573,6 +1484,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "threshold_e6", "n_dup_docs", "n_clusters", "n_removable", "max_cluster"
     )
+
 
 
 @register(
@@ -5696,35 +1608,6 @@ def char_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.char_exact_spans(docs, "text", min_tokens=8, min_count=2, max_ext=64)
 
-
-@register(
-    "window_heavy_hitters",
-    """
-WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
-win AS (
-  SELECT doc_id,
-         md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS wh
-  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
-        FROM toks)
-),
-agg AS (
-  SELECT wh, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
-         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-  FROM win GROUP BY wh HAVING COUNT(*) >= 2
-)
-SELECT wh, n_occurrences, n_docs
-FROM agg ORDER BY n_occurrences DESC, wh LIMIT 20
-""",
-)
-def window_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key report on the ExactSubstr window-hash shuffle
-    (operators.text.window_heavy_hitters, VERDICT r8 item 8): the 20
-    most-repeated 8-token windows with occurrence and distinct-doc
-    counts -- how a deployment spots the mega-viral boilerplate window
-    before it becomes the shuffle's hot key.  Deterministic ordering
-    (count desc, wh) makes the top-k hash-stable across engines."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return tx.window_heavy_hitters(docs, "text", min_tokens=8, top=20)
 
 
 @register(
@@ -5866,300 +1749,6 @@ def scrub_char_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.scrub_char_exact(docs, "text", min_tokens=8, min_count=2, max_ext=64)
 
 
-EVAL_QUERIES: dict[str, list[str]] = {
-    # BIGRAM phrases: the corpus vocabulary is ~30 words each in ~78% of
-    # docs (negative Robertson idf -- a degenerate unigram run), while
-    # individual bigrams sit at 5-8% document frequency: positive idf,
-    # >k relevant docs per query (recall@10 < 1), graded 0..2 gains.
-    "q_hash_join": ["hash join", "join hash"],
-    "q_scan_speed": ["fast scan", "slow scan"],
-    "q_sort_merge": ["sort merge", "merge join"],
-    "q_window_agg": ["window agg", "group key"],
-}
-
-# token derivation shared by the Spark operator call and the oracle: the
-# adjacent-bigram phrase stream over lowercase unigrams
-EVAL_TOKEN_SQL_SPARK = (
-    "CASE WHEN size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) < 2"
-    " THEN array()"
-    " ELSE zip_with("
-    "   slice(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 1,"
-    "         size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) - 1),"
-    "   slice(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 2,"
-    "         size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) - 1),"
-    "   (a, b) -> concat(a, ' ', b)) END"
-)
-EVAL_TOKEN_SQL_DUCK = (
-    "list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))),"
-    " i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||"
-    " regexp_extract_all(lower(text), '[a-z0-9]+')[i+1])"
-)
-
-
-def _retrieval_eval_oracle(queries: dict[str, list[str]], k: int = 10, rel_tf: int = 2) -> str:
-    """Multi-query BM25 run + graded-relevance eval oracle: the bm25
-    fixed-point idf recursion (same lgr CTE), a second log2 recursion for
-    the nDCG rank discounts (ranks 1..k -- the identical fp20 values the
-    Spark side broadcasts from ilog2_fp20), then pure-integer metric
-    arithmetic.  Mirrors operators.ranking.retrieval_eval exactly."""
-    all_terms = sorted({t for ts in queries.values() for t in ts})
-    terms_sql = ", ".join(f"'{t}'" for t in all_terms)
-    qt_values = ", ".join(
-        f"('{qid}', '{t}')" for qid in sorted(queries) for t in queries[qid]
-    )
-    return f"""
-WITH RECURSIVE tok AS (
-  SELECT doc_id, UNNEST({EVAL_TOKEN_SQL_DUCK}) AS t
-  FROM documents
-),
-dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
-stats AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl FROM dl
-),
-tf AS (
-  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM tok WHERE t IN ({terms_sql}) GROUP BY doc_id, t
-),
-dfs AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY t),
-vals AS (
-  SELECT dfs.t, 'num' AS w, CAST(2 * stats.n - 2 * dfs.df + 1 AS BIGINT) AS x FROM dfs, stats
-  UNION ALL
-  SELECT dfs.t, 'den', CAST(2 * dfs.df + 1 AS BIGINT) FROM dfs, stats
-),
-lgr(t, w, it, e, m, frac) AS (
-  SELECT t, w, 0, length(format('{{:b}}', x)) - 1,
-         (x << 30) >> (length(format('{{:b}}', x)) - 1), CAST(0 AS BIGINT)
-  FROM vals
-  UNION ALL
-  SELECT t, w, it + 1, e,
-         CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
-              THEN ((m * m) >> 30) >> 1 ELSE (m * m) >> 30 END,
-         frac * 2 + CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
-                         THEN 1 ELSE 0 END
-  FROM lgr WHERE it < 20
-),
-lfp AS (SELECT t, w, (CAST(e AS BIGINT) << 20) + frac AS v FROM lgr WHERE it = 20),
-idf AS (
-  SELECT nv.t, nv.v - dv.v AS idf_fp
-  FROM (SELECT t, v FROM lfp WHERE w = 'num') nv
-  JOIN (SELECT t, v FROM lfp WHERE w = 'den') dv USING (t)
-),
-qt(query_id, t) AS (VALUES {qt_values}),
-qd AS (
-  SELECT qt.query_id, tf.doc_id,
-         CAST(SUM(idf.idf_fp * ((1000000 * (44 * tf.tf * stats.avgdl))
-              // (20 * tf.tf * stats.avgdl + 6 * stats.avgdl + 18 * dl.dl))) AS BIGINT) AS score_fp,
-         CAST(SUM(CASE WHEN tf.tf >= {rel_tf} THEN 1 ELSE 0 END) AS BIGINT) AS gain
-  FROM tf
-  JOIN qt ON qt.t = tf.t
-  JOIN idf ON idf.t = tf.t
-  JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN stats
-  GROUP BY qt.query_id, tf.doc_id
-),
-dvals AS (SELECT CAST(i AS BIGINT) AS r, CAST(i + 1 AS BIGINT) AS x FROM range(1, {k + 1}) t(i)),
-dlgr(r, it, e, m, frac) AS (
-  SELECT r, 0, length(format('{{:b}}', x)) - 1,
-         (x << 30) >> (length(format('{{:b}}', x)) - 1), CAST(0 AS BIGINT)
-  FROM dvals
-  UNION ALL
-  SELECT r, it + 1, e,
-         CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
-              THEN ((m * m) >> 30) >> 1 ELSE (m * m) >> 30 END,
-         frac * 2 + CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
-                         THEN 1 ELSE 0 END
-  FROM dlgr WHERE it < 20
-),
-disc AS (
-  SELECT r, (CAST(1 AS BIGINT) << 40) // ((CAST(e AS BIGINT) << 20) + frac) AS disc_fp
-  FROM dlgr WHERE it = 20
-),
-run AS (
-  SELECT query_id, doc_id, gain,
-         row_number() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rnk
-  FROM qd QUALIFY rnk <= {k}
-),
-run_agg AS (
-  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_retrieved,
-         CAST(SUM(CASE WHEN gain >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_topk,
-         CAST(COALESCE(MIN(CASE WHEN gain >= 1 THEN rnk END), 0) AS BIGINT) AS first_rel_rank,
-         CAST(SUM(CASE WHEN gain >= 1 THEN gain * disc.disc_fp ELSE 0 END) AS BIGINT) AS dcg_fp
-  FROM run JOIN disc ON disc.r = run.rnk GROUP BY query_id
-),
-ideal AS (
-  SELECT query_id, CAST(SUM(gain * disc.disc_fp) AS BIGINT) AS idcg_fp FROM (
-    SELECT query_id, gain,
-           row_number() OVER (PARTITION BY query_id ORDER BY gain DESC, doc_id) AS rnk
-    FROM qd WHERE gain >= 1 QUALIFY rnk <= {k}
-  ) i JOIN disc ON disc.r = i.rnk GROUP BY query_id
-),
-totals AS (
-  SELECT query_id, CAST(SUM(CASE WHEN gain >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_total
-  FROM qd GROUP BY query_id
-)
-SELECT run_agg.query_id, n_retrieved,
-       CAST(COALESCE(totals.n_rel_total, 0) AS BIGINT) AS n_rel_total,
-       n_rel_topk, first_rel_rank,
-       CAST(CASE WHEN first_rel_rank > 0 THEN 1000000 // first_rel_rank ELSE 0 END AS BIGINT) AS mrr_e6,
-       CAST((1000000 * n_rel_topk) // {k} AS BIGINT) AS p_at_k_e6,
-       CAST(CASE WHEN COALESCE(totals.n_rel_total, 0) > 0
-                 THEN (1000000 * n_rel_topk) // totals.n_rel_total ELSE 0 END AS BIGINT) AS r_at_k_e6,
-       CAST(CASE WHEN COALESCE(ideal.idcg_fp, 0) > 0
-                 THEN (1000000 * dcg_fp) // ideal.idcg_fp ELSE 0 END AS BIGINT) AS ndcg_e6
-FROM run_agg
-LEFT JOIN totals USING (query_id)
-LEFT JOIN ideal USING (query_id)
-"""
-
-
-@register("retrieval_eval_report", _retrieval_eval_oracle(EVAL_QUERIES, rel_tf=1))
-def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Offline retrieval evaluation (operators.ranking.retrieval_eval):
-    a 4-query PHRASE-BM25 run (adjacent-bigram tokens -- the corpus's
-    unigram vocabulary is too common for positive idf), scored against
-    graded relevance labels that are INDEPENDENT of the ranker's exact
-    arithmetic (gain = number of query phrases present), producing
-    per-query nDCG@10 / MRR / P@10 / R@10 in exact integer arithmetic --
-    the fp20 log2 discount table is the same fixed-point recurrence as
-    the BM25 idf, so the DuckDB oracle replays every metric
-    bit-for-bit.  One corpus pass serves all queries (shared tokenize +
-    stats, a (query, phrase, idf) broadcast); per-query top-k goes
-    through WindowGroupLimit, so partitions ship k rows, not hit sets."""
-    from odp_dynamic_data_pipeline_spark.operators.ranking import retrieval_eval
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return retrieval_eval(
-        docs, EVAL_QUERIES, k=10, rel_tf=1, token_sql=EVAL_TOKEN_SQL_SPARK
-    )
-
-
-def _rrf_oracle(terms: list[str], n_deep: int = 100, k: int = 10, c: int = 60) -> str:
-    """RRF oracle: the bm25 scored CTE (same lgr idf recursion) and a
-    length-normalized term-density ranking, each cut to its top-n_deep
-    run, fused by summed reciprocal ranks in exact integers."""
-    terms_sql = ", ".join(f"'{t}'" for t in terms)
-    return f"""
-WITH RECURSIVE tok AS (
-  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
-  FROM documents
-),
-dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
-stats AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl FROM dl
-),
-tf AS (
-  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM tok WHERE t IN ({terms_sql}) GROUP BY doc_id, t
-),
-dfs AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY t),
-vals AS (
-  SELECT dfs.t, 'num' AS w, CAST(2 * stats.n - 2 * dfs.df + 1 AS BIGINT) AS x FROM dfs, stats
-  UNION ALL
-  SELECT dfs.t, 'den', CAST(2 * dfs.df + 1 AS BIGINT) FROM dfs, stats
-),
-lgr(t, w, it, e, m, frac) AS (
-  SELECT t, w, 0, length(format('{{:b}}', x)) - 1,
-         (x << 30) >> (length(format('{{:b}}', x)) - 1), CAST(0 AS BIGINT)
-  FROM vals
-  UNION ALL
-  SELECT t, w, it + 1, e,
-         CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
-              THEN ((m * m) >> 30) >> 1 ELSE (m * m) >> 30 END,
-         frac * 2 + CASE WHEN ((m * m) >> 30) >= (CAST(1 AS BIGINT) << 31)
-                         THEN 1 ELSE 0 END
-  FROM lgr WHERE it < 20
-),
-lfp AS (SELECT t, w, (CAST(e AS BIGINT) << 20) + frac AS v FROM lgr WHERE it = 20),
-idf AS (
-  SELECT nv.t, nv.v - dv.v AS idf_fp
-  FROM (SELECT t, v FROM lfp WHERE w = 'num') nv
-  JOIN (SELECT t, v FROM lfp WHERE w = 'den') dv USING (t)
-),
-scored AS (
-  SELECT tf.doc_id,
-         CAST(SUM(idf.idf_fp * ((1000000 * (44 * tf.tf * stats.avgdl))
-              // (20 * tf.tf * stats.avgdl + 6 * stats.avgdl + 18 * dl.dl))) AS BIGINT) AS score_fp
-  FROM tf
-  JOIN idf ON idf.t = tf.t
-  JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN stats
-  GROUP BY tf.doc_id
-),
-bmtop AS (SELECT doc_id, score_fp FROM scored ORDER BY score_fp DESC, doc_id LIMIT {n_deep}),
-bmrun AS (SELECT doc_id, row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rnk FROM bmtop),
-dens AS (
-  SELECT tf.doc_id,
-         (1000000 * CAST(SUM(tf.tf) AS BIGINT)) // CAST(MAX(dl.dl) AS BIGINT) AS dscore
-  FROM tf JOIN dl ON dl.doc_id = tf.doc_id GROUP BY tf.doc_id
-),
-dtop AS (SELECT doc_id, dscore FROM dens ORDER BY dscore DESC, doc_id LIMIT {n_deep}),
-drun AS (SELECT doc_id, row_number() OVER (ORDER BY dscore DESC, doc_id) AS rnk FROM dtop),
-u AS (
-  SELECT doc_id, 'bm25' AS sys, rnk FROM bmrun
-  UNION ALL
-  SELECT doc_id, 'density', rnk FROM drun
-),
-f AS (
-  SELECT doc_id,
-         CAST(MIN(CASE WHEN sys = 'bm25' THEN rnk END) AS BIGINT) AS rank_bm25,
-         CAST(MIN(CASE WHEN sys = 'density' THEN rnk END) AS BIGINT) AS rank_density,
-         CAST(SUM(1000000000 // ({c} + rnk)) AS BIGINT) AS rrf_e9
-  FROM u GROUP BY doc_id
-)
-SELECT doc_id, rank_bm25, rank_density, rrf_e9
-FROM f ORDER BY rrf_e9 DESC, doc_id LIMIT {k}
-"""
-
-
-@register("rrf_fusion_topk", _rrf_oracle(["hash", "join", "fast", "dup"]))
-def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid-retrieval rank fusion (operators.ranking.rrf_fuse): the
-    BM25 run for [hash, join, fast, dup] fused with a length-normalized
-    term-density run by reciprocal-rank fusion (1e9 // (60 + rank), the
-    Cormack 2009 constant), exact integers end to end.  Each system is
-    cut to its top-100 FIRST (TakeOrderedAndProject -- never a global
-    sort), so the fusion aggregates 200 rows regardless of corpus size;
-    the row_number that turns each bounded run into dense ranks is a
-    global window over <= 100 rows by construction (GLOBAL_WINDOW_BOUNDED
-    in the plan audit)."""
-    from odp_dynamic_data_pipeline_spark.operators.ranking import rrf_fuse
-
-    terms = ["hash", "join", "fast", "dup"]
-    terms_arr = "array(" + ",".join(f"'{t}'" for t in terms) + ")"
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    bm = tx.bm25_scores(docs, terms, k=100)
-    run_a = bm.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("score_fp").desc(), F.col("doc_id").asc()))
-        .cast("long")
-        .alias("rank"),
-    )
-
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("__t"),
-    )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    dens = (
-        tok.where(F.expr(f"array_contains({terms_arr}, __t)"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
-        .join(dl, "doc_id")
-        .select("doc_id", F.expr("(1000000 * __tf) div dl").alias("dscore"))
-        .orderBy(F.col("dscore").desc(), F.col("doc_id").asc())
-        .limit(100)
-    )
-    run_b = dens.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("dscore").desc(), F.col("doc_id").asc()))
-        .cast("long")
-        .alias("rank"),
-    )
-    return rrf_fuse({"bm25": run_a, "density": run_b}, id_col="doc_id", k=10, c=60)
-
 
 @register(
     "blocking_quality_report",
@@ -6234,116 +1823,3 @@ def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pmi_oracle(min_count: int = 5, k: int = 20) -> str:
-    lg_num = duck_ilog2_sql("tot.n * n_ab")
-    lg_den = duck_ilog2_sql("n_a * n_b")
-    return f"""
-WITH t AS (
-  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
-),
-bg AS (
-  SELECT UNNEST(list_transform(range(1, len(toks)),
-                i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p
-  FROM t
-),
-pairs AS (
-  SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
-  FROM bg GROUP BY p.a, p.b
-),
-firsts AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM pairs GROUP BY a),
-seconds AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM pairs GROUP BY b),
-tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM pairs),
-scored AS (
-  SELECT a, b, n_ab, n_a, n_b,
-         CAST(({lg_num}) - ({lg_den}) AS BIGINT) AS pmi_fp20
-  FROM pairs JOIN firsts USING (a) JOIN seconds USING (b) CROSS JOIN tot
-  WHERE n_ab >= {min_count}
-)
-SELECT a, b, n_ab, n_a, n_b, pmi_fp20
-FROM scored ORDER BY pmi_fp20 DESC, a, b LIMIT {k}
-"""
-
-
-@register("pmi_collocations", _pmi_oracle())
-def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collocation mining (operators.text.pmi_collocations): top-20
-    adjacent token pairs by pointwise mutual information (Church & Hanks
-    1990) with a min-count gate -- the multi-word-term lexicon pass of a
-    text pipeline.  PMI's log2 runs through the same fp20 fixed-point
-    recurrence as the BM25 idf on integer products, so positive AND
-    negative scores replay bit-for-bit in the DuckDB oracle.  One bigram
-    pass, vocabulary-sized marginals broadcast onto the pair table,
-    TakeOrdered top-k."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return tx.pmi_collocations(docs, min_count=5, k=20)
-
-
-@register(
-    "pr_curve_report",
-    r"""
-WITH t AS (
-  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
-  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0
-),
-sc AS (
-  SELECT (1000000 * CAST(len(list_filter(toks, x -> list_contains(['the','and','of','a','to'], x))) AS BIGINT))
-           // CAST(len(toks) AS BIGINT) >= 30000 AS lab,
-         (1000000 * CAST(list_sum(list_transform(toks,
-             x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 2001 - 1000)) AS BIGINT))
-           // CAST(len(toks) AS BIGINT) AS model_e6
-  FROM t
-),
-bk AS (
-  SELECT LEAST(CAST(63 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
-           (model_e6 + 1000000000) // 31250000)) AS b,
-         lab
-  FROM sc
-),
-agg AS (
-  SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS pos
-  FROM bk GROUP BY b
-),
-c AS (
-  SELECT b,
-         SUM(n) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS n_ge,
-         SUM(pos) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS tp_ge,
-         SUM(pos) OVER () AS totpos
-  FROM agg
-)
-SELECT CAST(-1000000000 + b * 31250000 AS BIGINT) AS threshold_e6,
-       CAST(n_ge AS BIGINT) AS n_ge,
-       CAST(tp_ge AS BIGINT) AS tp_ge,
-       CAST((1000000 * tp_ge) // n_ge AS BIGINT) AS precision_e6,
-       CAST(CASE WHEN totpos > 0 THEN (1000000 * tp_ge) // totpos ELSE 0 END AS BIGINT) AS recall_e6
-FROM c
-""",
-)
-def pr_curve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Precision/recall curve for the model-based filter
-    (operators.quality_checks.pr_curve): the same hashed-linear-model
-    score and stopword-gate label as classifier_auc_report, swept over a
-    FIXED 64-bucket threshold grid on the score's [-1e9, 1e9) domain --
-    AUC says the ranking is good; this says where to cut it before a
-    100 TB filtering pass.  Domain-fixed buckets keep the heavy pass one
-    map-side-combined groupBy; the cumulative window runs over <= 64
-    pre-aggregated rows (bounded-global-window class).  All integers,
-    value-replayed by the oracle."""
-    from odp_dynamic_data_pipeline_spark.operators.quality_checks import pr_curve
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    qf = tx.quality_features(docs).where(F.col("n_tokens") > 0)
-    scored = qf.select(
-        (
-            F.expr("(1000000 * CAST(n_stopwords AS BIGINT)) div CAST(n_tokens AS BIGINT)")
-            >= 30000
-        ).alias("lab"),
-        F.expr(
-            "(1000000 * aggregate(transform(tokens,"
-            " t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000),"
-            " CAST(0 AS BIGINT), (a, x) -> a + x)) div CAST(n_tokens AS BIGINT)"
-        ).alias("model_e6"),
-    )
-    return pr_curve(
-        scored, "model_e6", "lab", lo=-1_000_000_000, hi=1_000_000_000, n_buckets=64
-    )

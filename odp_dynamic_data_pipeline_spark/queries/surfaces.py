@@ -2068,7 +2068,7 @@ def _cluster_split_oracle() -> str:
     """Recursive-CTE CC (same prefix as DEDUP_CLUSTERS_ORACLE) + md5
     split assignment replayed on both the cluster root and the raw
     doc_id, then edge-straddle counts for both policies."""
-    from odp_dynamic_data_pipeline_spark.queries.llm import DEDUP_CLUSTERS_ORACLE
+    from odp_dynamic_data_pipeline_spark.queries.llm_graph import DEDUP_CLUSTERS_ORACLE
 
     prefix = DEDUP_CLUSTERS_ORACLE[: DEDUP_CLUSTERS_ORACLE.index("SELECT nid AS doc_id")]
     return prefix.rstrip() + """,
@@ -2117,7 +2117,7 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Assignment is a pure hash of the cluster root -- no shuffle beyond
     the CC computation itself, and new corpus increments re-derive the
     same splits (stable under append, unlike randomSplit)."""
-    from odp_dynamic_data_pipeline_spark.queries.llm import _jaccard_edges
+    from odp_dynamic_data_pipeline_spark.queries.llm_graph import _jaccard_edges
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     edges = _jaccard_edges(docs).localCheckpoint(eager=False)
@@ -3222,7 +3222,7 @@ def _link_prediction_oracle() -> str:
     """Common-neighbor / Adamic-Adar replay over the shared md5-minhash
     candidate pairs (same prefix reuse as the PageRank/triangle/k-core
     oracles; pairs MATERIALIZED -- referenced three times)."""
-    from odp_dynamic_data_pipeline_spark.queries.llm import duck_ilog2_sql
+    from odp_dynamic_data_pipeline_spark.queries.llm_text import duck_ilog2_sql
 
     prefix = MINHASH_MD5_ORACLE[: MINHASH_MD5_ORACLE.index("SELECT a.doc_id AS id_a")]
     inv_lg = f"((CAST(1000000 AS BIGINT) << 20) // {duck_ilog2_sql('deg.deg')})"
@@ -3282,7 +3282,7 @@ def _linkpred_topk_oracle() -> str:
     per-node neighbor sample (engine-identical hex ordering), sampled
     wedges -> candidates, exact rescore over the full sym table, total
     deterministic order, LIMIT 20."""
-    from odp_dynamic_data_pipeline_spark.queries.llm import duck_ilog2_sql
+    from odp_dynamic_data_pipeline_spark.queries.llm_text import duck_ilog2_sql
 
     prefix = MINHASH_MD5_ORACLE[: MINHASH_MD5_ORACLE.index("SELECT a.doc_id AS id_a")]
     inv_lg = f"((CAST(1000000 AS BIGINT) << 20) // {duck_ilog2_sql('deg.deg')})"
@@ -3652,7 +3652,7 @@ def _temperature_sweep_oracle() -> str:
     the same hazard family as the k-core oracle's exponential
     re-inlining, but silent instead of slow).  Materializing pins one
     evaluation of each fold."""
-    from odp_dynamic_data_pipeline_spark.queries.llm import (
+    from odp_dynamic_data_pipeline_spark.queries.llm_text import (
         duck_iexp2_sql,
         duck_ilog2_sql,
     )

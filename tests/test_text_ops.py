@@ -314,7 +314,7 @@ def test_iexp2_fp20_three_way_agreement(spark):
 
     from odp_dynamic_data_pipeline_spark.functions.scalars import iexp2_fp20_sql
     from odp_dynamic_data_pipeline_spark.operators.text import iexp2_fp20
-    from odp_dynamic_data_pipeline_spark.queries.llm import duck_iexp2_sql
+    from odp_dynamic_data_pipeline_spark.queries.llm_text import duck_iexp2_sql
 
     from tests.conftest import temp_confs
 

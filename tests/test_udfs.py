@@ -47,7 +47,7 @@ def test_arrow_norm_kernel_empty_and_sliced_lists():
     still index the parent buffer while flatten() rebases to the slice."""
     import pyarrow as pa
 
-    from odp_dynamic_data_pipeline_spark.queries.llm import arrow_embedding_norm_batches
+    from odp_dynamic_data_pipeline_spark.queries.llm_retrieval import arrow_embedding_norm_batches
 
     def run(batch):
         out = list(arrow_embedding_norm_batches([batch]))

@@ -37,7 +37,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-FAMILIES = ["agg", "dedup", "neardup", "upsert", "sessions", "cc"]
+FAMILIES = ["agg", "dedup", "neardup", "upsert", "sessions", "cc", "semdedup"]
 
 # Child process: builds a deterministic synthetic input of B parquet
 # files, then drains it via the family's run_* entry point with either
@@ -98,6 +98,15 @@ elif family == "sessions":
     st.run_incremental_sessions(stream, store, out, checkpoint=ckpt, group_col="user_id", ts_col="ts", gap_s=3600, cap_s=86400, n_buckets=32)
 elif family == "cc":
     st.run_incremental_cc(stream.select("id_a", "id_b"), store, checkpoint=ckpt, n_buckets=32)
+elif family == "semdedup":
+    dim, k = 16, 32
+    cents = [[((j * 31 + i * 7) % 1000) * 1000 for i in range(dim)] for j in range(k)]
+    seq_expr = "transform(sequence(0, " + str(dim - 1) + "), j -> CAST((rid * 13 + j * 97) % 1000 AS DOUBLE) / 1000.0)"
+    vecs = stream.select(
+        F.col("rid").alias("vec_id"),
+        F.expr(seq_expr).alias("embedding"),
+    )
+    st.run_incremental_semdedup(vecs, store, out, checkpoint=ckpt, centroids=cents, threshold=0.95, centroid_path="data")
 else:
     raise SystemExit(f"unknown family {{family}}")
 wall = round(time.time() - t0, 3)
