@@ -53,6 +53,7 @@ STORE_FAMILY: dict[str, str] = {
     "session_cap_windows_stream": "sessions",
     "incremental_clusters_stream": "cc",
     "incremental_clusters_compacted_stream": "cc",
+    "incremental_semdedup_stream": "semdedup",
 }
 
 

@@ -882,15 +882,18 @@ def topic_doc_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register(
-    "topic_assign_two_level",
-    """
+def _two_level_cte(k_sql: str) -> str:
+    """Shared unrolled two-level-assignment CTE prefix (through ``pmd``;
+    see topic_assign_two_level): parameterized over the cluster-count
+    scalar so both the sqrt(N) assignment query and the constant-
+    cluster-size linear SemDeDup reuse one replay."""
+    return """
 WITH e AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
   FROM embeddings
 ),
-kk AS (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS k FROM e),
+kk AS ({k_sql}),
 cents AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, q
   FROM e ORDER BY vec_id LIMIT (SELECT k FROM kk)
@@ -917,7 +920,13 @@ pm AS (
 ),
 pmu AS (SELECT vec_id, j, UNNEST(pq) AS pv, UNNEST(cq) AS cv FROM pm),
 pmd AS (SELECT vec_id, j, CAST(SUM((pv - cv) * (pv - cv)) AS BIGINT) AS d2 FROM pmu GROUP BY vec_id, j)
-SELECT vec_id, CAST(j AS INTEGER) AS topic, d2 FROM (
+""".format(k_sql=k_sql)
+
+
+@register(
+    "topic_assign_two_level",
+    _two_level_cte("SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS k FROM e")
+    + """SELECT vec_id, CAST(j AS INTEGER) AS topic, d2 FROM (
   SELECT vec_id, j, d2, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk FROM pmd
 ) WHERE rk = 1
 """,
@@ -943,6 +952,105 @@ def topic_assign_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("topic").cast("int").alias("topic"), "d2"
     )
 
+
+
+
+
+def _semdedup_linear_oracle(c: int = 25, threshold: float = 0.2) -> str:
+    """Linear-scale SemDeDup oracle: the two-level-assignment CTE at the
+    CONSTANT-cluster-size count k = ceil(N / c), then the same
+    within-cluster cosine keep-first tail as _semdedup_oracle."""
+    tail = """,
+asg2 AS (
+  SELECT vec_id, j, d2 FROM (
+    SELECT vec_id, j, d2, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk FROM pmd
+  ) WHERE rk = 1
+),
+norms AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
+          FROM (SELECT vec_id, UNNEST(q) AS v FROM e) GROUP BY vec_id),
+cpairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg2 a JOIN asg2 b ON a.j = b.j AND a.vec_id < b.vec_id
+),
+pv AS (
+  SELECT p.id_a, p.id_b, UNNEST(ea.q) AS av, UNNEST(eb.q) AS bv
+  FROM cpairs p JOIN e ea ON ea.vec_id = p.id_a JOIN e eb ON eb.vec_id = p.id_b
+),
+dots AS (SELECT id_a, id_b, CAST(SUM(av * bv) AS BIGINT) AS dot FROM pv GROUP BY id_a, id_b),
+dup AS (
+  SELECT DISTINCT d.id_b AS vec_id
+  FROM dots d JOIN norms na ON na.vec_id = d.id_a JOIN norms nb ON nb.vec_id = d.id_b
+  WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= __THR__
+)
+SELECT a.vec_id, CAST(a.j AS INTEGER) AS cluster_id,
+       CAST(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+FROM asg2 a LEFT JOIN dup ON dup.vec_id = a.vec_id
+"""
+    return (
+        _two_level_cte(
+            f"SELECT CAST(ceil(COUNT(*) / {c}.0) AS BIGINT) AS k FROM e"
+        )
+        + tail.replace("__THR__", repr(threshold))
+    )
+
+
+@register("semantic_dedup_linear", _semdedup_linear_oracle())
+def semantic_dedup_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at CONSTANT expected cluster size (k = ceil(N/25)) with
+    two-level assignment -- the LINEAR-scale shape the 100x rehearsal
+    demanded: at k = floor(sqrt(N)) the within-cluster pair volume is
+    k * (N/k)^2 / 2 = N^1.5 / 2, which the r13 100x rehearsal surfaced
+    (semantic_dedup_scaled_bcast exponent 0.52 at 30x was overhead-
+    flattered; 0.92 at 100x, headed to 1.5).  Holding cluster size at a
+    CONSTANT c makes pair volume N*c/2 -- linear -- while two-level
+    assignment keeps per-point work O(2*sqrt(k)) instead of O(k), so
+    the whole pipeline scales ~N at any corpus size (receipt:
+    semantic_dedup_linear__100x_r13 in SCALE_REHEARSAL.json).  This is
+    how SemDeDup runs on web-scale corpora (cluster counts chosen for
+    bounded cluster SIZE, not sqrt tradeoffs).  Bounded driver steps:
+    the k x dim seed collect and assign_two_level's k x g grouping are
+    both k-bounded (k = N/c keeps them 1/c of the corpus; at true 100 TB
+    the grouping itself becomes one extra Spark job, per the operator
+    docstring).  Fully deterministic; the DuckDB oracle replays the
+    two-level assignment AND the election value-for-value."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = sim.quantized(emb, "embedding")
+    k = int(math.ceil(emb.count() / 25.0))
+    cents = [r["qvec"] for r in q.orderBy("vec_id").limit(k).select("qvec").collect()]
+    asg = sim.assign_two_level(q, cents).select(
+        "vec_id", F.col("topic").cast("int").alias("cluster_id"), "qvec", "qnorm"
+    )
+    a = asg.select(
+        F.col("vec_id").alias("id_a"), "cluster_id",
+        F.col("qvec").alias("qa"), F.col("qnorm").alias("na"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("id_b"), "cluster_id",
+        F.col("qvec").alias("qb"), F.col("qnorm").alias("nb"),
+    )
+    pairs = a.join(b, "cluster_id").where(F.col("id_a") < F.col("id_b"))
+    dot = F.expr(sim.DOT.format(a="qa", b="qb"))
+    cosine = dot.cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    dup_ids = (
+        pairs.select("id_b", cosine.alias("__c"))
+        .where(F.col("__c") >= F.lit(0.2))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        asg.select("vec_id", "cluster_id")
+        .join(dup_ids, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce("__dup", F.lit(0)).cast("int").alias("is_dup"),
+        )
+    )
 
 
 @register(

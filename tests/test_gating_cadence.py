@@ -43,7 +43,7 @@ def test_store_family_table_is_consistent():
     for name in STORE_FAMILY:
         assert name in SPARK_QUERIES, name
         assert "stream" in name, name
-    measured = {"agg", "dedup", "neardup", "upsert", "sessions", "cc"}
+    measured = {"agg", "dedup", "neardup", "upsert", "sessions", "cc", "semdedup"}
     assert set(STORE_FAMILY.values()) <= measured
     # native Spark streaming state, NOT the kvstore protocol:
     for native in ("session_gap_windows_stream", "tlb_session_metrics_stream",
