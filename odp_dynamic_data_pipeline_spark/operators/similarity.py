@@ -146,6 +146,12 @@ def _dot_const(vec_col: str, ints) -> F.Column:
 # scale plan on the (marginally faster to analyze) literal path.
 LITERAL_CENTROID_MAX = 256
 
+# assign_two_level's centroid -> super grouping runs driver-side Python
+# only while k * g * dim stays under this many elementary int ops; past
+# it the grouping becomes one bounded Spark job (r13: at k=8000/dim=64
+# the Python loop was 46M interpreted ops and dominated the query)
+TWO_LEVEL_DRIVER_BUDGET = 5_000_000
+
 
 def _centroids_relation(spark, centroids: list[list[int]]):
     """One-row DataFrame carrying the centroid set as data: ``__cents``
@@ -988,17 +994,41 @@ def assign_two_level(
     k = len(centroids)
     g = math.ceil(math.sqrt(k))
     supers = centroids[:g]
+    dim = len(centroids[0]) if centroids else 0
 
     def d2_py(a, b) -> int:
         return sum((int(x) - int(y)) * (int(x) - int(y)) for x, y in zip(a, b))
 
-    # group each centroid under its nearest super (tie -> lowest s)
+    # group each centroid under its nearest super (tie -> lowest s).
+    # Driver-side Python is fine while k*g*dim stays small, but it is
+    # O(k^1.5 * dim) and the r13 100x rehearsal measured it DOMINATING the
+    # whole query at k=8000 (46M interpreted int ops) -- past the budget
+    # the same exact argmin runs as one bounded Spark job
+    # (centroid_assign_exact: identical integer L2, identical lowest-index
+    # tie-break) and only the k (j -> super) ints come back to the driver.
     groups: dict[int, list] = {s: [] for s in range(g)}
-    for j, c in enumerate(centroids):
-        best_s = min(range(g), key=lambda s: (d2_py(c, supers[s]), s))
-        groups[best_s].append(
-            (j, [int(x) for x in c], sum(int(x) * int(x) for x in c))
+    if k * g * dim > TWO_LEVEL_DRIVER_BUDGET:
+        from odp_dynamic_data_pipeline_spark.functions.localrel import local_relation
+
+        cent_rows = [(j, [int(x) for x in c]) for j, c in enumerate(centroids)]
+        cent_df = local_relation(
+            df.sparkSession, cent_rows, "j int, qvec array<bigint>"
         )
+        assigned_sup = centroid_assign_exact(
+            cent_df, supers, vec_col="qvec", topic_col="__s"
+        )
+        # bounded collect license: k (j, super) int pairs
+        j_to_s = {r["j"]: r["__s"] for r in assigned_sup.select("j", "__s").collect()}
+        for j, c in enumerate(centroids):
+            groups[j_to_s[j]].append(
+                (j, [int(x) for x in c], sum(int(x) * int(x) for x in c))
+            )
+    else:
+        for j, c in enumerate(centroids):
+            best_s = min(range(g), key=lambda s: (d2_py(c, supers[s]), s))
+            groups[best_s].append(
+                (j, [int(x) for x in c], sum(int(x) * int(x) for x in c))
+            )
 
     member_struct = StructType(
         [

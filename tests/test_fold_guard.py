@@ -223,3 +223,28 @@ def test_dsir_ships_model_as_broadcast_join(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert len(plan) < 200_000
     assert "Join" in plan  # model joined in, not folded in
+
+
+def test_two_level_grouping_spark_path_equals_python_path(spark, monkeypatch):
+    """assign_two_level's centroid->super grouping must produce the SAME
+    assignment whether it runs as the driver Python loop or (past
+    TWO_LEVEL_DRIVER_BUDGET) as the bounded Spark job -- same exact
+    integer L2, same lowest-super tie-break, tie cases included."""
+    import odp_dynamic_data_pipeline_spark.operators.similarity as sim_mod
+    from pyspark.sql import functions as F
+
+    k, dim = 30, 4
+    # include exact ties: centroids 10..19 equidistant pairs to supers
+    cents = [[(j * 7 + i * 3) % 40 for i in range(dim)] for j in range(k)]
+    cents[12] = list(cents[1])  # exactly on super 1 -> tie handling
+    rows = [(i, [float(((i * 13 + d) % 17) - 8) / 8 for d in range(dim)])
+            for i in range(60)]
+    df = sim_mod.quantized(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    )
+    a = sim_mod.assign_two_level(df, cents).select("vec_id", "topic", "d2")
+    py = {(r["vec_id"], r["topic"], r["d2"]) for r in a.collect()}
+    monkeypatch.setattr(sim_mod, "TWO_LEVEL_DRIVER_BUDGET", 0)
+    b = sim_mod.assign_two_level(df, cents).select("vec_id", "topic", "d2")
+    sp = {(r["vec_id"], r["topic"], r["d2"]) for r in b.collect()}
+    assert py == sp and len(py) == 60
