@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from odp_dynamic_data_pipeline_spark.operators.partitioning import ensure_min_parallelism
+from odp_dynamic_data_pipeline_spark.operators.text import (
+    window_hash_expr as _tx_window_hash,
+)
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str] | str, id_col: str) -> DataFrame:
@@ -665,7 +668,7 @@ def duplicate_spans(
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, size(__toks) - {L - 1}),"
-                f" i -> CAST(conv(substr(md5(array_join(slice(__toks, i, {L}), ' ')), 1, 15), 16, 10) AS BIGINT))"
+                f" i -> {_tx_window_hash('__toks', 'i', L)})"
             )
         ).alias("pos0", "h"),
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
@@ -899,7 +902,7 @@ def scrub_duplicate_spans(
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, size(__toks) - {L - 1}),"
-                f" i -> CAST(conv(substr(md5(array_join(slice(__toks, i, {L}), ' ')), 1, 15), 16, 10) AS BIGINT))"
+                f" i -> {_tx_window_hash('__toks', 'i', L)})"
             )
         ).alias("pos0", "h"),
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
@@ -997,8 +1000,14 @@ def jaccard_join(
     the length filter tau*|x| <= |y| <= |x|/tau -- never O(n^2).
     Survivors are verified with an exact integer intersect.
 
-    Shingles carry as md5-derived bigints (engine-portable, 8-byte shuffle
-    rows).  All thresholds are exact integer comparisons
+    Shingles carry as xxhash64 bigints computed straight from the token
+    columns (hashed_shingles_direct -- no shingle strings, no md5, and
+    per-doc array_distinct replaces the corpus-wide (id, h) DISTINCT
+    shuffle; r13 optimization round).  Set equality over hashes equals
+    set equality over shingle strings modulo the ~n^2/2^64 collision
+    odds every hashed-key stage here accepts -- the DuckDB oracle
+    replays its own md5 family and the hash gate verifies the pair set
+    value-for-value.  All thresholds are exact integer comparisons
     (1e6*inter >= tau_e6*uni), so the result EQUALS the brute-force
     all-pairs join -- which is exactly what the DuckDB oracle computes.
 
@@ -1007,15 +1016,9 @@ def jaccard_join(
     the df of rare shingles.  Low tau widens prefixes (tau=0.3 -> 70%);
     production near-dup dedup runs tau >= 0.7 where prefixes are short.
     Output: (id_a, id_b, inter, uni, jac_e6)."""
-    sh = shingles(df.select(id_col, text_col), text_col, n=n)
-    hs = (
-        sh.select(F.col(id_col).alias("__id"), F.explode("shingles").alias("__s"))
-        .select(
-            "__id",
-            F.expr("CAST(conv(substr(md5(__s), 1, 15), 16, 10) AS BIGINT)").alias("h"),
-        )
-        .distinct()
-    )
+    hs = hashed_shingles_direct(
+        df.select(id_col, text_col), id_col, text_col, n=n, out_col="__hs"
+    ).select(F.col(id_col).alias("__id"), F.explode("__hs").alias("h"))
     freq = hs.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
     ordered = (
         hs.join(freq, "h")
@@ -1584,24 +1587,22 @@ def containment_join(
     materialization) -- the shingle tables recompute once per consumer."""
     if not (0 < tau_e6 <= 1_000_000):
         raise ValueError(f"tau_e6 must be in (0, 1000000], got {tau_e6}")
-    hash_expr = "CAST(conv(substr(md5(__s), 1, 15), 16, 10) AS BIGINT)"
     # the corpus shingle table feeds THREE consumers (df-frequency ranking,
     # per-doc arrays, the inverted index) and the needle table two; persist
     # both so tokenize+shingle+hash runs once per side, not per consumer
     # (the minhash_lsh_pairs lifecycle pattern -- at cluster scale this is
-    # the table you would write to parquet once per corpus)
-    a_h = (
-        shingles(needles.select(id_col, text_col), text_col, n=n)
-        .select(F.col(id_col).alias("__id"), F.explode("shingles").alias("__s"))
-        .select("__id", F.expr(hash_expr).alias("h"))
-        .distinct()
-    )
-    b_h = (
-        shingles(corpus.select(id_col, text_col), text_col, n=n)
-        .select(F.col(id_col).alias("__id"), F.explode("shingles").alias("__s"))
-        .select("__id", F.expr(hash_expr).alias("h"))
-        .distinct()
-    )
+    # the table you would write to parquet once per corpus).  Shingle
+    # hashes come straight off the token columns (hashed_shingles_direct,
+    # r13: xxhash64 multi-arg, per-doc array_distinct -- no shingle
+    # strings, no md5, no corpus-wide (id, h) DISTINCT shuffle); set
+    # equality over hashes equals set equality over strings modulo the
+    # hash-collision odds every hashed stage here accepts.
+    a_h = hashed_shingles_direct(
+        needles.select(id_col, text_col), id_col, text_col, n=n, out_col="__hs"
+    ).select(F.col(id_col).alias("__id"), F.explode("__hs").alias("h"))
+    b_h = hashed_shingles_direct(
+        corpus.select(id_col, text_col), id_col, text_col, n=n, out_col="__hs"
+    ).select(F.col(id_col).alias("__id"), F.explode("__hs").alias("h"))
     if eager:
         a_h = a_h.persist()
         b_h = b_h.persist()

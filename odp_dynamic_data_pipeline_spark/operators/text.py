@@ -80,6 +80,31 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang
     return out.drop(*[f"__score_{lang}" for lang in langs])
 
 
+def window_hash_expr(toks_col: str, start_expr: str, n_tokens: int) -> str:
+    """SQL text hashing the ``n_tokens`` tokens starting at 1-based
+    position ``start_expr`` of array column ``toks_col`` straight through
+    multi-argument xxhash64 -- no slice allocation, no joined window
+    string, no md5 (r13 optimization round, guide §2.3/§4.2: the window
+    string build + md5 was the dominant per-row cost of the ExactSubstr
+    family, and the 32-char hex key shuffled 4-5x the bytes of a bigint).
+
+    Equality semantics match the old md5(array_join(slice(...), ' '))
+    anchor exactly: tokens are \\S+ runs (never contain the separator),
+    so window tuple <-> joined string is a bijection, and xxhash64 chains
+    each argument's bytes into the running state per argument -- distinct
+    tuples collide only with the generic ~n^2/2^64 hash-collision odds
+    every hashed-key stage in this module already accepts (the DuckDB
+    oracles replay md5 anchors; both sides are collision-free on real
+    corpora, which the driver's hash gate verifies value-for-value).
+
+    NOT for consumers that expose the hash value itself (those pin md5 in
+    their oracle output -- see window_heavy_hitters)."""
+    args = ", ".join(
+        f"element_at({toks_col}, ({start_expr}) + {j})" for j in range(n_tokens)
+    )
+    return f"xxhash64({args})"
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Content fingerprint: md5 of the normalized text (lowercase, collapsed
     whitespace).  Stable across engines and runs; the join key for exact
@@ -376,7 +401,7 @@ def shared_span_stats(
             "__spans",
             F.expr(
                 f"transform(sequence(1, size(__toks) - {w - 1}),"
-                f" i -> md5(array_join(slice(__toks, i, {w}), ' ')))"
+                f" i -> {window_hash_expr('__toks', 'i', w)})"
             ),
         )
         .select(id_col, F.explode("__spans").alias("h"))
@@ -546,7 +571,7 @@ def span_novelty(
             "__spans",
             F.expr(
                 f"transform(sequence(1, size(__toks) - {w - 1}),"
-                f" i -> md5(array_join(slice(__toks, i, {w}), ' ')))"
+                f" i -> {window_hash_expr('__toks', 'i', w)})"
             ),
         )
         .select(id_col, F.explode("__spans").alias("h"))
@@ -1147,10 +1172,13 @@ def token_windows(
     min_tokens: int = 8,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Stride-1 sliding token windows as (id_col, pos, wh): the md5 anchor
-    table shared by batch ``duplicate_spans`` and the streaming
+    """Stride-1 sliding token windows as (id_col, pos, wh): the bigint
+    anchor table shared by batch ``duplicate_spans`` and the streaming
     ``run_incremental_spans`` -- both sides MUST hash identical window
-    text or stream/batch parity breaks."""
+    text or stream/batch parity breaks.  The anchor is multi-argument
+    xxhash64 over the window's tokens (see :func:`window_hash_expr`):
+    value-internal only -- every consumer groups/joins on it and surfaces
+    spans, never the hash itself."""
     L = min_tokens
     toks = with_tokens(df.select(id_col, text_col), text_col, "__toks")
     # sequence(1, 0) is DESCENDING in Spark, so short docs need the guard
@@ -1160,7 +1188,7 @@ def token_windows(
             F.expr(
                 f"CASE WHEN size(__toks) >= {L} THEN "
                 f"transform(sequence(1, size(__toks) - {L} + 1), i -> "
-                f"struct(i AS pos, md5(array_join(slice(__toks, i, {L}), ' ')) AS wh))"
+                f"struct(i AS pos, {window_hash_expr('__toks', 'i', L)} AS wh))"
                 f" ELSE array() END"
             )
         ).alias("w"),
@@ -1313,7 +1341,24 @@ def window_heavy_hitters(
     driver, never a global sort."""
     if top < 1:
         raise ValueError(f"top must be >= 1, got {top}")
-    win = token_windows(df, text_col, min_tokens=min_tokens, id_col=id_col)
+    # This report EXPOSES the window hash (wh is an output column and the
+    # deterministic tie-break of the top-k ordering), so it keeps the md5
+    # anchor its oracle replays -- the internal span operators moved to
+    # the cheaper xxhash64 anchor (window_hash_expr), which only works
+    # where the hash never surfaces.
+    L = min_tokens
+    toks = with_tokens(df.select(id_col, text_col), text_col, "__toks")
+    win = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(__toks) >= {L} THEN "
+                f"transform(sequence(1, size(__toks) - {L} + 1), i -> "
+                f"struct(i AS pos, md5(array_join(slice(__toks, i, {L}), ' ')) AS wh))"
+                f" ELSE array() END"
+            )
+        ).alias("w"),
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
     agg = (
         win.groupBy("wh")
         .agg(
@@ -1390,10 +1435,10 @@ def char_exact_spans(
         "span_tokens",
         "__toks",
         F.expr(
-            f"md5(array_join(slice(__toks, CAST(span_start AS INT), {L}), ' '))"
+            window_hash_expr("__toks", "CAST(span_start AS INT)", L)
         ).alias("__lwh"),
         F.expr(
-            f"md5(array_join(slice(__toks, CAST(span_end - {L} + 1 AS INT), {L}), ' '))"
+            window_hash_expr("__toks", f"CAST(span_end - {L} + 1 AS INT)", L)
         ).alias("__rwh"),
     )
     needles = (
