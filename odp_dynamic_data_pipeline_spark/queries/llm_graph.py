@@ -186,11 +186,15 @@ def incremental_clusters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _jaccard_edges(docs).select("id_a", "id_b")
     tmp = _stream_tmpdir("inc_clusters_stream")
     src = f"{tmp}/in"
-    # one pass writes both drops (partitionBy on the split key; coalesce(1)
-    # leaves exactly one file per drop for maxFilesPerTrigger=1)
+    # one pass writes both drops; hash-repartition on the split key leaves
+    # exactly one file per drop for maxFilesPerTrigger=1 WITHOUT collapsing
+    # the upstream pair-aggregation reduce to a single task (r13: the old
+    # coalesce(1) propagated through the final joins/filter, serializing
+    # the whole edge pipeline's last stage; CC folding is split- and
+    # order-invariant, so within-file row order is free to change)
     (
         edges.withColumn("drop", F.pmod(F.xxhash64("id_a"), F.lit(2)))
-        .coalesce(1)
+        .repartition("drop")
         .write.partitionBy("drop")
         .mode("overwrite")
         .parquet(src)
@@ -239,7 +243,11 @@ def incremental_clusters_compacted_stream(spark: SparkSession, sf_dir: str) -> D
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    edges = _jaccard_edges(docs).select("id_a", "id_b")
+    # materialize the edge pipeline ONCE (lazy localCheckpoint): the three
+    # folds below (two drops + the post-compaction replay) each consume a
+    # drop slice, and without the checkpoint every fold re-ran the whole
+    # shingle self-join + pair aggregation from scratch (r13)
+    edges = _jaccard_edges(docs).select("id_a", "id_b").localCheckpoint(eager=False)
     tmp = _stream_tmpdir("inc_clusters_compact")
     store = f"{tmp}/store"
     drops = [
