@@ -146,6 +146,20 @@ def _dot_const(vec_col: str, ints) -> F.Column:
 # scale plan on the (marginally faster to analyze) literal path.
 LITERAL_CENTROID_MAX = 256
 
+# The AUTO-path crossover is far below the hazard ceiling: once the
+# broadcast relation travels through Arrow (a JVM LocalRelation, not a
+# pickled Python RDD -- r13 localrel fix), the data path beats the
+# literal fold well before the plan becomes a hazard, because every
+# literal-path iteration re-analyzes and re-codegens a k x dim-term
+# expression while the data path's plan is O(1).  Measured at sf0.1
+# (dim 64, 3 Lloyd iterations, alternating reps in one session):
+# k=44 literal 5.3s vs data 2.8s; k=8 equal within noise (4.0 vs 3.8).
+# 16 keeps the small teaching plans (k/nlist = 8) on the literal path
+# and routes everything larger to the data path.  LITERAL_CENTROID_MAX
+# above remains the plan-size HAZARD budget for forced-literal callers
+# and the LSH/PQ fold guards.
+LITERAL_CENTROID_AUTO = 16
+
 # assign_two_level's centroid -> super grouping runs driver-side Python
 # only while k * g * dim stays under this many elementary int ops; past
 # it the grouping becomes one bounded Spark job (r13: at k=8000/dim=64
@@ -231,7 +245,7 @@ def ivf_assign(
     single list id; ``nprobe>1`` yields an array of the n nearest lists
     (query-side multi-probe).
 
-    Centroids fold into the plan as literals up to LITERAL_CENTROID_MAX;
+    Centroids fold into the plan as literals up to LITERAL_CENTROID_AUTO;
     past that they ship as a broadcast one-row relation and the identical
     arithmetic runs as a transform over the array -- the k = sqrt(N)
     scale path (SemDeDup at web scale) where a plan-literal fold would
@@ -241,7 +255,7 @@ def ivf_assign(
     corpus sizes where auto would pick the literal path)."""
     use_data = (
         centroid_path == "data"
-        or (centroid_path == "auto" and len(centroids) > LITERAL_CENTROID_MAX)
+        or (centroid_path == "auto" and len(centroids) > LITERAL_CENTROID_AUTO)
     )
     # The scalar (nprobe=1) assignment is wrapped in coalesce(expr, -1) to
     # make the output column NON-NULLABLE (the getItem/getField chain is
@@ -925,9 +939,9 @@ def centroid_assign_exact(
     (k x dim ints) folded into one JVM expression -- assignment is a pure
     map inside whole-stage codegen, NO join, NO shuffle: the pattern that
     lets a 100 TB topical-filter pass run at scan speed.  Past
-    LITERAL_CENTROID_MAX the same math runs over a broadcast centroid
+    LITERAL_CENTROID_AUTO the same math runs over a broadcast centroid
     relation instead (see ivf_assign) so the plan stays O(1)."""
-    if len(centroids) > LITERAL_CENTROID_MAX:
+    if len(centroids) > LITERAL_CENTROID_AUTO:
         joined = df.crossJoin(
             F.broadcast(_centroids_relation(df.sparkSession, centroids))
         )
@@ -1135,10 +1149,10 @@ def ivfpq_topk(
 
     def residual(df: DataFrame) -> DataFrame:
         """vector minus its owning list's centroid, as ``__res``.  Folded
-        centroid literal up to LITERAL_CENTROID_MAX lists; broadcast
+        centroid literal up to LITERAL_CENTROID_AUTO lists; broadcast
         centroid relation past it (same data-path switch as ivf_assign:
         at nlist ~ sqrt(N) the literal would not survive analysis)."""
-        if nlist > LITERAL_CENTROID_MAX:
+        if nlist > LITERAL_CENTROID_AUTO:
             return (
                 df.crossJoin(F.broadcast(_centroids_relation(df.sparkSession, cents)))
                 .withColumn(
