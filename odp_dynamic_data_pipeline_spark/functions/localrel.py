@@ -26,25 +26,31 @@ def local_relation(spark: SparkSession, rows, schema) -> DataFrame:
 
     ``schema`` must be an explicit StructType or DDL string (the pandas
     path must never infer types -- object columns holding lists/None
-    would guess differently than the list path)."""
-    if rows:
-        try:
-            import pandas as pd
+    would guess differently than the list path).
 
-            from pyspark.sql.types import StructType
+    EMPTY rows go through the same pandas path (r13): a plain
+    ``createDataFrame([], schema)`` parallelizes into defaultParallelism
+    EMPTY Python partitions, so every job unioning/scanning the "empty"
+    frame still spins a Python task per partition -- the zero-row seed
+    tables (pagerank's no-edge return, kcore's removed accumulator) paid
+    that on every materialization."""
+    try:
+        import pandas as pd
 
-            if isinstance(schema, str):
-                from pyspark.sql.types import _parse_datatype_string
+        from pyspark.sql.types import StructType
 
-                schema_t = _parse_datatype_string(schema)
-            else:
-                schema_t = schema
-            if isinstance(schema_t, StructType):
-                names = [f.name for f in schema_t.fields]
-                pdf = pd.DataFrame(
-                    {n: [r[i] for r in rows] for i, n in enumerate(names)}
-                )
-                return spark.createDataFrame(pdf, schema_t)
-        except Exception:  # noqa: BLE001 -- fall through to the slow path
-            pass
+        if isinstance(schema, str):
+            from pyspark.sql.types import _parse_datatype_string
+
+            schema_t = _parse_datatype_string(schema)
+        else:
+            schema_t = schema
+        if isinstance(schema_t, StructType):
+            names = [f.name for f in schema_t.fields]
+            pdf = pd.DataFrame(
+                {n: [r[i] for r in rows] for i, n in enumerate(names)}
+            )
+            return spark.createDataFrame(pdf, schema_t)
+    except Exception:  # noqa: BLE001 -- fall through to the slow path
+        pass
     return spark.createDataFrame(rows, schema)

@@ -745,7 +745,11 @@ def pagerank(
     n = deg.count()  # bounded driver scalar: edge-endpoint node count
     if n == 0:
         spark = edges.sparkSession
-        return spark.createDataFrame([], f"nid {edges.schema[src_col].dataType.simpleString()}, rank long")
+        from odp_dynamic_data_pipeline_spark.functions.localrel import local_relation
+
+        return local_relation(
+            spark, [], f"nid {edges.schema[src_col].dataType.simpleString()}, rank long"
+        )
     base = ((100 - damping_pct) * scale) // (100 * n)
     nodes = deg.select(F.col("src").alias("nid"))
     ranks = nodes.select("nid", F.lit(scale // n).cast("long").alias("r"))
@@ -1174,7 +1178,12 @@ def kcore_peel(
     spark = edges.sparkSession
     survivors = deg0.select("nid")
     id_type = edges.schema[src_col].dataType.simpleString()
-    removed = spark.createDataFrame([], f"nid {id_type}, removed_round long")
+    # JVM-empty seed (r13): a plain createDataFrame([], ...) parallelizes
+    # into defaultParallelism empty Python partitions, and this
+    # accumulator is unioned into every round's output
+    from odp_dynamic_data_pipeline_spark.functions.localrel import local_relation
+
+    removed = local_relation(spark, [], f"nid {id_type}, removed_round long")
     cur = sym
     for r in range(1, rounds + 1):
         deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("d"))

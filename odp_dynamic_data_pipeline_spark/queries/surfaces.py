@@ -1536,8 +1536,10 @@ def csv_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = ev.select(
         F.concat_ws(",", "event_id", "user_id", "cents", "event_type").alias("value")
     )
-    bad = spark.createDataFrame(
-        [("1,2,3",), ("notanum,5,10,click",), ("9,9,9,view,EXTRA",)], "value string"
+    from odp_dynamic_data_pipeline_spark.functions.localrel import local_relation
+
+    bad = local_relation(
+        spark, [("1,2,3",), ("notanum,5,10,click",), ("9,9,9,view,EXTRA",)], "value string"
     )
     tmp = _stream_tmpdir("csv_quarantine")
     lines.unionByName(bad).write.mode("overwrite").text(f"{tmp}/csv")

@@ -1062,9 +1062,15 @@ def apply_incremental_semdedup_batch(
         .select(id_col, SF.col("ivf_list").cast("int").alias("__list"), "qvec", "qnorm")
         .persist()
     )
-    # bounded collect license: one row, two scalars (the batch's id range)
-    rng = asg.select(
-        SF.min(id_col).alias("lo"), SF.max(id_col).alias("hi")
+    # bounded collect license: one row -- the batch's id range (two
+    # scalars) plus its touched-cluster set (<= len(centroids) ints).
+    # One aggregation job instead of the former two (min/max first() +
+    # a separate distinct-list collect): the fold is job-latency bound,
+    # every blocking submission counts (r13).
+    rng = asg.agg(
+        SF.min(id_col).alias("lo"),
+        SF.max(id_col).alias("hi"),
+        SF.collect_set("__list").alias("touched"),
     ).first()
     if rng["lo"] is None:  # empty batch: nothing to elect, nothing to store
         asg.unpersist()
@@ -1091,9 +1097,9 @@ def apply_incremental_semdedup_batch(
             )
     # touched-cluster pruning: the store side is filtered to the clusters
     # this batch actually landed in BEFORE any join -- per-batch store IO
-    # is bounded by the touched clusters' sizes, never the store size.
-    # bounded collect license: <= len(centroids) ints.
-    touched = [r["__list"] for r in asg.select("__list").distinct().collect()]
+    # is bounded by the touched clusters' sizes, never the store size
+    # (collected above, riding the id-range aggregation).
+    touched = sorted(rng["touched"])
     dot = SF.expr(DOT.format(a="qa", b="qb"))
     cosine = dot.cast("double") / SF.sqrt(
         SF.col("na").cast("double") * SF.col("nb").cast("double")
@@ -1965,10 +1971,19 @@ def apply_incremental_sessions_batch(
     gap_us, cap_us = gap_s * 1_000_000, cap_s * 1_000_000
 
     b = batch_df.select(group_col, ts_col)
-    lim = b.agg(
-        SF.min(SF.unix_micros(ts_col)).alias("mn"), SF.max(SF.unix_micros(ts_col)).alias("mx")
+    bexpr0 = SF.pmod(SF.xxhash64(group_col), SF.lit(n_buckets)).cast("int")
+    part = b.withColumn("bucket", bexpr0).persist()
+    # one aggregation job carries the event-time range AND the touched
+    # buckets (bounded: <= n_buckets ints) -- the fold is job-latency
+    # bound, and the former separate distinct-collect was a whole extra
+    # blocking submission (r13)
+    lim = part.agg(
+        SF.min(SF.unix_micros(ts_col)).alias("mn"),
+        SF.max(SF.unix_micros(ts_col)).alias("mx"),
+        SF.collect_set("bucket").alias("touched"),
     ).first()
     if lim["mn"] is None:
+        part.unpersist()
         return  # empty batch: state and output unchanged
     batch_min, batch_max = int(lim["mn"]), int(lim["mx"])
 
@@ -2003,9 +2018,8 @@ def apply_incremental_sessions_batch(
             " chronological drops"
         )
 
-    bexpr = SF.pmod(SF.xxhash64(group_col), SF.lit(n_buckets)).cast("int")
-    part = b.withColumn("bucket", bexpr).persist()
-    touched = sorted(r["bucket"] for r in part.select("bucket").distinct().collect())
+    bexpr = bexpr0
+    touched = sorted(lim["touched"])
     bucket_state = store.read_buckets(base_map, touched)
     if bucket_state is not None:
         # one read of the touched buckets serves BOTH the seed join and
@@ -2260,9 +2274,6 @@ def apply_incremental_upsert_batch(
             f"apply_incremental_upsert_batch: delete_col {delete_col!r} not in"
             f" batch columns {batch_df.columns}"
         )
-    if batch_df.isEmpty():
-        return
-
     order = [SF.col(c).desc() for c in seq_cols]
     w = W.partitionBy(*key_cols).orderBy(*order)
     latest = (
@@ -2275,6 +2286,16 @@ def apply_incremental_upsert_batch(
         ManifestStore,
         ensure_store_config,
     )
+
+    bexpr = SF.pmod(SF.xxhash64(*key_cols), SF.lit(n_buckets)).cast("int")
+    part = latest.withColumn("bucket", bexpr).persist()
+    # the touched-bucket collect doubles as the emptiness probe: one job
+    # instead of the former separate isEmpty() take (r13).  Like the old
+    # early return, an empty batch leaves the store untouched.
+    touched = sorted(r["bucket"] for r in part.select("bucket").distinct().collect())
+    if not touched:
+        part.unpersist()
+        return
 
     store = ManifestStore(spark, store_path, n_extras=2)
     # pin the layout knobs (advisor r10 medium finding): the manifest
@@ -2293,10 +2314,6 @@ def apply_incremental_upsert_batch(
         },
     )
     base = store.base_for_batch(batch_id)
-
-    bexpr = SF.pmod(SF.xxhash64(*key_cols), SF.lit(n_buckets)).cast("int")
-    part = latest.withColumn("bucket", bexpr).persist()
-    touched = sorted(r["bucket"] for r in part.select("bucket").distinct().collect())
     prev = store.read_buckets(base.bucket_map, touched)
     if prev is not None:
         merged = (
@@ -2512,14 +2529,6 @@ def apply_incremental_cc_batch(
     )
 
     spark = edges_df.sparkSession
-    if edges_df.isEmpty():
-        return
-    # pin n_buckets: a mismatched later fold would hash nodes into other
-    # buckets and miss their stored labels (advisor r10 guard, shared
-    # with the upsert/agg/sessions families)
-    ensure_store_config(
-        spark, f"{store_path}/labels", {"family": "cc", "n_buckets": n_buckets}
-    )
     e = edges_df.select(SF.col(src_col).alias("src"), SF.col(dst_col).alias("dst"))
     nodes = (
         e.select(SF.col("src").alias("node"))
@@ -2527,13 +2536,26 @@ def apply_incremental_cc_batch(
         .distinct()
         .persist()
     )
-
+    bexpr = SF.pmod(SF.xxhash64("node"), SF.lit(n_buckets)).cast("int")
+    nb = nodes.withColumn("bucket", bexpr)
+    # the touched-bucket collect doubles as the emptiness probe (an empty
+    # batch yields no buckets): one job instead of the former separate
+    # isEmpty() take -- folds are job-latency bound (r13).  Like the old
+    # early return, an empty batch leaves the store untouched (no config
+    # pin, no manifest flip).
+    touched = sorted(r["bucket"] for r in nb.select("bucket").distinct().collect())
+    if not touched:
+        nodes.unpersist()
+        return
+    # pin n_buckets: a mismatched later fold would hash nodes into other
+    # buckets and miss their stored labels (advisor r10 guard, shared
+    # with the upsert/agg/sessions families)
+    ensure_store_config(
+        spark, f"{store_path}/labels", {"family": "cc", "n_buckets": n_buckets}
+    )
     labels = ManifestStore(spark, f"{store_path}/labels", n_extras=2)
     base = labels.base_for_batch(batch_id)
     chain = dict(base.extras[0]) if base.extras and base.extras[0] else {}
-    bexpr = SF.pmod(SF.xxhash64("node"), SF.lit(n_buckets)).cast("int")
-    nb = nodes.withColumn("bucket", bexpr)
-    touched = sorted(r["bucket"] for r in nb.select("bucket").distinct().collect())
     prev = labels.read_buckets(base.bucket_map, touched)
 
     from pyspark.sql.types import StructField, StructType
@@ -2648,8 +2670,15 @@ def apply_incremental_cc_batch(
             .distinct()
             .collect()
         }
-    scomp = spark.createDataFrame(
-        scomp_pairs, StructType([StructField("comp", ctype), StructField("final_comp", ctype)])
+    from odp_dynamic_data_pipeline_spark.functions.localrel import local_relation
+
+    # Arrow-built JVM relation (r13): scomp rides a broadcast join inside
+    # EVERY job materializing inserted/new_state -- a pickled-list
+    # relation re-pays a Python-worker round trip per job that scans it
+    scomp = local_relation(
+        spark,
+        scomp_pairs,
+        StructType([StructField("comp", ctype), StructField("final_comp", ctype)]),
     )
 
     # the new-node rows carry their FINAL comp directly
@@ -2774,7 +2803,10 @@ def read_incremental_cc(spark, store_path: str, universe: DataFrame | None = Non
         ctype = labels.schema["comp"].dataType
         from pyspark.sql.types import StructField, StructType
 
-        cmap = spark.createDataFrame(
+        from odp_dynamic_data_pipeline_spark.functions.localrel import local_relation
+
+        cmap = local_relation(
+            spark,
             [(k, v) for k, v in chain.items()],
             StructType([StructField("old_comp", ctype), StructField("new_comp", ctype)]),
         )
@@ -2816,7 +2848,10 @@ def compact_incremental_cc(spark, store_path: str, *, n_buckets: int = 64) -> in
         return 0
     state = store.read_current()
     ctype = state.schema["comp"].dataType
-    cmap = spark.createDataFrame(
+    from odp_dynamic_data_pipeline_spark.functions.localrel import local_relation
+
+    cmap = local_relation(
+        spark,
         [(k, v) for k, v in chain.items()],
         StructType([StructField("old_comp", ctype), StructField("new_comp", ctype)]),
     )
