@@ -31,9 +31,32 @@ if _only:
     BENCH_QUERIES = wanted
 
 
+def _st_probe_sec() -> float:
+    """Fixed single-thread host-speed probe (VERDICT r13 item 1).
+
+    min-of-3 of a 20,000,000-iteration pure-Python integer-sum loop --
+    ~0.8 s in a healthy window on this container.  The container's
+    effective CPU speed varies ~2x across hours (external
+    oversubscription; adjudicated in NOTES_r13.md S9 / VERDICT r13), so
+    every map carries its own calibration and tools/bench_drift.py scales
+    its thresholds by the ratio of probes instead of treating host drift
+    as code drift.  The loop spec is FROZEN: changing it breaks
+    cross-round probe comparability.
+    """
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(20_000_000):
+            x += i
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    st_probe = _st_probe_sec()
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
@@ -184,6 +207,12 @@ def main() -> None:
         "stream_families": {
             n: STORE_FAMILY[n] for n in sorted(timings) if n in STORE_FAMILY
         },
+        # host-speed calibration, taken before session start and again
+        # after the last query: a map whose probes disagree straddled a
+        # host-speed shift mid-run
+        "st_probe_sec": st_probe,
+        "st_probe_end_sec": _st_probe_sec(),
+        "cpus": int(cpus) if cpus.isdigit() else cpus,
     }
     line = json.dumps(result)
     # NOTE: a JSON result is printed as the VERY LAST line of this run

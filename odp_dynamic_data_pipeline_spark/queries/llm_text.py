@@ -1263,30 +1263,48 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct 8-token span fingerprints both contain -- the diagnostic that
     decides which crawl snapshots/feeds are redundant before ingesting
     them.  Span level (not whole-document) so partial mirroring shows up.
-    The self-join runs on the DISTINCT (source, span-hash) table; the
-    corpus-sized explode collapses in the map-side distinct first."""
+
+    r14 optimization (guide §2.3/§2.4, VERDICT r13 item 2): span anchors
+    are multi-arg xxhash64 via window_hash_expr (internal-only -- the
+    pair COUNTS are the output, preserved under the same window<->string
+    bijection argument as the r13 ExactSubstr change; the DuckDB oracle
+    replays md5 values, and parity is hash-gated), per-document
+    array_distinct dedups spans before the explode, and the old
+    corpus-wide DISTINCT + self-join on the 32-char hex key is replaced
+    by ONE groupBy(h) collecting the distinct source set per span --
+    source-pair counts fall out of the per-hash source sets, so a hot
+    span costs |sources| set entries instead of |A|x|B| join rows, and
+    4 string-keyed exchanges become 2 bigint-keyed ones."""
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     w = 8
-    sp = (
-        docs.withColumn("__toks", tx.tokens("text"))
-        .where(F.expr(f"size(__toks) >= {w}"))
-        .withColumn(
-            "__spans",
+    sp = docs.withColumn("__toks", tx.tokens("text")).where(
+        F.expr(f"size(__toks) >= {w}")
+    ).select(
+        "source",
+        F.explode(
             F.expr(
-                f"transform(sequence(1, size(__toks) - {w - 1}),"
-                f" i -> md5(array_join(slice(__toks, i, {w}), ' ')))"
-            ),
-        )
-        .select("source", F.explode("__spans").alias("h"))
-        .distinct()
+                f"array_distinct(transform(sequence(1, size(__toks) - {w - 1}),"
+                f" i -> {tx.window_hash_expr('__toks', 'i', w)}))"
+            )
+        ).alias("h"),
     )
-    a = sp.select(F.col("source").alias("source_a"), "h")
-    b = sp.select(F.col("source").alias("source_b"), "h")
-    return (
-        a.join(b, "h")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    pairs = (
+        sp.groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("__ss"))
+        .where(F.size("__ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ss, (x, i) ->"
+                    " transform(slice(__ss, i + 2, size(__ss)),"
+                    " y -> struct(x AS source_a, y AS source_b))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.source_a", "__p.source_b")
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared_spans")
     )
 
 

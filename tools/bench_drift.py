@@ -77,6 +77,19 @@ def best_prior(
     return best
 
 
+def map_probes(repo: str) -> dict[str, float]:
+    """basename -> st_probe_sec for every full map that recorded one
+    (bench.py emits the single-thread host-speed probe since r14).  Used
+    to scale drift thresholds by the host-window ratio instead of
+    flagging host oversubscription as code drift (VERDICT r13 item 1)."""
+    out: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "BENCH_LOCAL_r*.json"))):
+        doc = _load(path)
+        if doc and isinstance(doc.get("st_probe_sec"), (int, float)):
+            out[os.path.basename(path)] = float(doc["st_probe_sec"])
+    return out
+
+
 def fresh_jvm_receipts(repo: str) -> dict[str, float]:
     """name -> isolated fresh-JVM WARM seconds from STREAM_BENCH_LOCAL.json
     (tools/stream_bench.py merges adjudication probes into it) -- the
@@ -195,6 +208,20 @@ def main(argv: list[str]) -> int:
         return 0
     siblings = sibling_colds(repo, cur_path, opts.get("--siblings"))
 
+    # host-window calibration: when both the current map and a prior map
+    # carry st_probe_sec, scale the prior bar UP by the probe ratio when
+    # the current window is slower (never down -- a fast window must not
+    # hide a real regression), capped at 3x.
+    probes = map_probes(repo)
+    cur_probe = cur.get("st_probe_sec")
+    cur_probe = float(cur_probe) if isinstance(cur_probe, (int, float)) else None
+
+    def _cal(b: float, src: str) -> float:
+        p = probes.get(src)
+        if cur_probe and p:
+            return b * min(3.0, max(1.0, cur_probe / p))
+        return b
+
     warm = cur.get("queries_warm") or {}
     # gating-cadence downgrade (list written by bench.py from the
     # registry): these queries time a correctness gate's deliberately
@@ -215,6 +242,7 @@ def main(argv: list[str]) -> int:
             continue
         n_compared += 1
         b, src = prior[name]
+        b = _cal(b, src)
         if t <= b * ratio or (t - b) <= floor:
             continue
         line = f"{name}: cold {t:.2f}s vs best prior {b:.2f}s ({src}) = {t / max(b, 1e-9):.1f}x"
@@ -285,6 +313,7 @@ def main(argv: list[str]) -> int:
             continue
         n_warm += 1
         b, src = prior_warm[name]
+        b = _cal(b, src)
         if t <= b * warm_ratio or (t - b) <= warm_floor:
             continue
         inv = ""
@@ -338,7 +367,8 @@ def main(argv: list[str]) -> int:
         f"bench_drift: {n_compared} cold + {n_warm} warm compared,"
         f" {len(flags)} flagged, {len(notes)} downgraded (cold {ratio}x/"
         f"{floor}s, warm {warm_ratio}x/{warm_floor}s,"
-        f" {len(siblings)} sibling-map queries)"
+        f" {len(siblings)} sibling-map queries,"
+        f" st_probe={cur_probe if cur_probe is not None else 'n/a'})"
     )
     if flags:
         qnames = " ".join(f.split(":")[0].split("] ")[1] for f in flags)
