@@ -1019,10 +1019,20 @@ def jaccard_join(
     the rarest shingles, so the equi-join's per-key fan-out is bounded by
     the df of rare shingles.  Low tau widens prefixes (tau=0.3 -> 70%);
     production near-dup dedup runs tau >= 0.7 where prefixes are short.
-    Output: (id_a, id_b, inter, uni, jac_e6)."""
-    hs = hashed_shingles_direct(
+    Output: (id_a, id_b, inter, uni, jac_e6).
+
+    r14 (guide §2.4/§2.3, VERDICT r13 item 4): the VERIFY side no longer
+    re-derives the rarity-ordered arrays -- array_intersect is
+    order-independent, so the per-doc hash arrays come straight from the
+    map-only hashed_shingles_direct projection (base).  That removes the
+    df-frequency join + collect_list groupBy (2 exchanges + 2 hash
+    aggregates) from EACH verify branch's lineage; only candidate
+    generation still pays for the global rarity ordering it actually
+    needs."""
+    base = hashed_shingles_direct(
         df.select(id_col, text_col), id_col, text_col, n=n, out_col="__hs"
-    ).select(F.col(id_col).alias("__id"), F.explode("__hs").alias("h"))
+    )
+    hs = base.select(F.col(id_col).alias("__id"), F.explode("__hs").alias("h"))
     freq = hs.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
     ordered = (
         hs.join(freq, "h")
@@ -1055,7 +1065,13 @@ def jaccard_join(
         .select("id_a", "id_b")
         .distinct()
     )
-    arrays = ordered.select("__id", "__arr", "__n")
+    # map-only verify arrays (set equality is order-free); __n = size of
+    # the per-doc distinct hash set, identical to ordered's count
+    arrays = base.select(
+        F.col(id_col).alias("__id"),
+        F.col("__hs").alias("__arr"),
+        F.size("__hs").cast("long").alias("__n"),
+    )
     verify = (
         cand.join(
             arrays.select(
@@ -1589,32 +1605,33 @@ def containment_join(
     Output: (id_a, id_b, inter, na, nb, cont_e6); cont_e6 exact integer
     floor of 1e6 * containment.
 
-    Cache lifecycle: with ``eager=True`` (default) the shared shingle
-    tables are persisted, the result is materialized, and both caches are
-    released before returning.  With ``eager=False`` the fully LAZY plan
-    is returned with NO caches taken (for plan inspection / caller-managed
-    materialization) -- the shingle tables recompute once per consumer."""
+    Materialization: with ``eager=True`` (default) the small verified
+    result is materialized via localCheckpoint (truncates the lineage for
+    downstream reuse); with ``eager=False`` the fully LAZY plan is
+    returned (for plan inspection / caller-managed materialization).
+    Shingle hashes come straight off the token columns
+    (hashed_shingles_direct, r13: xxhash64 multi-arg, per-doc
+    array_distinct); set equality over hashes equals set equality over
+    strings modulo the hash-collision odds every hashed stage here
+    accepts."""
     if not (0 < tau_e6 <= 1_000_000):
         raise ValueError(f"tau_e6 must be in (0, 1000000], got {tau_e6}")
-    # the corpus shingle table feeds THREE consumers (df-frequency ranking,
-    # per-doc arrays, the inverted index) and the needle table two; persist
-    # both so tokenize+shingle+hash runs once per side, not per consumer
-    # (the minhash_lsh_pairs lifecycle pattern -- at cluster scale this is
-    # the table you would write to parquet once per corpus).  Shingle
-    # hashes come straight off the token columns (hashed_shingles_direct,
-    # r13: xxhash64 multi-arg, per-doc array_distinct -- no shingle
-    # strings, no md5, no corpus-wide (id, h) DISTINCT shuffle); set
-    # equality over hashes equals set equality over strings modulo the
-    # hash-collision odds every hashed stage here accepts.
-    a_h = hashed_shingles_direct(
+    # r14 (guide §2.4, VERDICT r13 item 4): sizes and verify arrays come
+    # straight off the map-only hashed_shingles_direct projections --
+    # set-intersection is order-free, so only candidate generation still
+    # needs the rarity-ordered arrays.  That removes the b-side
+    # collect_list groupBy, the size join feeding the inverted index, and
+    # both verify-side array rebuilds (each a groupBy exchange); with one
+    # consumer left per exploded table the old persists are dead weight
+    # and dropped too.
+    a_base = hashed_shingles_direct(
         needles.select(id_col, text_col), id_col, text_col, n=n, out_col="__hs"
-    ).select(F.col(id_col).alias("__id"), F.explode("__hs").alias("h"))
-    b_h = hashed_shingles_direct(
+    )
+    b_base = hashed_shingles_direct(
         corpus.select(id_col, text_col), id_col, text_col, n=n, out_col="__hs"
-    ).select(F.col(id_col).alias("__id"), F.explode("__hs").alias("h"))
-    if eager:
-        a_h = a_h.persist()
-        b_h = b_h.persist()
+    )
+    a_h = a_base.select(F.col(id_col).alias("__id"), F.explode("__hs").alias("h"))
+    b_h = b_base.select(F.col(id_col).alias("__id"), F.explode("__hs").alias("h"))
     freq = b_h.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
     a_ordered = (
         a_h.join(freq, "h", "left")
@@ -1627,9 +1644,6 @@ def containment_join(
             F.size("__os").cast("long").alias("__n"),
         )
     )
-    b_arrays = b_h.groupBy("__id").agg(
-        F.collect_list("h").alias("__arr"), F.count(F.lit(1)).cast("long").alias("__n")
-    )
     # prefix length p = n - ceil(tau*n) + 1 (exact integer ceil)
     p = f"__n - ((CAST({tau_e6} AS BIGINT) * __n + 999999) div 1000000) + 1"
     pa = a_ordered.select(
@@ -1637,9 +1651,11 @@ def containment_join(
         F.col("__n").alias("__na"),
         F.explode(F.expr(f"slice(__arr, 1, {p})")).alias("h"),
     )
-    ib = b_h.join(
-        b_arrays.select(F.col("__id"), F.col("__n").alias("__nb")), "__id"
-    ).select(F.col("__id").alias("id_b"), "__nb", "h")
+    ib = b_base.select(
+        F.col(id_col).alias("id_b"),
+        F.size("__hs").cast("long").alias("__nb"),
+        F.explode("__hs").alias("h"),
+    )
     cand = (
         pa.join(ib, "h")
         .where(
@@ -1651,18 +1667,18 @@ def containment_join(
     )
     verify = (
         cand.join(
-            a_ordered.select(
-                F.col("__id").alias("id_a"),
-                F.col("__arr").alias("__aa"),
-                F.col("__n").alias("__na"),
+            a_base.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__hs").alias("__aa"),
+                F.size("__hs").cast("long").alias("__na"),
             ),
             "id_a",
         )
         .join(
-            b_arrays.select(
-                F.col("__id").alias("id_b"),
-                F.col("__arr").alias("__ab"),
-                F.col("__n").alias("__nb"),
+            b_base.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__hs").alias("__ab"),
+                F.size("__hs").cast("long").alias("__nb"),
             ),
             "id_b",
         )
@@ -1678,13 +1694,7 @@ def containment_join(
         F.expr("(1000000 * inter) div __na").alias("cont_e6"),
     )
     if eager:
-        # unpersist even when the materializing job fails -- a crashed
-        # query must not leak the shingle caches into the shared session
-        try:
-            result = result.localCheckpoint(eager=True)
-        finally:
-            a_h.unpersist()
-            b_h.unpersist()
+        result = result.localCheckpoint(eager=True)
     return result
 
 

@@ -166,6 +166,18 @@ LITERAL_CENTROID_AUTO = 16
 # the Python loop was 46M interpreted ops and dominated the query)
 TWO_LEVEL_DRIVER_BUDGET = 5_000_000
 
+# assign_two_level's per-point stages run as Arrow/numpy integer matmuls
+# once k reaches this many centroids (r14, VERDICT r13 item 7 / guide
+# §4.2): the SQL path evaluates O(g + k/g) interpreted higher-order
+# zip_with/aggregate lambdas per point, and the r13 100x rehearsal
+# measured that term LEADING semantic_dedup_linear's scaling exponent
+# (0.789; assignment is O(N * sqrt(N/c) * dim) total).  The numpy path
+# does the identical exact int64 arithmetic (same first-min = lowest-
+# index tie-breaks) as two matmuls per batch, trading one JVM<->Python
+# Arrow crossing for a ~vectorized constant.  Small k stays on the SQL
+# path where plans are tiny and the Python boundary is the larger cost.
+TWO_LEVEL_ARROW_MIN = 16
+
 
 def _centroids_relation(spark, centroids: list[list[int]]):
     """One-row DataFrame carrying the centroid set as data: ``__cents``
@@ -996,6 +1008,14 @@ def assign_two_level(
     threshold); stage B is a broadcast equi-JOIN on the super id against
     a g-row relation of member arrays -- one BroadcastHashJoin, no
     shuffle of the vector table, argmin as a higher-order transform.
+
+    From k >= TWO_LEVEL_ARROW_MIN both per-point stages instead run as
+    exact int64 numpy matmuls inside one mapInArrow
+    (_assign_two_level_arrow; r14, guide §4.2) -- identical values and
+    tie-breaks, no join, no shuffle, and the per-point constant drops
+    from interpreted higher-order lambdas to vectorized C.  Callers
+    should pass only the columns they need (mapInArrow is opaque to
+    column pruning).
     """
     from pyspark.sql.types import (
         ArrayType,
@@ -1044,6 +1064,11 @@ def assign_two_level(
                 (j, [int(x) for x in c], sum(int(x) * int(x) for x in c))
             )
 
+    if k >= TWO_LEVEL_ARROW_MIN:
+        return _assign_two_level_arrow(
+            df, supers, groups,
+            vec_col=vec_col, topic_col=topic_col, dist_col=dist_col,
+        )
     member_struct = StructType(
         [
             StructField("j", IntegerType(), False),
@@ -1088,6 +1113,93 @@ def assign_two_level(
         .withColumn(dist_col, best["d"])
         .drop("__sup", "__members")
     )
+
+
+def _assign_two_level_arrow(
+    df: DataFrame,
+    supers: list[list[int]],
+    groups: dict[int, list],
+    *,
+    vec_col: str,
+    topic_col: str,
+    dist_col: str,
+) -> DataFrame:
+    """Arrow/numpy twin of assign_two_level's per-point stages (r14,
+    guide §4.2): one mapInArrow whose batches run stage A (nearest super)
+    and stage B (exact argmin within the winning super's member group) as
+    int64 matrix products -- value-identical to the SQL expression path:
+
+    * exact integer squared L2 throughout (numpy int64 matmul is exact;
+      products stay far inside int64 for quantized vectors);
+    * stage A drops the row-constant ||v||^2 term, which cannot change
+      the argmin or its ties; np.argmin returns the FIRST minimum =
+      lowest super index, the SQL path's tie-break;
+    * member matrices are ordered by centroid index j ascending (the
+      groups lists are built in enumerate order), so stage B's first
+      minimum is the lowest j, again matching array_sort((d, j)).
+
+    The member matrices travel inside the serialized function (Spark
+    broadcasts large Python commands automatically); k*dim int64 at the
+    k ~ sqrt(N)/(N/c) design points is MBs, not GBs.  Input vectors must
+    be non-null, fixed-dim (the quantized() contract for non-null
+    embeddings); a null/ragged batch fails loudly in the reshape rather
+    than silently mis-assigning."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    S = np.asarray(supers, dtype=np.int64)
+    Sn = (S * S).sum(axis=1)
+    dim = S.shape[1]
+    members: dict[int, tuple] = {}
+    for s, mem in groups.items():
+        if mem:
+            members[int(s)] = (
+                np.asarray([m[1] for m in mem], dtype=np.int64),
+                np.asarray([m[2] for m in mem], dtype=np.int64),
+                np.asarray([m[0] for m in mem], dtype=np.int32),
+            )
+    vec_idx = df.columns.index(vec_col)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(topic_col, IntegerType(), True),
+            StructField(dist_col, LongType(), True),
+        ]
+    )
+
+    def assign(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            col = batch.column(vec_idx)
+            if col.null_count:
+                raise ValueError(
+                    "assign_two_level: null vectors are not assignable"
+                    f" ({col.null_count} null {vec_idx}-col rows in batch)"
+                )
+            V = np.asarray(col.flatten(), dtype=np.int64).reshape(n, dim)
+            Vn = (V * V).sum(axis=1)
+            sup = np.argmin(V @ (S.T * -2) + Sn[None, :], axis=1)
+            topic = np.empty(n, dtype=np.int32)
+            d2 = np.empty(n, dtype=np.int64)
+            for s in np.unique(sup):
+                rows = np.flatnonzero(sup == s)
+                if int(s) not in members:
+                    # unreachable: an empty super implies an identical
+                    # lower-index super that wins every tie
+                    raise RuntimeError(f"empty super group {int(s)} selected")
+                M, Mn, J = members[int(s)]
+                dists = Vn[rows, None] + (V[rows] @ (M.T * -2) + Mn[None, :])
+                am = np.argmin(dists, axis=1)
+                topic[rows] = J[am]
+                d2[rows] = dists[np.arange(len(rows)), am]
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pa.array(topic), pa.array(d2)],
+                names=list(batch.schema.names) + [topic_col, dist_col],
+            )
+
+    return df.mapInArrow(assign, out_schema)
 
 
 def ivfpq_topk(

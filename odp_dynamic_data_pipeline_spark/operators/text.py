@@ -98,7 +98,16 @@ def window_hash_expr(toks_col: str, start_expr: str, n_tokens: int) -> str:
     corpora, which the driver's hash gate verifies value-for-value).
 
     NOT for consumers that expose the hash value itself (those pin md5 in
-    their oracle output -- see window_heavy_hitters)."""
+    their oracle output -- see window_heavy_hitters).
+
+    HARD PRECONDITION (advisor r13): the window must be fully in range --
+    ``1 <= start_expr`` and ``start_expr + n_tokens - 1 <= size(toks_col)``
+    for every row.  element_at (unlike the old slice) indexes from the
+    array END for negative positions and returns NULL out-of-range under
+    non-ANSI (xxhash64 then SKIPS the null arg, so a truncated window
+    silently hashes like a shorter tuple) or THROWS under
+    spark.sql.ansi.enabled.  Callers with derived start positions must
+    guard with a CASE WHEN like token_windows does."""
     args = ", ".join(
         f"element_at({toks_col}, ({start_expr}) + {j})" for j in range(n_tokens)
     )
@@ -376,16 +385,18 @@ def shared_span_stats(
 ) -> DataFrame:
     """Exact repeated-span detection (the substring-level dedup signal of
     Lee et al. 2022, "Deduplicating Training Data Makes Language Models
-    Better"): every ``span_tokens``-token sliding window is fingerprinted
-    with md5; a span is SHARED when the same fingerprint occurs in at
-    least two distinct documents, and each document reports what fraction
-    of its spans is shared -- the per-doc signal a curation pass thresholds
-    on to drop boilerplate-heavy documents.
+    Better"): every ``span_tokens``-token sliding window is anchored with
+    a multi-arg xxhash64 bigint (window_hash_expr; r13 -- the hash never
+    surfaces in the output); a span is SHARED when the same anchor occurs
+    in at least two distinct documents, and each document reports what
+    fraction of its spans is shared -- the per-doc signal a curation pass
+    thresholds on to drop boilerplate-heavy documents.
 
     Tokenization is materialized into a column before the window lambda
-    (one regex pass per document, not per span), windows are JVM
-    slice/array_join arithmetic, and the corpus-wide span frequency is one
-    shuffle on the 16-byte fingerprint with map-side partial aggregation.
+    (one regex pass per document, not per span), windows hash straight
+    from the token array (no slice/join allocations), and the corpus-wide
+    span frequency is one shuffle on the 8-byte anchor with map-side
+    partial aggregation.
     Documents shorter than ``span_tokens`` tokens have no spans and are
     excluded (no 0/0 fraction).
 
@@ -1441,6 +1452,16 @@ def char_exact_spans(
             window_hash_expr("__toks", f"CAST(span_end - {L} + 1 AS INT)", L)
         ).alias("__rwh"),
     )
+    # materialize the span derivation ONCE (lazy localCheckpoint, the r13
+    # CC-fold discipline): sp feeds three consumers (the lwh/rwh needle
+    # selects and the final partner joins), and without the checkpoint
+    # each one re-ran the whole occurrence_duplicate_spans pipeline --
+    # the r14 plan audit counted the spans subtree 3x and the election
+    # subtree 2x in one query (guide §2.4: don't recompute what a plan
+    # consumes repeatedly; §3.3: materializing also truncates the
+    # replicated-subtree plan blowup).  Within-query only -- nothing
+    # survives the run.
+    sp = sp.localCheckpoint(eager=False)
     needles = (
         sp.select(F.col("__lwh").alias("wh"))
         .unionByName(sp.select(F.col("__rwh").alias("wh")))
@@ -1472,6 +1493,9 @@ def char_exact_spans(
             ).alias("o2"),
         )
     )
+    # one row per needle hash (needle-bounded): checkpoint so the
+    # election window runs once, not once per side consumed below
+    o12 = o12.localCheckpoint(eager=False)
     lo = o12.select(
         F.col("wh").alias("__lwh"), F.col("o1").alias("__lo1"), F.col("o2").alias("__lo2")
     )

@@ -271,10 +271,11 @@ def _jaccard_edges(docs: DataFrame) -> DataFrame:
     """Exact 3-gram Jaccard >= 0.3 near-dup edges -- the shared input of
     both connected-components queries (dedup_clusters and its
     large-star/small-star twin)."""
-    sh = dd.hashed_shingles_direct(docs, "doc_id", "text").select(
-        "doc_id", F.explode("hsh").alias("s")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    base = dd.hashed_shingles_direct(docs, "doc_id", "text")
+    sh = base.select("doc_id", F.explode("hsh").alias("s"))
+    # per-doc set size map-side off the base projection (r14, guide §2.4):
+    # size(hsh) == the old exploded groupBy count, minus its exchange
+    sizes = base.select("doc_id", F.size("hsh").cast("long").alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"), "s")
     # shuffled-HASH join for the shingle self-join: both sides shuffle
     # either way, but hashing skips the two 8-byte-key sorts a sort-merge

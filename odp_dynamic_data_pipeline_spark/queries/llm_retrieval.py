@@ -948,7 +948,11 @@ def topic_assign_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = sim.quantized(emb, "embedding")
     k = int(math.floor(math.sqrt(emb.count())))
     cents = [r["qvec"] for r in q.orderBy("vec_id").limit(k).select("qvec").collect()]
-    return sim.assign_two_level(q, cents).select(
+    # pass only (id, qvec, qnorm): the Arrow assignment stage is opaque to
+    # column pruning, so an unpruned frame would ship the raw embedding
+    # doubles through the Python boundary for nothing (guide §4.1; qnorm
+    # stays because the small-k SQL path's ivf_assign formula needs it)
+    return sim.assign_two_level(q.select("vec_id", "qvec", "qnorm"), cents).select(
         "vec_id", F.col("topic").cast("int").alias("topic"), "d2"
     )
 
@@ -1019,7 +1023,9 @@ def semantic_dedup_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = sim.quantized(emb, "embedding")
     k = int(math.ceil(emb.count() / 25.0))
     cents = [r["qvec"] for r in q.orderBy("vec_id").limit(k).select("qvec").collect()]
-    asg = sim.assign_two_level(q, cents).select(
+    # prune to (id, qvec, qnorm) before the opaque Arrow assignment stage
+    # (guide §4.1: mapInArrow defeats column pruning)
+    asg = sim.assign_two_level(q.select("vec_id", "qvec", "qnorm"), cents).select(
         "vec_id", F.col("topic").cast("int").alias("cluster_id"), "qvec", "qnorm"
     )
     a = asg.select(

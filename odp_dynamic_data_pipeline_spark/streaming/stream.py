@@ -27,6 +27,42 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _parallel_sink_writes(*thunks) -> None:
+    """Run a fold's INDEPENDENT sink writes as concurrent Spark jobs
+    (guide §2.6: actions are only sequential because the driver calls
+    them sequentially).  The heavy store folds are job-latency bound
+    (r13 receipts: 0.55 s warm for an empty 2-batch drain; multi-second
+    folds are 2-4 blocking submissions each), and most folds end with
+    2-3 writes to DISJOINT batch-keyed paths that share persisted
+    intermediates -- overlapping them saves one to two submissions of
+    latency per fold locally, and at cluster scale lets one write's
+    straggler tail back-fill the other's executors.
+
+    Safety: concurrent jobs that race to compute the same persisted
+    partition serialize per block in the BlockManager (one computes, the
+    others read).  Retry semantics are unchanged -- every sink is an
+    overwrite of a batch-keyed path (or a manifest commit whose replay
+    rule already covers a crash between sinks), so a partially-written
+    fold replays identically whatever order the writes landed in.  Any
+    write failure propagates after all submitted writes settle, so the
+    enclosing foreachBatch still fails loudly."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errs = []
+        for f in futures:
+            try:
+                f.result()
+            except BaseException as e:  # noqa: BLE001 -- collect, raise below
+                errs.append(e)
+    if errs:
+        raise errs[0]
+
+
 def windowed_event_counts(
     stream: DataFrame,
     *,
@@ -568,8 +604,14 @@ def run_incremental_dedup(
         else:  # first batch: no store yet
             fresh = fp
         fresh.persist()
-        fresh.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
-        fresh.select(fp_col).write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
+        _parallel_sink_writes(
+            lambda: fresh.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
+            ),
+            lambda: fresh.select(fp_col).write.mode("overwrite").parquet(
+                f"{store_path}/batch_id={batch_id}"
+            ),
+        )
         fresh.unpersist()
         fp.unpersist()
 
@@ -978,10 +1020,16 @@ def run_incremental_neardup(
             .where(SF.col("jaccard_e6") >= threshold_e6)
             .select("id_a", "id_b", "jaccard_e6")
         )
-        pairs.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
-        buckets.write.mode("overwrite").parquet(f"{store_path}/buckets/batch_id={batch_id}")
-        hashed.select(id_col, "hsh").write.mode("overwrite").parquet(
-            f"{store_path}/hashes/batch_id={batch_id}"
+        _parallel_sink_writes(
+            lambda: pairs.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
+            ),
+            lambda: buckets.write.mode("overwrite").parquet(
+                f"{store_path}/buckets/batch_id={batch_id}"
+            ),
+            lambda: hashed.select(id_col, "hsh").write.mode("overwrite").parquet(
+                f"{store_path}/hashes/batch_id={batch_id}"
+            ),
         )
         cand.unpersist()
         buckets.unpersist()
@@ -1154,17 +1202,27 @@ def apply_incremental_semdedup_batch(
             SF.coalesce("__dup", SF.lit(0)).cast("int").alias("is_dup"),
         )
     )
-    out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
     # the store keeps ALL seen vectors, not only keepers: the election is
     # non-chained (a duplicate still witnesses later duplicates), exactly
-    # the batch operator's semantics
-    asg.write.mode("overwrite").parquet(f"{vec_path}/batch_id={batch_id}")
-    # JVM-built one-row relation: a local-list createDataFrame executes as
-    # a pickled Python RDD and costs a multi-second Python-worker round
-    # trip PER BATCH (measured ~5 s on local[32], r13)
-    spark.range(1).select(
-        SF.lit(int(rng["lo"])).alias("min_id"), SF.lit(int(rng["hi"])).alias("max_id")
-    ).coalesce(1).write.mode("overwrite").parquet(f"{meta_path}/batch_id={batch_id}")
+    # the batch operator's semantics.  meta rides a JVM-built one-row
+    # relation: a local-list createDataFrame executes as a pickled Python
+    # RDD and costs a multi-second Python-worker round trip PER BATCH
+    # (measured ~5 s on local[32], r13).  All three sinks are independent
+    # batch-keyed overwrites sharing the persisted `asg` -- overlap them.
+    _parallel_sink_writes(
+        lambda: out.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        ),
+        lambda: asg.write.mode("overwrite").parquet(
+            f"{vec_path}/batch_id={batch_id}"
+        ),
+        lambda: spark.range(1).select(
+            SF.lit(int(rng["lo"])).alias("min_id"),
+            SF.lit(int(rng["hi"])).alias("max_id"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{meta_path}/batch_id={batch_id}"
+        ),
+    )
     asg.unpersist()
 
 
@@ -1468,8 +1526,14 @@ def run_incremental_hamming(
                 )
             )
             pairs = pairs.join(touching, ["id_a", "id_b"], "left_anti")
-        pairs.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
-        bands.write.mode("overwrite").parquet(f"{store_path}/bands/batch_id={batch_id}")
+        _parallel_sink_writes(
+            lambda: pairs.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
+            ),
+            lambda: bands.write.mode("overwrite").parquet(
+                f"{store_path}/bands/batch_id={batch_id}"
+            ),
+        )
         bands.unpersist()
 
     q = (
@@ -1495,7 +1559,8 @@ def run_incremental_spans(
 ):
     """Streaming ExactSubstr at INGEST time: per micro-batch, each arriving
     document's stride-1 token windows (operators.text.token_windows -- the
-    SAME md5 anchors the batch occurrence_duplicate_spans hashes) are counted against
+    SAME xxhash64 bigint anchors the batch occurrence_duplicate_spans
+    hashes, pinned in the store config as anchor=xxhash64-v1) are counted against
     the accreted window store PLUS the batch itself, and the batch's
     documents get their maximal duplicated spans emitted
     (operators.text.merge_window_spans).
@@ -1578,7 +1643,13 @@ def run_incremental_spans(
         spark = batch_df.sparkSession
         # pin the window-hash layout: a resume with different min_tokens
         # (or text source) puts old and new batches in incomparable
-        # window-hash spaces -- cross-batch span counts silently wrong
+        # window-hash spaces -- cross-batch span counts silently wrong.
+        # "anchor" pins the HASH FAMILY of the wh keys (advisor r13): the
+        # r13 md5->xxhash64 anchor change means a durable whc store written
+        # by pre-r13 code holds md5 hex strings that would join as null
+        # bigints against today's keys -- the ingest gate would silently
+        # under-count cross-batch occurrences.  With the key pinned, such a
+        # resume fails the config gate loudly instead.
         from odp_dynamic_data_pipeline_spark.streaming.kvstore import (
             ensure_store_config,
         )
@@ -1586,7 +1657,8 @@ def run_incremental_spans(
         ensure_store_config(
             spark, store_path,
             {"family": "spans", "text_col": text_col,
-             "min_tokens": min_tokens, "min_count": min_count},
+             "min_tokens": min_tokens, "min_count": min_count,
+             "anchor": "xxhash64-v1"},
         )
         win = token_windows(
             batch_df.select(id_col, text_col), text_col,
@@ -1618,9 +1690,13 @@ def run_incremental_spans(
             .select(id_col, "pos")
         )
         spans = merge_window_spans(dup, min_tokens=min_tokens, id_col=id_col)
-        spans.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
-        batch_counts.write.mode("overwrite").parquet(
-            f"{store_path}/whc/batch_id={batch_id}"
+        _parallel_sink_writes(
+            lambda: spans.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
+            ),
+            lambda: batch_counts.write.mode("overwrite").parquet(
+                f"{store_path}/whc/batch_id={batch_id}"
+            ),
         )
         batch_counts.unpersist()
         win.unpersist()
@@ -1776,10 +1852,16 @@ def run_incremental_ivf(
             .where(SF.col("rank") <= k)
             .select("qid", "cand_id", "rank", "cosine")
         )
-        topk.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
-        cand.select(
-            SF.col("cand_id").alias(id_col), "ivf_list", "qvec", "qnorm"
-        ).write.mode("overwrite").parquet(f"{store_path}/vecs/batch_id={batch_id}")
+        _parallel_sink_writes(
+            lambda: topk.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
+            ),
+            lambda: cand.select(
+                SF.col("cand_id").alias(id_col), "ivf_list", "qvec", "qnorm"
+            ).write.mode("overwrite").parquet(
+                f"{store_path}/vecs/batch_id={batch_id}"
+            ),
+        )
         q.unpersist()
 
     q_ = (
@@ -1876,7 +1958,6 @@ def run_incremental_kmv(
         )
         batch_sk = kmv_sketch(batch_df, col, k=k, group_cols=groups).persist()
         rows = batch_sk.select(*groups, SF.explode("sketch").alias("h"))
-        rows.write.mode("overwrite").parquet(f"{store_path}/mins/batch_id={batch_id}")
         prev = _latest_prior_out(spark, batch_id)
         if prev is not None:
             merged = kmv_merge(
@@ -1888,7 +1969,16 @@ def run_incremental_kmv(
             )
         else:
             merged = batch_sk.select(*groups, "sketch", "n_sketch", "est_distinct")
-        merged.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        # audit-trail mins + merged emission share the persisted batch
+        # sketch and write to disjoint batch-keyed paths -- overlap them
+        _parallel_sink_writes(
+            lambda: rows.write.mode("overwrite").parquet(
+                f"{store_path}/mins/batch_id={batch_id}"
+            ),
+            lambda: merged.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
+            ),
+        )
         batch_sk.unpersist()
 
     q = (
@@ -1961,7 +2051,15 @@ def apply_incremental_sessions_batch(
     change gap/cap decisions).  The guard RAISES on a late batch instead
     of silently corrupting session boundaries; upstream replays satisfy
     it by splitting drops on event time, exactly how hourly file drops
-    arrive in the reference's world."""
+    arrive in the reference's world.
+
+    NULL group keys are EXCLUDED from sessionization (advisor r13 note,
+    now a documented contract): a null ``group_col`` row hashes into a
+    regular bucket (xxhash64 skips null args), but the per-bucket pandas
+    walk groups by the key and pandas drops NaN groups -- such rows
+    produce no sessions and no state.  Matches the batch twin, whose
+    window partitionBy puts nulls in their own partition that no oracle
+    query reads."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as SF
@@ -2012,6 +2110,7 @@ def apply_incremental_sessions_batch(
     base = store.base_for_batch(batch_id)
     base_map, base_max = base.bucket_map, base.extras[0]
     if base_max is not None and batch_min < base_max:
+        part.unpersist()  # raise path must not leak the persisted batch
         raise ValueError(
             f"run_incremental_sessions: late batch (min ts {batch_min} us <"
             f" store high-water mark {base_max} us); sessions require"
@@ -2134,7 +2233,6 @@ def apply_incremental_sessions_batch(
     closed = walked.where(SF.col("is_open") == 0).select(
         group_col, "session_n", "n_events", "start_us", SF.col("last_us").alias("end_us")
     )
-    closed.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 
     new_open = walked.where(SF.col("is_open") == 1).select(
         group_col, "session_n", "n_events", "start_us", "last_us"
@@ -2150,12 +2248,21 @@ def apply_incremental_sessions_batch(
         new_state = new_open
     new_state = new_state.withColumn("bucket", bexpr)
 
-    store.commit_buckets(
-        batch_id,
-        new_state,
-        touched,
-        base,
-        extras=[max(batch_max, base_max or batch_max), base_max],
+    # overlap the two sinks (both read the persisted `walked`); a crash
+    # between them replays fine either way -- the closed write is a
+    # batch-keyed overwrite and a post-flip retry recomputes identical
+    # rows from the recorded parent state (the store's retry rule)
+    _parallel_sink_writes(
+        lambda: closed.write.mode("overwrite").parquet(
+            f"{out_path}/batch={batch_id}"
+        ),
+        lambda: store.commit_buckets(
+            batch_id,
+            new_state,
+            touched,
+            base,
+            extras=[max(batch_max, base_max or batch_max), base_max],
+        ),
     )
     walked.unpersist()
     part.unpersist()
@@ -2550,9 +2657,13 @@ def apply_incremental_cc_batch(
     # pin n_buckets: a mismatched later fold would hash nodes into other
     # buckets and miss their stored labels (advisor r10 guard, shared
     # with the upsert/agg/sessions families)
-    ensure_store_config(
-        spark, f"{store_path}/labels", {"family": "cc", "n_buckets": n_buckets}
-    )
+    try:
+        ensure_store_config(
+            spark, f"{store_path}/labels", {"family": "cc", "n_buckets": n_buckets}
+        )
+    except Exception:
+        nodes.unpersist()  # config-mismatch raise must not leak the persist
+        raise
     labels = ManifestStore(spark, f"{store_path}/labels", n_extras=2)
     base = labels.base_for_batch(batch_id)
     chain = dict(base.extras[0]) if base.extras and base.extras[0] else {}

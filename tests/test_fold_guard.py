@@ -187,10 +187,10 @@ def test_two_level_assignment_matches_reference(spark, vecs):
         assert got[vid] == (j, d2(qv, cents[j])), vid
 
 
-def test_two_level_plan_is_bounded_and_join_based(spark):
-    """At k=1000 the two-level plan folds only g=32 super literals;
-    stage B reaches executors as a broadcast hash join on the super id,
-    and the analyzed plan stays small."""
+def test_two_level_plan_is_bounded_and_arrow_based(spark):
+    """At k=1000 the two-level assignment runs as ONE Arrow stage (r14:
+    numpy integer matmuls, no join, no shuffle) and the analyzed plan
+    stays small -- no k-proportional literals anywhere."""
     random.seed(17)
     big = [[random.randint(-5_000_000, 5_000_000) for _ in range(16)] for _ in range(1000)]
     rows = [(i, [float(random.randint(-5, 5)) for _ in range(16)]) for i in range(50)]
@@ -204,9 +204,36 @@ def test_two_level_plan_is_bounded_and_join_based(spark):
     assert time.time() - t0 < 30
     assert len(plan) < 200_000, len(plan)
     physical = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in physical
+    assert "MapInArrow" in physical, physical[:2000]
     got = out.select("topic").distinct().collect()
     assert all(0 <= r[0] < 1000 for r in got)
+
+
+def test_two_level_sql_path_equals_arrow_path(spark, monkeypatch):
+    """The small-k SQL expression path and the Arrow matmul path must
+    produce IDENTICAL (topic, d2) -- exact integer math and both
+    tie-breaks (nearest-super and within-group argmin), duplicate
+    centroids included."""
+    import odp_dynamic_data_pipeline_spark.operators.similarity as sim_mod
+
+    random.seed(23)
+    cents = [[random.randint(-5_000_000, 5_000_000) for _ in range(8)] for _ in range(24)]
+    cents[7] = list(cents[2])   # duplicate -> stage tie handling
+    cents[20] = list(cents[5])
+    rows = [(i, [float(random.randint(-4, 4)) for _ in range(8)]) for i in range(60)]
+    q = sim.quantized(
+        spark.createDataFrame(rows, "vec_id int, embedding array<double>"), "embedding"
+    ).select("vec_id", "qvec", "qnorm")
+    arrow = {
+        r["vec_id"]: (r["topic"], r["d2"])
+        for r in sim.assign_two_level(q, cents).select("vec_id", "topic", "d2").collect()
+    }
+    monkeypatch.setattr(sim_mod, "TWO_LEVEL_ARROW_MIN", 10**9)
+    sql = {
+        r["vec_id"]: (r["topic"], r["d2"])
+        for r in sim.assign_two_level(q, cents).select("vec_id", "topic", "d2").collect()
+    }
+    assert arrow == sql
 
 
 def test_dsir_ships_model_as_broadcast_join(spark):

@@ -444,3 +444,46 @@ def test_neardup_hasher_family_pinned(spark, tmp_path):
         run_incremental_neardup(
             _stream(), store, out, checkpoint=str(tmp_path / "ck2"), hasher="md5"
         )
+
+
+def test_spans_store_pins_anchor_hash_family(spark, tmp_path):
+    """r13 moved span window anchors md5(string) -> xxhash64(bigint); a
+    durable whc store written by pre-r13 code would pass the old config
+    gate and then join md5 hex keys as null bigints, silently
+    under-counting cross-batch occurrences (advisor r13).  The config now
+    pins anchor=xxhash64-v1, so (a) new stores record it, (b) a legacy
+    sidecar WITHOUT the key refuses a resume loudly."""
+    import json
+
+    from odp_dynamic_data_pipeline_spark.streaming.stream import (
+        run_incremental_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    base = tmp_path / "spans_anchor"
+    src = str(base / "in")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def _stream():
+        return spark.readStream.schema(docs.schema).parquet(src)
+
+    store, out = str(base / "store"), str(base / "out")
+    run_incremental_spans(_stream(), store, out, checkpoint=str(base / "ck1"))
+    cfg = read_store_config(spark, store)
+    assert cfg["anchor"] == "xxhash64-v1", cfg
+    # simulate the legacy md5-era sidecar: same knobs, no anchor key
+    # (drop the Hadoop local-FS checksum sidecar too -- rewriting the
+    # file out-of-band would otherwise read back as a ChecksumException)
+    import os
+
+    legacy = {k: v for k, v in cfg.items() if k != "anchor"}
+    with open(f"{store}/_CONFIG", "w") as f:
+        f.write(json.dumps(legacy, sort_keys=True))
+    crc = f"{store}/._CONFIG.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    with pytest.raises(Exception, match="different layout"):
+        run_incremental_spans(_stream(), store, out, checkpoint=str(base / "ck2"))
