@@ -39,6 +39,8 @@ PANDAS_BY_DESIGN = {
     "udtf_table_partition_args",  # partition-scoped TABLE(... PARTITION BY) UDTF IS the extension surface under test
     "mapinarrow_embedding_norms",  # mapInArrow Arrow-native kernel IS the operator
     "session_cap_windows",         # anchor-restart cap walk: data-dependent recurrence, no window-algebra closed form
+    "topic_assign_two_level",      # r14: Arrow int64-matmul two-level assignment IS the operator (similarity._assign_two_level_arrow)
+    "semantic_dedup_linear",       # r14: same Arrow assignment stage feeds the within-cluster election
 }
 # queries where a cartesian against a broadcast side is the algorithm
 BROADCAST_NLJ_BY_DESIGN = {
