@@ -53,10 +53,30 @@ def _st_probe_sec() -> float:
     return round(best, 3)
 
 
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(busy, steal) jiffies from /proc/stat's aggregate cpu line.
+
+    Steal is the cycles the hypervisor gave to OTHER tenants while this
+    VM had runnable work -- the direct measurement of the external
+    oversubscription that poisons bench windows here (r14: maps taken
+    with a healthy 0.8 s single-thread probe still showed random 5-20x
+    per-query spikes; the probe is a point sample, steal integrates the
+    whole run).  Returns None where /proc/stat is unavailable."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        vals = [int(x) for x in parts[1:]]
+        user, nice, system = vals[0], vals[1], vals[2]
+        steal = vals[7] if len(vals) > 7 else 0
+        return user + nice + system, steal
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     st_probe = _st_probe_sec()
+    jiff0 = _cpu_jiffies()
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
@@ -214,6 +234,13 @@ def main() -> None:
         "st_probe_end_sec": _st_probe_sec(),
         "cpus": int(cpus) if cpus.isdigit() else cpus,
     }
+    # integrated hypervisor steal over the whole run: the fraction of
+    # this VM's wanted cycles given to other tenants (0.0 = clean window)
+    jiff1 = _cpu_jiffies()
+    if jiff0 and jiff1:
+        busy, steal = jiff1[0] - jiff0[0], jiff1[1] - jiff0[1]
+        if busy + steal > 0:
+            result["cpu_steal_frac"] = round(steal / (busy + steal), 4)
     line = json.dumps(result)
     # NOTE: a JSON result is printed as the VERY LAST line of this run
     # (see end of main) -- the driver parses the tail of the console

@@ -77,17 +77,26 @@ def best_prior(
     return best
 
 
-def map_probes(repo: str) -> dict[str, float]:
-    """basename -> st_probe_sec for every full map that recorded one
-    (bench.py emits the single-thread host-speed probe since r14).  Used
+def map_probes(repo: str) -> tuple[dict[str, float], dict[str, float]]:
+    """(basename -> st_probe_sec, basename -> cpu_steal_frac) for every
+    full map that recorded them (bench.py emits both since r14).  Used
     to scale drift thresholds by the host-window ratio instead of
-    flagging host oversubscription as code drift (VERDICT r13 item 1)."""
-    out: dict[str, float] = {}
+    flagging host oversubscription as code drift (VERDICT r13 item 1).
+    The probe is a point sample of single-thread speed; the steal
+    fraction integrates hypervisor theft over the whole run and catches
+    the intermittent-stall windows the probe misses."""
+    probes: dict[str, float] = {}
+    steals: dict[str, float] = {}
     for path in sorted(glob.glob(os.path.join(repo, "BENCH_LOCAL_r*.json"))):
         doc = _load(path)
-        if doc and isinstance(doc.get("st_probe_sec"), (int, float)):
-            out[os.path.basename(path)] = float(doc["st_probe_sec"])
-    return out
+        if not doc:
+            continue
+        base = os.path.basename(path)
+        if isinstance(doc.get("st_probe_sec"), (int, float)):
+            probes[base] = float(doc["st_probe_sec"])
+        if isinstance(doc.get("cpu_steal_frac"), (int, float)):
+            steals[base] = float(doc["cpu_steal_frac"])
+    return probes, steals
 
 
 def fresh_jvm_receipts(repo: str) -> dict[str, float]:
@@ -208,19 +217,26 @@ def main(argv: list[str]) -> int:
         return 0
     siblings = sibling_colds(repo, cur_path, opts.get("--siblings"))
 
-    # host-window calibration: when both the current map and a prior map
-    # carry st_probe_sec, scale the prior bar UP by the probe ratio when
-    # the current window is slower (never down -- a fast window must not
-    # hide a real regression), capped at 3x.
-    probes = map_probes(repo)
+    # host-window calibration: scale the prior bar UP (never down -- a
+    # fast window must not hide a real regression, capped 3x) by the
+    # larger of (a) the single-thread probe ratio and (b) the implied
+    # slowdown from integrated hypervisor steal, 1/(1-steal) relative to
+    # the source map's steal (maps predating the field count as clean).
+    probes, steals = map_probes(repo)
     cur_probe = cur.get("st_probe_sec")
     cur_probe = float(cur_probe) if isinstance(cur_probe, (int, float)) else None
+    cur_steal = cur.get("cpu_steal_frac")
+    cur_steal = float(cur_steal) if isinstance(cur_steal, (int, float)) else None
 
     def _cal(b: float, src: str) -> float:
+        f = 1.0
         p = probes.get(src)
         if cur_probe and p:
-            return b * min(3.0, max(1.0, cur_probe / p))
-        return b
+            f = max(f, cur_probe / p)
+        if cur_steal is not None:
+            src_steal = steals.get(src, 0.0)
+            f = max(f, (1.0 - src_steal) / max(1e-6, 1.0 - cur_steal))
+        return b * min(3.0, f)
 
     warm = cur.get("queries_warm") or {}
     # gating-cadence downgrade (list written by bench.py from the
@@ -368,7 +384,8 @@ def main(argv: list[str]) -> int:
         f" {len(flags)} flagged, {len(notes)} downgraded (cold {ratio}x/"
         f"{floor}s, warm {warm_ratio}x/{warm_floor}s,"
         f" {len(siblings)} sibling-map queries,"
-        f" st_probe={cur_probe if cur_probe is not None else 'n/a'})"
+        f" st_probe={cur_probe if cur_probe is not None else 'n/a'},"
+        f" steal={cur_steal if cur_steal is not None else 'n/a'})"
     )
     if flags:
         qnames = " ".join(f.split(":")[0].split("] ")[1] for f in flags)
